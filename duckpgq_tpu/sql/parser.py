@@ -1,0 +1,1664 @@
+"""Recursive-descent SQL + SQL/PGQ parser.
+
+Grammar surface matches what the reference's vendored PEG parser accepts for
+the test corpus: full SELECT (CTEs, set ops, joins, subqueries, aggregates),
+DDL/DML, COPY/EXPLAIN/PRAGMA/DESCRIBE/SUMMARIZE, plus the PGQ statements from
+reference third_party/duckdb_peg_parser/.../grammar/statements/pgq.gram
+(CREATE/DROP PROPERTY GRAPH, GRAPH_TABLE refs with MATCH path patterns,
+quantifiers, search prefixes, path modes, edge directions).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from .. import types as tt
+from ..errors import NotImplementedException, ParserException
+from ..pgq import ast as past
+from . import ast as a
+from .lexer import T, Token, tokenize
+
+
+# words that terminate an implicit alias position
+_ALIAS_STOP = {
+    "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "OFFSET", "UNION", "EXCEPT",
+    "INTERSECT", "ON", "USING", "JOIN", "INNER", "LEFT", "RIGHT", "FULL",
+    "CROSS", "NATURAL", "SEMI", "ANTI", "ASOF", "POSITIONAL", "FROM", "SELECT",
+    "QUALIFY", "WINDOW", "AND", "OR", "NOT", "AS", "ASC", "DESC", "NULLS",
+    "THEN", "ELSE", "END", "WHEN", "SET", "VALUES", "RETURNING", "WITH",
+    "FETCH", "FOR", "INTO", "BETWEEN", "IS", "IN", "LIKE", "ILIKE", "GLOB",
+    "SIMILAR", "COLLATE", "BY",
+}
+
+
+class Parser:
+    def __init__(self, sql: str):
+        self.sql = sql
+        self.tokens = tokenize(sql)
+        self.pos = 0
+
+    # ------------------------------------------------------------------ utils
+    def peek(self, offset: int = 0) -> Token:
+        i = min(self.pos + offset, len(self.tokens) - 1)
+        return self.tokens[i]
+
+    def next(self) -> Token:
+        tok = self.tokens[self.pos]
+        if tok.kind != T.EOF:
+            self.pos += 1
+        return tok
+
+    def error(self, msg: str):
+        tok = self.peek()
+        near = tok.text if tok.kind != T.EOF else "end of input"
+        raise ParserException(f'syntax error at or near "{near}": {msg}')
+
+    def accept_kw(self, *kws: str) -> Optional[Token]:
+        if self.peek().is_kw(*kws):
+            return self.next()
+        return None
+
+    def expect_kw(self, *kws: str) -> Token:
+        if self.peek().is_kw(*kws):
+            return self.next()
+        tok = self.peek()
+        near = tok.text if tok.kind != T.EOF else "end of input"
+        raise ParserException(f'syntax error at or near "{near}"')
+
+    def accept_op(self, *ops: str) -> Optional[Token]:
+        if self.peek().is_op(*ops):
+            return self.next()
+        return None
+
+    def expect_op(self, *ops: str) -> Token:
+        if self.peek().is_op(*ops):
+            return self.next()
+        tok = self.peek()
+        near = tok.text if tok.kind != T.EOF else "end of input"
+        raise ParserException(f'syntax error at or near "{near}" '
+                              f'(expected {" or ".join(ops)})')
+
+    def at_ident(self) -> bool:
+        return self.peek().kind in (T.IDENT, T.QIDENT)
+
+    def expect_ident(self) -> str:
+        tok = self.peek()
+        if tok.kind in (T.IDENT, T.QIDENT):
+            self.next()
+            return tok.text
+        self.error("expected identifier")
+
+    # -------------------------------------------------------------- statements
+    def parse_statements(self) -> List[a.Statement]:
+        out = []
+        while self.peek().kind != T.EOF:
+            if self.accept_op(";"):
+                continue
+            out.append(self.parse_statement())
+            if self.peek().kind != T.EOF:
+                self.expect_op(";")
+        return out
+
+    def parse_statement(self) -> a.Statement:
+        tok = self.peek()
+        if tok.kind != T.IDENT:
+            if tok.is_op("("):
+                return self.parse_select_statement()
+            self.error("expected a statement")
+        kw = tok.upper
+        if kw in ("SELECT", "WITH", "VALUES", "FROM"):
+            return self.parse_select_statement()
+        if kw == "CREATE":
+            return self.parse_create()
+        if kw == "INSERT":
+            return self.parse_insert()
+        if kw == "UPDATE":
+            return self.parse_update()
+        if kw == "DELETE":
+            return self.parse_delete()
+        if kw == "DROP":
+            return self.parse_drop()
+        if kw == "ALTER":
+            return self.parse_alter()
+        if kw == "COPY":
+            return self.parse_copy()
+        if kw == "EXPLAIN":
+            self.next()
+            analyze = bool(self.accept_kw("ANALYZE"))
+            return a.ExplainStatement(child=self.parse_statement(), analyze=analyze)
+        if kw == "PRAGMA":
+            return self.parse_pragma()
+        if kw == "SET":
+            return self.parse_set()
+        if kw in ("DESCRIBE", "DESC", "SHOW"):
+            return self.parse_describe()
+        if kw == "SUMMARIZE":
+            return self.parse_summarize()
+        if kw == "ATTACH":
+            return self.parse_attach()
+        if kw == "DETACH":
+            self.next()
+            self.accept_kw("DATABASE")
+            return a.DetachStatement(name=self.expect_ident())
+        if kw == "USE":
+            self.next()
+            return a.UseStatement(name=self.expect_ident())
+        if kw == "IMPORT":
+            self.next()
+            self.expect_kw("DATABASE")
+            return a.ImportDatabaseStatement(path=self.next().text)
+        if kw == "EXPORT":
+            self.next()
+            self.expect_kw("DATABASE")
+            return a.ExportDatabaseStatement(path=self.next().text)
+        if kw in ("BEGIN", "COMMIT", "ROLLBACK", "START"):
+            self.next()
+            self.accept_kw("TRANSACTION")
+            return a.TransactionStatement(
+                action="BEGIN" if kw == "START" else kw)
+        if kw in ("FORCE", "INSTALL", "LOAD", "CHECKPOINT", "ANALYZE", "CALL",
+                  "VACUUM"):
+            # compatibility no-ops (e.g. `force install duckpgq` in test prologues)
+            while self.peek().kind != T.EOF and not self.peek().is_op(";"):
+                self.next()
+            return a.SetStatement(name="__noop__", value=None)
+        self.error("unsupported statement")
+
+    # ----------------------------------------------------------------- SELECT
+    def parse_select_statement(self) -> a.SelectStatement:
+        ctes: List[a.CTE] = []
+        if self.accept_kw("WITH"):
+            self.accept_kw("RECURSIVE")
+            while True:
+                name = self.expect_ident()
+                col_aliases: Tuple[str, ...] = ()
+                if self.accept_op("("):
+                    cols = [self.expect_ident()]
+                    while self.accept_op(","):
+                        cols.append(self.expect_ident())
+                    self.expect_op(")")
+                    col_aliases = tuple(cols)
+                self.expect_kw("AS")
+                materialized = None
+                if self.accept_kw("MATERIALIZED"):
+                    materialized = True
+                elif self.accept_kw("NOT"):
+                    self.expect_kw("MATERIALIZED")
+                    materialized = False
+                self.expect_op("(")
+                query = self.parse_select_statement()
+                self.expect_op(")")
+                ctes.append(a.CTE(name=name, query=query,
+                                  column_aliases=col_aliases,
+                                  materialized=materialized))
+                if not self.accept_op(","):
+                    break
+        stmt = self.parse_set_op_tree()
+        stmt.ctes = ctes + stmt.ctes
+        # order/limit trailing the whole set-op tree
+        self.parse_result_modifiers(stmt)
+        return stmt
+
+    def parse_set_op_tree(self) -> a.SelectStatement:
+        left = self.parse_query_term()
+        while True:
+            tok = self.peek()
+            if tok.is_kw("UNION"):
+                self.next()
+                op = "UNION"
+                if self.accept_kw("ALL"):
+                    op = "UNION_ALL"
+                by_name = False
+                if self.accept_kw("BY"):
+                    self.expect_kw("NAME")
+                    by_name = True
+                right = self.parse_query_term()
+                left = a.SelectStatement(node=a.SetOpNode(
+                    op=op, left=left, right=right, by_name=by_name))
+            elif tok.is_kw("EXCEPT"):
+                self.next()
+                all_ = bool(self.accept_kw("ALL"))
+                right = self.parse_query_term()
+                left = a.SelectStatement(node=a.SetOpNode(
+                    op="EXCEPT_ALL" if all_ else "EXCEPT", left=left, right=right))
+            elif tok.is_kw("INTERSECT"):
+                self.next()
+                all_ = bool(self.accept_kw("ALL"))
+                right = self.parse_query_term()
+                left = a.SelectStatement(node=a.SetOpNode(
+                    op="INTERSECT_ALL" if all_ else "INTERSECT",
+                    left=left, right=right))
+            else:
+                return left
+
+    def parse_query_term(self) -> a.SelectStatement:
+        if self.accept_op("("):
+            inner = self.parse_select_statement()
+            self.expect_op(")")
+            return inner
+        tok = self.peek()
+        if tok.is_kw("VALUES"):
+            self.next()
+            rows = []
+            while True:
+                self.expect_op("(")
+                row = [self.parse_expression()]
+                while self.accept_op(","):
+                    row.append(self.parse_expression())
+                self.expect_op(")")
+                rows.append(row)
+                if not self.accept_op(","):
+                    break
+            node = a.SelectNode(select_list=[a.Star()],
+                                from_table=a.ValuesRef(rows=rows))
+            return a.SelectStatement(node=node)
+        node = self.parse_select_node()
+        return a.SelectStatement(node=node)
+
+    def parse_select_node(self) -> a.SelectNode:
+        node = a.SelectNode()
+        if self.accept_kw("FROM"):
+            # DuckDB FROM-first syntax: FROM t [SELECT ...]
+            node.from_table = self.parse_from_list()
+            if self.accept_kw("SELECT"):
+                self._parse_distinct(node)
+                node.select_list = self.parse_select_list()
+            else:
+                node.select_list = [a.Star()]
+        else:
+            self.expect_kw("SELECT")
+            self._parse_distinct(node)
+            node.select_list = self.parse_select_list()
+            if self.accept_kw("FROM"):
+                node.from_table = self.parse_from_list()
+            else:
+                node.from_table = a.EmptyTableRef()
+        if self.accept_kw("WHERE"):
+            node.where = self.parse_expression()
+        if self.accept_kw("GROUP"):
+            self.expect_kw("BY")
+            if self.accept_kw("ALL"):
+                node.group_all = True
+            else:
+                node.groups.append(self.parse_expression())
+                while self.accept_op(","):
+                    node.groups.append(self.parse_expression())
+        if self.accept_kw("HAVING"):
+            node.having = self.parse_expression()
+        if self.accept_kw("QUALIFY"):
+            node.qualify = self.parse_expression()
+        return node
+
+    def _parse_distinct(self, node: a.SelectNode):
+        if self.accept_kw("DISTINCT"):
+            node.distinct = True
+            if self.accept_kw("ON"):
+                self.expect_op("(")
+                node.distinct_on.append(self.parse_expression())
+                while self.accept_op(","):
+                    node.distinct_on.append(self.parse_expression())
+                self.expect_op(")")
+        else:
+            self.accept_kw("ALL")
+
+    def parse_select_list(self) -> List[a.Expression]:
+        exprs = [self.parse_aliased_expression()]
+        while self.accept_op(","):
+            exprs.append(self.parse_aliased_expression())
+        return exprs
+
+    def parse_aliased_expression(self) -> a.Expression:
+        expr = self.parse_expression()
+        if self.accept_kw("AS"):
+            expr.alias = self.expect_ident()
+        elif self.at_ident() and self.peek().upper not in _ALIAS_STOP:
+            expr.alias = self.next().text
+        return expr
+
+    def parse_result_modifiers(self, stmt: a.SelectStatement):
+        if self.accept_kw("ORDER"):
+            self.expect_kw("BY")
+            while True:
+                e = self.parse_expression()
+                asc = True
+                if self.accept_kw("DESC"):
+                    asc = False
+                elif self.accept_kw("ASC"):
+                    asc = True
+                nulls_first = None
+                if self.accept_kw("NULLS"):
+                    nulls_first = bool(self.accept_kw("FIRST"))
+                    if nulls_first is False:
+                        self.expect_kw("LAST")
+                stmt.order_by.append(a.OrderByNode(
+                    expr=e, ascending=asc, nulls_first=nulls_first))
+                if not self.accept_op(","):
+                    break
+        if self.accept_kw("LIMIT"):
+            stmt.limit = self.parse_expression()
+        if self.accept_kw("OFFSET"):
+            stmt.offset = self.parse_expression()
+
+    # ------------------------------------------------------------------- FROM
+    def parse_from_list(self) -> a.TableRef:
+        ref = self.parse_join_tree()
+        while self.accept_op(","):
+            right = self.parse_join_tree()
+            ref = a.JoinRef(left=ref, right=right, join_type="CROSS")
+        return ref
+
+    def parse_join_tree(self) -> a.TableRef:
+        left = self.parse_single_table_ref()
+        while True:
+            tok = self.peek()
+            natural = False
+            if tok.is_kw("NATURAL"):
+                natural = True
+                self.next()
+                tok = self.peek()
+            join_type = None
+            if tok.is_kw("JOIN"):
+                join_type = "INNER"
+                self.next()
+            elif tok.is_kw("INNER"):
+                self.next()
+                self.expect_kw("JOIN")
+                join_type = "INNER"
+            elif tok.is_kw("LEFT"):
+                self.next()
+                self.accept_kw("OUTER")
+                self.expect_kw("JOIN")
+                join_type = "LEFT"
+            elif tok.is_kw("RIGHT"):
+                self.next()
+                self.accept_kw("OUTER")
+                self.expect_kw("JOIN")
+                join_type = "RIGHT"
+            elif tok.is_kw("FULL"):
+                self.next()
+                self.accept_kw("OUTER")
+                self.expect_kw("JOIN")
+                join_type = "FULL"
+            elif tok.is_kw("CROSS"):
+                self.next()
+                self.expect_kw("JOIN")
+                join_type = "CROSS"
+            elif tok.is_kw("SEMI"):
+                self.next()
+                self.expect_kw("JOIN")
+                join_type = "SEMI"
+            elif tok.is_kw("ANTI"):
+                self.next()
+                self.expect_kw("JOIN")
+                join_type = "ANTI"
+            else:
+                if natural:
+                    self.error("expected JOIN after NATURAL")
+                return left
+            right = self.parse_single_table_ref()
+            join = a.JoinRef(left=left, right=right, join_type=join_type,
+                             is_natural=natural)
+            if join_type != "CROSS" and not natural:
+                if self.accept_kw("ON"):
+                    join.condition = self.parse_expression()
+                elif self.accept_kw("USING"):
+                    self.expect_op("(")
+                    cols = [self.expect_ident()]
+                    while self.accept_op(","):
+                        cols.append(self.expect_ident())
+                    self.expect_op(")")
+                    join.using = tuple(cols)
+            left = join
+
+    def parse_single_table_ref(self) -> a.TableRef:
+        tok = self.peek()
+        if tok.is_op("("):
+            self.next()
+            # subquery or parenthesized join
+            if self.peek().is_kw("SELECT", "WITH", "VALUES", "FROM"):
+                sub = self.parse_select_statement()
+                self.expect_op(")")
+                ref = a.SubqueryRef(subquery=sub)
+                self._parse_table_alias(ref)
+                return ref
+            inner = self.parse_from_list()
+            self.expect_op(")")
+            self._parse_table_alias(inner)
+            return inner
+        if tok.is_kw("VALUES"):
+            stmt = self.parse_query_term()
+            ref = a.SubqueryRef(subquery=stmt)
+            self._parse_table_alias(ref)
+            return ref
+        # GRAPH_TABLE / GRAPH TABLE
+        if tok.is_kw("GRAPH_TABLE") or (
+                tok.is_kw("GRAPH") and self.peek(1).is_kw("TABLE")):
+            if tok.is_kw("GRAPH"):
+                self.next()
+            self.next()
+            self.expect_op("(")
+            match_expr = self.parse_graph_table_body()
+            self.expect_op(")")
+            ref = a.GraphTableRef(match_expr=match_expr)
+            self._parse_table_alias(ref)
+            if ref.alias:
+                match_expr.alias = ref.alias
+            return ref
+        # base table or table function
+        if not self.at_ident():
+            self.error("expected table reference")
+        parts = [self.expect_ident()]
+        while self.accept_op("."):
+            parts.append(self.expect_ident())
+        if self.peek().is_op("("):
+            # table function
+            self.next()
+            args: List[a.Expression] = []
+            if not self.peek().is_op(")"):
+                args.append(self.parse_expression())
+                while self.accept_op(","):
+                    args.append(self.parse_expression())
+            self.expect_op(")")
+            ref = a.TableFunctionRef(name=parts[-1].lower(), args=args)
+            self._parse_table_alias(ref)
+            return ref
+        ref = a.BaseTableRef(table=parts[-1])
+        if len(parts) == 2:
+            ref.schema = parts[0]
+        elif len(parts) == 3:
+            ref.catalog, ref.schema = parts[0], parts[1]
+        elif len(parts) > 3:
+            self.error("too many dots in table name")
+        self._parse_table_alias(ref)
+        return ref
+
+    def _parse_table_alias(self, ref: a.TableRef):
+        alias = None
+        if self.accept_kw("AS"):
+            alias = self.expect_ident()
+        elif self.at_ident() and self.peek().upper not in _ALIAS_STOP:
+            alias = self.next().text
+        if alias:
+            ref.alias = alias
+            if self.accept_op("("):
+                cols = [self.expect_ident()]
+                while self.accept_op(","):
+                    cols.append(self.expect_ident())
+                self.expect_op(")")
+                ref.column_aliases = tuple(cols)
+
+    # ------------------------------------------------------------ expressions
+    def parse_expression(self) -> a.Expression:
+        return self.parse_or()
+
+    def parse_or(self) -> a.Expression:
+        left = self.parse_and()
+        if not self.peek().is_kw("OR"):
+            return left
+        children = [left]
+        while self.accept_kw("OR"):
+            children.append(self.parse_and())
+        return a.Conjunction(op="OR", children=children)
+
+    def parse_and(self) -> a.Expression:
+        left = self.parse_not()
+        if not self.peek().is_kw("AND"):
+            return left
+        children = [left]
+        while self.accept_kw("AND"):
+            children.append(self.parse_not())
+        return a.Conjunction(op="AND", children=children)
+
+    def parse_not(self) -> a.Expression:
+        if self.accept_kw("NOT"):
+            if self.peek().is_kw("EXISTS"):
+                self.next()
+                self.expect_op("(")
+                sub = self.parse_select_statement()
+                self.expect_op(")")
+                return a.SubqueryExpr(subquery=sub, kind="NOT_EXISTS")
+            return a.Not(child=self.parse_not())
+        return self.parse_comparison()
+
+    def parse_comparison(self) -> a.Expression:
+        left = self.parse_additive()
+        while True:
+            tok = self.peek()
+            if tok.is_op("=", "==", "<>", "!=", "<", "<=", ">", ">="):
+                op = self.next().text
+                if op == "==":
+                    op = "="
+                if op == "!=":
+                    op = "<>"
+                # ANY/ALL subquery comparison
+                if self.peek().is_kw("ANY", "SOME", "ALL") and \
+                        self.peek(1).is_op("("):
+                    kind = "ANY" if self.next().upper in ("ANY", "SOME") else "ALL"
+                    self.expect_op("(")
+                    sub = self.parse_select_statement()
+                    self.expect_op(")")
+                    left = a.SubqueryExpr(subquery=sub, kind=kind, child=left,
+                                          comparison=op)
+                    continue
+                right = self.parse_additive()
+                left = a.Comparison(op=op, left=left, right=right)
+                continue
+            if tok.is_kw("IS"):
+                self.next()
+                negated = bool(self.accept_kw("NOT"))
+                if self.accept_kw("NULL"):
+                    left = a.IsNull(child=left, negated=negated)
+                elif self.accept_kw("DISTINCT"):
+                    self.expect_kw("FROM")
+                    right = self.parse_additive()
+                    cmp = a.FunctionCall(name="is_distinct_from",
+                                         args=[left, right])
+                    left = a.Not(child=cmp) if negated else cmp
+                elif self.accept_kw("TRUE"):
+                    cmp = a.Comparison(op="IS_TRUE", left=left,
+                                       right=a.Constant(True, tt.BOOLEAN))
+                    left = a.Not(child=cmp) if negated else cmp
+                elif self.accept_kw("FALSE"):
+                    cmp = a.Comparison(op="IS_FALSE", left=left,
+                                       right=a.Constant(False, tt.BOOLEAN))
+                    left = a.Not(child=cmp) if negated else cmp
+                else:
+                    self.error("expected NULL after IS")
+                continue
+            negated = False
+            if tok.is_kw("NOT"):
+                nxt = self.peek(1)
+                if nxt.is_kw("BETWEEN", "IN", "LIKE", "ILIKE", "GLOB",
+                             "SIMILAR"):
+                    self.next()
+                    negated = True
+                    tok = self.peek()
+                else:
+                    return left
+            if tok.is_kw("BETWEEN"):
+                self.next()
+                lower = self.parse_additive()
+                self.expect_kw("AND")
+                upper = self.parse_additive()
+                left = a.Between(expr=left, lower=lower, upper=upper,
+                                 negated=negated)
+                continue
+            if tok.is_kw("IN"):
+                self.next()
+                self.expect_op("(")
+                if self.peek().is_kw("SELECT", "WITH", "VALUES", "FROM"):
+                    sub = self.parse_select_statement()
+                    self.expect_op(")")
+                    left = a.SubqueryExpr(
+                        subquery=sub, kind="NOT_IN" if negated else "IN",
+                        child=left)
+                else:
+                    vals = [self.parse_expression()]
+                    while self.accept_op(","):
+                        vals.append(self.parse_expression())
+                    self.expect_op(")")
+                    left = a.InList(expr=left, values=vals, negated=negated)
+                continue
+            if tok.is_kw("LIKE", "ILIKE", "GLOB"):
+                kw = self.next().upper
+                pattern = self.parse_additive()
+                left = a.Like(left=left, pattern=pattern, negated=negated,
+                              case_insensitive=(kw == "ILIKE"))
+                continue
+            if tok.is_kw("SIMILAR"):
+                self.next()
+                self.expect_kw("TO")
+                pattern = self.parse_additive()
+                fn = a.FunctionCall(name="regexp_full_match",
+                                    args=[left, pattern])
+                left = a.Not(child=fn) if negated else fn
+                continue
+            return left
+
+    def parse_additive(self) -> a.Expression:
+        left = self.parse_multiplicative()
+        while True:
+            tok = self.peek()
+            if tok.is_op("+", "-"):
+                op = self.next().text
+                right = self.parse_multiplicative()
+                left = a.FunctionCall(name=op, args=[left, right],
+                                      is_operator=True)
+            elif tok.is_op("||"):
+                self.next()
+                right = self.parse_multiplicative()
+                left = a.FunctionCall(name="||", args=[left, right],
+                                      is_operator=True)
+            else:
+                return left
+
+    def parse_multiplicative(self) -> a.Expression:
+        left = self.parse_unary()
+        while True:
+            tok = self.peek()
+            if tok.is_op("*", "/", "%", "//"):
+                op = self.next().text
+                right = self.parse_unary()
+                left = a.FunctionCall(name=op, args=[left, right],
+                                      is_operator=True)
+            elif tok.is_op("^", "**"):
+                self.next()
+                right = self.parse_unary()
+                left = a.FunctionCall(name="power", args=[left, right])
+            else:
+                return left
+
+    def parse_unary(self) -> a.Expression:
+        if self.accept_op("-"):
+            child = self.parse_unary()
+            if isinstance(child, a.Constant) and child.type is not None and \
+                    child.type.is_numeric:
+                child.value = -child.value
+                return child
+            return a.FunctionCall(name="-", args=[child], is_operator=True)
+        if self.accept_op("+"):
+            return self.parse_unary()
+        return self.parse_postfix()
+
+    def parse_postfix(self) -> a.Expression:
+        expr = self.parse_primary()
+        while True:
+            tok = self.peek()
+            if tok.is_op("::"):
+                self.next()
+                target = self.parse_type()
+                expr = a.Cast(child=expr, target=target)
+            elif tok.is_op("."):
+                self.next()
+                # struct field extract or qualified function call chain
+                name = self.expect_ident()
+                if self.peek().is_op("("):
+                    # method-call sugar x.f(args) -> f(x, args)
+                    self.next()
+                    args = [expr]
+                    if not self.peek().is_op(")"):
+                        args.append(self.parse_expression())
+                        while self.accept_op(","):
+                            args.append(self.parse_expression())
+                    self.expect_op(")")
+                    expr = a.FunctionCall(name=name.lower(), args=args)
+                elif isinstance(expr, a.ColumnRef):
+                    expr = a.ColumnRef(parts=expr.parts + (name,))
+                elif self.peek().is_op("*") and isinstance(expr, a.ColumnRef):
+                    pass  # handled in primary
+                else:
+                    expr = a.StructExtract(child=expr, field_name=name)
+            elif tok.is_op("["):
+                self.next()
+                if self.accept_op(":"):
+                    stop = None if self.peek().is_op("]") else self.parse_expression()
+                    self.expect_op("]")
+                    expr = a.ArrayIndex(child=expr, index=None, is_slice=True,
+                                        slice_stop=stop)
+                else:
+                    idx = self.parse_expression()
+                    if self.accept_op(":"):
+                        stop = None if self.peek().is_op("]") else \
+                            self.parse_expression()
+                        if self.accept_op(":"):
+                            step = self.parse_expression()
+                        else:
+                            step = None
+                        self.expect_op("]")
+                        expr = a.ArrayIndex(child=expr, index=idx,
+                                            is_slice=True, slice_stop=stop,
+                                            slice_step=step)
+                    else:
+                        self.expect_op("]")
+                        expr = a.ArrayIndex(child=expr, index=idx)
+            elif tok.is_kw("COLLATE"):
+                self.next()
+                expr = a.Collate(child=expr, collation=self.expect_ident())
+            else:
+                return expr
+
+    _AGGREGATES = {
+        "count", "sum", "avg", "min", "max", "first", "last", "any_value",
+        "string_agg", "group_concat", "list", "array_agg", "bool_and",
+        "bool_or", "approx_quantile", "quantile", "quantile_cont",
+        "quantile_disc", "median", "stddev", "stddev_samp", "stddev_pop",
+        "var_samp", "var_pop", "variance", "arg_min", "arg_max", "bit_and",
+        "bit_or", "bit_xor", "product", "count_star", "favg", "fsum",
+    }
+
+    def parse_primary(self) -> a.Expression:
+        tok = self.peek()
+        if tok.kind == T.NUMBER:
+            self.next()
+            text = tok.text
+            if "." in text or "e" in text or "E" in text:
+                return a.Constant(float(text), tt.DOUBLE)
+            v = int(text)
+            if -2147483648 <= v <= 2147483647:
+                return a.Constant(v, tt.INTEGER)
+            return a.Constant(v, tt.BIGINT)
+        if tok.kind == T.STRING:
+            self.next()
+            return a.Constant(tok.text, tt.VARCHAR)
+        if tok.is_op("("):
+            self.next()
+            if self.peek().is_kw("SELECT", "WITH", "VALUES", "FROM"):
+                sub = self.parse_select_statement()
+                self.expect_op(")")
+                return a.SubqueryExpr(subquery=sub, kind="SCALAR")
+            expr = self.parse_expression()
+            if self.peek().is_op(","):
+                # row expression -> struct with auto fields (rare); treat as list
+                vals = [expr]
+                while self.accept_op(","):
+                    vals.append(self.parse_expression())
+                self.expect_op(")")
+                return a.FunctionCall(name="row", args=vals)
+            self.expect_op(")")
+            return expr
+        if tok.is_op("["):
+            self.next()
+            vals: List[a.Expression] = []
+            if not self.peek().is_op("]"):
+                vals.append(self.parse_expression())
+                while self.accept_op(","):
+                    vals.append(self.parse_expression())
+            self.expect_op("]")
+            return a.ListExpr(values=vals)
+        if tok.is_op("{"):
+            self.next()
+            fields: List[Tuple[str, a.Expression]] = []
+            if not self.peek().is_op("}"):
+                while True:
+                    key = self.next()
+                    if key.kind not in (T.STRING, T.IDENT, T.QIDENT):
+                        self.error("expected struct key")
+                    self.expect_op(":")
+                    fields.append((key.text, self.parse_expression()))
+                    if not self.accept_op(","):
+                        break
+            self.expect_op("}")
+            return a.StructExpr(fields=fields)
+        if tok.is_op("*"):
+            self.next()
+            return self._parse_star_modifiers(a.Star())
+        if tok.is_op("#"):
+            self.next()
+            num = self.next()
+            return a.Positional(index=int(num.text))
+        if tok.kind not in (T.IDENT, T.QIDENT):
+            self.error("expected expression")
+
+        kw = tok.upper
+        if tok.kind == T.IDENT:
+            if kw == "NULL":
+                self.next()
+                return a.Constant(None, tt.SQLNULL)
+            if kw == "TRUE":
+                self.next()
+                return a.Constant(True, tt.BOOLEAN)
+            if kw == "FALSE":
+                self.next()
+                return a.Constant(False, tt.BOOLEAN)
+            if kw == "CASE":
+                return self.parse_case()
+            if kw in ("CAST", "TRY_CAST"):
+                self.next()
+                self.expect_op("(")
+                child = self.parse_expression()
+                self.expect_kw("AS")
+                target = self.parse_type()
+                self.expect_op(")")
+                return a.Cast(child=child, target=target,
+                              try_cast=(kw == "TRY_CAST"))
+            if kw == "EXISTS" and self.peek(1).is_op("("):
+                self.next()
+                self.expect_op("(")
+                sub = self.parse_select_statement()
+                self.expect_op(")")
+                return a.SubqueryExpr(subquery=sub, kind="EXISTS")
+            if kw == "NOT":
+                self.next()
+                return a.Not(child=self.parse_not())
+            if kw in ("DATE", "TIMESTAMP", "TIME", "INTERVAL") and \
+                    self.peek(1).kind == T.STRING:
+                self.next()
+                lit = self.next().text
+                typ = tt.type_from_name(kw)
+                return a.Cast(child=a.Constant(lit, tt.VARCHAR), target=typ)
+            if kw == "DISTINCT" and self.peek(1).is_kw("FROM"):
+                self.error("unexpected DISTINCT")
+
+        # identifier chain: column ref, a.*, or function call
+        parts = [self.next().text]
+        while self.peek().is_op(".") and not self.peek(1).is_op("*"):
+            save = self.pos
+            self.next()
+            if self.peek().kind in (T.IDENT, T.QIDENT):
+                nxt = self.next()
+                if self.peek().is_op("("):
+                    # qualified function name: use last part
+                    self.pos -= 0
+                    parts.append(nxt.text)
+                    break
+                parts.append(nxt.text)
+            else:
+                self.pos = save
+                break
+        if self.peek().is_op(".") and self.peek(1).is_op("*"):
+            self.next()
+            self.next()
+            return self._parse_star_modifiers(a.Star(relation=parts[-1]))
+        if self.peek().is_op("("):
+            return self.parse_function_call(parts[-1])
+        return a.ColumnRef(parts=tuple(parts))
+
+    def _parse_star_modifiers(self, star: a.Star) -> a.Star:
+        if self.accept_kw("EXCLUDE"):
+            self.expect_op("(")
+            cols = [self.expect_ident()]
+            while self.accept_op(","):
+                cols.append(self.expect_ident())
+            self.expect_op(")")
+            star.exclude = tuple(cols)
+        return star
+
+    def parse_function_call(self, name: str) -> a.Expression:
+        lname = name.lower()
+        self.expect_op("(")
+        distinct = False
+        args: List[a.Expression] = []
+        order_by: List[a.OrderByNode] = []
+        if self.peek().is_op("*"):
+            self.next()
+            self.expect_op(")")
+            if lname == "count":
+                return a.AggregateCall(name="count_star", args=[])
+            return a.FunctionCall(name=lname, args=[a.Star()])
+        if not self.peek().is_op(")"):
+            if self.accept_kw("DISTINCT"):
+                distinct = True
+            args.append(self.parse_expression())
+            while self.accept_op(","):
+                args.append(self.parse_expression())
+            if self.accept_kw("ORDER"):
+                self.expect_kw("BY")
+                while True:
+                    e = self.parse_expression()
+                    asc = not self.accept_kw("DESC")
+                    if asc:
+                        self.accept_kw("ASC")
+                    order_by.append(a.OrderByNode(expr=e, ascending=asc))
+                    if not self.accept_op(","):
+                        break
+        self.expect_op(")")
+        if self.peek().is_kw("OVER"):
+            raise NotImplementedException("window functions are not supported yet")
+        if lname in self._AGGREGATES:
+            agg = a.AggregateCall(name=lname, args=args, distinct=distinct)
+            return agg
+        fn = a.FunctionCall(name=lname, args=args, distinct=distinct,
+                            order_by=order_by)
+        return fn
+
+    def parse_case(self) -> a.Expression:
+        self.expect_kw("CASE")
+        case = a.Case()
+        if not self.peek().is_kw("WHEN"):
+            case.base = self.parse_expression()
+        while self.accept_kw("WHEN"):
+            cond = self.parse_expression()
+            self.expect_kw("THEN")
+            val = self.parse_expression()
+            case.whens.append((cond, val))
+        if self.accept_kw("ELSE"):
+            case.else_expr = self.parse_expression()
+        self.expect_kw("END")
+        return case
+
+    # ------------------------------------------------------------------ types
+    def parse_type(self) -> tt.LogicalType:
+        name = self.expect_ident().upper()
+        if name == "STRUCT":
+            self.expect_op("(")
+            fields = []
+            while True:
+                fname = self.expect_ident()
+                ftype = self.parse_type()
+                fields.append((fname, ftype))
+                if not self.accept_op(","):
+                    break
+            self.expect_op(")")
+            typ = tt.STRUCT(fields)
+        elif name in ("DECIMAL", "NUMERIC") and self.peek().is_op("("):
+            self.next()
+            width = int(self.next().text)
+            scale = 0
+            if self.accept_op(","):
+                scale = int(self.next().text)
+            self.expect_op(")")
+            typ = tt.DECIMAL(width, scale)
+        else:
+            # double-word types
+            if name == "DOUBLE" and self.peek().is_kw("PRECISION"):
+                self.next()
+            if name == "TIMESTAMP" and self.peek().is_kw("WITH", "WITHOUT"):
+                with_ = self.next().upper == "WITH"
+                self.expect_kw("TIME")
+                self.expect_kw("ZONE")
+            typ = tt.type_from_name(name)
+            if typ is None:
+                raise ParserException(f"unknown type {name}")
+            if self.peek().is_op("(") and name in ("VARCHAR", "CHAR", "BPCHAR"):
+                self.next()
+                self.next()  # width, ignored
+                self.expect_op(")")
+        while self.accept_op("["):
+            self.expect_op("]")
+            typ = tt.LIST(typ)
+        return typ
+
+    # ------------------------------------------------------------------ DDL
+    def parse_create(self) -> a.Statement:
+        self.expect_kw("CREATE")
+        or_replace = False
+        if self.accept_kw("OR"):
+            self.expect_kw("REPLACE")
+            or_replace = True
+        temporary = bool(self.accept_kw("TEMP", "TEMPORARY"))
+        tok = self.peek()
+        if tok.is_kw("TABLE"):
+            return self.parse_create_table(or_replace, temporary)
+        if tok.is_kw("VIEW"):
+            return self.parse_create_view(or_replace)
+        if tok.is_kw("SCHEMA"):
+            self.next()
+            if_not_exists = self._parse_if_not_exists()
+            return a.CreateSchemaStatement(name=self.expect_ident(),
+                                           if_not_exists=if_not_exists)
+        if tok.is_kw("PROPERTY"):
+            return self.parse_create_property_graph(or_replace)
+        if tok.is_kw("INDEX", "UNIQUE"):
+            # accepted and ignored
+            while self.peek().kind != T.EOF and not self.peek().is_op(";"):
+                self.next()
+            return a.SetStatement(name="__noop__")
+        self.error("unsupported CREATE statement")
+
+    def _parse_if_not_exists(self) -> bool:
+        if self.accept_kw("IF"):
+            self.expect_kw("NOT")
+            self.expect_kw("EXISTS")
+            return True
+        return False
+
+    def parse_create_table(self, or_replace: bool,
+                           temporary: bool) -> a.CreateTableStatement:
+        self.expect_kw("TABLE")
+        stmt = a.CreateTableStatement(or_replace=or_replace,
+                                      temporary=temporary)
+        stmt.if_not_exists = self._parse_if_not_exists()
+        parts = [self.expect_ident()]
+        while self.accept_op("."):
+            parts.append(self.expect_ident())
+        stmt.name = parts[-1]
+        if len(parts) >= 2:
+            stmt.schema = parts[-2]
+        if len(parts) >= 3:
+            stmt.catalog = parts[-3]
+        if self.accept_kw("AS"):
+            stmt.query = self.parse_select_statement()
+            return stmt
+        self.expect_op("(")
+        while True:
+            cname = self.expect_ident()
+            ctype = self.parse_type()
+            not_null = False
+            default = None
+            while True:
+                if self.accept_kw("NOT"):
+                    self.expect_kw("NULL")
+                    not_null = True
+                elif self.accept_kw("NULL"):
+                    pass
+                elif self.accept_kw("PRIMARY"):
+                    self.expect_kw("KEY")
+                    not_null = True
+                elif self.accept_kw("UNIQUE"):
+                    pass
+                elif self.accept_kw("DEFAULT"):
+                    default = self.parse_expression()
+                elif self.accept_kw("REFERENCES"):
+                    self.expect_ident()
+                    if self.accept_op("("):
+                        self.expect_ident()
+                        self.expect_op(")")
+                elif self.accept_kw("CHECK"):
+                    self.expect_op("(")
+                    depth = 1
+                    while depth:
+                        t2 = self.next()
+                        if t2.is_op("("):
+                            depth += 1
+                        elif t2.is_op(")"):
+                            depth -= 1
+                else:
+                    break
+            stmt.columns.append((cname, ctype, not_null, default))
+            if not self.accept_op(","):
+                break
+            # table-level constraints
+            if self.peek().is_kw("PRIMARY", "FOREIGN", "UNIQUE", "CHECK",
+                                 "CONSTRAINT"):
+                while not self.peek().is_op(")"):
+                    t2 = self.next()
+                    if t2.is_op("("):
+                        depth = 1
+                        while depth:
+                            t3 = self.next()
+                            if t3.is_op("("):
+                                depth += 1
+                            elif t3.is_op(")"):
+                                depth -= 1
+                break
+        self.expect_op(")")
+        if self.accept_kw("AS"):
+            stmt.query = self.parse_select_statement()
+        return stmt
+
+    def parse_create_view(self, or_replace: bool) -> a.CreateViewStatement:
+        self.expect_kw("VIEW")
+        stmt = a.CreateViewStatement(or_replace=or_replace)
+        self._parse_if_not_exists()
+        parts = [self.expect_ident()]
+        while self.accept_op("."):
+            parts.append(self.expect_ident())
+        stmt.name = parts[-1]
+        if len(parts) >= 2:
+            stmt.schema = parts[-2]
+        if self.accept_op("("):
+            cols = [self.expect_ident()]
+            while self.accept_op(","):
+                cols.append(self.expect_ident())
+            self.expect_op(")")
+            stmt.column_aliases = tuple(cols)
+        self.expect_kw("AS")
+        stmt.query = self.parse_select_statement()
+        return stmt
+
+    # --------------------------------------------------------------- DML etc.
+    def parse_insert(self) -> a.InsertStatement:
+        self.expect_kw("INSERT")
+        self.expect_kw("INTO")
+        stmt = a.InsertStatement()
+        parts = [self.expect_ident()]
+        while self.accept_op("."):
+            parts.append(self.expect_ident())
+        stmt.table = parts[-1]
+        if len(parts) >= 2:
+            stmt.schema = parts[-2]
+        if self.peek().is_op("(") and not self.peek(1).is_kw(
+                "SELECT", "WITH", "VALUES", "FROM"):
+            self.next()
+            cols = [self.expect_ident()]
+            while self.accept_op(","):
+                cols.append(self.expect_ident())
+            self.expect_op(")")
+            stmt.columns = tuple(cols)
+        stmt.query = self.parse_select_statement()
+        return stmt
+
+    def parse_update(self) -> a.UpdateStatement:
+        self.expect_kw("UPDATE")
+        stmt = a.UpdateStatement()
+        parts = [self.expect_ident()]
+        while self.accept_op("."):
+            parts.append(self.expect_ident())
+        stmt.table = parts[-1]
+        if len(parts) >= 2:
+            stmt.schema = parts[-2]
+        self.expect_kw("SET")
+        while True:
+            col = self.expect_ident()
+            self.expect_op("=")
+            stmt.assignments.append((col, self.parse_expression()))
+            if not self.accept_op(","):
+                break
+        if self.accept_kw("WHERE"):
+            stmt.where = self.parse_expression()
+        return stmt
+
+    def parse_delete(self) -> a.DeleteStatement:
+        self.expect_kw("DELETE")
+        self.expect_kw("FROM")
+        stmt = a.DeleteStatement()
+        parts = [self.expect_ident()]
+        while self.accept_op("."):
+            parts.append(self.expect_ident())
+        stmt.table = parts[-1]
+        if len(parts) >= 2:
+            stmt.schema = parts[-2]
+        if self.accept_kw("WHERE"):
+            stmt.where = self.parse_expression()
+        return stmt
+
+    def parse_drop(self) -> a.DropStatement:
+        self.expect_kw("DROP")
+        tok = self.peek()
+        if tok.is_kw("PROPERTY"):
+            self.next()
+            self.expect_kw("GRAPH")
+            missing_ok = False
+            if self.accept_kw("IF"):
+                self.expect_kw("EXISTS")
+                missing_ok = True
+            name = self.expect_ident()
+            info = past.DropPropertyGraphInfo(property_graph_name=name,
+                                              missing_ok=missing_ok)
+            return a.DropStatement(kind="PROPERTY_GRAPH", name=name,
+                                   if_exists=missing_ok, info=info)
+        kind = self.next().upper
+        if kind not in ("TABLE", "VIEW", "SCHEMA", "INDEX"):
+            self.error("unsupported DROP")
+        if_exists = False
+        if self.accept_kw("IF"):
+            self.expect_kw("EXISTS")
+            if_exists = True
+        parts = [self.expect_ident()]
+        while self.accept_op("."):
+            parts.append(self.expect_ident())
+        cascade = bool(self.accept_kw("CASCADE"))
+        self.accept_kw("RESTRICT")
+        return a.DropStatement(
+            kind=kind, name=parts[-1],
+            schema=parts[-2] if len(parts) >= 2 else None,
+            if_exists=if_exists, cascade=cascade)
+
+    def parse_alter(self) -> a.AlterStatement:
+        self.expect_kw("ALTER")
+        self.expect_kw("TABLE")
+        stmt = a.AlterStatement()
+        if self.accept_kw("IF"):
+            self.expect_kw("EXISTS")
+            stmt.if_exists = True
+        parts = [self.expect_ident()]
+        while self.accept_op("."):
+            parts.append(self.expect_ident())
+        stmt.table = parts[-1]
+        if len(parts) >= 2:
+            stmt.schema = parts[-2]
+        if self.accept_kw("ADD"):
+            self.accept_kw("COLUMN")
+            stmt.action = "ADD_COLUMN"
+            stmt.column_name = self.expect_ident()
+            stmt.column_type = self.parse_type()
+            if self.accept_kw("DEFAULT"):
+                stmt.default = self.parse_expression()
+        elif self.accept_kw("DROP"):
+            self.accept_kw("COLUMN")
+            stmt.action = "DROP_COLUMN"
+            stmt.column_name = self.expect_ident()
+        elif self.accept_kw("RENAME"):
+            if self.accept_kw("TO"):
+                stmt.action = "RENAME_TABLE"
+                stmt.new_name = self.expect_ident()
+            else:
+                self.accept_kw("COLUMN")
+                stmt.action = "RENAME_COLUMN"
+                stmt.column_name = self.expect_ident()
+                self.expect_kw("TO")
+                stmt.new_name = self.expect_ident()
+        elif self.accept_kw("ALTER"):
+            self.accept_kw("COLUMN")
+            stmt.action = "ALTER_TYPE"
+            stmt.column_name = self.expect_ident()
+            self.accept_kw("SET")
+            self.accept_kw("DATA")
+            self.expect_kw("TYPE")
+            stmt.column_type = self.parse_type()
+        else:
+            self.error("unsupported ALTER TABLE action")
+        return stmt
+
+    def parse_copy(self) -> a.CopyStatement:
+        self.expect_kw("COPY")
+        stmt = a.CopyStatement()
+        if self.accept_op("("):
+            stmt.query = self.parse_select_statement()
+            self.expect_op(")")
+        else:
+            parts = [self.expect_ident()]
+            while self.accept_op("."):
+                parts.append(self.expect_ident())
+            stmt.table = parts[-1]
+        if self.accept_kw("FROM"):
+            stmt.is_from = True
+        else:
+            self.expect_kw("TO")
+        stmt.filename = self.next().text
+        if self.accept_op("("):
+            while not self.peek().is_op(")"):
+                key = self.expect_ident().upper()
+                if self.peek().is_op(")") or self.peek().is_op(","):
+                    stmt.options[key] = True
+                else:
+                    val = self.next().text
+                    stmt.options[key] = val
+                self.accept_op(",")
+            self.expect_op(")")
+        if self.accept_kw("WITH"):
+            self.expect_op("(")
+            while not self.peek().is_op(")"):
+                key = self.expect_ident().upper()
+                val = self.next().text
+                stmt.options[key] = val
+                self.accept_op(",")
+            self.expect_op(")")
+        return stmt
+
+    def parse_pragma(self) -> a.PragmaStatement:
+        self.expect_kw("PRAGMA")
+        name = self.expect_ident().lower()
+        stmt = a.PragmaStatement(name=name)
+        if self.accept_op("("):
+            if not self.peek().is_op(")"):
+                stmt.args.append(self.parse_expression())
+                while self.accept_op(","):
+                    stmt.args.append(self.parse_expression())
+            self.expect_op(")")
+        elif self.accept_op("="):
+            stmt.args.append(self.parse_expression())
+        return stmt
+
+    def parse_set(self) -> a.SetStatement:
+        self.expect_kw("SET")
+        self.accept_kw("GLOBAL", "SESSION", "LOCAL")
+        name = self.expect_ident().lower()
+        if self.accept_op("=") or self.accept_kw("TO"):
+            pass
+        tok = self.next()
+        value = tok.text
+        if tok.kind == T.NUMBER:
+            value = float(value) if "." in value else int(value)
+        elif tok.kind == T.IDENT and tok.upper in ("TRUE", "FALSE"):
+            value = tok.upper == "TRUE"
+        return a.SetStatement(name=name, value=value)
+
+    def parse_describe(self) -> a.Statement:
+        kw = self.next().upper  # DESCRIBE / DESC / SHOW
+        if kw == "SHOW":
+            if self.accept_kw("TABLES"):
+                return a.DescribeStatement(kind="TABLES")
+            if self.accept_kw("ALL"):
+                self.expect_kw("TABLES")
+                return a.DescribeStatement(kind="TABLES")
+        if self.peek().is_kw("PROPERTY"):
+            self.next()
+            self.expect_kw("GRAPH")
+            return a.DescribeStatement(target=self.expect_ident(),
+                                       kind="PROPERTY_GRAPH")
+        if self.peek().is_kw("SELECT", "WITH", "VALUES", "FROM"):
+            return a.DescribeStatement(target=self.parse_select_statement(),
+                                       kind="QUERY")
+        parts = [self.expect_ident()]
+        while self.accept_op("."):
+            parts.append(self.expect_ident())
+        return a.DescribeStatement(target=parts[-1], kind="TABLE")
+
+    def parse_summarize(self) -> a.Statement:
+        self.expect_kw("SUMMARIZE")
+        if self.peek().is_kw("PROPERTY"):
+            self.next()
+            self.expect_kw("GRAPH")
+            return a.SummarizeStatement(target=self.expect_ident(),
+                                        kind="PROPERTY_GRAPH")
+        if self.peek().is_kw("SELECT", "WITH", "VALUES", "FROM"):
+            return a.SummarizeStatement(target=self.parse_select_statement(),
+                                        kind="QUERY")
+        return a.SummarizeStatement(target=self.expect_ident(), kind="TABLE")
+
+    def parse_attach(self) -> a.AttachStatement:
+        self.expect_kw("ATTACH")
+        if self.accept_kw("DATABASE"):
+            pass
+        self.accept_kw("IF")  # IF NOT EXISTS
+        if self.tokens[self.pos - 1].is_kw("IF"):
+            self.expect_kw("NOT")
+            self.expect_kw("EXISTS")
+        path = self.next().text
+        stmt = a.AttachStatement(path=path)
+        if self.accept_kw("AS"):
+            stmt.name = self.expect_ident()
+        if self.accept_op("("):
+            while not self.peek().is_op(")"):
+                key = self.expect_ident().upper()
+                if not self.peek().is_op(",") and not self.peek().is_op(")"):
+                    stmt.options[key] = self.next().text
+                else:
+                    stmt.options[key] = True
+                self.accept_op(",")
+            self.expect_op(")")
+        return stmt
+
+    # ------------------------------------------------------------------- PGQ
+    def parse_create_property_graph(self, or_replace: bool) -> a.Statement:
+        """CreatePropertyGraphStmt per reference pgq.gram:1-27."""
+        self.expect_kw("PROPERTY")
+        self.expect_kw("GRAPH")
+        info = past.CreatePropertyGraphInfo()
+        if or_replace:
+            info.on_conflict = "REPLACE"
+        if self.accept_kw("IF"):
+            self.expect_kw("NOT")
+            self.expect_kw("EXISTS")
+            info.on_conflict = "IGNORE"
+        info.property_graph_name = self.expect_ident()
+        self.expect_kw("VERTEX")
+        self.expect_kw("TABLES")
+        self.expect_op("(")
+        while True:
+            info.vertex_tables.append(self.parse_pg_table(is_vertex=True))
+            if not self.accept_op(","):
+                break
+        self.expect_op(")")
+        if self.accept_kw("EDGE"):
+            self.expect_kw("TABLES")
+            self.expect_op("(")
+            while True:
+                info.edge_tables.append(self.parse_pg_table(is_vertex=False))
+                if not self.accept_op(","):
+                    break
+            self.expect_op(")")
+        for t in info.all_tables():
+            info.register_label(t)
+        return a.CreatePropertyGraphStatement(info=info)
+
+    def parse_pg_table(self, is_vertex: bool) -> past.PropertyGraphTable:
+        t = past.PropertyGraphTable(is_vertex_table=is_vertex)
+        parts = [self.expect_ident()]
+        while self.accept_op("."):
+            parts.append(self.expect_ident())
+        t.table_name = parts[-1]
+        if len(parts) >= 2:
+            t.schema_name = parts[-2]
+        if len(parts) >= 3:
+            t.catalog_name = parts[-3]
+        if self.accept_kw("AS"):
+            t.table_name_alias = self.expect_ident()
+        if not is_vertex:
+            self._parse_pg_key_reference(t, source=True)
+            self._parse_pg_key_reference(t, source=False)
+        self._parse_pg_properties(t)
+        self._parse_pg_label(t)
+        if not t.main_label:
+            t.main_label = t.table_name
+        return t
+
+    def _parse_pg_key_reference(self, t: past.PropertyGraphTable, source: bool):
+        self.expect_kw("SOURCE" if source else "DESTINATION")
+        if self.accept_kw("KEY"):
+            self.expect_op("(")
+            fks = [self.expect_ident()]
+            while self.accept_op(","):
+                fks.append(self.expect_ident())
+            self.expect_op(")")
+            self.expect_kw("REFERENCES")
+            parts = [self.expect_ident()]
+            while self.accept_op("."):
+                parts.append(self.expect_ident())
+            self.expect_op("(")
+            pks = [self.expect_ident()]
+            while self.accept_op(","):
+                pks.append(self.expect_ident())
+            self.expect_op(")")
+        else:
+            # bare table reference; keys discovered from catalog FKs at bind
+            parts = [self.expect_ident()]
+            while self.accept_op("."):
+                parts.append(self.expect_ident())
+            fks, pks = [], []
+        ref = parts[-1]
+        schema = parts[-2] if len(parts) >= 2 else "main"
+        catalog = parts[-3] if len(parts) >= 3 else ""
+        if source:
+            t.source_fk, t.source_pk = fks, pks
+            t.source_reference, t.source_schema, t.source_catalog = \
+                ref, schema, catalog
+        else:
+            t.destination_fk, t.destination_pk = fks, pks
+            t.destination_reference, t.destination_schema, \
+                t.destination_catalog = ref, schema, catalog
+
+    def _parse_pg_properties(self, t: past.PropertyGraphTable):
+        if self.accept_kw("NO"):
+            self.expect_kw("PROPERTIES")
+            t.no_columns = True
+            t.all_columns = False
+            return
+        if self.peek().is_kw("ALL") and self.peek(1).is_kw("PROPERTIES"):
+            self.next()
+            self.next()
+            t.all_columns = True
+            return
+        if not self.peek().is_kw("PROPERTIES"):
+            return
+        self.next()
+        if self.accept_kw("ARE") or self.peek().is_kw("ALL"):
+            self.expect_kw("ALL")
+            self.expect_kw("COLUMNS")
+            t.all_columns = True
+            if self.accept_kw("EXCEPT"):
+                self.expect_op("(")
+                t.except_columns.append(self.expect_ident())
+                while self.accept_op(","):
+                    t.except_columns.append(self.expect_ident())
+                self.expect_op(")")
+            return
+        self.expect_op("(")
+        t.all_columns = False
+        while True:
+            col = self.expect_ident()
+            t.column_names.append(col)
+            if self.accept_kw("AS"):
+                t.column_aliases[col] = self.expect_ident()
+            if not self.accept_op(","):
+                break
+        self.expect_op(")")
+
+    def _parse_pg_label(self, t: past.PropertyGraphTable):
+        if self.accept_kw("LABEL"):
+            t.main_label = self.expect_ident()
+            self._parse_pg_sublabels(t)
+        elif self.peek().is_kw("IN"):
+            self._parse_pg_sublabels(t)
+
+    def _parse_pg_sublabels(self, t: past.PropertyGraphTable):
+        if not self.accept_kw("IN"):
+            return
+        t.discriminator = self.expect_ident()
+        self.expect_op("(")
+        t.sub_labels.append(self.expect_ident())
+        while self.accept_op(","):
+            t.sub_labels.append(self.expect_ident())
+        self.expect_op(")")
+
+    # ---- GRAPH_TABLE body: pg MATCH patterns [WHERE] [COLUMNS(...)] --------
+    def parse_graph_table_body(self) -> past.MatchExpression:
+        m = past.MatchExpression()
+        m.pg_name = self.expect_ident()
+        self.expect_kw("MATCH")
+        while True:
+            m.path_patterns.append(self.parse_path_pattern())
+            if not self.accept_op(","):
+                break
+        if self.accept_kw("WHERE"):
+            m.where_clause = self.parse_expression()
+        if self.accept_kw("COLUMNS"):
+            self.expect_op("(")
+            m.column_list.append(self.parse_aliased_expression())
+            while self.accept_op(","):
+                m.column_list.append(self.parse_aliased_expression())
+            self.expect_op(")")
+        return m
+
+    def parse_path_pattern(self) -> past.PathPattern:
+        p = past.PathPattern()
+        # optional path variable: ident '='  (but not part of a vertex '(')
+        if self.at_ident() and self.peek(1).is_op("=") and not \
+                self.peek().is_kw("ALL", "ANY", "SHORTEST", "WALK", "TRAIL",
+                                  "SIMPLE", "ACYCLIC"):
+            p.path_variable = self.next().text
+            self.next()  # '='
+        # search prefix
+        if self.accept_kw("ALL"):
+            if self.accept_kw("SHORTEST"):
+                p.all = True
+                p.shortest = True
+            else:
+                p.all = True
+        elif self.accept_kw("ANY"):
+            self.expect_kw("SHORTEST")
+            p.shortest = True
+        elif self.peek().is_kw("SHORTEST"):
+            self.next()
+            num = self.next()
+            p.topk = int(num.text)
+        # path mode
+        if self.accept_kw("WALK"):
+            p.mode = past.PGQPathMode.WALK
+        elif self.accept_kw("TRAIL"):
+            p.mode = past.PGQPathMode.TRAIL
+        elif self.accept_kw("SIMPLE"):
+            p.mode = past.PGQPathMode.SIMPLE
+        elif self.accept_kw("ACYCLIC"):
+            p.mode = past.PGQPathMode.ACYCLIC
+        # vertex (edge vertex)*
+        p.path_elements.append(self.parse_vertex_pattern())
+        while self.peek().is_op("-", "<"):
+            edge = self.parse_edge_pattern()
+            p.path_elements.append(edge)
+            p.path_elements.append(self.parse_vertex_pattern())
+        return p
+
+    def parse_vertex_pattern(self) -> past.PathReference:
+        self.expect_op("(")
+        el = past.PathElement(match_type=past.PGQMatchType.MATCH_VERTEX)
+        if self.at_ident() and not self.peek().is_kw("WHERE"):
+            el.variable_binding = self.expect_ident()
+        if self.accept_op(":") or self.accept_kw("IS"):
+            el.label = self.expect_ident()
+        where = None
+        if self.accept_kw("WHERE"):
+            where = self.parse_expression()
+        self.expect_op(")")
+        if where is not None:
+            return past.SubPath(path_list=[el], where_clause=where,
+                                single_bind=True)
+        return el
+
+    def _adjacent(self, t1: Token, t2: Token) -> bool:
+        return t1.end == t2.start
+
+    def parse_edge_pattern(self) -> past.PathReference:
+        """Edge directions per reference pgq.gram:60-68: ``-[..]->`` ``<-[..]-``
+        ``-[..]-`` ``<-[..]->`` plus abbreviated ``->`` etc.; then an optional
+        quantifier ``* + ? {n} {n,m}``."""
+        left_arrow = False
+        if self.peek().is_op("<"):
+            t1 = self.next()
+            t2 = self.expect_op("-")
+            if not self._adjacent(t1, t2):
+                self.error("malformed edge pattern")
+            left_arrow = True
+        else:
+            self.expect_op("-")
+        el = past.PathElement()
+        where = None
+        has_body = False
+        if self.accept_op("["):
+            has_body = True
+            if self.at_ident() and not self.peek().is_kw("WHERE"):
+                el.variable_binding = self.expect_ident()
+            if self.accept_op(":") or self.accept_kw("IS"):
+                el.label = self.expect_ident()
+            if self.accept_kw("WHERE"):
+                where = self.parse_expression()
+            self.expect_op("]")
+            # right endpoint
+            if self.peek().is_op("-"):
+                t1 = self.next()
+                if self.peek().is_op(">") and self._adjacent(t1, self.peek()):
+                    self.next()
+                    right_arrow = True
+                else:
+                    right_arrow = False
+            else:
+                self.error("expected edge right endpoint")
+        else:
+            # abbreviated edge: - or -> or <- or <->
+            if self.peek().is_op(">") and \
+                    self._adjacent(self.tokens[self.pos - 1], self.peek()):
+                self.next()
+                right_arrow = True
+            else:
+                right_arrow = False
+        if not has_body:
+            pass
+        if left_arrow and right_arrow:
+            el.match_type = past.PGQMatchType.MATCH_EDGE_LEFT_RIGHT
+        elif left_arrow:
+            el.match_type = past.PGQMatchType.MATCH_EDGE_LEFT
+        elif right_arrow:
+            el.match_type = past.PGQMatchType.MATCH_EDGE_RIGHT
+        else:
+            el.match_type = past.PGQMatchType.MATCH_EDGE_ANY
+        # quantifier
+        lower, upper = self._parse_quantifier()
+        result: past.PathReference = el
+        if where is not None:
+            result = past.SubPath(path_list=[el], where_clause=where,
+                                  single_bind=True)
+        if lower is not None:
+            result = past.SubPath(path_list=[result], lower=lower, upper=upper)
+        return result
+
+    def _parse_quantifier(self):
+        """Returns (lower, upper) or (None, None). Unbounded upper = 1<<30
+        (reference uses INT32_MAX-like sentinel via transform_pgq.cpp:488-528)."""
+        UNBOUNDED = 1 << 30
+        tok = self.peek()
+        if tok.is_op("*"):
+            self.next()
+            return 0, UNBOUNDED
+        if tok.is_op("+"):
+            self.next()
+            return 1, UNBOUNDED
+        if tok.is_op("?"):
+            self.next()
+            return 0, 1
+        if tok.is_op("{"):
+            self.next()
+            lower = None
+            upper = None
+            if self.peek().kind == T.NUMBER:
+                lower = int(self.next().text)
+            if self.accept_op(","):
+                if self.peek().kind == T.NUMBER:
+                    upper = int(self.next().text)
+                else:
+                    upper = UNBOUNDED
+            else:
+                upper = lower
+            self.expect_op("}")
+            return (lower if lower is not None else 0), upper
+        return None, None
+
+
+def parse_sql(sql: str) -> List[a.Statement]:
+    return Parser(sql).parse_statements()
+
+
+def parse_expression(text: str) -> a.Expression:
+    p = Parser(text)
+    e = p.parse_expression()
+    return e

@@ -1,0 +1,272 @@
+"""Logical type system for the TPU-native engine.
+
+Capability-equivalent to the SQL types exercised by the reference test corpus
+(BIGINT/INTEGER/VARCHAR/DOUBLE/FLOAT/BOOLEAN/DATE/TIMESTAMP_MS/LIST/STRUCT —
+see reference data/SNB0.003/schema.sql and test/sql/**).  Storage mapping is
+columnar numpy; numeric columns are convertible to JAX device arrays for the
+TPU compute path.
+"""
+
+from __future__ import annotations
+
+import datetime
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+class TypeId(Enum):
+    SQLNULL = "NULL"
+    BOOLEAN = "BOOLEAN"
+    TINYINT = "TINYINT"
+    SMALLINT = "SMALLINT"
+    INTEGER = "INTEGER"
+    BIGINT = "BIGINT"
+    HUGEINT = "HUGEINT"
+    UTINYINT = "UTINYINT"
+    USMALLINT = "USMALLINT"
+    UINTEGER = "UINTEGER"
+    UBIGINT = "UBIGINT"
+    FLOAT = "FLOAT"
+    DOUBLE = "DOUBLE"
+    DECIMAL = "DECIMAL"
+    VARCHAR = "VARCHAR"
+    BLOB = "BLOB"
+    DATE = "DATE"
+    TIME = "TIME"
+    TIMESTAMP = "TIMESTAMP"
+    TIMESTAMP_MS = "TIMESTAMP_MS"
+    TIMESTAMP_NS = "TIMESTAMP_NS"
+    TIMESTAMP_S = "TIMESTAMP_S"
+    INTERVAL = "INTERVAL"
+    LIST = "LIST"
+    STRUCT = "STRUCT"
+
+
+_INTEGRAL = {
+    TypeId.TINYINT, TypeId.SMALLINT, TypeId.INTEGER, TypeId.BIGINT,
+    TypeId.HUGEINT, TypeId.UTINYINT, TypeId.USMALLINT, TypeId.UINTEGER,
+    TypeId.UBIGINT,
+}
+_FLOATING = {TypeId.FLOAT, TypeId.DOUBLE}
+_TEMPORAL = {
+    TypeId.DATE, TypeId.TIME, TypeId.TIMESTAMP, TypeId.TIMESTAMP_MS,
+    TypeId.TIMESTAMP_NS, TypeId.TIMESTAMP_S,
+}
+
+_NUMPY_DTYPE = {
+    TypeId.BOOLEAN: np.bool_,
+    TypeId.TINYINT: np.int8,
+    TypeId.SMALLINT: np.int16,
+    TypeId.INTEGER: np.int32,
+    TypeId.BIGINT: np.int64,
+    TypeId.HUGEINT: np.int64,  # approximated
+    TypeId.UTINYINT: np.uint8,
+    TypeId.USMALLINT: np.uint16,
+    TypeId.UINTEGER: np.uint32,
+    TypeId.UBIGINT: np.uint64,
+    TypeId.FLOAT: np.float32,
+    TypeId.DOUBLE: np.float64,
+    TypeId.DECIMAL: np.float64,  # approximated; exactness via scale retained in type
+    TypeId.DATE: np.int32,        # days since epoch
+    TypeId.TIME: np.int64,        # micros since midnight
+    TypeId.TIMESTAMP: np.int64,   # micros since epoch
+    TypeId.TIMESTAMP_MS: np.int64,  # millis since epoch
+    TypeId.TIMESTAMP_NS: np.int64,
+    TypeId.TIMESTAMP_S: np.int64,
+    TypeId.INTERVAL: np.int64,    # micros (approximated)
+    TypeId.VARCHAR: object,
+    TypeId.BLOB: object,
+    TypeId.SQLNULL: object,
+}
+
+# Promotion lattice for binary numeric ops (smaller rank promotes to larger).
+_NUMERIC_RANK = {
+    TypeId.BOOLEAN: 0,
+    TypeId.TINYINT: 1, TypeId.UTINYINT: 2, TypeId.SMALLINT: 3,
+    TypeId.USMALLINT: 4, TypeId.INTEGER: 5, TypeId.UINTEGER: 6,
+    TypeId.BIGINT: 7, TypeId.UBIGINT: 8, TypeId.HUGEINT: 9,
+    TypeId.DECIMAL: 10, TypeId.FLOAT: 11, TypeId.DOUBLE: 12,
+}
+
+
+@dataclass(frozen=True)
+class LogicalType:
+    id: TypeId
+    child: Optional["LogicalType"] = None                 # LIST element type
+    fields: Optional[Tuple[Tuple[str, "LogicalType"], ...]] = None  # STRUCT
+    width: int = 0     # DECIMAL width
+    scale: int = 0     # DECIMAL scale
+
+    # ---- predicates -------------------------------------------------------
+    @property
+    def is_numeric(self) -> bool:
+        return self.id in _NUMERIC_RANK
+
+    @property
+    def is_integral(self) -> bool:
+        return self.id in _INTEGRAL
+
+    @property
+    def is_floating(self) -> bool:
+        return self.id in _FLOATING
+
+    @property
+    def is_temporal(self) -> bool:
+        return self.id in _TEMPORAL
+
+    @property
+    def is_nested(self) -> bool:
+        return self.id in (TypeId.LIST, TypeId.STRUCT)
+
+    def numpy_dtype(self):
+        return _NUMPY_DTYPE.get(self.id, object)
+
+    # ---- rendering --------------------------------------------------------
+    def __str__(self) -> str:
+        if self.id == TypeId.LIST:
+            return f"{self.child}[]"
+        if self.id == TypeId.STRUCT:
+            inner = ", ".join(f"{n} {t}" for n, t in (self.fields or ()))
+            return f"STRUCT({inner})"
+        if self.id == TypeId.DECIMAL:
+            return f"DECIMAL({self.width},{self.scale})"
+        return self.id.value
+
+    def __repr__(self) -> str:
+        return str(self)
+
+
+# Canonical singletons --------------------------------------------------------
+SQLNULL = LogicalType(TypeId.SQLNULL)
+BOOLEAN = LogicalType(TypeId.BOOLEAN)
+TINYINT = LogicalType(TypeId.TINYINT)
+SMALLINT = LogicalType(TypeId.SMALLINT)
+INTEGER = LogicalType(TypeId.INTEGER)
+BIGINT = LogicalType(TypeId.BIGINT)
+HUGEINT = LogicalType(TypeId.HUGEINT)
+UBIGINT = LogicalType(TypeId.UBIGINT)
+FLOAT = LogicalType(TypeId.FLOAT)
+DOUBLE = LogicalType(TypeId.DOUBLE)
+VARCHAR = LogicalType(TypeId.VARCHAR)
+BLOB = LogicalType(TypeId.BLOB)
+DATE = LogicalType(TypeId.DATE)
+TIME = LogicalType(TypeId.TIME)
+TIMESTAMP = LogicalType(TypeId.TIMESTAMP)
+TIMESTAMP_MS = LogicalType(TypeId.TIMESTAMP_MS)
+TIMESTAMP_S = LogicalType(TypeId.TIMESTAMP_S)
+TIMESTAMP_NS = LogicalType(TypeId.TIMESTAMP_NS)
+INTERVAL = LogicalType(TypeId.INTERVAL)
+
+
+def LIST(child: LogicalType) -> LogicalType:
+    return LogicalType(TypeId.LIST, child=child)
+
+
+def STRUCT(fields) -> LogicalType:
+    return LogicalType(TypeId.STRUCT, fields=tuple((n, t) for n, t in fields))
+
+
+def DECIMAL(width: int, scale: int) -> LogicalType:
+    return LogicalType(TypeId.DECIMAL, width=width, scale=scale)
+
+
+_NAME_TO_TYPE = {
+    "BOOLEAN": BOOLEAN, "BOOL": BOOLEAN, "LOGICAL": BOOLEAN,
+    "TINYINT": TINYINT, "INT1": TINYINT,
+    "SMALLINT": SMALLINT, "INT2": SMALLINT, "SHORT": SMALLINT,
+    "INTEGER": INTEGER, "INT": INTEGER, "INT4": INTEGER, "SIGNED": INTEGER,
+    "BIGINT": BIGINT, "INT8": BIGINT, "LONG": BIGINT,
+    "HUGEINT": HUGEINT, "INT128": HUGEINT,
+    "UTINYINT": LogicalType(TypeId.UTINYINT),
+    "USMALLINT": LogicalType(TypeId.USMALLINT),
+    "UINTEGER": LogicalType(TypeId.UINTEGER),
+    "UBIGINT": UBIGINT,
+    "FLOAT": FLOAT, "FLOAT4": FLOAT, "REAL": FLOAT,
+    "DOUBLE": DOUBLE, "FLOAT8": DOUBLE, "NUMERIC": DOUBLE,
+    "VARCHAR": VARCHAR, "TEXT": VARCHAR, "STRING": VARCHAR, "CHAR": VARCHAR,
+    "BPCHAR": VARCHAR,
+    "BLOB": BLOB, "BYTEA": BLOB,
+    "DATE": DATE,
+    "TIME": TIME,
+    "TIMESTAMP": TIMESTAMP, "DATETIME": TIMESTAMP,
+    "TIMESTAMP_MS": TIMESTAMP_MS,
+    "TIMESTAMP_S": TIMESTAMP_S,
+    "TIMESTAMP_NS": TIMESTAMP_NS,
+    "INTERVAL": INTERVAL,
+}
+
+
+def type_from_name(name: str) -> Optional[LogicalType]:
+    return _NAME_TO_TYPE.get(name.upper())
+
+
+def max_numeric_type(a: LogicalType, b: LogicalType) -> LogicalType:
+    """Result type of arithmetic between numeric types (promotion lattice)."""
+    if a.id == TypeId.SQLNULL:
+        return b
+    if b.id == TypeId.SQLNULL:
+        return a
+    ra, rb = _NUMERIC_RANK.get(a.id, -1), _NUMERIC_RANK.get(b.id, -1)
+    if ra < 0 or rb < 0:
+        raise TypeError(f"non-numeric types {a} and {b}")
+    winner = a if ra >= rb else b
+    # mixed signed/unsigned of same width promotes to next signed
+    return winner
+
+
+# ---------------------------------------------------------------------------
+# Value rendering (DuckDB-compatible text output used by the sqllogictest
+# harness and result display).
+# ---------------------------------------------------------------------------
+
+_EPOCH = datetime.date(1970, 1, 1)
+
+
+def value_to_string(value, typ: LogicalType) -> str:
+    """Render a single (non-NULL) value the way the host engine's test runner
+    renders it (reference test expectations, e.g. floats as repr, structs as
+    {'k': v, ...})."""
+    if value is None:
+        return "NULL"
+    t = typ.id
+    if t == TypeId.BOOLEAN:
+        return "true" if value else "false"
+    if t in _INTEGRAL:
+        return str(int(value))
+    if t == TypeId.FLOAT:
+        return repr(float(np.float32(value)))
+    if t in (TypeId.DOUBLE, TypeId.DECIMAL):
+        return repr(float(value))
+    if t == TypeId.VARCHAR:
+        return str(value)
+    if t == TypeId.DATE:
+        return (_EPOCH + datetime.timedelta(days=int(value))).isoformat()
+    if t in (TypeId.TIMESTAMP, TypeId.TIMESTAMP_MS, TypeId.TIMESTAMP_S,
+             TypeId.TIMESTAMP_NS):
+        micros = int(value)
+        if t == TypeId.TIMESTAMP_MS:
+            micros *= 1000
+        elif t == TypeId.TIMESTAMP_S:
+            micros *= 1_000_000
+        elif t == TypeId.TIMESTAMP_NS:
+            micros //= 1000
+        dt = datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=micros)
+        out = dt.strftime("%Y-%m-%d %H:%M:%S")
+        if dt.microsecond:
+            out += (".%06d" % dt.microsecond).rstrip("0")
+        return out
+    if t == TypeId.LIST:
+        inner = ", ".join(
+            "NULL" if v is None else value_to_string(v, typ.child) for v in value
+        )
+        return f"[{inner}]"
+    if t == TypeId.STRUCT:
+        parts = []
+        for (name, ft), v in zip(typ.fields or (), value):
+            sv = "NULL" if v is None else value_to_string(v, ft)
+            parts.append(f"'{name}': {sv}")
+        return "{" + ", ".join(parts) + "}"
+    return str(value)
