@@ -1,0 +1,156 @@
+"""Database + Connection: session state, property-graph registry, CSR store.
+
+Capability-equivalent of the reference's DuckPGQState (reference
+src/duckpgq_state.cpp): a per-session registry of property graphs persisted in
+the ``__duckpgq_internal`` table, and a CSR side-channel keyed by integer id
+that graph kernels read and that is garbage-collected at query end
+(duckpgq_state.cpp:162-170).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from typing import Dict, List, Optional
+
+from .errors import BinderException, CatalogException, InvalidException
+from .exec.executor import Executor
+# register SQL-facing graph kernels (create_csr_*, iterativelength, ...) into
+# the scalar function registry
+from .pgq import kernels_sql as _kernels_sql  # noqa: F401
+from .exec.result import QueryResult
+from .sql.parser import parse_sql
+from .storage.catalog import Catalog
+
+
+class Database:
+    """Shared database instance (catalog + property-graph registry)."""
+
+    def __init__(self, path: str = ":memory:"):
+        self.path = path
+        self.catalog = Catalog("memory")
+        self.attached: Dict[str, Catalog] = {}
+        self.base_path = "."
+        self.lock = threading.RLock()
+        # property-graph registry: name(lower) -> CreatePropertyGraphInfo
+        self.registered_property_graphs: Dict[str, object] = {}
+        self.connections: List["Connection"] = []
+        # cached CSRs keyed by (graph build signature); invalidated on writes
+        self._csr_cache: Dict[tuple, object] = {}
+
+    def connect(self) -> "Connection":
+        con = Connection(self)
+        self.connections.append(con)
+        return con
+
+    def attach(self, path: str, name: Optional[str]):
+        alias = name or os.path.splitext(os.path.basename(path))[0]
+        if alias.lower() in self.attached:
+            raise CatalogException(
+                f'Unique file handle conflict: Database "{alias}" is already '
+                f'attached')
+        catalog = Catalog(alias)
+        self.attached[alias.lower()] = catalog
+        # .duckdb files cannot be read; an attached database starts empty
+        # unless it is a directory with schema.sql/load.sql
+        if os.path.isdir(self.resolve_path(path)):
+            con = self.connect()
+            con.execute(f"IMPORT DATABASE '{path}'")
+
+    def detach(self, name: str):
+        if name.lower() not in self.attached:
+            raise CatalogException(f'database "{name}" not found')
+        del self.attached[name.lower()]
+
+    def resolve_path(self, path: str) -> str:
+        if os.path.isabs(path):
+            return path
+        return os.path.join(self.base_path, path)
+
+    def invalidate_graph_caches(self, table_name: str):
+        self._csr_cache.clear()
+
+
+class Connection:
+    """A client session. Mirrors DuckPGQState: per-connection CSR maps with
+    query-end GC; the PG registry is shared via the Database (the reference
+    replicates registry entries into every open connection on CREATE,
+    create_property_graph.cpp:318-321 — shared storage is observably the
+    same)."""
+
+    _next_csr_key = 0
+
+    def __init__(self, database: Database):
+        self.database = database
+        self.executor = Executor(self)
+        self.settings: Dict[str, object] = {}
+        self.default_catalog: Optional[str] = None
+        # CSR side-channel (reference duckpgq_state.hpp:35-38)
+        self.csr_list: Dict[int, object] = {}
+        self.csr_to_delete: set = set()
+        # cached per-query algorithm state (pagerank ranks, wcc forest)
+        self.algo_state: Dict[tuple, object] = {}
+
+    # ------------------------------------------------------------- catalogs
+    @property
+    def catalog(self) -> Catalog:
+        return self.database.catalog
+
+    def resolve_catalog(self, name: Optional[str]) -> Catalog:
+        if name is None:
+            if self.default_catalog:
+                return self.database.attached.get(
+                    self.default_catalog.lower(), self.database.catalog)
+            return self.database.catalog
+        if name.lower() == self.database.catalog.name.lower() or \
+                name.lower() in ("memory", "main"):
+            return self.database.catalog
+        cat = self.database.attached.get(name.lower())
+        if cat is None:
+            raise CatalogException(
+                f'Catalog "{name}" does not exist!')
+        return cat
+
+    def find_table_any_catalog(self, table: str, schema, catalog):
+        if catalog is not None:
+            cat = self.database.attached.get(catalog.lower())
+            if cat:
+                return cat.get_table(table, schema, missing_ok=True)
+            return None
+        for cat in self.database.attached.values():
+            t = cat.get_table(table, schema, missing_ok=True)
+            if t is not None:
+                return t
+        return None
+
+    # ------------------------------------------------------------ execution
+    def execute(self, sql: str) -> QueryResult:
+        statements = parse_sql(sql)
+        result = QueryResult([], [])
+        for stmt in statements:
+            try:
+                result = self.executor.execute_statement(stmt)
+            finally:
+                self.query_end()
+        return result
+
+    def sql(self, query: str) -> QueryResult:
+        return self.execute(query)
+
+    def query_end(self):
+        """GC CSRs flagged for deletion (reference duckpgq_state.cpp:162-170)."""
+        for key in self.csr_to_delete:
+            self.csr_list.pop(key, None)
+        self.csr_to_delete.clear()
+        self.algo_state.clear()
+
+    # ------------------------------------------------------------ pg registry
+    @property
+    def registered_property_graphs(self) -> Dict[str, object]:
+        return self.database.registered_property_graphs
+
+    def get_property_graph(self, name: str):
+        info = self.registered_property_graphs.get(name.lower())
+        if info is None:
+            raise InvalidException(f"Property graph {name} not found")
+        return info

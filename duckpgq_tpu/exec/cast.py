@@ -1,0 +1,153 @@
+"""Vectorized casts between logical types (DuckDB-compatible semantics for the
+type surface the test corpus uses)."""
+
+from __future__ import annotations
+
+import datetime
+
+import numpy as np
+
+from ..errors import ConversionException
+from ..storage.vector import Vector
+from ..types import (BIGINT, BOOLEAN, DOUBLE, FLOAT, INTEGER, LogicalType,
+                     TypeId, VARCHAR, value_to_string)
+
+_EPOCH_DATE = datetime.date(1970, 1, 1)
+_EPOCH_DT = datetime.datetime(1970, 1, 1)
+
+
+def _parse_date(s: str) -> int:
+    try:
+        y, m, d = s.strip().split("-")
+        return (datetime.date(int(y), int(m), int(d)) - _EPOCH_DATE).days
+    except Exception as e:
+        raise ConversionException(
+            f"Could not convert string '{s}' to DATE") from e
+
+
+def _parse_timestamp(s: str) -> int:
+    """Returns micros since epoch."""
+    s = s.strip()
+    try:
+        if "T" in s:
+            date_part, time_part = s.split("T", 1)
+        elif " " in s:
+            date_part, time_part = s.split(" ", 1)
+        else:
+            date_part, time_part = s, "00:00:00"
+        days = _parse_date(date_part)
+        frac = 0
+        if "." in time_part:
+            time_part, frac_s = time_part.split(".", 1)
+            frac = int(frac_s.ljust(6, "0")[:6])
+        hh, mm, ss = (time_part.split(":") + ["0", "0"])[:3]
+        micros = ((int(hh) * 60 + int(mm)) * 60 + int(ss)) * 1_000_000 + frac
+        return days * 86_400_000_000 + micros
+    except ConversionException:
+        raise
+    except Exception as e:
+        raise ConversionException(
+            f"Could not convert string '{s}' to TIMESTAMP") from e
+
+
+def cast_vector(vec: Vector, target: LogicalType, try_cast: bool = False
+                ) -> Vector:
+    src = vec.type
+    if src.id == target.id and src == target:
+        return vec
+    n = len(vec)
+    if src.id == TypeId.SQLNULL:
+        return Vector.constant(None, target, n)
+
+    # to VARCHAR: render values
+    if target.id == TypeId.VARCHAR:
+        data = np.empty(n, dtype=object)
+        for i in range(n):
+            if vec.validity[i]:
+                data[i] = value_to_string(vec.value(i), src)
+        return Vector(target, data, vec.validity.copy())
+
+    # from VARCHAR: parse
+    if src.id == TypeId.VARCHAR:
+        out = np.zeros(n, dtype=target.numpy_dtype()) \
+            if target.numpy_dtype() is not object else np.empty(n, dtype=object)
+        validity = vec.validity.copy()
+        for i in range(n):
+            if not validity[i]:
+                continue
+            s = vec.data[i]
+            try:
+                if target.id == TypeId.BOOLEAN:
+                    ls = str(s).strip().lower()
+                    if ls in ("true", "t", "1"):
+                        out[i] = True
+                    elif ls in ("false", "f", "0"):
+                        out[i] = False
+                    else:
+                        raise ConversionException(
+                            f"Could not convert string '{s}' to BOOLEAN")
+                elif target.is_integral:
+                    f = float(str(s).strip())
+                    if f != int(f):
+                        raise ConversionException(
+                            f"Could not convert string '{s}' to {target}")
+                    out[i] = int(f)
+                elif target.is_floating or target.id == TypeId.DECIMAL:
+                    out[i] = float(str(s).strip())
+                elif target.id == TypeId.DATE:
+                    out[i] = _parse_date(str(s))
+                elif target.id == TypeId.TIMESTAMP:
+                    out[i] = _parse_timestamp(str(s))
+                elif target.id == TypeId.TIMESTAMP_MS:
+                    out[i] = _parse_timestamp(str(s)) // 1000
+                elif target.id == TypeId.TIMESTAMP_S:
+                    out[i] = _parse_timestamp(str(s)) // 1_000_000
+                elif target.id == TypeId.TIMESTAMP_NS:
+                    out[i] = _parse_timestamp(str(s)) * 1000
+                else:
+                    raise ConversionException(
+                        f"Unimplemented cast VARCHAR -> {target}")
+            except (ValueError, ConversionException):
+                if try_cast:
+                    validity[i] = False
+                else:
+                    raise ConversionException(
+                        f"Could not convert string '{s}' to {target}")
+        return Vector(target, out, validity)
+
+    # numeric <-> numeric / boolean
+    if (src.is_numeric or src.id == TypeId.BOOLEAN) and \
+            (target.is_numeric or target.id == TypeId.BOOLEAN):
+        dtype = target.numpy_dtype()
+        if target.is_integral and src.is_floating:
+            # DuckDB rounds on float->int cast
+            data = np.where(vec.validity,
+                            np.round(vec.data.astype(np.float64)), 0)
+            out = data.astype(dtype)
+        elif target.id == TypeId.BOOLEAN:
+            out = vec.data.astype(np.float64) != 0
+        else:
+            out = vec.data.astype(dtype)
+        return Vector(target, out, vec.validity.copy())
+
+    # temporal conversions
+    if src.is_temporal and target.is_temporal:
+        scale = {TypeId.TIMESTAMP_S: 1_000_000, TypeId.TIMESTAMP_MS: 1000,
+                 TypeId.TIMESTAMP: 1, TypeId.TIMESTAMP_NS: 0.001}
+        if src.id == TypeId.DATE:
+            micros = vec.data.astype(np.int64) * 86_400_000_000
+        else:
+            micros = (vec.data.astype(np.float64) * scale[src.id]).astype(np.int64)
+        if target.id == TypeId.DATE:
+            out = (micros // 86_400_000_000).astype(np.int32)
+        else:
+            out = (micros / scale[target.id]).astype(np.int64)
+        return Vector(target, out, vec.validity.copy())
+    if src.is_temporal and target.id == TypeId.BIGINT:
+        return Vector(target, vec.data.astype(np.int64), vec.validity.copy())
+
+    # list -> list (element cast)
+    if src.id == TypeId.LIST and target.id == TypeId.LIST:
+        return Vector(target, vec.data, vec.validity.copy())
+
+    raise ConversionException(f"Unimplemented cast {src} -> {target}")

@@ -1,0 +1,1072 @@
+"""Statement executor: SELECT pipeline, DML/DDL, set ops, CTEs, joins.
+
+Pipeline per SELECT node: FROM -> WHERE -> aggregate -> HAVING -> project ->
+DISTINCT -> ORDER/LIMIT, all whole-column vectorized (numpy host mirror of the
+TPU relational ops in duckpgq_tpu.ops.rel; identical algorithms and ordering).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..errors import (BinderException, CatalogException, ConversionException,
+                      InternalException, InvalidInputException,
+                      NotImplementedException, ParserException)
+from ..functions.aggregate import get_aggregate
+from ..sql import ast as a
+from ..storage.catalog import View
+from ..storage.table import ColumnDefinition, DataTable
+from ..storage.vector import Vector
+from ..types import (BIGINT, BOOLEAN, DOUBLE, INTEGER, LogicalType, STRUCT,
+                     TypeId, VARCHAR, SQLNULL)
+from .cast import cast_vector
+from .expression import (Evaluator, OuterScope, collect_aggregates,
+                         fingerprint)
+from .join import cross_pairs, equi_join_pairs, factorize_keys
+from .relation import Binding, Relation
+from .result import QueryResult
+
+
+class CTEEnv:
+    """Lexically scoped CTE environment."""
+
+    def __init__(self, parent: Optional["CTEEnv"] = None):
+        self.parent = parent
+        self.entries: Dict[str, a.CTE] = {}
+        self.cache: Dict[str, QueryResult] = {}
+
+    def lookup(self, name: str):
+        env = self
+        while env is not None:
+            cte = env.entries.get(name.lower())
+            if cte is not None:
+                return env, cte
+            env = env.parent
+        return None, None
+
+
+class Executor:
+    def __init__(self, connection):
+        self.connection = connection
+
+    @property
+    def catalog(self):
+        return self.connection.catalog
+
+    # ================================================================ dispatch
+    def execute_statement(self, stmt: a.Statement) -> QueryResult:
+        if isinstance(stmt, a.SelectStatement):
+            return self.execute_select(stmt)
+        if isinstance(stmt, a.CreateTableStatement):
+            return self.execute_create_table(stmt)
+        if isinstance(stmt, a.CreateViewStatement):
+            view = View(name=stmt.name, query=stmt.query,
+                        column_aliases=stmt.column_aliases,
+                        schema=stmt.schema or "main")
+            self.catalog.create_view(view, or_replace=stmt.or_replace)
+            return QueryResult([], [])
+        if isinstance(stmt, a.CreateSchemaStatement):
+            self.catalog.create_schema(stmt.name, stmt.if_not_exists)
+            return QueryResult([], [])
+        if isinstance(stmt, a.InsertStatement):
+            return self.execute_insert(stmt)
+        if isinstance(stmt, a.UpdateStatement):
+            return self.execute_update(stmt)
+        if isinstance(stmt, a.DeleteStatement):
+            return self.execute_delete(stmt)
+        if isinstance(stmt, a.DropStatement):
+            return self.execute_drop(stmt)
+        if isinstance(stmt, a.AlterStatement):
+            return self.execute_alter(stmt)
+        if isinstance(stmt, a.CreatePropertyGraphStatement):
+            from ..pgq.ddl import execute_create_property_graph
+            return execute_create_property_graph(self, stmt.info)
+        if isinstance(stmt, a.CopyStatement):
+            return self.execute_copy(stmt)
+        if isinstance(stmt, a.ExplainStatement):
+            return self.execute_explain(stmt)
+        if isinstance(stmt, a.PragmaStatement):
+            from ..pgq.pragma import execute_pragma
+            return execute_pragma(self, stmt)
+        if isinstance(stmt, a.SetStatement):
+            if stmt.name != "__noop__":
+                self.connection.settings[stmt.name] = stmt.value
+            return QueryResult([], [])
+        if isinstance(stmt, a.DescribeStatement):
+            return self.execute_describe(stmt)
+        if isinstance(stmt, a.SummarizeStatement):
+            return self.execute_summarize(stmt)
+        if isinstance(stmt, a.ImportDatabaseStatement):
+            return self.execute_import_database(stmt)
+        if isinstance(stmt, a.AttachStatement):
+            return self.execute_attach(stmt)
+        if isinstance(stmt, a.DetachStatement):
+            self.connection.database.detach(stmt.name)
+            return QueryResult([], [])
+        if isinstance(stmt, a.UseStatement):
+            self.connection.default_catalog = stmt.name
+            return QueryResult([], [])
+        if isinstance(stmt, a.TransactionStatement):
+            return QueryResult([], [])
+        if isinstance(stmt, a.ExportDatabaseStatement):
+            raise NotImplementedException("EXPORT DATABASE not supported")
+        raise InternalException(f"unhandled statement {type(stmt).__name__}")
+
+    # ================================================================= SELECT
+    def execute_select(self, stmt: a.SelectStatement,
+                       outer: Optional[OuterScope] = None,
+                       cte_env: Optional[CTEEnv] = None) -> QueryResult:
+        env = CTEEnv(cte_env)
+        for cte in stmt.ctes:
+            env.entries[cte.name.lower()] = cte
+        result, order_ctx = self.execute_query_node(stmt.node, outer, env)
+        # ORDER BY / LIMIT / OFFSET
+        if stmt.order_by:
+            result = self.apply_order(result, order_ctx, stmt.order_by, outer)
+        if stmt.limit is not None or stmt.offset is not None:
+            n = result.row_count
+            off = 0
+            if stmt.offset is not None:
+                off = int(self._const_scalar(stmt.offset))
+            lim = n
+            if stmt.limit is not None:
+                lim = int(self._const_scalar(stmt.limit))
+            idx = np.arange(off, min(off + lim, n))
+            result = QueryResult(result.names,
+                                 [c.take(idx) for c in result.columns])
+            order_ctx = None
+        return result
+
+    def _const_scalar(self, expr: a.Expression):
+        rel = Relation([Vector(BIGINT, np.zeros(1, dtype=np.int64))],
+                       [Binding("", ["__dummy__"], [0])])
+        ev = Evaluator(self, rel)
+        v = ev.evaluate(expr)
+        return v.value(0)
+
+    def execute_query_node(self, node: a.QueryNode, outer, env
+                           ) -> Tuple[QueryResult, Optional[dict]]:
+        if isinstance(node, a.SetOpNode):
+            return self.execute_set_op(node, outer, env), None
+        return self.execute_select_node(node, outer, env)
+
+    # ------------------------------------------------------------- set ops
+    def execute_set_op(self, node: a.SetOpNode, outer, env) -> QueryResult:
+        left = self.execute_select(node.left, outer, env)
+        right = self.execute_select(node.right, outer, env)
+        if node.by_name:
+            order = []
+            for nm in left.names:
+                try:
+                    order.append([n.lower() for n in right.names].index(
+                        nm.lower()))
+                except ValueError:
+                    raise BinderException(
+                        f'column "{nm}" not found in UNION BY NAME operand')
+            right = QueryResult(left.names, [right.columns[i] for i in order])
+        if len(left.columns) != len(right.columns):
+            raise BinderException(
+                "Set operations can only apply to expressions with the same "
+                "number of result columns")
+        rcols = []
+        for lc, rc in zip(left.columns, right.columns):
+            if rc.type.id != lc.type.id:
+                if lc.type.id == TypeId.SQLNULL:
+                    lc_target = rc.type
+                    # cast left lazily below by rebuilding
+                    rcols.append(rc)
+                    continue
+                try:
+                    rc = cast_vector(rc, lc.type)
+                except ConversionException:
+                    pass
+            rcols.append(rc)
+        # fix left NULL-typed columns
+        lcols = []
+        for lc, rc in zip(left.columns, rcols):
+            if lc.type.id == TypeId.SQLNULL and rc.type.id != TypeId.SQLNULL:
+                lc = cast_vector(lc, rc.type)
+            lcols.append(lc)
+        op = node.op
+        if op == "UNION_ALL":
+            cols = [Vector.concat([l, r]) for l, r in zip(lcols, rcols)]
+            return QueryResult(left.names, cols)
+        lrows = [tuple(c.value(i) for c in lcols)
+                 for i in range(len(lcols[0]) if lcols else 0)]
+        rrows = [tuple(c.value(i) for c in rcols)
+                 for i in range(len(rcols[0]) if rcols else 0)]
+        if op == "UNION":
+            seen = {}
+            for row in lrows + rrows:
+                if row not in seen:
+                    seen[row] = True
+            rows = list(seen)
+        elif op in ("EXCEPT", "EXCEPT_ALL"):
+            rset = set(rrows)
+            if op == "EXCEPT":
+                seen = {}
+                for row in lrows:
+                    if row not in rset and row not in seen:
+                        seen[row] = True
+                rows = list(seen)
+            else:
+                rows = [row for row in lrows if row not in rset]
+        elif op in ("INTERSECT", "INTERSECT_ALL"):
+            rset = set(rrows)
+            if op == "INTERSECT":
+                seen = {}
+                for row in lrows:
+                    if row in rset and row not in seen:
+                        seen[row] = True
+                rows = list(seen)
+            else:
+                rows = [row for row in lrows if row in rset]
+        else:
+            raise InternalException(f"bad set op {op}")
+        cols = []
+        for j, lc in enumerate(lcols):
+            cols.append(Vector.from_values([r[j] for r in rows], lc.type))
+        return QueryResult(left.names, cols)
+
+    # --------------------------------------------------------- SELECT node
+    def execute_select_node(self, node: a.SelectNode, outer, env
+                            ) -> Tuple[QueryResult, Optional[dict]]:
+        rel = self.execute_from(node.from_table, outer, env)
+        # WHERE
+        if node.where is not None:
+            ev = Evaluator(self, rel, outer, env=env)
+            cond = ev.as_bool(ev.evaluate(node.where))
+            mask = cond.data.astype(bool) & cond.validity
+            rel = rel.filter(mask)
+
+        # aggregate detection
+        aggs: List[a.AggregateCall] = []
+        for e in node.select_list:
+            collect_aggregates(e, aggs)
+        collect_aggregates(node.having, aggs)
+        has_agg = bool(aggs) or bool(node.groups) or node.group_all
+
+        replacements: Dict[str, int] = {}
+        if has_agg:
+            rel, replacements = self.apply_aggregate(node, rel, outer, aggs,
+                                                     env)
+            if node.having is not None:
+                ev = Evaluator(self, rel, outer, replacements, env=env)
+                cond = ev.as_bool(ev.evaluate(node.having))
+                mask = cond.data.astype(bool) & cond.validity
+                rel = rel.filter(mask)
+
+        # projection
+        ev = Evaluator(self, rel, outer, replacements, env=env)
+        out_names: List[str] = []
+        out_cols: List[Vector] = []
+        out_fps: List[str] = []
+        for e in node.select_list:
+            if isinstance(e, a.Star):
+                for b_alias, name, col in self.expand_star(rel, e):
+                    out_names.append(name)
+                    out_cols.append(col)
+                    out_fps.append(f"col:{b_alias.lower()}.{name.lower()}"
+                                   if b_alias else f"col:{name.lower()}")
+            else:
+                vec = ev.evaluate(e)
+                out_names.append(self.derive_name(e))
+                out_cols.append(vec)
+                out_fps.append(fingerprint(e))
+        if out_cols and rel.row_count == 0:
+            out_cols = [c.slice(0, 0) if len(c) else c for c in out_cols]
+        # scalar select without FROM produces one row; handled by EmptyTableRef
+
+        result = QueryResult(out_names, out_cols)
+
+        # DISTINCT
+        if node.distinct:
+            result = self.apply_distinct(result, node.distinct_on, rel, outer,
+                                         replacements)
+
+        order_ctx = {
+            "rel": rel,
+            "replacements": replacements,
+            "fps": out_fps,
+        }
+        return result, order_ctx
+
+    # ------------------------------------------------------------ aggregate
+    def apply_aggregate(self, node: a.SelectNode, rel: Relation, outer,
+                        aggs: List[a.AggregateCall], env=None
+                        ) -> Tuple[Relation, Dict[str, int]]:
+        ev = Evaluator(self, rel, outer, env=env)
+        n = rel.row_count
+
+        # resolve group expressions (allow select-alias and positional refs)
+        group_exprs: List[a.Expression] = []
+        for g in node.groups:
+            g = self._resolve_group_expr(g, node)
+            group_exprs.append(g)
+        if node.group_all:
+            seen_fp = set()
+            for e in node.select_list:
+                sub: List[a.AggregateCall] = []
+                collect_aggregates(e, sub)
+                if not sub and not isinstance(e, a.Star):
+                    fp = fingerprint(e)
+                    if fp not in seen_fp:
+                        seen_fp.add(fp)
+                        group_exprs.append(e)
+
+        group_vecs = [ev.evaluate(g) for g in group_exprs]
+        if group_vecs:
+            gids, n_groups, order_first = self._factorize_groups(group_vecs)
+        else:
+            gids = np.zeros(n, dtype=np.int64)
+            n_groups = 1
+            order_first = np.array([0] if n else [0])
+
+        # unique aggregates by fingerprint
+        uniq: Dict[str, a.AggregateCall] = {}
+        for call in aggs:
+            uniq.setdefault(fingerprint(call), call)
+
+        new_cols: List[Vector] = []
+        new_names: List[str] = []
+        replacements: Dict[str, int] = {}
+        for g_expr, g_vec in zip(group_exprs, group_vecs):
+            slot = len(new_cols)
+            grouped = self._group_representative(g_vec, gids, n_groups)
+            new_cols.append(grouped)
+            new_names.append(self.derive_name(g_expr))
+            replacements[fingerprint(g_expr)] = slot
+            if g_expr.alias:
+                replacements[f"col:{g_expr.alias.lower()}"] = slot
+        for fp, call in uniq.items():
+            impl = get_aggregate(call.name)
+            if impl is None:
+                raise BinderException(
+                    f"Aggregate Function with name {call.name} does not exist!")
+            arg_vecs = [ev.evaluate(x) for x in call.args]
+            vec = impl(arg_vecs, gids, n_groups, call.distinct)
+            slot = len(new_cols)
+            new_cols.append(vec)
+            new_names.append(self.derive_name(call))
+            replacements[fp] = slot
+
+        binding = Binding("", new_names, list(range(len(new_cols))))
+        new_rel = Relation(new_cols, [binding])
+        # groups in first-appearance order (stable like a streaming hash agg)
+        new_rel = new_rel.take(np.argsort(order_first, kind="stable")) \
+            if n_groups > 1 else new_rel
+        return new_rel, replacements
+
+    def _resolve_group_expr(self, g: a.Expression, node: a.SelectNode
+                            ) -> a.Expression:
+        if isinstance(g, a.Constant) and g.type is not None and \
+                g.type.is_integral:
+            idx = int(g.value) - 1
+            if 0 <= idx < len(node.select_list):
+                return node.select_list[idx]
+        if isinstance(g, a.ColumnRef) and len(g.parts) == 1:
+            for e in node.select_list:
+                if e.alias and e.alias.lower() == g.parts[0].lower():
+                    return e
+        return g
+
+    def _factorize_groups(self, group_vecs: List[Vector]):
+        n = len(group_vecs[0])
+        keys = []
+        for v in group_vecs:
+            if v.type.numpy_dtype() is object:
+                col = np.array(
+                    ["\0N" if not v.validity[i] else str(v.data[i])
+                     for i in range(n)], dtype=object).astype(str)
+            else:
+                col = np.where(v.validity, v.data, 0)
+                col = np.stack([col.astype(np.float64),
+                                (~v.validity).astype(np.float64)], axis=0)
+            keys.append(col)
+        # build composite codes
+        gids = np.zeros(n, dtype=np.int64)
+        for col in keys:
+            if col.dtype.kind in ("U", "S", "O"):
+                _, inv = np.unique(col, return_inverse=True)
+            else:
+                _, inv = np.unique(col.T, axis=0, return_inverse=True)
+            gids = gids * (int(inv.max()) + 1 if n else 1) + inv
+        uniq, first, inv = np.unique(gids, return_index=True,
+                                     return_inverse=True)
+        return inv.astype(np.int64), len(uniq), first
+
+    @staticmethod
+    def _group_representative(vec: Vector, gids: np.ndarray, n_groups: int
+                              ) -> Vector:
+        out = Vector.constant(None, vec.type, n_groups)
+        seen = np.zeros(n_groups, dtype=bool)
+        for i in range(len(gids)):
+            g = gids[i]
+            if not seen[g]:
+                seen[g] = True
+                out.data[g] = vec.data[i]
+                out.validity[g] = vec.validity[i]
+        return out
+
+    # ------------------------------------------------------------- DISTINCT
+    def apply_distinct(self, result: QueryResult, distinct_on, rel, outer,
+                       replacements) -> QueryResult:
+        if distinct_on:
+            ev = Evaluator(self, rel, outer, replacements)
+            key_cols = [ev.evaluate(e) for e in distinct_on]
+        else:
+            key_cols = result.columns
+        n = result.row_count
+        seen = set()
+        keep = np.zeros(n, dtype=bool)
+        for i in range(n):
+            key = tuple(self._hashable(c.value(i)) for c in key_cols)
+            if key not in seen:
+                seen.add(key)
+                keep[i] = True
+        return QueryResult(result.names, [c.filter(keep)
+                                          for c in result.columns])
+
+    @staticmethod
+    def _hashable(v):
+        if isinstance(v, list):
+            return tuple(Executor._hashable(x) for x in v)
+        return v
+
+    # -------------------------------------------------------------- ORDER BY
+    def apply_order(self, result: QueryResult, order_ctx,
+                    order_by: List[a.OrderByNode], outer) -> QueryResult:
+        n = result.row_count
+        key_vecs: List[Vector] = []
+        for ob in order_by:
+            vec = self._bind_order_expr(ob.expr, result, order_ctx, outer)
+            key_vecs.append(vec)
+        # lexsort: last key is primary
+        sort_cols = []
+        for ob, vec in zip(order_by, key_vecs):
+            if vec.type.numpy_dtype() is object:
+                vals = np.array([
+                    "" if not vec.validity[i] else str(vec.data[i])
+                    for i in range(n)], dtype=object).astype(str)
+                _, codes = np.unique(vals, return_inverse=True)
+                arr = codes.astype(np.float64)
+            else:
+                arr = vec.data.astype(np.float64)
+            if not ob.ascending:
+                arr = -arr
+            # NULLS LAST default (DuckDB default null order)
+            nulls_last = True if ob.nulls_first is None else not ob.nulls_first
+            nullkey = (~vec.validity).astype(np.float64)
+            if not nulls_last:
+                nullkey = -nullkey
+            sort_cols.append(arr)
+            sort_cols.append(nullkey)
+        # lexsort uses last key as primary; reverse our list
+        idx = np.lexsort(tuple(reversed(sort_cols))) if sort_cols else \
+            np.arange(n)
+        return QueryResult(result.names, [c.take(idx) for c in result.columns])
+
+    def _bind_order_expr(self, e: a.Expression, result: QueryResult,
+                         order_ctx, outer) -> Vector:
+        # positional constant
+        if isinstance(e, a.Constant) and e.type is not None and \
+                e.type.is_integral:
+            idx = int(e.value) - 1
+            if 0 <= idx < len(result.columns):
+                return result.columns[idx]
+        # output name / alias match
+        if isinstance(e, a.ColumnRef):
+            target = e.parts[-1].lower()
+            qualifier = e.parts[0].lower() if len(e.parts) > 1 else None
+            matches = [i for i, nm in enumerate(result.names)
+                       if nm.lower() == target]
+            if len(matches) == 1 and (qualifier is None or True):
+                return result.columns[matches[0]]
+            if len(matches) > 1:
+                return result.columns[matches[0]]
+        # fingerprint match against output columns
+        if order_ctx is not None:
+            fp = fingerprint(e)
+            for i, ofp in enumerate(order_ctx.get("fps", [])):
+                if ofp == fp:
+                    return result.columns[i]
+            # evaluate against the pre-projection relation
+            rel = order_ctx["rel"]
+            repl = order_ctx["replacements"]
+            ev = Evaluator(self, rel, outer, repl)
+            vec = ev.evaluate(e)
+            if len(vec) == result.row_count:
+                return vec
+        raise BinderException(
+            f"ORDER BY expression could not be resolved")
+
+    # ----------------------------------------------------------------- FROM
+    def execute_from(self, ref: a.TableRef, outer, env) -> Relation:
+        if ref is None or isinstance(ref, a.EmptyTableRef):
+            # single-row dummy relation
+            return Relation([Vector(BIGINT, np.zeros(1, dtype=np.int64))],
+                            [Binding("", ["__row__"], [0], [True])])
+        if isinstance(ref, a.BaseTableRef):
+            return self.scan_base_table(ref, outer, env)
+        if isinstance(ref, a.SubqueryRef):
+            res = self.execute_select(ref.subquery, outer, env)
+            alias = ref.alias or "unnamed_subquery"
+            names = list(res.names)
+            if ref.column_aliases:
+                names[:len(ref.column_aliases)] = list(ref.column_aliases)
+            return Relation.from_columns(alias, names, res.columns,
+                                         with_rowid=True)
+        if isinstance(ref, a.ValuesRef):
+            return self.execute_values(ref, outer, env)
+        if isinstance(ref, a.TableFunctionRef):
+            from ..functions.table import execute_table_function
+            return execute_table_function(self, ref, outer, env)
+        if isinstance(ref, a.GraphTableRef):
+            from ..pgq.transpiler import bind_graph_table
+            select_stmt, alias = bind_graph_table(self, ref)
+            res = self.execute_select(select_stmt, outer, env)
+            return Relation.from_columns(alias, res.names, res.columns,
+                                         with_rowid=True)
+        if isinstance(ref, a.JoinRef):
+            return self.execute_join(ref, outer, env)
+        raise InternalException(f"unhandled table ref {type(ref).__name__}")
+
+    def scan_base_table(self, ref: a.BaseTableRef, outer, env) -> Relation:
+        # CTE?
+        if ref.schema is None and env is not None:
+            cte_env, cte = env.lookup(ref.table)
+            if cte is not None:
+                key = ref.table.lower()
+                cached = cte_env.cache.get(key)
+                if cached is None:
+                    # a CTE may reference CTEs of the same WITH clause
+                    # (e.g. the PGQ csr_cte -> edges_cte chain); guard
+                    # against accidental self-recursion
+                    if key in getattr(cte_env, "_in_progress", set()):
+                        raise BinderException(
+                            f"Recursive CTE {ref.table} is not supported")
+                    if not hasattr(cte_env, "_in_progress"):
+                        cte_env._in_progress = set()
+                    cte_env._in_progress.add(key)
+                    try:
+                        cached = self.execute_select(cte.query, None, cte_env)
+                    finally:
+                        cte_env._in_progress.discard(key)
+                    cte_env.cache[key] = cached
+                alias = ref.alias or ref.table
+                names = list(cached.names)
+                if cte.column_aliases:
+                    names[:len(cte.column_aliases)] = list(cte.column_aliases)
+                if ref.column_aliases:
+                    names[:len(ref.column_aliases)] = list(ref.column_aliases)
+                return Relation.from_columns(alias, names, cached.columns,
+                                             with_rowid=True)
+        catalog = self.connection.resolve_catalog(ref.catalog)
+        # view?
+        view = catalog.get_view(ref.table, ref.schema)
+        if view is not None:
+            res = self.execute_select(view.query, None, None)
+            alias = ref.alias or ref.table
+            names = list(res.names)
+            if view.column_aliases:
+                names[:len(view.column_aliases)] = list(view.column_aliases)
+            return Relation.from_columns(alias, names, res.columns,
+                                         with_rowid=True)
+        table = catalog.get_table(ref.table, ref.schema, missing_ok=True)
+        if table is None:
+            # search attached catalogs
+            table = self.connection.find_table_any_catalog(
+                ref.table, ref.schema, ref.catalog)
+        if table is None:
+            raise CatalogException(
+                f'Table with name {ref.table} does not exist!\n'
+                f'Did you mean to query a different table?')
+        rel = Relation.from_table(table, ref.alias or ref.table)
+        if ref.column_aliases:
+            b = rel.bindings[0]
+            for i, nm in enumerate(ref.column_aliases):
+                b.names[i] = nm
+        return rel
+
+    def execute_values(self, ref: a.ValuesRef, outer, env) -> Relation:
+        ev_rel = Relation([Vector(BIGINT, np.zeros(1, dtype=np.int64))],
+                          [Binding("", ["__row__"], [0], [True])])
+        ev = Evaluator(self, ev_rel, outer)
+        n_cols = len(ref.rows[0]) if ref.rows else 0
+        col_vals: List[List] = [[] for _ in range(n_cols)]
+        col_types: List[LogicalType] = [SQLNULL] * n_cols
+        for row in ref.rows:
+            if len(row) != n_cols:
+                raise BinderException(
+                    "VALUES rows must all have the same number of columns")
+            for j, e in enumerate(row):
+                vec = ev.evaluate(e)
+                col_vals[j].append(vec.value(0))
+                if vec.type.id != TypeId.SQLNULL:
+                    if col_types[j].id == TypeId.SQLNULL:
+                        col_types[j] = vec.type
+                    elif col_types[j].id != vec.type.id and \
+                            col_types[j].is_numeric and vec.type.is_numeric:
+                        from ..types import max_numeric_type
+                        col_types[j] = max_numeric_type(col_types[j], vec.type)
+                    elif col_types[j].id != vec.type.id and (
+                            col_types[j].id == TypeId.VARCHAR or
+                            vec.type.id == TypeId.VARCHAR):
+                        col_types[j] = VARCHAR
+        names = [f"col{j}" for j in range(n_cols)]
+        if ref.column_aliases:
+            names[:len(ref.column_aliases)] = list(ref.column_aliases)
+        cols = [Vector.from_values(vals, t)
+                for vals, t in zip(col_vals, col_types)]
+        return Relation.from_columns(ref.alias or "values", names, cols)
+
+    # ----------------------------------------------------------------- joins
+    def execute_join(self, ref: a.JoinRef, outer, env) -> Relation:
+        left = self.execute_from(ref.left, outer, env)
+        right = self.execute_from(ref.right, outer, env)
+        jt = ref.join_type
+        if jt == "CROSS":
+            li, ri = cross_pairs(left.row_count, right.row_count)
+            return Relation.concat_horizontal(
+                left.take(li), right.take(ri))
+        condition = ref.condition
+        if ref.using:
+            conjs = []
+            for col in ref.using:
+                conjs.append(a.Comparison(
+                    op="=",
+                    left=a.ColumnRef(parts=(self._binding_alias(left), col)),
+                    right=a.ColumnRef(parts=(self._binding_alias(right), col))))
+            condition = conjs[0] if len(conjs) == 1 else \
+                a.Conjunction(op="AND", children=conjs)
+        if ref.is_natural:
+            shared = []
+            lnames = {n.lower() for b in left.bindings
+                      for n, _ in b.visible()}
+            for b in right.bindings:
+                for n, _ in b.visible():
+                    if n.lower() in lnames:
+                        shared.append(n)
+            conjs = [a.Comparison(
+                op="=",
+                left=a.ColumnRef(parts=(self._binding_alias(left), c)),
+                right=a.ColumnRef(parts=(self._binding_alias(right), c)))
+                for c in shared]
+            condition = conjs[0] if len(conjs) == 1 else \
+                a.Conjunction(op="AND", children=conjs) if conjs else None
+
+        equi, residual = self._split_equi_conditions(condition, left, right)
+        if equi:
+            lkeys = [self._eval_side(e_l, left, outer) for e_l, _ in equi]
+            rkeys = [self._eval_side(e_r, right, outer) for _, e_r in equi]
+            lcode, rcode = factorize_keys(lkeys, rkeys)
+            li, ri = equi_join_pairs(lcode, rcode)
+        else:
+            li, ri = cross_pairs(left.row_count, right.row_count)
+
+        joined = Relation.concat_horizontal(left.take(li), right.take(ri))
+        if residual is not None:
+            ev = Evaluator(self, joined, outer)
+            cond = ev.as_bool(ev.evaluate(residual))
+            mask = cond.data.astype(bool) & cond.validity
+            li, ri = li[mask], ri[mask]
+            joined = joined.filter(mask)
+        if jt == "INNER":
+            return joined
+        if jt == "SEMI":
+            keep = np.zeros(left.row_count, dtype=bool)
+            keep[li] = True
+            return left.filter(keep)
+        if jt == "ANTI":
+            keep = np.ones(left.row_count, dtype=bool)
+            keep[li] = False
+            return left.filter(keep)
+        if jt in ("LEFT", "FULL"):
+            matched_left = np.zeros(left.row_count, dtype=bool)
+            matched_left[li] = True
+            un_l = np.flatnonzero(~matched_left)
+            pad_li = np.concatenate([li, un_l])
+            pad_ri = np.concatenate([ri, np.zeros(len(un_l), dtype=np.int64)])
+            null_r = np.concatenate([np.zeros(len(li), dtype=bool),
+                                     np.ones(len(un_l), dtype=bool)])
+            out = Relation.concat_horizontal(
+                left.take(pad_li),
+                right.take_with_nulls(pad_ri, null_r))
+            if jt == "FULL":
+                matched_right = np.zeros(right.row_count, dtype=bool)
+                matched_right[ri] = True
+                un_r = np.flatnonzero(~matched_right)
+                extra = Relation.concat_horizontal(
+                    left.take_with_nulls(np.zeros(len(un_r), dtype=np.int64),
+                                         np.ones(len(un_r), dtype=bool)),
+                    right.take(un_r))
+                cols = [Vector.concat([c1, c2])
+                        for c1, c2 in zip(out.columns, extra.columns)]
+                out = Relation(cols, out.bindings)
+            return out
+        if jt == "RIGHT":
+            matched_right = np.zeros(right.row_count, dtype=bool)
+            matched_right[ri] = True
+            un_r = np.flatnonzero(~matched_right)
+            pad_ri = np.concatenate([ri, un_r])
+            pad_li = np.concatenate([li, np.zeros(len(un_r), dtype=np.int64)])
+            null_l = np.concatenate([np.zeros(len(ri), dtype=bool),
+                                     np.ones(len(un_r), dtype=bool)])
+            return Relation.concat_horizontal(
+                left.take_with_nulls(pad_li, null_l),
+                right.take(pad_ri))
+        raise InternalException(f"unhandled join type {jt}")
+
+    @staticmethod
+    def _binding_alias(rel: Relation) -> str:
+        return rel.bindings[0].alias if rel.bindings else ""
+
+    def _split_equi_conditions(self, condition, left: Relation,
+                               right: Relation):
+        """Split ON condition into equi pairs (left_expr, right_expr) and a
+        residual expression."""
+        if condition is None:
+            return [], None
+        conjuncts: List[a.Expression] = []
+
+        def flatten(e):
+            if isinstance(e, a.Conjunction) and e.op == "AND":
+                for c in e.children:
+                    flatten(c)
+            else:
+                conjuncts.append(e)
+        flatten(condition)
+        equi = []
+        residual = []
+        for c in conjuncts:
+            if isinstance(c, a.Comparison) and c.op == "=":
+                lside = self._side_of(c.left, left, right)
+                rside = self._side_of(c.right, left, right)
+                if lside == "L" and rside == "R":
+                    equi.append((c.left, c.right))
+                    continue
+                if lside == "R" and rside == "L":
+                    equi.append((c.right, c.left))
+                    continue
+            residual.append(c)
+        res = None
+        if residual:
+            res = residual[0] if len(residual) == 1 else \
+                a.Conjunction(op="AND", children=residual)
+        return equi, res
+
+    def _side_of(self, e: a.Expression, left: Relation, right: Relation):
+        """Which side an expression's column references belong to: 'L', 'R',
+        None (no columns), or 'BOTH'."""
+        side = set()
+
+        def visit(x):
+            if isinstance(x, a.ColumnRef):
+                if left.resolve(x.parts) is not None:
+                    side.add("L")
+                elif right.resolve(x.parts) is not None:
+                    side.add("R")
+                else:
+                    side.add("?")
+            elif isinstance(x, a.SubqueryExpr):
+                side.add("?")
+            else:
+                from .expression import _children
+                for ch in _children(x):
+                    visit(ch)
+        visit(e)
+        if side == {"L"}:
+            return "L"
+        if side == {"R"}:
+            return "R"
+        if not side:
+            return None
+        return "BOTH"
+
+    def _eval_side(self, e: a.Expression, rel: Relation, outer) -> Vector:
+        ev = Evaluator(self, rel, outer)
+        return ev.evaluate(e)
+
+    # ------------------------------------------------------------------ stars
+    def expand_star(self, rel: Relation, star: a.Star):
+        out = []
+        exclude = {x.lower() for x in star.exclude}
+        for b in rel.bindings:
+            if star.relation is not None and \
+                    b.alias.lower() != star.relation.lower():
+                continue
+            for name, slot in b.visible():
+                if name.lower() in exclude:
+                    continue
+                out.append((b.alias, name, rel.columns[slot]))
+        if star.relation is not None and not out:
+            raise BinderException(
+                f'Referenced table "{star.relation}" not found!')
+        return out
+
+    @staticmethod
+    def derive_name(e: a.Expression) -> str:
+        if e.alias:
+            return e.alias
+        if isinstance(e, a.ColumnRef):
+            return e.parts[-1]
+        if isinstance(e, a.FunctionCall):
+            return e.name
+        if isinstance(e, a.AggregateCall):
+            if e.name == "count_star":
+                return "count_star()"
+            inner = ", ".join(Executor._render(x) for x in e.args)
+            return f"{e.name}({inner})"
+        if isinstance(e, a.Cast):
+            return Executor.derive_name(e.child)
+        if isinstance(e, a.StructExtract):
+            return e.field_name
+        if isinstance(e, a.Constant):
+            return str(e.value)
+        return Executor._render(e)
+
+    @staticmethod
+    def _render(e: a.Expression) -> str:
+        if isinstance(e, a.ColumnRef):
+            return ".".join(e.parts)
+        if isinstance(e, a.Constant):
+            if isinstance(e.value, str):
+                return f"'{e.value}'"
+            return str(e.value)
+        if isinstance(e, a.FunctionCall):
+            return f"{e.name}(" + ", ".join(
+                Executor._render(x) for x in e.args) + ")"
+        if isinstance(e, a.AggregateCall):
+            return f"{e.name}(" + ", ".join(
+                Executor._render(x) for x in e.args) + ")"
+        if isinstance(e, a.Comparison):
+            return (f"({Executor._render(e.left)} {e.op} "
+                    f"{Executor._render(e.right)})")
+        if isinstance(e, a.Star):
+            return "*"
+        return fingerprint(e)
+
+    # ==================================================================== DML
+    def execute_create_table(self, stmt: a.CreateTableStatement) -> QueryResult:
+        catalog = self.connection.resolve_catalog(stmt.catalog)
+        if stmt.query is not None:
+            res = self.execute_select(stmt.query)
+            if stmt.columns:
+                defs = [ColumnDefinition(nm, t, nn)
+                        for nm, t, nn, _ in stmt.columns]
+            else:
+                defs = [ColumnDefinition(nm, c.type)
+                        for nm, c in zip(res.names, res.columns)]
+            table = DataTable(stmt.name, defs, schema=stmt.schema or "main")
+            cols = []
+            for d, c in zip(defs, res.columns):
+                if c.type.id != d.type.id:
+                    c = cast_vector(c, d.type)
+                cols.append(c)
+            table.append(cols)
+            catalog.create_table(table, or_replace=stmt.or_replace,
+                                 if_not_exists=stmt.if_not_exists)
+            return QueryResult([], [])
+        defs = [ColumnDefinition(nm, t, nn, default)
+                for nm, t, nn, default in stmt.columns]
+        table = DataTable(stmt.name, defs, schema=stmt.schema or "main")
+        catalog.create_table(table, or_replace=stmt.or_replace,
+                             if_not_exists=stmt.if_not_exists)
+        return QueryResult([], [])
+
+    def execute_insert(self, stmt: a.InsertStatement) -> QueryResult:
+        catalog = self.connection.resolve_catalog(stmt.catalog
+                                                  if hasattr(stmt, "catalog")
+                                                  else None)
+        table = catalog.get_table(stmt.table, stmt.schema)
+        res = self.execute_select(stmt.query)
+        n = res.row_count
+        if stmt.columns:
+            name_to_vec = {}
+            if len(stmt.columns) != len(res.columns):
+                raise BinderException(
+                    f"Column count mismatch in INSERT: {len(stmt.columns)} "
+                    f"target columns, {len(res.columns)} values")
+            for nm, c in zip(stmt.columns, res.columns):
+                name_to_vec[nm.lower()] = c
+            vectors = []
+            for cdef in table.column_defs:
+                vec = name_to_vec.get(cdef.name.lower())
+                if vec is None:
+                    if cdef.default is not None:
+                        ev_rel = Relation(
+                            [Vector(BIGINT, np.zeros(n, dtype=np.int64))],
+                            [Binding("", ["__row__"], [0], [True])])
+                        vec = Evaluator(self, ev_rel).evaluate(cdef.default)
+                    else:
+                        vec = Vector.constant(None, cdef.type, n)
+                vectors.append(vec)
+        else:
+            if len(res.columns) != len(table.column_defs):
+                raise BinderException(
+                    f"table {table.name} has {len(table.column_defs)} columns "
+                    f"but {len(res.columns)} values were supplied")
+            vectors = res.columns
+        casted = []
+        for cdef, vec in zip(table.column_defs, vectors):
+            if vec.type.id != cdef.type.id:
+                vec = cast_vector(vec, cdef.type)
+            casted.append(vec)
+        table.append(casted)
+        self.connection.database.invalidate_graph_caches(table.name)
+        cnt = Vector.from_values([n], BIGINT)
+        return QueryResult(["Count"], [cnt])
+
+    def execute_update(self, stmt: a.UpdateStatement) -> QueryResult:
+        catalog = self.connection.resolve_catalog(None)
+        table = catalog.get_table(stmt.table, stmt.schema)
+        rel = Relation.from_table(table, stmt.table)
+        mask = np.ones(rel.row_count, dtype=bool)
+        if stmt.where is not None:
+            ev = Evaluator(self, rel)
+            cond = ev.as_bool(ev.evaluate(stmt.where))
+            mask = cond.data.astype(bool) & cond.validity
+        ev = Evaluator(self, rel)
+        for col_name, expr in stmt.assignments:
+            idx = table.column_index(col_name)
+            if idx is None:
+                raise BinderException(
+                    f'Referenced update column {col_name} not found')
+            new_vec = ev.evaluate(expr)
+            cdef = table.column_defs[idx]
+            if new_vec.type.id != cdef.type.id:
+                new_vec = cast_vector(new_vec, cdef.type)
+            cur = table.columns[idx].copy()
+            cur.data[mask] = new_vec.data[mask]
+            cur.validity[mask] = new_vec.validity[mask]
+            table.update_column(idx, cur)
+        self.connection.database.invalidate_graph_caches(table.name)
+        return QueryResult(["Count"],
+                           [Vector.from_values([int(mask.sum())], BIGINT)])
+
+    def execute_delete(self, stmt: a.DeleteStatement) -> QueryResult:
+        catalog = self.connection.resolve_catalog(None)
+        table = catalog.get_table(stmt.table, stmt.schema)
+        rel = Relation.from_table(table, stmt.table)
+        mask = np.ones(rel.row_count, dtype=bool)
+        if stmt.where is not None:
+            ev = Evaluator(self, rel)
+            cond = ev.as_bool(ev.evaluate(stmt.where))
+            mask = cond.data.astype(bool) & cond.validity
+        table.delete_rows(mask)
+        self.connection.database.invalidate_graph_caches(table.name)
+        return QueryResult(["Count"],
+                           [Vector.from_values([int(mask.sum())], BIGINT)])
+
+    def execute_drop(self, stmt: a.DropStatement) -> QueryResult:
+        if stmt.kind == "PROPERTY_GRAPH":
+            from ..pgq.ddl import execute_drop_property_graph
+            return execute_drop_property_graph(self, stmt.info)
+        catalog = self.connection.resolve_catalog(None)
+        if stmt.kind == "TABLE":
+            catalog.drop_table(stmt.name, stmt.schema or "main",
+                               missing_ok=stmt.if_exists)
+        elif stmt.kind == "VIEW":
+            catalog.drop_view(stmt.name, stmt.schema or "main",
+                              missing_ok=stmt.if_exists)
+        elif stmt.kind == "SCHEMA":
+            catalog.schemas.pop(stmt.name.lower(), None)
+        return QueryResult([], [])
+
+    def execute_alter(self, stmt: a.AlterStatement) -> QueryResult:
+        catalog = self.connection.resolve_catalog(None)
+        table = catalog.get_table(stmt.table, stmt.schema,
+                                  missing_ok=stmt.if_exists)
+        if table is None:
+            return QueryResult([], [])
+        if stmt.action == "ADD_COLUMN":
+            table.add_column(ColumnDefinition(
+                stmt.column_name, stmt.column_type, default=stmt.default))
+        elif stmt.action == "DROP_COLUMN":
+            table.drop_column(stmt.column_name)
+        elif stmt.action == "RENAME_COLUMN":
+            table.rename_column(stmt.column_name, stmt.new_name)
+        elif stmt.action == "RENAME_TABLE":
+            schema = catalog.get_schema(table.schema)
+            del schema.tables[table.name.lower()]
+            table.name = stmt.new_name
+            schema.tables[stmt.new_name.lower()] = table
+        elif stmt.action == "ALTER_TYPE":
+            idx = table.column_index(stmt.column_name)
+            table.column_defs[idx].type = stmt.column_type
+            table.update_column(idx, cast_vector(table.columns[idx],
+                                                 stmt.column_type))
+        self.connection.database.invalidate_graph_caches(stmt.table)
+        return QueryResult([], [])
+
+    # ================================================================= COPY
+    def execute_copy(self, stmt: a.CopyStatement) -> QueryResult:
+        from ..io import copy as io_copy
+        return io_copy.execute_copy(self, stmt)
+
+    # ============================================================== metadata
+    def execute_describe(self, stmt: a.DescribeStatement) -> QueryResult:
+        if stmt.kind == "PROPERTY_GRAPH":
+            from ..pgq.ddl import execute_describe_property_graph
+            return execute_describe_property_graph(self, stmt.target)
+        if stmt.kind == "TABLES":
+            names = sorted(t.name for t in self.catalog.list_tables())
+            return QueryResult(["name"],
+                               [Vector.from_values(names, VARCHAR)])
+        if stmt.kind == "QUERY":
+            res = self.execute_select(stmt.target)
+            return self._describe_result(res.names, res.types)
+        catalog = self.connection.resolve_catalog(None)
+        table = catalog.get_table(stmt.target)
+        return self._describe_result(table.column_names, table.column_types)
+
+    def _describe_result(self, names, types) -> QueryResult:
+        n = len(names)
+        return QueryResult(
+            ["column_name", "column_type", "null", "key", "default", "extra"],
+            [Vector.from_values(list(names), VARCHAR),
+             Vector.from_values([str(t) for t in types], VARCHAR),
+             Vector.from_values(["YES"] * n, VARCHAR),
+             Vector.from_values([None] * n, VARCHAR),
+             Vector.from_values([None] * n, VARCHAR),
+             Vector.from_values([None] * n, VARCHAR)])
+
+    def execute_summarize(self, stmt: a.SummarizeStatement) -> QueryResult:
+        if stmt.kind == "PROPERTY_GRAPH":
+            from ..pgq.ddl import execute_summarize_property_graph
+            return execute_summarize_property_graph(self, stmt.target)
+        raise NotImplementedException("SUMMARIZE of tables not supported yet")
+
+    def execute_import_database(self, stmt: a.ImportDatabaseStatement
+                                ) -> QueryResult:
+        import os
+        from ..sql.parser import parse_sql
+        base = self.connection.database.resolve_path(stmt.path)
+        for fname in ("schema.sql", "load.sql"):
+            path = os.path.join(base, fname)
+            if not os.path.exists(path):
+                continue
+            with open(path) as f:
+                text = f.read()
+            prev = self.connection.database.base_path
+            self.connection.database.base_path = os.path.dirname(base) or "."
+            try:
+                for s in parse_sql(text):
+                    self.execute_statement(s)
+            finally:
+                self.connection.database.base_path = prev
+        return QueryResult([], [])
+
+    def execute_attach(self, stmt: a.AttachStatement) -> QueryResult:
+        self.connection.database.attach(stmt.path, stmt.name)
+        return QueryResult([], [])
+
+    def execute_explain(self, stmt: a.ExplainStatement) -> QueryResult:
+        from .explain import explain_statement
+        text = explain_statement(self, stmt.child)
+        return QueryResult(
+            ["explain_key", "explain_value"],
+            [Vector.from_values(["logical_plan"], VARCHAR),
+             Vector.from_values([text], VARCHAR)])

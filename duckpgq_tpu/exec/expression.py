@@ -1,0 +1,616 @@
+"""Vectorized expression evaluation with SQL NULL semantics.
+
+Whole-column evaluation over a Relation; three-valued logic for AND/OR;
+correlated subqueries resolve outer columns through an OuterScope chain and
+re-run per outer row only when correlation is actually detected.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..errors import BinderException, ConversionException, InternalException
+from ..functions.scalar import get_function, like_to_regex
+from ..storage.vector import Vector
+from ..types import (BIGINT, BOOLEAN, DOUBLE, LogicalType, TypeId, VARCHAR,
+                     SQLNULL, STRUCT, max_numeric_type)
+from ..sql import ast as a
+from .cast import cast_vector
+from .relation import Relation
+
+
+# ---------------------------------------------------------------------------
+# expression fingerprints (structural equality for GROUP BY / ORDER BY match)
+# ---------------------------------------------------------------------------
+
+def fingerprint(e: a.Expression) -> str:
+    if isinstance(e, a.Constant):
+        return f"const:{e.value!r}"
+    if isinstance(e, a.ColumnRef):
+        return "col:" + ".".join(p.lower() for p in e.parts)
+    if isinstance(e, a.FunctionCall):
+        return f"fn:{e.name.lower()}(" + ",".join(
+            fingerprint(x) for x in e.args) + ")"
+    if isinstance(e, a.AggregateCall):
+        d = "distinct " if e.distinct else ""
+        return f"agg:{e.name.lower()}({d}" + ",".join(
+            fingerprint(x) for x in e.args) + ")"
+    if isinstance(e, a.Comparison):
+        return f"cmp:{e.op}({fingerprint(e.left)},{fingerprint(e.right)})"
+    if isinstance(e, a.Conjunction):
+        return f"conj:{e.op}(" + ",".join(fingerprint(c) for c in e.children) + ")"
+    if isinstance(e, a.Not):
+        return f"not({fingerprint(e.child)})"
+    if isinstance(e, a.IsNull):
+        return f"isnull:{e.negated}({fingerprint(e.child)})"
+    if isinstance(e, a.Between):
+        return (f"between:{e.negated}({fingerprint(e.expr)},"
+                f"{fingerprint(e.lower)},{fingerprint(e.upper)})")
+    if isinstance(e, a.Cast):
+        return f"cast({fingerprint(e.child)} as {e.target})"
+    if isinstance(e, a.Case):
+        parts = [f"{fingerprint(w)}:{fingerprint(t)}" for w, t in e.whens]
+        base = fingerprint(e.base) if e.base else ""
+        els = fingerprint(e.else_expr) if e.else_expr else ""
+        return f"case({base};{';'.join(parts)};{els})"
+    if isinstance(e, a.StructExtract):
+        return f"sx({fingerprint(e.child)}.{e.field_name.lower()})"
+    if isinstance(e, a.ArrayIndex):
+        idx = fingerprint(e.index) if e.index else ""
+        return f"idx({fingerprint(e.child)}[{idx}])"
+    if isinstance(e, a.InList):
+        return (f"in:{e.negated}({fingerprint(e.expr)};" +
+                ",".join(fingerprint(v) for v in e.values) + ")")
+    if isinstance(e, a.Like):
+        return (f"like:{e.negated}:{e.case_insensitive}"
+                f"({fingerprint(e.left)},{fingerprint(e.pattern)})")
+    if isinstance(e, a.ListExpr):
+        return "list(" + ",".join(fingerprint(v) for v in e.values) + ")"
+    if isinstance(e, a.StructExpr):
+        return "struct(" + ",".join(
+            f"{k}:{fingerprint(v)}" for k, v in e.fields) + ")"
+    if isinstance(e, a.SubqueryExpr):
+        return f"subq:{id(e)}"
+    if isinstance(e, a.Star):
+        return f"star:{e.relation or ''}"
+    if isinstance(e, a.Positional):
+        return f"pos:{e.index}"
+    if isinstance(e, a.Collate):
+        return f"collate({fingerprint(e.child)},{e.collation})"
+    return f"expr:{id(e)}"
+
+
+def collect_aggregates(e: a.Expression, out: List[a.AggregateCall]):
+    if e is None:
+        return
+    if isinstance(e, a.AggregateCall):
+        out.append(e)
+        return  # no nested aggregates
+    for child in _children(e):
+        collect_aggregates(child, out)
+
+
+def _children(e: a.Expression):
+    if isinstance(e, a.FunctionCall):
+        return e.args
+    if isinstance(e, a.AggregateCall):
+        return e.args
+    if isinstance(e, a.Comparison):
+        return [e.left, e.right]
+    if isinstance(e, a.Conjunction):
+        return e.children
+    if isinstance(e, a.Not):
+        return [e.child]
+    if isinstance(e, a.IsNull):
+        return [e.child]
+    if isinstance(e, a.Between):
+        return [e.expr, e.lower, e.upper]
+    if isinstance(e, a.Cast):
+        return [e.child]
+    if isinstance(e, a.Case):
+        out = []
+        if e.base:
+            out.append(e.base)
+        for w, t in e.whens:
+            out.extend([w, t])
+        if e.else_expr:
+            out.append(e.else_expr)
+        return out
+    if isinstance(e, a.StructExtract):
+        return [e.child]
+    if isinstance(e, a.ArrayIndex):
+        out = [e.child]
+        if e.index is not None:
+            out.append(e.index)
+        if e.slice_stop is not None:
+            out.append(e.slice_stop)
+        return out
+    if isinstance(e, a.InList):
+        return [e.expr] + e.values
+    if isinstance(e, a.Like):
+        return [e.left, e.pattern]
+    if isinstance(e, a.ListExpr):
+        return e.values
+    if isinstance(e, a.StructExpr):
+        return [v for _, v in e.fields]
+    if isinstance(e, a.SubqueryExpr):
+        return [e.child] if e.child is not None else []
+    if isinstance(e, a.Collate):
+        return [e.child]
+    return []
+
+
+def _infer_constant_type(value):
+    from ..types import BIGINT, BOOLEAN, DOUBLE, INTEGER, VARCHAR, SQLNULL
+    if value is None:
+        return SQLNULL
+    if isinstance(value, bool):
+        return BOOLEAN
+    if isinstance(value, int):
+        return INTEGER if -2**31 <= value < 2**31 else BIGINT
+    if isinstance(value, float):
+        return DOUBLE
+    if isinstance(value, str):
+        return VARCHAR
+    return SQLNULL
+
+
+class OuterScope:
+    """Chained outer-row context for correlated subqueries."""
+
+    __slots__ = ("relation", "row", "parent", "accessed")
+
+    def __init__(self, relation: Relation, row: int,
+                 parent: Optional["OuterScope"] = None):
+        self.relation = relation
+        self.row = row
+        self.parent = parent
+        self.accessed = False
+
+    def try_resolve(self, parts: Tuple[str, ...]):
+        scope = self
+        while scope is not None:
+            idx = scope.relation.resolve(parts)
+            if idx is not None:
+                scope.accessed = True
+                col = scope.relation.columns[idx]
+                return col.value(scope.row), col.type
+            scope = scope.parent
+        return None
+
+
+class Evaluator:
+    """Evaluates expressions against a Relation.
+
+    ``replacements`` maps expression fingerprints to physical column slots —
+    used after aggregation so group/aggregate subtrees resolve to computed
+    columns.
+    """
+
+    def __init__(self, executor, relation: Relation, outer: Optional[OuterScope]
+                 = None, replacements: Optional[Dict[str, int]] = None,
+                 env=None):
+        self.executor = executor
+        self.rel = relation
+        self.outer = outer
+        self.replacements = replacements or {}
+        self.env = env   # lexical CTE environment for subqueries
+
+    @property
+    def n(self) -> int:
+        return self.rel.row_count
+
+    # ------------------------------------------------------------------ main
+    def evaluate(self, e: a.Expression) -> Vector:
+        if self.replacements:
+            fp = fingerprint(e)
+            slot = self.replacements.get(fp)
+            if slot is not None:
+                return self.rel.columns[slot]
+        if isinstance(e, a.Constant):
+            typ = e.type
+            if typ is None:
+                typ = _infer_constant_type(e.value)
+            return Vector.constant(e.value, typ, self.n)
+        if isinstance(e, a.ColumnRef):
+            return self.evaluate_column_ref(e)
+        if isinstance(e, a.Comparison):
+            return self.evaluate_comparison(e)
+        if isinstance(e, a.Conjunction):
+            return self.evaluate_conjunction(e)
+        if isinstance(e, a.Not):
+            child = self.as_bool(self.evaluate(e.child))
+            return Vector(BOOLEAN, ~child.data.astype(bool),
+                          child.validity.copy())
+        if isinstance(e, a.IsNull):
+            child = self.evaluate(e.child)
+            out = child.validity if e.negated else ~child.validity
+            return Vector(BOOLEAN, out.copy(), np.ones(self.n, dtype=bool))
+        if isinstance(e, a.Between):
+            lo = a.Comparison(op=">=", left=e.expr, right=e.lower)
+            hi = a.Comparison(op="<=", left=e.expr, right=e.upper)
+            result = self.evaluate(a.Conjunction(op="AND", children=[lo, hi]))
+            if e.negated:
+                return Vector(BOOLEAN, ~result.data.astype(bool),
+                              result.validity)
+            return result
+        if isinstance(e, a.InList):
+            return self.evaluate_in_list(e)
+        if isinstance(e, a.Cast):
+            child = self.evaluate(e.child)
+            return cast_vector(child, e.target, e.try_cast)
+        if isinstance(e, a.Case):
+            return self.evaluate_case(e)
+        if isinstance(e, a.FunctionCall):
+            return self.evaluate_function(e)
+        if isinstance(e, a.AggregateCall):
+            raise BinderException(
+                f"aggregate function {e.name} used outside of an aggregation "
+                f"context")
+        if isinstance(e, a.SubqueryExpr):
+            return self.evaluate_subquery(e)
+        if isinstance(e, a.StructExtract):
+            return self.evaluate_struct_extract(e)
+        if isinstance(e, a.ArrayIndex):
+            return self.evaluate_array_index(e)
+        if isinstance(e, a.Like):
+            return self.evaluate_like(e)
+        if isinstance(e, a.ListExpr):
+            fn = get_function("list_value")
+            return fn([self.evaluate(v) for v in e.values])
+        if isinstance(e, a.StructExpr):
+            return self.evaluate_struct_expr(e)
+        if isinstance(e, a.Collate):
+            return self.evaluate(e.child)
+        if isinstance(e, a.Star):
+            raise BinderException("* cannot be used in this context")
+        if isinstance(e, a.Positional):
+            raise BinderException("positional reference not allowed here")
+        raise InternalException(f"unsupported expression {type(e).__name__}")
+
+    # -------------------------------------------------------------- columns
+    def evaluate_column_ref(self, e: a.ColumnRef) -> Vector:
+        idx = self.rel.resolve(e.parts)
+        if idx is not None:
+            return self.rel.columns[idx]
+        # struct-field access via alias.column.field chains
+        if len(e.parts) >= 2:
+            head = self.rel.resolve(e.parts[:-1])
+            if head is not None:
+                base = self.rel.columns[head]
+                if base.type.id == TypeId.STRUCT:
+                    return self._struct_field(base, e.parts[-1])
+            if len(e.parts) >= 3:
+                head = self.rel.resolve(e.parts[:2])
+                if head is not None:
+                    base = self.rel.columns[head]
+                    out = base
+                    for f in e.parts[2:]:
+                        out = self._struct_field(out, f)
+                    return out
+        # outer (correlated) scope
+        if self.outer is not None:
+            hit = self.outer.try_resolve(e.parts)
+            if hit is not None:
+                value, typ = hit
+                return Vector.constant(value, typ, self.n)
+        name = ".".join(e.parts)
+        raise BinderException(
+            f'Referenced column "{name}" not found in FROM clause!')
+
+    def _struct_field(self, base: Vector, field_name: str) -> Vector:
+        fn = get_function("struct_extract")
+        name_vec = Vector.constant(field_name, VARCHAR, len(base))
+        return fn([base, name_vec])
+
+    # --------------------------------------------------------- comparisons
+    @staticmethod
+    def coerce_pair(left: Vector, right: Vector) -> Tuple[Vector, Vector]:
+        lt, rt = left.type, right.type
+        if lt.id == rt.id:
+            return left, right
+        if lt.id == TypeId.SQLNULL:
+            return cast_vector(left, rt), right
+        if rt.id == TypeId.SQLNULL:
+            return left, cast_vector(right, lt)
+        if lt.is_numeric and rt.is_numeric:
+            target = max_numeric_type(lt, rt)
+            return cast_vector(left, target), cast_vector(right, target)
+        if lt.id == TypeId.VARCHAR and (rt.is_numeric or rt.is_temporal):
+            return cast_vector(left, rt), right
+        if rt.id == TypeId.VARCHAR and (lt.is_numeric or lt.is_temporal):
+            return left, cast_vector(right, lt)
+        if lt.is_temporal and rt.is_temporal:
+            from ..types import TIMESTAMP
+            return cast_vector(left, TIMESTAMP), cast_vector(right, TIMESTAMP)
+        if lt.id == TypeId.BOOLEAN and rt.is_numeric:
+            return cast_vector(left, rt), right
+        if rt.id == TypeId.BOOLEAN and lt.is_numeric:
+            return left, cast_vector(right, lt)
+        raise ConversionException(f"cannot compare {lt} and {rt}")
+
+    def evaluate_comparison(self, e: a.Comparison) -> Vector:
+        if e.op in ("IS_TRUE", "IS_FALSE"):
+            child = self.as_bool(self.evaluate(e.left))
+            want = e.op == "IS_TRUE"
+            out = child.validity & (child.data.astype(bool) == want)
+            return Vector(BOOLEAN, out, np.ones(self.n, dtype=bool))
+        left = self.evaluate(e.left)
+        right = self.evaluate(e.right)
+        left, right = self.coerce_pair(left, right)
+        validity = left.validity & right.validity
+        n = len(left)
+        if left.type.numpy_dtype() is object and \
+                left.type.id not in (TypeId.VARCHAR,):
+            # lists/structs compare elementwise via python
+            out = np.zeros(n, dtype=bool)
+            for i in range(n):
+                if validity[i]:
+                    out[i] = self._py_compare(e.op, left.data[i], right.data[i])
+            return Vector(BOOLEAN, out, validity)
+        ld, rd = left.data, right.data
+        if left.type.id == TypeId.VARCHAR:
+            # object-dtype string compare; numpy handles elementwise on objects
+            ld = ld.astype(object)
+            rd = rd.astype(object)
+            out = np.zeros(n, dtype=bool)
+            idx = np.flatnonzero(validity)
+            for i in idx:
+                out[i] = self._py_compare(e.op, ld[i], rd[i])
+            return Vector(BOOLEAN, out, validity)
+        with np.errstate(invalid="ignore"):
+            if e.op == "=":
+                out = ld == rd
+            elif e.op == "<>":
+                out = ld != rd
+            elif e.op == "<":
+                out = ld < rd
+            elif e.op == "<=":
+                out = ld <= rd
+            elif e.op == ">":
+                out = ld > rd
+            elif e.op == ">=":
+                out = ld >= rd
+            else:
+                raise InternalException(f"bad comparison {e.op}")
+        return Vector(BOOLEAN, np.asarray(out, dtype=bool), validity)
+
+    @staticmethod
+    def _py_compare(op: str, l, r) -> bool:
+        if op == "=":
+            return l == r
+        if op == "<>":
+            return l != r
+        if op == "<":
+            return l < r
+        if op == "<=":
+            return l <= r
+        if op == ">":
+            return l > r
+        if op == ">=":
+            return l >= r
+        raise InternalException(f"bad comparison {op}")
+
+    def as_bool(self, vec: Vector) -> Vector:
+        if vec.type.id == TypeId.BOOLEAN:
+            return vec
+        if vec.type.id == TypeId.SQLNULL:
+            return Vector(BOOLEAN, np.zeros(len(vec), dtype=bool),
+                          vec.validity.copy())
+        return cast_vector(vec, BOOLEAN)
+
+    def evaluate_conjunction(self, e: a.Conjunction) -> Vector:
+        children = [self.as_bool(self.evaluate(c)) for c in e.children]
+        data = children[0].data.astype(bool)
+        validity = children[0].validity.copy()
+        for c in children[1:]:
+            cd = c.data.astype(bool)
+            cv = c.validity
+            if e.op == "AND":
+                # Kleene: false wins over NULL
+                new_data = data & cd
+                new_validity = (validity & cv) | (validity & ~data) | (cv & ~cd)
+            else:
+                new_data = data | cd
+                new_validity = (validity & cv) | (validity & data) | (cv & cd)
+            data, validity = new_data, new_validity
+        return Vector(BOOLEAN, data, validity)
+
+    def evaluate_in_list(self, e: a.InList) -> Vector:
+        target = self.evaluate(e.expr)
+        any_eq = np.zeros(self.n, dtype=bool)
+        any_null = ~target.validity.copy()
+        for v in e.values:
+            cmp = self.evaluate_comparison(
+                a.Comparison(op="=", left=e.expr, right=v))
+            any_eq |= cmp.data.astype(bool) & cmp.validity
+            any_null |= ~cmp.validity
+        out = any_eq
+        validity = any_eq | ~any_null
+        if e.negated:
+            out = ~out
+        return Vector(BOOLEAN, out, validity)
+
+    def evaluate_case(self, e: a.Case) -> Vector:
+        n = self.n
+        decided = np.zeros(n, dtype=bool)
+        results: List[Tuple[np.ndarray, Vector]] = []
+        for when, then in e.whens:
+            if e.base is not None:
+                cond = self.evaluate_comparison(
+                    a.Comparison(op="=", left=e.base, right=when))
+            else:
+                cond = self.as_bool(self.evaluate(when))
+            mask = cond.data.astype(bool) & cond.validity & ~decided
+            decided |= mask
+            results.append((mask, self.evaluate(then)))
+        else_vec = self.evaluate(e.else_expr) if e.else_expr is not None else None
+        typ = next((v.type for _, v in results if v.type.id != TypeId.SQLNULL),
+                   else_vec.type if else_vec is not None else SQLNULL)
+        out = Vector.constant(None, typ, n)
+        for mask, vec in results:
+            if mask.any():
+                if vec.type.id != typ.id and vec.type.id != TypeId.SQLNULL:
+                    vec = cast_vector(vec, typ)
+                out.data[mask] = vec.data[mask]
+                out.validity[mask] = vec.validity[mask]
+        rest = ~decided
+        if else_vec is not None and rest.any():
+            if else_vec.type.id != typ.id and else_vec.type.id != TypeId.SQLNULL:
+                else_vec = cast_vector(else_vec, typ)
+            out.data[rest] = else_vec.data[rest]
+            out.validity[rest] = else_vec.validity[rest]
+        return out
+
+    def evaluate_like(self, e: a.Like) -> Vector:
+        import re as _re
+        s = self.evaluate(e.left)
+        pat = self.evaluate(e.pattern)
+        n = self.n
+        validity = s.validity & pat.validity
+        out = np.zeros(n, dtype=bool)
+        cache = {}
+        flags = _re.IGNORECASE if e.case_insensitive else 0
+        for i in range(n):
+            if validity[i]:
+                p = str(pat.data[i])
+                rx = cache.get(p)
+                if rx is None:
+                    rx = cache[p] = _re.compile(like_to_regex(p),
+                                                _re.DOTALL | flags)
+                out[i] = rx.fullmatch(str(s.data[i])) is not None
+        if e.negated:
+            out = ~out
+        return Vector(BOOLEAN, out, validity)
+
+    def evaluate_struct_extract(self, e: a.StructExtract) -> Vector:
+        base = self.evaluate(e.child)
+        return self._struct_field(base, e.field_name)
+
+    def evaluate_array_index(self, e: a.ArrayIndex) -> Vector:
+        base = self.evaluate(e.child)
+        if e.is_slice:
+            fn = get_function("list_slice")
+            begin = self.evaluate(e.index) if e.index is not None else \
+                Vector.constant(1, BIGINT, self.n)
+            stop = self.evaluate(e.slice_stop) if e.slice_stop is not None \
+                else Vector.constant(-1, BIGINT, self.n)
+            args = [base, begin, stop]
+            if e.slice_step is not None:
+                args.append(self.evaluate(e.slice_step))
+            return fn(args)
+        idx = self.evaluate(e.index)
+        if base.type.id == TypeId.STRUCT:
+            return self._struct_field(base, str(idx.data[0]))
+        fn = get_function("list_element")
+        return fn([base, idx])
+
+    def evaluate_struct_expr(self, e: a.StructExpr) -> Vector:
+        vecs = [(k, self.evaluate(v)) for k, v in e.fields]
+        typ = STRUCT([(k, v.type) for k, v in vecs])
+        n = self.n
+        data = np.empty(n, dtype=object)
+        for i in range(n):
+            data[i] = tuple(v.value(i) for _, v in vecs)
+        return Vector(typ, data, np.ones(n, dtype=bool))
+
+    # ------------------------------------------------------------ functions
+    def evaluate_function(self, e: a.FunctionCall) -> Vector:
+        name = e.name.lower()
+        # unnest and star-arg functions unsupported here
+        args = [self.evaluate(x) for x in e.args if not isinstance(x, a.Star)]
+        fn = get_function(name)
+        if fn is None:
+            raise BinderException(
+                f"Scalar Function with name {name} does not exist!")
+        if not args and self.n >= 0:
+            # supply row count to zero-arg functions (e.g. random())
+            args = [Vector(BIGINT, np.zeros(self.n, dtype=np.int64))]
+        return fn(args, self.executor.connection) if fn.needs_ctx else fn(args)
+
+    # ------------------------------------------------------------ subqueries
+    def evaluate_subquery(self, e: a.SubqueryExpr) -> Vector:
+        probe = OuterScope(self.rel, 0, self.outer)
+        if self.n == 0:
+            return Vector.empty(SQLNULL)
+        result0 = self.executor.execute_select(e.subquery, outer=probe, cte_env=self.env)
+        correlated = probe.accessed
+        if e.kind == "SCALAR":
+            if not correlated:
+                value, typ = self._scalar_from_result(result0)
+                return Vector.constant(value, typ, self.n)
+            values = [self._scalar_from_result(result0)]
+            for i in range(1, self.n):
+                scope = OuterScope(self.rel, i, self.outer)
+                values.append(self._scalar_from_result(
+                    self.executor.execute_select(e.subquery, outer=scope,
+                                                 cte_env=self.env)))
+            typ = next((t for _, t in values if t.id != TypeId.SQLNULL), SQLNULL)
+            return Vector.from_values([v for v, _ in values], typ)
+        if e.kind in ("EXISTS", "NOT_EXISTS"):
+            def exists(res):
+                return res.row_count > 0
+            if not correlated:
+                v = exists(result0)
+                v = (not v) if e.kind == "NOT_EXISTS" else v
+                return Vector.constant(v, BOOLEAN, self.n)
+            out = np.zeros(self.n, dtype=bool)
+            out[0] = exists(result0)
+            for i in range(1, self.n):
+                scope = OuterScope(self.rel, i, self.outer)
+                out[i] = exists(self.executor.execute_select(
+                    e.subquery, outer=scope, cte_env=self.env))
+            if e.kind == "NOT_EXISTS":
+                out = ~out
+            return Vector(BOOLEAN, out, np.ones(self.n, dtype=bool))
+        if e.kind in ("IN", "NOT_IN", "ANY", "ALL"):
+            target = self.evaluate(e.child)
+            op = e.comparison or "="
+            def check(res, i):
+                col = res.columns[0]
+                found = False
+                has_null = not target.validity[i]
+                tval = target.value(i)
+                results = []
+                for j in range(len(col)):
+                    v = col.value(j)
+                    if v is None or tval is None:
+                        results.append(None)
+                    else:
+                        results.append(self._py_compare(op, tval, v))
+                if e.kind in ("IN", "NOT_IN", "ANY"):
+                    if any(r is True for r in results):
+                        val = True
+                    elif any(r is None for r in results):
+                        val = None
+                    else:
+                        val = False
+                    if e.kind == "NOT_IN":
+                        val = None if val is None else not val
+                    return val
+                # ALL
+                if any(r is False for r in results):
+                    return False
+                if any(r is None for r in results):
+                    return None
+                return True
+            if not correlated:
+                vals = [check(result0, i) for i in range(self.n)]
+            else:
+                vals = [check(result0, 0)]
+                for i in range(1, self.n):
+                    scope = OuterScope(self.rel, i, self.outer)
+                    res = self.executor.execute_select(
+                        e.subquery, outer=scope, cte_env=self.env)
+                    vals.append(check(res, i))
+            return Vector.from_values(vals, BOOLEAN)
+        raise InternalException(f"unknown subquery kind {e.kind}")
+
+    @staticmethod
+    def _scalar_from_result(res) -> Tuple[object, LogicalType]:
+        if res.row_count == 0:
+            return None, res.columns[0].type if res.columns else SQLNULL
+        col = res.columns[0]
+        return col.value(0), col.type

@@ -1,0 +1,152 @@
+"""Intermediate relation: named bindings over whole-column vectors.
+
+The executor is fully vectorized over entire columns (no 2048-row morsels —
+the TPU path wants maximal batches; the reference's chunking is a host-engine
+artifact, SURVEY.md §2.7). Each FROM-clause alias contributes a Binding; base
+tables also expose a hidden dense ``rowid`` pseudo-column (the reference
+relies on DuckDB rowids for CSR construction, match.cpp:598-600).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..errors import BinderException
+from ..storage.vector import Vector
+from ..types import BIGINT
+
+
+class Binding:
+    """One table alias visible in a relation: alias plus its column slots."""
+
+    __slots__ = ("alias", "names", "indices", "hidden")
+
+    def __init__(self, alias: str, names: List[str], indices: List[int],
+                 hidden: Optional[List[bool]] = None):
+        self.alias = alias
+        self.names = names          # column names in binding order
+        self.indices = indices      # physical column slots in Relation.columns
+        self.hidden = hidden or [False] * len(names)
+
+    def visible(self) -> List[Tuple[str, int]]:
+        return [(n, i) for n, i, h in zip(self.names, self.indices, self.hidden)
+                if not h]
+
+    def find(self, col: str) -> Optional[int]:
+        lcol = col.lower()
+        for n, i in zip(self.names, self.indices):
+            if n.lower() == lcol:
+                return i
+        return None
+
+
+class Relation:
+    """Columns + bindings; all columns share one row count."""
+
+    def __init__(self, columns: List[Vector], bindings: List[Binding]):
+        self.columns = columns
+        self.bindings = bindings
+
+    @property
+    def row_count(self) -> int:
+        return len(self.columns[0]) if self.columns else 0
+
+    # ------------------------------------------------------------- resolution
+    def resolve(self, parts: Tuple[str, ...]) -> Optional[int]:
+        """Resolve a (possibly qualified) column reference to a physical slot.
+        Returns None when not found (caller decides whether to error)."""
+        if len(parts) == 1:
+            col = parts[0]
+            matches = []
+            for b in self.bindings:
+                idx = b.find(col)
+                if idx is not None:
+                    matches.append((b.alias, idx))
+            if not matches:
+                return None
+            if len(matches) > 1:
+                # identical slot via multiple bindings is fine
+                slots = {m[1] for m in matches}
+                if len(slots) > 1:
+                    raise BinderException(
+                        f'Ambiguous reference to column name "{col}" '
+                        f'(use: "{matches[0][0]}.{col}" or '
+                        f'"{matches[1][0]}.{col}")')
+            return matches[0][1]
+        # qualified: try last-two as (table, column)
+        table, col = parts[-2], parts[-1]
+        for b in self.bindings:
+            if b.alias.lower() == table.lower():
+                idx = b.find(col)
+                if idx is not None:
+                    return idx
+        return None
+
+    def find_binding(self, alias: str) -> Optional[Binding]:
+        for b in self.bindings:
+            if b.alias.lower() == alias.lower():
+                return b
+        return None
+
+    # -------------------------------------------------------------- row ops
+    def take(self, idx: np.ndarray) -> "Relation":
+        return Relation([c.take(idx) for c in self.columns], self.bindings)
+
+    def filter(self, mask: np.ndarray) -> "Relation":
+        return Relation([c.filter(mask) for c in self.columns], self.bindings)
+
+    def take_with_nulls(self, idx: np.ndarray, null_mask: np.ndarray
+                        ) -> "Relation":
+        """Gather rows; rows where null_mask is True become all-NULL (for
+        outer-join padding). idx entries for null rows may be arbitrary."""
+        cols = []
+        safe_idx = np.where(null_mask, 0, idx) if len(idx) else idx
+        for c in self.columns:
+            if self.row_count == 0:
+                cols.append(Vector.constant(None, c.type, len(idx)))
+                continue
+            taken = c.take(safe_idx)
+            taken.validity = taken.validity & ~null_mask
+            cols.append(taken)
+        return Relation(cols, self.bindings)
+
+    @staticmethod
+    def concat_horizontal(left: "Relation", right: "Relation") -> "Relation":
+        offset = len(left.columns)
+        cols = left.columns + right.columns
+        bindings = list(left.bindings)
+        for b in right.bindings:
+            bindings.append(Binding(b.alias, list(b.names),
+                                    [i + offset for i in b.indices],
+                                    list(b.hidden)))
+        return Relation(cols, bindings)
+
+    @staticmethod
+    def from_table(table, alias: str) -> "Relation":
+        n = table.row_count
+        cols = [c for c in table.columns]
+        names = list(table.column_names)
+        hidden = [False] * len(names)
+        # hidden rowid pseudo-column
+        rowid = Vector(BIGINT, np.arange(n, dtype=np.int64))
+        cols = cols + [rowid]
+        names = names + ["rowid"]
+        hidden = hidden + [True]
+        binding = Binding(alias, names, list(range(len(cols))), hidden)
+        return Relation(cols, [binding])
+
+    @staticmethod
+    def from_columns(alias: str, names: List[str], cols: List[Vector],
+                     with_rowid: bool = False) -> "Relation":
+        names = list(names)
+        cols = list(cols)
+        hidden = [False] * len(names)
+        if with_rowid:
+            n = len(cols[0]) if cols else 0
+            cols.append(Vector(BIGINT, np.arange(n, dtype=np.int64)))
+            names.append("rowid")
+            hidden.append(True)
+        return Relation(cols, [Binding(alias, names, list(range(len(cols))),
+                                       hidden)])

@@ -1,0 +1,352 @@
+"""Aggregate function implementations over group ids.
+
+Each aggregate maps (argument vectors, group ids, group count) -> one Vector of
+length n_groups. Grouped reductions are segment ops (np.*.at on host; the TPU
+relational path uses jax.ops.segment_sum equivalents in duckpgq_tpu.ops.rel).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from ..errors import BinderException
+from ..storage.vector import Vector
+from ..types import (BIGINT, BOOLEAN, DOUBLE, LIST, LogicalType, TypeId,
+                     VARCHAR, SQLNULL)
+
+
+class AggregateFunction:
+    def __init__(self, name: str, impl: Callable):
+        self.name = name
+        self.impl = impl
+
+    def __call__(self, args: List[Vector], gids: np.ndarray, n_groups: int,
+                 distinct: bool = False) -> Vector:
+        return self.impl(args, gids, n_groups, distinct)
+
+
+REGISTRY: Dict[str, AggregateFunction] = {}
+
+
+def register(name: str):
+    def deco(fn):
+        REGISTRY[name] = AggregateFunction(name, fn)
+        return fn
+    return deco
+
+
+def get_aggregate(name: str) -> Optional[AggregateFunction]:
+    return REGISTRY.get(name.lower())
+
+
+def _dedup(args: List[Vector], gids: np.ndarray):
+    """Keep one row per distinct (gid, value) for DISTINCT aggregates."""
+    a = args[0]
+    if a.type.numpy_dtype() is object:
+        seen = set()
+        keep = np.zeros(len(gids), dtype=bool)
+        for i in range(len(gids)):
+            key = (gids[i], a.value(i))
+            if key not in seen:
+                seen.add(key)
+                keep[i] = True
+    else:
+        arr = np.stack([gids.astype(np.int64),
+                        a.data.astype(np.float64).view(np.int64)
+                        if a.data.dtype != np.int64 else a.data], axis=1)
+        # include validity so one NULL survives per group
+        arr = np.column_stack([arr, (~a.validity).astype(np.int64)])
+        _, first = np.unique(arr, axis=0, return_index=True)
+        keep = np.zeros(len(gids), dtype=bool)
+        keep[first] = True
+    return [v.filter(keep) for v in args], gids[keep]
+
+
+@register("count_star")
+def agg_count_star(args, gids, n_groups, distinct):
+    out = np.bincount(gids, minlength=n_groups).astype(np.int64)
+    return Vector(BIGINT, out, np.ones(n_groups, dtype=bool))
+
+
+@register("count")
+def agg_count(args, gids, n_groups, distinct):
+    if not args:
+        return agg_count_star(args, gids, n_groups, distinct)
+    if distinct:
+        args, gids = _dedup(args, gids)
+    a = args[0]
+    valid = a.validity
+    out = np.bincount(gids[valid], minlength=n_groups).astype(np.int64)
+    return Vector(BIGINT, out, np.ones(n_groups, dtype=bool))
+
+
+def _sum_impl(args, gids, n_groups, distinct):
+    if distinct:
+        args, gids = _dedup(args, gids)
+    a = args[0]
+    valid = a.validity
+    if a.type.is_integral:
+        acc = np.zeros(n_groups, dtype=np.int64)
+        np.add.at(acc, gids[valid], a.data[valid].astype(np.int64))
+        typ = BIGINT if a.type.id != TypeId.HUGEINT else a.type
+    else:
+        acc = np.zeros(n_groups, dtype=np.float64)
+        np.add.at(acc, gids[valid], a.data[valid].astype(np.float64))
+        typ = DOUBLE
+    has = np.zeros(n_groups, dtype=bool)
+    has[gids[valid]] = True
+    return Vector(typ, acc, has)
+
+
+register("sum")(_sum_impl)
+register("fsum")(_sum_impl)
+
+
+@register("avg")
+@register("favg")
+@register("mean")
+def agg_avg(args, gids, n_groups, distinct):
+    if distinct:
+        args, gids = _dedup(args, gids)
+    a = args[0]
+    valid = a.validity
+    acc = np.zeros(n_groups, dtype=np.float64)
+    np.add.at(acc, gids[valid], a.data[valid].astype(np.float64))
+    cnt = np.bincount(gids[valid], minlength=n_groups)
+    has = cnt > 0
+    out = np.where(has, acc / np.maximum(cnt, 1), 0.0)
+    return Vector(DOUBLE, out, has)
+
+
+def _minmax(args, gids, n_groups, is_min):
+    a = args[0]
+    valid = a.validity
+    has = np.zeros(n_groups, dtype=bool)
+    has[gids[valid]] = True
+    if a.type.numpy_dtype() is object:
+        out = np.empty(n_groups, dtype=object)
+        for i in np.flatnonzero(valid):
+            g = gids[i]
+            v = a.data[i]
+            if out[g] is None or (v < out[g]) == is_min and v != out[g]:
+                out[g] = v
+        return Vector(a.type, out, has)
+    if a.type.is_integral or a.type.id == TypeId.BOOLEAN or a.type.is_temporal:
+        init = np.iinfo(np.int64).max if is_min else np.iinfo(np.int64).min
+        acc = np.full(n_groups, init, dtype=np.int64)
+        op = np.minimum if is_min else np.maximum
+        getattr(op, "at")(acc, gids[valid], a.data[valid].astype(np.int64))
+        return Vector(a.type, acc.astype(a.type.numpy_dtype()), has)
+    init = np.inf if is_min else -np.inf
+    acc = np.full(n_groups, init, dtype=np.float64)
+    op = np.minimum if is_min else np.maximum
+    getattr(op, "at")(acc, gids[valid], a.data[valid].astype(np.float64))
+    return Vector(a.type, acc.astype(a.type.numpy_dtype()), has)
+
+
+@register("min")
+def agg_min(args, gids, n_groups, distinct):
+    return _minmax(args, gids, n_groups, True)
+
+
+@register("max")
+def agg_max(args, gids, n_groups, distinct):
+    return _minmax(args, gids, n_groups, False)
+
+
+def _first_impl(args, gids, n_groups, distinct):
+    a = args[0]
+    out = Vector.constant(None, a.type, n_groups)
+    seen = np.zeros(n_groups, dtype=bool)
+    for i in range(len(gids)):
+        g = gids[i]
+        if not seen[g]:
+            seen[g] = True
+            if a.validity[i]:
+                out.data[g] = a.data[i]
+                out.validity[g] = True
+    return out
+
+
+register("first")(_first_impl)
+register("arbitrary")(_first_impl)
+
+
+@register("any_value")
+def agg_any_value(args, gids, n_groups, distinct):
+    """First non-NULL value per group (DuckDB any_value semantics)."""
+    a = args[0]
+    out = Vector.constant(None, a.type, n_groups)
+    for i in range(len(gids)):
+        g = gids[i]
+        if not out.validity[g] and a.validity[i]:
+            out.data[g] = a.data[i]
+            out.validity[g] = True
+    return out
+
+
+@register("last")
+def agg_last(args, gids, n_groups, distinct):
+    a = args[0]
+    out = Vector.constant(None, a.type, n_groups)
+    for i in range(len(gids)):
+        g = gids[i]
+        if a.validity[i]:
+            out.data[g] = a.data[i]
+            out.validity[g] = True
+        else:
+            out.validity[g] = False
+    return out
+
+
+@register("list")
+@register("array_agg")
+def agg_list(args, gids, n_groups, distinct):
+    a = args[0]
+    lists = [[] for _ in range(n_groups)]
+    for i in range(len(gids)):
+        lists[gids[i]].append(a.value(i))
+    out = np.empty(n_groups, dtype=object)
+    for g in range(n_groups):
+        out[g] = lists[g]
+    return Vector(LIST(a.type), out, np.ones(n_groups, dtype=bool))
+
+
+@register("string_agg")
+@register("group_concat")
+def agg_string_agg(args, gids, n_groups, distinct):
+    a = args[0]
+    sep_vec = args[1] if len(args) > 1 else None
+    lists = [[] for _ in range(n_groups)]
+    seps = [","] * n_groups
+    for i in range(len(gids)):
+        if a.validity[i]:
+            lists[gids[i]].append(str(a.data[i]))
+            if sep_vec is not None and sep_vec.validity[i]:
+                seps[gids[i]] = str(sep_vec.data[i])
+    out = np.empty(n_groups, dtype=object)
+    has = np.zeros(n_groups, dtype=bool)
+    for g in range(n_groups):
+        if lists[g]:
+            out[g] = seps[g].join(lists[g])
+            has[g] = True
+    return Vector(VARCHAR, out, has)
+
+
+@register("bool_and")
+def agg_bool_and(args, gids, n_groups, distinct):
+    a = args[0]
+    valid = a.validity
+    acc = np.ones(n_groups, dtype=bool)
+    np.logical_and.at(acc, gids[valid], a.data[valid].astype(bool))
+    has = np.zeros(n_groups, dtype=bool)
+    has[gids[valid]] = True
+    return Vector(BOOLEAN, acc, has)
+
+
+@register("bool_or")
+def agg_bool_or(args, gids, n_groups, distinct):
+    a = args[0]
+    valid = a.validity
+    acc = np.zeros(n_groups, dtype=bool)
+    np.logical_or.at(acc, gids[valid], a.data[valid].astype(bool))
+    has = np.zeros(n_groups, dtype=bool)
+    has[gids[valid]] = True
+    return Vector(BOOLEAN, acc, has)
+
+
+def _quantile_impl(interpolate: bool):
+    def impl(args, gids, n_groups, distinct):
+        a = args[0]
+        q = float(args[1].data[0]) if len(args) > 1 else 0.5
+        valid = a.validity
+        out = np.zeros(n_groups, dtype=np.float64)
+        has = np.zeros(n_groups, dtype=bool)
+        data = a.data.astype(np.float64)
+        for g in range(n_groups):
+            sel = valid & (gids == g)
+            if sel.any():
+                vals = np.sort(data[sel])
+                if interpolate:
+                    out[g] = np.quantile(vals, q)
+                else:
+                    idx = min(len(vals) - 1, int(np.ceil(q * len(vals))) - 1)
+                    idx = max(idx, 0)
+                    out[g] = vals[idx]
+                has[g] = True
+        typ = DOUBLE if interpolate else a.type
+        if not interpolate and a.type.is_integral:
+            return Vector(typ, out.astype(a.type.numpy_dtype()), has)
+        return Vector(DOUBLE, out, has)
+    return impl
+
+
+register("quantile_cont")(_quantile_impl(True))
+register("median")(_quantile_impl(True))
+register("quantile")(_quantile_impl(False))
+register("quantile_disc")(_quantile_impl(False))
+register("approx_quantile")(_quantile_impl(False))
+
+
+def _stddev_impl(pop: bool, var: bool):
+    def impl(args, gids, n_groups, distinct):
+        a = args[0]
+        valid = a.validity
+        data = a.data.astype(np.float64)
+        s = np.zeros(n_groups)
+        s2 = np.zeros(n_groups)
+        np.add.at(s, gids[valid], data[valid])
+        np.add.at(s2, gids[valid], data[valid] ** 2)
+        cnt = np.bincount(gids[valid], minlength=n_groups).astype(np.float64)
+        denom = cnt if pop else np.maximum(cnt - 1, 1)
+        has = cnt > (0 if pop else 1)
+        mean = np.where(cnt > 0, s / np.maximum(cnt, 1), 0)
+        v = np.maximum((s2 - cnt * mean ** 2) / np.maximum(denom, 1), 0)
+        out = v if var else np.sqrt(v)
+        return Vector(DOUBLE, out, has)
+    return impl
+
+
+register("stddev")(_stddev_impl(False, False))
+register("stddev_samp")(_stddev_impl(False, False))
+register("stddev_pop")(_stddev_impl(True, False))
+register("var_samp")(_stddev_impl(False, True))
+register("variance")(_stddev_impl(False, True))
+register("var_pop")(_stddev_impl(True, True))
+
+
+def _arg_minmax(is_min):
+    def impl(args, gids, n_groups, distinct):
+        a, by = args
+        out = Vector.constant(None, a.type, n_groups)
+        best = [None] * n_groups
+        for i in range(len(gids)):
+            if not by.validity[i]:
+                continue
+            g = gids[i]
+            v = by.value(i)
+            if best[g] is None or ((v < best[g]) if is_min else (v > best[g])):
+                best[g] = v
+                out.data[g] = a.data[i]
+                out.validity[g] = a.validity[i]
+        return out
+    return impl
+
+
+register("arg_min")(_arg_minmax(True))
+register("min_by")(_arg_minmax(True))
+register("arg_max")(_arg_minmax(False))
+register("max_by")(_arg_minmax(False))
+
+
+@register("product")
+def agg_product(args, gids, n_groups, distinct):
+    a = args[0]
+    valid = a.validity
+    acc = np.ones(n_groups, dtype=np.float64)
+    np.multiply.at(acc, gids[valid], a.data[valid].astype(np.float64))
+    has = np.zeros(n_groups, dtype=bool)
+    has[gids[valid]] = True
+    return Vector(DOUBLE, acc, has)

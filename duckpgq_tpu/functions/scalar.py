@@ -1,0 +1,835 @@
+"""Scalar function registry.
+
+Vectorized (whole-column) implementations with SQL NULL semantics. The graph
+kernels (iterativelength, shortestpath, ...) are registered separately by
+duckpgq_tpu.pgq.kernels_sql since they need connection state (the CSR
+side-channel, mirroring reference src/core/functions/scalar/).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from ..errors import BinderException, InvalidInputException, OutOfRangeException
+from ..storage.vector import Vector
+from ..types import (BIGINT, BOOLEAN, DOUBLE, FLOAT, INTEGER, LIST, LogicalType,
+                     TypeId, VARCHAR, SQLNULL, max_numeric_type)
+
+
+class ScalarFunction:
+    def __init__(self, name: str, impl: Callable, needs_ctx: bool = False):
+        self.name = name
+        self.impl = impl
+        self.needs_ctx = needs_ctx
+
+    def __call__(self, args: List[Vector], ctx=None) -> Vector:
+        if self.needs_ctx:
+            return self.impl(args, ctx)
+        return self.impl(args)
+
+
+REGISTRY: Dict[str, ScalarFunction] = {}
+
+
+def register(name: str, needs_ctx: bool = False):
+    def deco(fn):
+        REGISTRY[name] = ScalarFunction(name, fn, needs_ctx)
+        return fn
+    return deco
+
+
+def register_alias(name: str, target: str):
+    REGISTRY[name] = REGISTRY[target]
+
+
+def get_function(name: str) -> Optional[ScalarFunction]:
+    return REGISTRY.get(name.lower())
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _common_validity(args: List[Vector]) -> np.ndarray:
+    v = args[0].validity.copy()
+    for a in args[1:]:
+        v &= a.validity
+    return v
+
+
+def _num(vec: Vector) -> np.ndarray:
+    return vec.data
+
+
+def _arith_type(a: Vector, b: Vector) -> LogicalType:
+    return max_numeric_type(a.type, b.type)
+
+
+def _require_numeric(args, name):
+    for a in args:
+        if not (a.type.is_numeric or a.type.id == TypeId.SQLNULL
+                or a.type.is_temporal):
+            raise BinderException(
+                f"No function matches the given name and argument types "
+                f"'{name}({', '.join(str(x.type) for x in args)})'")
+
+
+# ---------------------------------------------------------------------------
+# arithmetic
+# ---------------------------------------------------------------------------
+
+@register("+")
+@register("add")
+def fn_add(args):
+    a, b = args
+    _require_numeric(args, "+")
+    typ = _arith_type(a, b)
+    with np.errstate(over="ignore", invalid="ignore"):
+        out = a.data.astype(typ.numpy_dtype()) + b.data.astype(typ.numpy_dtype())
+    return Vector(typ, out, _common_validity(args))
+
+
+@register("-")
+def fn_sub(args):
+    if len(args) == 1:
+        a = args[0]
+        return Vector(a.type, -a.data, a.validity.copy())
+    a, b = args
+    _require_numeric(args, "-")
+    typ = _arith_type(a, b)
+    with np.errstate(over="ignore", invalid="ignore"):
+        out = a.data.astype(typ.numpy_dtype()) - b.data.astype(typ.numpy_dtype())
+    return Vector(typ, out, _common_validity(args))
+
+
+register_alias("subtract", "-")
+
+
+@register("*")
+@register("multiply")
+def fn_mul(args):
+    a, b = args
+    _require_numeric(args, "*")
+    typ = _arith_type(a, b)
+    with np.errstate(over="ignore", invalid="ignore"):
+        out = a.data.astype(typ.numpy_dtype()) * b.data.astype(typ.numpy_dtype())
+    return Vector(typ, out, _common_validity(args))
+
+
+@register("/")
+@register("divide")
+def fn_div(args):
+    a, b = args
+    validity = _common_validity(args)
+    den = b.data.astype(np.float64)
+    num = a.data.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = num / den
+    validity = validity & (den != 0)
+    return Vector(DOUBLE, np.where(validity, out, 0.0), validity)
+
+
+@register("//")
+def fn_intdiv(args):
+    a, b = args
+    typ = _arith_type(a, b)
+    validity = _common_validity(args)
+    den = b.data.copy()
+    zero = den == 0
+    den = np.where(zero, 1, den)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if typ.is_integral:
+            # DuckDB // truncates toward zero for ints
+            out = (a.data.astype(np.int64) / den.astype(np.int64))
+            out = np.trunc(out).astype(np.int64)
+        else:
+            out = np.floor(a.data.astype(np.float64) / den.astype(np.float64))
+    return Vector(typ if typ.is_integral else DOUBLE, out, validity & ~zero)
+
+
+@register("%")
+@register("mod")
+def fn_mod(args):
+    a, b = args
+    typ = _arith_type(a, b)
+    validity = _common_validity(args)
+    den = b.data.copy()
+    zero = den == 0
+    den = np.where(zero, 1, den)
+    out = np.fmod(a.data.astype(typ.numpy_dtype()), den.astype(typ.numpy_dtype()))
+    return Vector(typ, out, validity & ~zero)
+
+
+@register("abs")
+def fn_abs(args):
+    a = args[0]
+    return Vector(a.type, np.abs(a.data), a.validity.copy())
+
+
+@register("power")
+@register("pow")
+def fn_power(args):
+    a, b = args
+    with np.errstate(over="ignore", invalid="ignore"):
+        out = np.power(a.data.astype(np.float64), b.data.astype(np.float64))
+    return Vector(DOUBLE, out, _common_validity(args))
+
+
+@register("sqrt")
+def fn_sqrt(args):
+    a = args[0]
+    with np.errstate(invalid="ignore"):
+        out = np.sqrt(a.data.astype(np.float64))
+    return Vector(DOUBLE, out, a.validity.copy())
+
+
+@register("round")
+def fn_round(args):
+    a = args[0]
+    digits = args[1].data.astype(np.int64) if len(args) > 1 else 0
+    x = a.data.astype(np.float64)
+    # SQL rounds half away from zero; numpy rounds half to even
+    scale = np.power(10.0, digits)
+    out = np.trunc(np.abs(x) * scale + 0.5) / scale * np.sign(x)
+    if a.type.is_integral:
+        return Vector(a.type, out.astype(a.type.numpy_dtype()), a.validity.copy())
+    return Vector(DOUBLE, out, a.validity.copy())
+
+
+@register("floor")
+def fn_floor(args):
+    a = args[0]
+    out = np.floor(a.data.astype(np.float64))
+    return Vector(a.type if a.type.is_integral else DOUBLE, out.astype(
+        a.type.numpy_dtype() if a.type.is_integral else np.float64),
+        a.validity.copy())
+
+
+@register("ceil")
+@register("ceiling")
+def fn_ceil(args):
+    a = args[0]
+    out = np.ceil(a.data.astype(np.float64))
+    return Vector(a.type if a.type.is_integral else DOUBLE, out.astype(
+        a.type.numpy_dtype() if a.type.is_integral else np.float64),
+        a.validity.copy())
+
+
+@register("ln")
+def fn_ln(args):
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.log(args[0].data.astype(np.float64))
+    return Vector(DOUBLE, out, args[0].validity.copy())
+
+
+@register("log")
+@register("log10")
+def fn_log10(args):
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.log10(args[0].data.astype(np.float64))
+    return Vector(DOUBLE, out, args[0].validity.copy())
+
+
+@register("log2")
+def fn_log2(args):
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.log2(args[0].data.astype(np.float64))
+    return Vector(DOUBLE, out, args[0].validity.copy())
+
+
+@register("exp")
+def fn_exp(args):
+    return Vector(DOUBLE, np.exp(args[0].data.astype(np.float64)),
+                  args[0].validity.copy())
+
+
+@register("greatest")
+def fn_greatest(args):
+    typ = args[0].type
+    for x in args[1:]:
+        typ = max_numeric_type(typ, x.type) if typ.is_numeric else typ
+    out = args[0].data.astype(typ.numpy_dtype())
+    for x in args[1:]:
+        out = np.maximum(out, x.data.astype(typ.numpy_dtype()))
+    return Vector(typ, out, _common_validity(args))
+
+
+@register("least")
+def fn_least(args):
+    typ = args[0].type
+    for x in args[1:]:
+        typ = max_numeric_type(typ, x.type) if typ.is_numeric else typ
+    out = args[0].data.astype(typ.numpy_dtype())
+    for x in args[1:]:
+        out = np.minimum(out, x.data.astype(typ.numpy_dtype()))
+    return Vector(typ, out, _common_validity(args))
+
+
+@register("random")
+def fn_random(args):
+    # row count is smuggled via a hidden arg from the evaluator
+    n = len(args[0]) if args else 1
+    return Vector(DOUBLE, np.random.random(n), np.ones(n, dtype=bool))
+
+
+@register("setseed")
+def fn_setseed(args):
+    np.random.seed(int(args[0].data[0] * 2**31) & 0x7FFFFFFF)
+    n = len(args[0])
+    return Vector.constant(None, SQLNULL, n)
+
+
+# ---------------------------------------------------------------------------
+# comparisons & misc
+# ---------------------------------------------------------------------------
+
+@register("is_distinct_from")
+def fn_is_distinct(args):
+    a, b = args
+    both_null = ~a.validity & ~b.validity
+    one_null = a.validity != b.validity
+    eq = np.zeros(len(a), dtype=bool)
+    valid = a.validity & b.validity
+    if valid.any():
+        eq[valid] = (a.data[valid] == b.data[valid])
+    out = np.where(both_null, False, np.where(one_null, True, ~eq))
+    return Vector(BOOLEAN, out, np.ones(len(a), dtype=bool))
+
+
+@register("coalesce")
+@register("ifnull")
+def fn_coalesce(args):
+    typ = next((a.type for a in args if a.type.id != TypeId.SQLNULL),
+               args[0].type)
+    n = len(args[0])
+    out = Vector.constant(None, typ, n)
+    filled = np.zeros(n, dtype=bool)
+    for a in args:
+        take = a.validity & ~filled
+        if take.any():
+            if a.type.id != typ.id and a.type.id != TypeId.SQLNULL:
+                from ..exec.cast import cast_vector
+                a = cast_vector(a, typ)
+            out.data[take] = a.data[take]
+            out.validity[take] = True
+            filled |= take
+    return out
+
+
+@register("nullif")
+def fn_nullif(args):
+    a, b = args
+    valid = a.validity & b.validity
+    eq = np.zeros(len(a), dtype=bool)
+    if valid.any():
+        eq[valid] = a.data[valid] == b.data[valid]
+    out = a.copy()
+    out.validity = out.validity & ~eq
+    return out
+
+
+@register("if")
+def fn_if(args):
+    cond, t, f = args
+    c = cond.data.astype(bool) & cond.validity
+    typ = t.type if t.type.id != TypeId.SQLNULL else f.type
+    out = Vector.constant(None, typ, len(cond))
+    out.data[c] = t.data[c]
+    out.validity[c] = t.validity[c]
+    out.data[~c] = f.data[~c]
+    out.validity[~c] = f.validity[~c]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# strings
+# ---------------------------------------------------------------------------
+
+def _str_apply(vec: Vector, fn, result_type=VARCHAR) -> Vector:
+    n = len(vec)
+    out = np.empty(n, dtype=object) if result_type.numpy_dtype() is object \
+        else np.zeros(n, dtype=result_type.numpy_dtype())
+    for i in range(n):
+        if vec.validity[i]:
+            out[i] = fn(vec.data[i])
+    return Vector(result_type, out, vec.validity.copy())
+
+
+@register("lower")
+@register("lcase")
+def fn_lower(args):
+    return _str_apply(args[0], lambda s: str(s).lower())
+
+
+@register("upper")
+@register("ucase")
+def fn_upper(args):
+    return _str_apply(args[0], lambda s: str(s).upper())
+
+
+@register("length")
+@register("len")
+def fn_length(args):
+    a = args[0]
+    if a.type.id == TypeId.LIST:
+        return _str_apply(a, lambda v: len(v), BIGINT)
+    return _str_apply(a, lambda s: len(str(s)), BIGINT)
+
+
+@register("concat")
+def fn_concat(args):
+    n = len(args[0])
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        out[i] = "".join(str(a.data[i]) for a in args if a.validity[i])
+    return Vector(VARCHAR, out, np.ones(n, dtype=bool))
+
+
+@register("||")
+def fn_concat_op(args):
+    a, b = args
+    if a.type.id == TypeId.LIST or b.type.id == TypeId.LIST:
+        return fn_list_concat(args)
+    n = len(a)
+    out = np.empty(n, dtype=object)
+    validity = _common_validity(args)
+    for i in range(n):
+        if validity[i]:
+            out[i] = str(a.data[i]) + str(b.data[i])
+    return Vector(VARCHAR, out, validity)
+
+
+@register("substring")
+@register("substr")
+def fn_substring(args):
+    s, start = args[0], args[1]
+    length = args[2] if len(args) > 2 else None
+    n = len(s)
+    out = np.empty(n, dtype=object)
+    validity = _common_validity(args)
+    for i in range(n):
+        if not validity[i]:
+            continue
+        st = int(start.data[i]) - 1
+        if st < 0:
+            st = max(0, st)
+        if length is not None:
+            out[i] = str(s.data[i])[st:st + int(length.data[i])]
+        else:
+            out[i] = str(s.data[i])[st:]
+    return Vector(VARCHAR, out, validity)
+
+
+@register("contains")
+def fn_contains(args):
+    s, sub = args
+    validity = _common_validity(args)
+    n = len(s)
+    out = np.zeros(n, dtype=bool)
+    for i in range(n):
+        if validity[i]:
+            out[i] = str(sub.data[i]) in str(s.data[i])
+    return Vector(BOOLEAN, out, validity)
+
+
+@register("starts_with")
+@register("prefix")
+def fn_starts_with(args):
+    s, sub = args
+    validity = _common_validity(args)
+    n = len(s)
+    out = np.zeros(n, dtype=bool)
+    for i in range(n):
+        if validity[i]:
+            out[i] = str(s.data[i]).startswith(str(sub.data[i]))
+    return Vector(BOOLEAN, out, validity)
+
+
+@register("ends_with")
+@register("suffix")
+def fn_ends_with(args):
+    s, sub = args
+    validity = _common_validity(args)
+    n = len(s)
+    out = np.zeros(n, dtype=bool)
+    for i in range(n):
+        if validity[i]:
+            out[i] = str(s.data[i]).endswith(str(sub.data[i]))
+    return Vector(BOOLEAN, out, validity)
+
+
+@register("trim")
+def fn_trim(args):
+    return _str_apply(args[0], lambda s: str(s).strip())
+
+
+@register("ltrim")
+def fn_ltrim(args):
+    return _str_apply(args[0], lambda s: str(s).lstrip())
+
+
+@register("rtrim")
+def fn_rtrim(args):
+    return _str_apply(args[0], lambda s: str(s).rstrip())
+
+
+@register("replace")
+def fn_replace(args):
+    s, old, new = args
+    validity = _common_validity(args)
+    n = len(s)
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        if validity[i]:
+            out[i] = str(s.data[i]).replace(str(old.data[i]), str(new.data[i]))
+    return Vector(VARCHAR, out, validity)
+
+
+@register("reverse")
+def fn_reverse(args):
+    return _str_apply(args[0], lambda s: str(s)[::-1])
+
+
+@register("strlen")
+def fn_strlen(args):
+    return _str_apply(args[0], lambda s: len(str(s)), BIGINT)
+
+
+@register("regexp_matches")
+def fn_regexp_matches(args):
+    s, pat = args
+    validity = _common_validity(args)
+    n = len(s)
+    out = np.zeros(n, dtype=bool)
+    for i in range(n):
+        if validity[i]:
+            out[i] = re.search(str(pat.data[i]), str(s.data[i])) is not None
+    return Vector(BOOLEAN, out, validity)
+
+
+@register("regexp_full_match")
+def fn_regexp_full_match(args):
+    s, pat = args
+    validity = _common_validity(args)
+    n = len(s)
+    out = np.zeros(n, dtype=bool)
+    for i in range(n):
+        if validity[i]:
+            out[i] = re.fullmatch(str(pat.data[i]), str(s.data[i])) is not None
+    return Vector(BOOLEAN, out, validity)
+
+
+@register("regexp_replace")
+def fn_regexp_replace(args):
+    s, pat, repl = args[:3]
+    validity = _common_validity(args[:3])
+    n = len(s)
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        if validity[i]:
+            out[i] = re.sub(str(pat.data[i]), str(repl.data[i]),
+                            str(s.data[i]), count=1)
+    return Vector(VARCHAR, out, validity)
+
+
+def like_to_regex(pattern: str) -> str:
+    out = []
+    for ch in pattern:
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "".join(out)
+
+
+@register("like")
+def fn_like(args):
+    s, pat = args
+    validity = _common_validity(args)
+    n = len(s)
+    out = np.zeros(n, dtype=bool)
+    cache = {}
+    for i in range(n):
+        if validity[i]:
+            p = str(pat.data[i])
+            rx = cache.get(p)
+            if rx is None:
+                rx = cache[p] = re.compile(like_to_regex(p), re.DOTALL)
+            out[i] = rx.fullmatch(str(s.data[i])) is not None
+    return Vector(BOOLEAN, out, validity)
+
+
+# ---------------------------------------------------------------------------
+# lists & structs
+# ---------------------------------------------------------------------------
+
+@register("list_value")
+@register("list_pack")
+def fn_list_value(args):
+    n = len(args[0]) if args else 0
+    child_type = next((a.type for a in args if a.type.id != TypeId.SQLNULL),
+                      SQLNULL)
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        out[i] = [a.value(i) for a in args]
+    return Vector(LIST(child_type), out, np.ones(n, dtype=bool))
+
+
+@register("list_concat")
+@register("array_concat")
+def fn_list_concat(args):
+    a, b = args
+    n = len(a)
+    out = np.empty(n, dtype=object)
+    validity = np.ones(n, dtype=bool)
+    for i in range(n):
+        av = a.data[i] if a.validity[i] else None
+        bv = b.data[i] if b.validity[i] else None
+        if av is None and bv is None:
+            validity[i] = False
+        else:
+            out[i] = list(av or []) + list(bv or [])
+    typ = a.type if a.type.id == TypeId.LIST else b.type
+    return Vector(typ, out, validity)
+
+
+@register("array_pop_front")
+def fn_array_pop_front(args):
+    a = args[0]
+    n = len(a)
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        if a.validity[i]:
+            out[i] = list(a.data[i])[1:]
+    return Vector(a.type, out, a.validity.copy())
+
+
+@register("array_pop_back")
+def fn_array_pop_back(args):
+    a = args[0]
+    n = len(a)
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        if a.validity[i]:
+            out[i] = list(a.data[i])[:-1]
+    return Vector(a.type, out, a.validity.copy())
+
+
+def _slice_index(v, length):
+    """DuckDB list_slice index semantics: 1-based, negative from end."""
+    if v < 0:
+        return length + v + 1
+    return v
+
+
+@register("list_slice")
+@register("array_slice")
+def fn_list_slice(args):
+    a, begin, end = args[0], args[1], args[2]
+    step = args[3] if len(args) > 3 else None
+    n = len(a)
+    out = np.empty(n, dtype=object)
+    validity = a.validity.copy()
+    for i in range(n):
+        if not validity[i]:
+            continue
+        lst = list(a.data[i])
+        ln = len(lst)
+        b = _slice_index(int(begin.data[i]), ln)
+        e = _slice_index(int(end.data[i]), ln)
+        b = max(1, b)
+        e = min(ln, e)
+        if step is not None:
+            st = int(step.data[i])
+            out[i] = lst[b - 1:e:st]
+        else:
+            out[i] = lst[b - 1:e]
+    return Vector(a.type, out, validity)
+
+
+@register("list_contains")
+@register("array_contains")
+@register("list_has")
+def fn_list_contains(args):
+    a, v = args
+    n = len(a)
+    out = np.zeros(n, dtype=bool)
+    validity = _common_validity(args)
+    for i in range(n):
+        if validity[i]:
+            out[i] = v.value(i) in list(a.data[i])
+    return Vector(BOOLEAN, out, validity)
+
+
+@register("list_element")
+@register("list_extract")
+@register("array_extract")
+def fn_list_element(args):
+    a, idx = args
+    n = len(a)
+    child = a.type.child if a.type.id == TypeId.LIST else SQLNULL
+    out_vals = []
+    for i in range(n):
+        if a.validity[i] and idx.validity[i]:
+            lst = list(a.data[i])
+            j = int(idx.data[i])
+            j = j - 1 if j > 0 else len(lst) + j
+            out_vals.append(lst[j] if 0 <= j < len(lst) else None)
+        else:
+            out_vals.append(None)
+    return Vector.from_values(out_vals, child or SQLNULL)
+
+
+@register("len_list")
+def fn_len_list(args):
+    return _str_apply(args[0], lambda v: len(v), BIGINT)
+
+
+@register("range")
+@register("generate_series_scalar")
+def fn_range_scalar(args):
+    # list-producing scalar range(a, b)
+    a = args[0]
+    b = args[1] if len(args) > 1 else None
+    n = len(a)
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        if b is None:
+            out[i] = list(range(int(a.data[i])))
+        else:
+            out[i] = list(range(int(a.data[i]), int(b.data[i])))
+    return Vector(LIST(BIGINT), out, a.validity.copy())
+
+
+@register("struct_extract")
+def fn_struct_extract(args):
+    a, name = args
+    field_name = str(name.data[0])
+    if a.type.id != TypeId.STRUCT:
+        raise BinderException(
+            f"struct_extract on non-struct type {a.type}")
+    names = [f[0] for f in a.type.fields]
+    idx = None
+    for j, nm in enumerate(names):
+        if nm.lower() == field_name.lower():
+            idx = j
+            break
+    if idx is None:
+        raise BinderException(
+            f'Could not find key "{field_name}" in struct')
+    ftype = a.type.fields[idx][1]
+    vals = []
+    for i in range(len(a)):
+        if a.validity[i]:
+            vals.append(a.data[i][idx])
+        else:
+            vals.append(None)
+    return Vector.from_values(vals, ftype)
+
+
+@register("struct_pack")
+def fn_struct_pack(args):
+    raise BinderException("struct_pack requires named arguments; "
+                          "use {'k': v} syntax")
+
+
+# ---------------------------------------------------------------------------
+# date/time
+# ---------------------------------------------------------------------------
+
+def _to_datetime_parts(vec: Vector):
+    import datetime as _dt
+    t = vec.type.id
+    n = len(vec)
+    out = []
+    for i in range(n):
+        if not vec.validity[i]:
+            out.append(None)
+            continue
+        v = int(vec.data[i])
+        if t == TypeId.DATE:
+            out.append(_dt.datetime(1970, 1, 1) + _dt.timedelta(days=v))
+        elif t == TypeId.TIMESTAMP_MS:
+            out.append(_dt.datetime(1970, 1, 1) + _dt.timedelta(milliseconds=v))
+        elif t == TypeId.TIMESTAMP_S:
+            out.append(_dt.datetime(1970, 1, 1) + _dt.timedelta(seconds=v))
+        else:
+            out.append(_dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v))
+    return out
+
+
+def _date_part_fn(part: str):
+    def impl(args):
+        dts = _to_datetime_parts(args[0])
+        vals = []
+        for d in dts:
+            if d is None:
+                vals.append(None)
+            elif part == "year":
+                vals.append(d.year)
+            elif part == "month":
+                vals.append(d.month)
+            elif part == "day":
+                vals.append(d.day)
+            elif part == "hour":
+                vals.append(d.hour)
+            elif part == "minute":
+                vals.append(d.minute)
+            elif part == "second":
+                vals.append(d.second)
+            elif part == "dayofweek":
+                vals.append((d.weekday() + 1) % 7)
+            elif part == "week":
+                vals.append(d.isocalendar()[1])
+        return Vector.from_values(vals, BIGINT)
+    return impl
+
+
+for _part in ("year", "month", "day", "hour", "minute", "second", "week"):
+    REGISTRY[_part] = ScalarFunction(_part, _date_part_fn(_part))
+REGISTRY["dayofweek"] = ScalarFunction("dayofweek", _date_part_fn("dayofweek"))
+
+
+@register("date_part")
+@register("datepart")
+def fn_date_part(args):
+    part = str(args[0].data[0]).lower()
+    return _date_part_fn(part)([args[1]])
+
+
+@register("extract")
+def fn_extract(args):
+    return fn_date_part(args)
+
+
+# ---------------------------------------------------------------------------
+# bitwise (used by the PGQ sub-label discriminator rewrite)
+# ---------------------------------------------------------------------------
+
+@register("bitand")
+@register("&")
+def fn_bitand(args):
+    x, y = args
+    out = x.data.astype(np.int64) & y.data.astype(np.int64)
+    return Vector(BIGINT, out, _common_validity(args))
+
+
+@register("bitor")
+@register("|")
+def fn_bitor(args):
+    x, y = args
+    out = x.data.astype(np.int64) | y.data.astype(np.int64)
+    return Vector(BIGINT, out, _common_validity(args))
+
+
+@register("xor")
+def fn_xor(args):
+    x, y = args
+    out = x.data.astype(np.int64) ^ y.data.astype(np.int64)
+    return Vector(BIGINT, out, _common_validity(args))

@@ -1,0 +1,238 @@
+"""Table function registry: PGQ algorithm bind-replace functions,
+CSR/property-graph introspection scans (reference
+src/core/functions/table/pgq_scan.cpp), and general builtins
+(range/generate_series, read_csv, read_parquet).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import numpy as np
+
+from ..errors import (BinderException, CatalogException, ConstraintException,
+                      InvalidInputException)
+from ..exec.relation import Relation
+from ..sql import ast as a
+from ..storage.vector import Vector
+from ..types import BIGINT, DOUBLE, VARCHAR, UBIGINT
+
+
+def arg_to_string(e: a.Expression) -> str:
+    if isinstance(e, a.ColumnRef):
+        return ".".join(e.parts)
+    if isinstance(e, a.Constant):
+        return str(e.value)
+    raise BinderException("expected a constant or identifier argument")
+
+
+def _arg_value(executor, e: a.Expression, outer, env):
+    from ..exec.expression import Evaluator
+    from ..exec.relation import Binding
+    rel = Relation([Vector(BIGINT, np.zeros(1, dtype=np.int64))],
+                   [Binding("", ["__row__"], [0], [True])])
+    return Evaluator(executor, rel, outer).evaluate(e).value(0)
+
+
+# ---------------------------------------------------------------------------
+
+def execute_table_function(executor, ref: a.TableFunctionRef, outer, env
+                           ) -> Relation:
+    name = ref.name.lower()
+    handler = REGISTRY.get(name)
+    if handler is None:
+        raise CatalogException(
+            f"Table Function with name {name} does not exist!")
+    return handler(executor, ref, outer, env)
+
+
+def _bind_replace(bind_fn):
+    """Wrap a (executor, args) -> (SelectStatement, default_alias) binder."""
+    def handler(executor, ref, outer, env):
+        stmt, default_alias = bind_fn(executor, ref.args)
+        res = executor.execute_select(stmt, outer, env)
+        alias = ref.alias or default_alias
+        names = list(res.names)
+        if ref.column_aliases:
+            names[:len(ref.column_aliases)] = list(ref.column_aliases)
+        return Relation.from_columns(alias, names, res.columns,
+                                     with_rowid=True)
+    return handler
+
+
+def _relation_fn(fn):
+    def handler(executor, ref, outer, env):
+        args = [_arg_value(executor, x, outer, env) for x in ref.args]
+        names, cols = fn(executor, args)
+        alias = ref.alias or ref.name
+        if ref.column_aliases:
+            names = list(names)
+            names[:len(ref.column_aliases)] = list(ref.column_aliases)
+        return Relation.from_columns(alias, names, cols, with_rowid=True)
+    return handler
+
+
+# ---------------------------------------------------------------- builtins
+
+def _fn_range(executor, args):
+    if len(args) == 1:
+        lo, hi, step = 0, int(args[0]), 1
+    elif len(args) == 2:
+        lo, hi, step = int(args[0]), int(args[1]), 1
+    else:
+        lo, hi, step = int(args[0]), int(args[1]), int(args[2])
+    data = np.arange(lo, hi, step, dtype=np.int64)
+    return ["range"], [Vector(BIGINT, data)]
+
+
+def _fn_generate_series(executor, args):
+    if len(args) == 1:
+        lo, hi, step = 0, int(args[0]), 1
+    elif len(args) == 2:
+        lo, hi, step = int(args[0]), int(args[1]), 1
+    else:
+        lo, hi, step = int(args[0]), int(args[1]), int(args[2])
+    data = np.arange(lo, hi + (1 if step > 0 else -1), step, dtype=np.int64)
+    return ["generate_series"], [Vector(BIGINT, data)]
+
+
+def _fn_read_parquet(executor, args):
+    from ..io.parquet import read_parquet
+    path = executor.connection.database.resolve_path(str(args[0]))
+    names, cols = read_parquet(path)
+    return names, cols
+
+
+def _fn_read_csv(executor, args):
+    from ..io.csv import read_csv
+    path = executor.connection.database.resolve_path(str(args[0]))
+    names, cols = read_csv(path)
+    return names, cols
+
+
+# -------------------------------------------------------- pgq introspection
+
+def _csr(executor, csr_id: int):
+    csr = executor.connection.csr_list.get(int(csr_id))
+    if csr is None:
+        raise ConstraintException("CSR not found. Is the graph populated?")
+    return csr
+
+
+def _fn_get_csr_v(executor, args):
+    csr = _csr(executor, args[0])
+    return ["csrv"], [Vector(BIGINT, np.asarray(csr.v, dtype=np.int64))]
+
+
+def _fn_get_csr_e(executor, args):
+    csr = _csr(executor, args[0])
+    return ["csre"], [Vector(BIGINT, np.asarray(csr.e, dtype=np.int64))]
+
+
+def _fn_get_csr_w(executor, args):
+    csr = _csr(executor, args[0])
+    if csr.w_double is not None:
+        return ["csrw"], [Vector(DOUBLE, csr.w_double)]
+    if csr.w is not None:
+        return ["csrw"], [Vector(BIGINT, csr.w)]
+    raise ConstraintException("No weights in CSR")
+
+
+def _fn_get_csr_ptr(executor, args):
+    # raw pointers are meaningless in this runtime; expose stable ids plus
+    # the weight-type tag like the reference's scan (pgq_scan.cpp:44-82)
+    csr = _csr(executor, args[0])
+    if csr.w_double is not None:
+        wtype = 2
+    elif csr.w is not None:
+        wtype = 1
+    else:
+        wtype = 0
+    ptrs = [id(csr.v), id(csr.e), id(csr.edge_ids), wtype]
+    return ["ptr"], [Vector(BIGINT, np.asarray(ptrs, dtype=np.int64))]
+
+
+def _pg(executor, name: str):
+    info = executor.connection.registered_property_graphs.get(
+        str(name).lower())
+    if info is None:
+        raise InvalidInputException(f"Property graph {name} not found")
+    return info
+
+
+def _fn_get_pg_vtablenames(executor, args):
+    info = _pg(executor, args[0])
+    names = [t.table_name for t in info.vertex_tables]
+    return ["table"], [Vector.from_values(names, VARCHAR)]
+
+
+def _fn_get_pg_etablenames(executor, args):
+    info = _pg(executor, args[0])
+    names = [t.table_name for t in info.edge_tables]
+    return ["table"], [Vector.from_values(names, VARCHAR)]
+
+
+def _colnames(executor, info, table_name, is_vertex):
+    for t in (info.vertex_tables if is_vertex else info.edge_tables):
+        if t.table_name.lower() == str(table_name).lower():
+            from ..pgq.ddl import _resolve_table
+            data_table = _resolve_table(executor, t)
+            if t.no_columns:
+                return []
+            if t.all_columns:
+                excl = {c.lower() for c in t.except_columns}
+                return [c for c in data_table.column_names
+                        if c.lower() not in excl]
+            return list(t.column_names)
+    raise InvalidInputException(f"Table {table_name} not found")
+
+
+def _fn_get_pg_vcolnames(executor, args):
+    info = _pg(executor, args[0])
+    cols = _colnames(executor, info, args[1], True)
+    return ["colnames"], [Vector.from_values(cols, VARCHAR)]
+
+
+def _fn_get_pg_ecolnames(executor, args):
+    info = _pg(executor, args[0])
+    cols = _colnames(executor, info, args[1], False)
+    return ["colnames"], [Vector.from_values(cols, VARCHAR)]
+
+
+def _fn_describe_property_graph(executor, args):
+    from ..pgq.ddl import execute_describe_property_graph
+    res = execute_describe_property_graph(executor, arg_to_string_any(args))
+    return res.names, res.columns
+
+
+def arg_to_string_any(args):
+    return str(args[0])
+
+
+def _register_all():
+    from ..pgq import algorithms as alg
+    registry: Dict[str, Callable] = {
+        "pagerank": _bind_replace(alg.bind_pagerank),
+        "weakly_connected_component": _bind_replace(
+            alg.bind_weakly_connected_component),
+        "local_clustering_coefficient": _bind_replace(
+            alg.bind_local_clustering_coefficient),
+        "range": _relation_fn(_fn_range),
+        "generate_series": _relation_fn(_fn_generate_series),
+        "read_parquet": _relation_fn(_fn_read_parquet),
+        "parquet_scan": _relation_fn(_fn_read_parquet),
+        "read_csv": _relation_fn(_fn_read_csv),
+        "read_csv_auto": _relation_fn(_fn_read_csv),
+        "get_csr_v": _relation_fn(_fn_get_csr_v),
+        "get_csr_e": _relation_fn(_fn_get_csr_e),
+        "get_csr_w": _relation_fn(_fn_get_csr_w),
+        "get_csr_ptr": _relation_fn(_fn_get_csr_ptr),
+        "get_pg_vtablenames": _relation_fn(_fn_get_pg_vtablenames),
+        "get_pg_etablenames": _relation_fn(_fn_get_pg_etablenames),
+        "get_pg_vcolnames": _relation_fn(_fn_get_pg_vcolnames),
+        "get_pg_ecolnames": _relation_fn(_fn_get_pg_ecolnames),
+    }
+    return registry
+
+
+REGISTRY = _register_all()

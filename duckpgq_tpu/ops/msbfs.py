@@ -1,0 +1,279 @@
+"""Multi-source BFS family — host (numpy) exact kernels.
+
+Lane-packed frontier expansion over the CSR, vectorized across lanes as a
+[V, L] boolean matrix (the dense analog of the reference's bitset<512> per
+vertex, reference iterativelength.cpp:12-32). The JAX/TPU device variants in
+duckpgq_tpu.ops.msbfs_jax implement the same algorithm with padded shapes;
+unit tests cross-check both against these mirrors.
+
+Semantics parity notes (reference iterativelength.cpp:34-143):
+- src == dst  -> 0 without searching
+- NULL src    -> NULL
+- src vertex is NOT pre-marked seen (re-entrant walks allowed, matching the
+  reference's lane setup)
+- unreached   -> NULL
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .csr import CSR
+
+LANE_LIMIT = 512  # reference duckpgq_utils.hpp:10
+
+
+def _expand(frontier: np.ndarray, seen: np.ndarray, rsrc, rdst) -> np.ndarray:
+    """next = (A^T x frontier) & ~seen ; seen |= next. Returns next."""
+    V, L = frontier.shape
+    nxt = np.zeros_like(frontier)
+    if len(rsrc):
+        gathered = frontier[rsrc]          # [E, L]
+        np.logical_or.at(nxt, rdst, gathered)
+    nxt &= ~seen
+    seen |= nxt
+    return nxt
+
+
+def iterative_length(csr: CSR, src: np.ndarray, dst: np.ndarray,
+                     src_valid: Optional[np.ndarray] = None
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Batched BFS lengths. Returns (lengths int64, validity bool)."""
+    n = len(src)
+    V = csr.vcount
+    out = np.full(n, -1, dtype=np.int64)
+    validity = np.ones(n, dtype=bool)
+    if src_valid is None:
+        src_valid = np.ones(n, dtype=bool)
+    rsrc, rdst, _ = csr.reverse() if csr.ecount else \
+        (np.empty(0, np.int64), np.empty(0, np.int64), None)
+
+    validity &= src_valid
+    trivial = src_valid & (src == dst)
+    out[trivial] = 0
+    pending = np.flatnonzero(src_valid & (src != dst))
+
+    for batch_start in range(0, len(pending), LANE_LIMIT):
+        lanes = pending[batch_start:batch_start + LANE_LIMIT]
+        L = len(lanes)
+        frontier = np.zeros((V, L), dtype=bool)
+        seen = np.zeros((V, L), dtype=bool)
+        frontier[src[lanes], np.arange(L)] = True
+        active = np.ones(L, dtype=bool)
+        it = 0
+        while active.any():
+            it += 1
+            if it > V + 1:
+                break
+            frontier = _expand(frontier, seen, rsrc, rdst)
+            if not frontier.any():
+                break
+            found = active & seen[dst[lanes], np.arange(L)]
+            out[lanes[found]] = it
+            active &= ~found
+        validity[lanes[active]] = False
+    validity[~src_valid] = False
+    return out, validity
+
+
+def reachability(csr: CSR, src: np.ndarray, dst: np.ndarray,
+                 src_valid: Optional[np.ndarray] = None
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    lengths, validity = iterative_length(csr, src, dst, src_valid)
+    reached = validity & (lengths >= 0)
+    out_validity = np.ones(len(src), dtype=bool)
+    if src_valid is not None:
+        out_validity &= src_valid
+    return reached, out_validity
+
+
+def iterative_length_bidirectional(csr: CSR, src: np.ndarray, dst: np.ndarray,
+                                   src_valid: Optional[np.ndarray] = None
+                                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """Bidirectional MS-BFS (reference iterativelength_bidirectional.cpp):
+    alternates expanding the src-side and dst-side frontiers; length = total
+    iterations when the frontiers' seen-sets intersect. Correct for
+    symmetric (undirected) CSRs, like the reference."""
+    n = len(src)
+    V = csr.vcount
+    out = np.full(n, -1, dtype=np.int64)
+    validity = np.ones(n, dtype=bool)
+    if src_valid is None:
+        src_valid = np.ones(n, dtype=bool)
+    rsrc, rdst, _ = csr.reverse() if csr.ecount else \
+        (np.empty(0, np.int64), np.empty(0, np.int64), None)
+
+    validity &= src_valid
+    trivial = src_valid & (src == dst)
+    out[trivial] = 0
+    pending = np.flatnonzero(src_valid & (src != dst))
+
+    for batch_start in range(0, len(pending), LANE_LIMIT):
+        lanes = pending[batch_start:batch_start + LANE_LIMIT]
+        L = len(lanes)
+        ar = np.arange(L)
+        f_src = np.zeros((V, L), dtype=bool)
+        f_dst = np.zeros((V, L), dtype=bool)
+        s_src = np.zeros((V, L), dtype=bool)
+        s_dst = np.zeros((V, L), dtype=bool)
+        f_src[src[lanes], ar] = True
+        s_src[src[lanes], ar] = True
+        f_dst[dst[lanes], ar] = True
+        s_dst[dst[lanes], ar] = True
+        active = np.ones(L, dtype=bool)
+        for it in range(1, 2 * V + 2):
+            if not active.any():
+                break
+            if it & 1:
+                f_src = _expand(f_src, s_src, rsrc, rdst)
+            else:
+                f_dst = _expand(f_dst, s_dst, rsrc, rdst)
+            meet = active & (s_src & s_dst).any(axis=0)
+            out[lanes[meet]] = it
+            active &= ~meet
+            # lanes where both frontiers died without meeting have no path
+            dead = active & ~(f_src.any(axis=0) | f_dst.any(axis=0))
+            active &= ~dead
+        unfound = out[lanes] < 0
+        validity[lanes[unfound]] = False
+    validity[~src_valid] = False
+    return out, validity
+
+
+def shortest_path(csr: CSR, src: np.ndarray, dst: np.ndarray,
+                  src_valid: Optional[np.ndarray] = None
+                  ) -> Tuple[List[Optional[List[int]]], np.ndarray]:
+    """Batched BFS with parent tracking and path reconstruction.
+
+    Returns (paths, validity): each path is [v0, e0, v1, e1, ..., vk] of
+    vertex/edge rowids. Parent tie-break reproduces the reference's
+    deterministic choice (shortest_path.cpp:12-41): the in-edge with the
+    lowest CSR position (lowest source vertex, then insertion order) wins.
+    """
+    n = len(src)
+    V = csr.vcount
+    paths: List[Optional[List[int]]] = [None] * n
+    validity = np.zeros(n, dtype=bool)
+    if src_valid is None:
+        src_valid = np.ones(n, dtype=bool)
+    if csr.ecount:
+        rsrc, rdst, rpos = csr.reverse()
+    else:
+        rsrc = rdst = rpos = np.empty(0, np.int64)
+    INF = np.iinfo(np.int64).max
+
+    for i in np.flatnonzero(src_valid & (src == dst)):
+        paths[i] = [int(src[i])]
+        validity[i] = True
+    pending = np.flatnonzero(src_valid & (src != dst))
+
+    for batch_start in range(0, len(pending), LANE_LIMIT):
+        lanes = pending[batch_start:batch_start + LANE_LIMIT]
+        L = len(lanes)
+        ar = np.arange(L)
+        frontier = np.zeros((V, L), dtype=bool)
+        seen = np.zeros((V, L), dtype=bool)
+        frontier[src[lanes], ar] = True
+        parent_pos = np.full((V, L), -1, dtype=np.int64)
+        active = np.ones(L, dtype=bool)
+        it = 0
+        while active.any():
+            it += 1
+            if it > V + 1:
+                break
+            # candidate parent positions for this wave
+            nxt = np.zeros((V, L), dtype=bool)
+            if len(rsrc):
+                gathered = frontier[rsrc]                     # [E, L]
+                np.logical_or.at(nxt, rdst, gathered)
+                nxt &= ~seen
+                if nxt.any():
+                    cand = np.where(gathered, rpos[:, None], INF)
+                    minpos = np.full((V, L), INF, dtype=np.int64)
+                    np.minimum.at(minpos, rdst, cand)
+                    newly = nxt & (parent_pos < 0)
+                    parent_pos[newly] = minpos[newly]
+            seen |= nxt
+            frontier = nxt
+            if not frontier.any():
+                break
+            found = active & seen[dst[lanes], ar]
+            for l in np.flatnonzero(found):
+                q = lanes[l]
+                paths[q] = _reconstruct(csr, int(src[q]), int(dst[q]),
+                                        parent_pos[:, l])
+                validity[q] = paths[q] is not None
+            active &= ~found
+    return paths, validity
+
+
+def _reconstruct(csr: CSR, s: int, d: int, parent_pos: np.ndarray
+                 ) -> Optional[List[int]]:
+    src_of_edge = csr.src_of_edge
+    out: List[int] = [d]
+    cur = d
+    steps = 0
+    while cur != s:
+        pos = parent_pos[cur]
+        if pos < 0 or steps > csr.vcount + 1:
+            return None
+        out.append(int(csr.edge_ids[pos]))
+        cur = int(src_of_edge[pos])
+        out.append(cur)
+        steps += 1
+    out.reverse()
+    return out
+
+
+def cheapest_path_length(csr: CSR, src: np.ndarray, dst: np.ndarray,
+                         src_valid: Optional[np.ndarray] = None
+                         ) -> Tuple[np.ndarray, np.ndarray, bool]:
+    """Batched multi-source Bellman-Ford over the weighted CSR (reference
+    cheapest_path_length.cpp). Returns (costs, validity, is_double)."""
+    n = len(src)
+    V = csr.vcount
+    is_double = csr.w_double is not None
+    w = csr.w_double if is_double else csr.w
+    if w is None:
+        from ..errors import ConstraintException
+        raise ConstraintException(
+            "No weight column found in csr, did you include the weight "
+            "column in the path-finding query?")
+    if src_valid is None:
+        src_valid = np.ones(n, dtype=bool)
+    dtype = np.float64 if is_double else np.int64
+    INF = np.inf if is_double else np.iinfo(np.int64).max // 2
+    out = np.full(n, INF, dtype=dtype)
+    validity = np.ones(n, dtype=bool)
+    if csr.ecount:
+        rsrc, rdst, rpos = csr.reverse()
+        rw = w[rpos]
+    else:
+        rsrc = rdst = np.empty(0, np.int64)
+        rw = np.empty(0, dtype)
+
+    pending = np.flatnonzero(src_valid)
+    CHUNK = 256  # lane ladder upper bound (reference uses 256/.../1)
+    for batch_start in range(0, len(pending), CHUNK):
+        lanes = pending[batch_start:batch_start + CHUNK]
+        L = len(lanes)
+        ar = np.arange(L)
+        dist = np.full((V, L), INF, dtype=dtype)
+        dist[src[lanes], ar] = 0
+        for _ in range(V + 1):
+            if not len(rsrc):
+                break
+            cand = dist[rsrc] + rw[:, None]       # [E, L]
+            new = dist.copy()
+            np.minimum.at(new, rdst, cand)
+            if np.array_equal(new, dist):
+                break
+            dist = new
+        out[lanes] = dist[dst[lanes], ar]
+    unreached = out >= INF if not is_double else ~np.isfinite(out)
+    validity &= ~unreached
+    validity &= src_valid
+    out[~validity] = 0
+    return out, validity, is_double

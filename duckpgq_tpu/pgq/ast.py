@@ -78,7 +78,7 @@ class MatchExpression:
 class PropertyGraphTable:
     table_name: str = ""
     catalog_name: str = ""
-    schema_name: str = "main"
+    schema_name: str = ""
     table_name_alias: str = ""
     column_names: List[str] = field(default_factory=list)
     column_aliases: Dict[str, str] = field(default_factory=dict)  # col -> alias
@@ -91,12 +91,12 @@ class PropertyGraphTable:
     is_vertex_table: bool = True
     # edge-only: keys and referenced tables
     source_catalog: str = ""
-    source_schema: str = "main"
+    source_schema: str = ""
     source_reference: str = ""
     source_pk: List[str] = field(default_factory=list)
     source_fk: List[str] = field(default_factory=list)
     destination_catalog: str = ""
-    destination_schema: str = "main"
+    destination_schema: str = ""
     destination_reference: str = ""
     destination_pk: List[str] = field(default_factory=list)
     destination_fk: List[str] = field(default_factory=list)

@@ -1,0 +1,318 @@
+"""Property-graph DDL: CREATE/DROP/DESCRIBE/SUMMARIZE PROPERTY GRAPH.
+
+Validation mirrors the reference's bind phase (reference
+src/core/functions/table/create_property_graph.cpp): tables exist and are not
+views, property/discriminator/key columns exist, conflict handling
+ERROR/IGNORE/REPLACE, and the registry persists into ``__duckpgq_internal``
+(reference duckpgq_state.cpp:7-28, create_property_graph.cpp:323-449).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from ..errors import BinderException, CatalogException, InvalidException
+from ..exec.result import QueryResult
+from ..storage.table import ColumnDefinition, DataTable
+from ..storage.vector import Vector
+from ..types import BIGINT, BOOLEAN, DOUBLE, LIST, VARCHAR, TypeId
+from .ast import CreatePropertyGraphInfo, DropPropertyGraphInfo, \
+    PropertyGraphTable
+
+
+def _ensure_internal_table(executor):
+    catalog = executor.connection.catalog
+    if catalog.get_table("__duckpgq_internal", missing_ok=True) is not None:
+        return catalog.get_table("__duckpgq_internal")
+    cols = [
+        ColumnDefinition("property_graph", VARCHAR),
+        ColumnDefinition("table_name", VARCHAR),
+        ColumnDefinition("label", VARCHAR),
+        ColumnDefinition("is_vertex_table", BOOLEAN),
+        ColumnDefinition("source_table", VARCHAR),
+        ColumnDefinition("source_pk", LIST(VARCHAR)),
+        ColumnDefinition("source_fk", LIST(VARCHAR)),
+        ColumnDefinition("destination_table", VARCHAR),
+        ColumnDefinition("destination_pk", LIST(VARCHAR)),
+        ColumnDefinition("destination_fk", LIST(VARCHAR)),
+        ColumnDefinition("discriminator", VARCHAR),
+        ColumnDefinition("sub_labels", LIST(VARCHAR)),
+        ColumnDefinition("catalog", VARCHAR),
+        ColumnDefinition("schema", VARCHAR),
+        ColumnDefinition("source_catalog", VARCHAR),
+        ColumnDefinition("source_schema", VARCHAR),
+        ColumnDefinition("destination_catalog", VARCHAR),
+        ColumnDefinition("destination_schema", VARCHAR),
+        ColumnDefinition("properties", LIST(VARCHAR)),
+        ColumnDefinition("column_aliases", LIST(VARCHAR)),
+    ]
+    table = DataTable("__duckpgq_internal", cols)
+    catalog.create_table(table)
+    return table
+
+
+def _resolve_table(executor, pg_table: PropertyGraphTable) -> DataTable:
+    con = executor.connection
+    if pg_table.catalog_name:
+        try:
+            catalog = con.resolve_catalog(pg_table.catalog_name)
+        except CatalogException:
+            raise InvalidException(
+                f"Catalog '{pg_table.catalog_name}' does not exist!")
+    else:
+        catalog = con.catalog
+    schema = pg_table.schema_name or None
+    view = catalog.get_view(pg_table.table_name, schema)
+    if view is not None:
+        raise InvalidException(
+            f"Found a view with name {pg_table.table_name}, which is not "
+            f"supported by DuckPGQ yet.")
+    table = catalog.get_table(pg_table.table_name, schema, missing_ok=True)
+    if table is None and not pg_table.catalog_name:
+        table = con.find_table_any_catalog(pg_table.table_name, schema, None)
+    if table is None:
+        raise InvalidException(
+            f"Table with name {pg_table.table_name} does not exist")
+    return table
+
+
+def _validate_columns(pg_table: PropertyGraphTable, table: DataTable):
+    if pg_table.no_columns:
+        pass
+    elif pg_table.all_columns:
+        for col in pg_table.except_columns:
+            if not table.has_column(col):
+                raise InvalidException(
+                    f"Except column {col} not found in table "
+                    f"{pg_table.table_name}")
+    else:
+        for col in pg_table.column_names:
+            if not table.has_column(col):
+                raise InvalidException(
+                    f"Column {col} not found in table {pg_table.table_name}")
+    if pg_table.discriminator:
+        idx = table.column_index(pg_table.discriminator)
+        if idx is None:
+            raise InvalidException(
+                f"The discriminator column {pg_table.discriminator} "
+                f"not found in table {pg_table.table_name}")
+        ctype = table.column_defs[idx].type
+        if ctype.id not in (TypeId.INTEGER, TypeId.BIGINT):
+            raise InvalidException(
+                f"The discriminator column {pg_table.discriminator} "
+                f"of table {pg_table.table_name} has to be of type INTEGER "
+                f"or BIGINT")
+
+
+def _validate_keys(executor, edge: PropertyGraphTable,
+                   info: CreatePropertyGraphInfo):
+    edge_table = _resolve_table(executor, edge)
+    for key_type, pks, fks, ref in (
+            ("source", edge.source_pk, edge.source_fk, edge.source_reference),
+            ("destination", edge.destination_pk, edge.destination_fk,
+             edge.destination_reference)):
+        if not pks or not fks:
+            raise InvalidException(
+                f"No primary key - foreign key relationship found in "
+                f"{edge.table_name} with referenced table {ref}. "
+                f"Please define the SOURCE/DESTINATION KEY explicitly.")
+        # referenced vertex table must be registered
+        vt = None
+        for v in info.vertex_tables:
+            if v.table_name.lower() == ref.lower():
+                vt = v
+                break
+        if vt is None:
+            raise InvalidException(
+                f"Referenced vertex table {ref} is not registered in the "
+                f"vertex tables of property graph "
+                f"{info.property_graph_name}.")
+        ref_table = _resolve_table(executor, vt)
+        for pk in pks:
+            if not ref_table.has_column(pk):
+                raise InvalidException(
+                    f"The primary key for the {key_type.upper()} table "
+                    f"{ref} was not found in the table")
+        for fk in fks:
+            if not edge_table.has_column(fk):
+                raise InvalidException(
+                    f"The foreign key for the {key_type.upper()} table "
+                    f"{ref} was not found in the table")
+        if key_type == "source":
+            edge.source_pg_table = vt
+        else:
+            edge.destination_pg_table = vt
+
+
+def execute_create_property_graph(executor, info: CreatePropertyGraphInfo
+                                  ) -> QueryResult:
+    con = executor.connection
+    key = info.property_graph_name.lower()
+    existing = con.registered_property_graphs.get(key)
+    if existing is not None:
+        if info.on_conflict == "IGNORE":
+            return QueryResult([], [])
+        if info.on_conflict == "ERROR":
+            raise InvalidException(
+                f"Property graph {info.property_graph_name} is already "
+                f"registered")
+    # validate all member tables
+    for vt in info.vertex_tables:
+        table = _resolve_table(executor, vt)
+        _validate_columns(vt, table)
+    for et in info.edge_tables:
+        table = _resolve_table(executor, et)
+        _validate_columns(et, table)
+        _validate_keys(executor, et, info)
+    con.registered_property_graphs[key] = info
+    _persist(executor, info)
+    return QueryResult([], [])
+
+
+def execute_drop_property_graph(executor, info: DropPropertyGraphInfo
+                                ) -> QueryResult:
+    con = executor.connection
+    key = info.property_graph_name.lower()
+    if key not in con.registered_property_graphs:
+        if info.missing_ok:
+            return QueryResult([], [])
+        raise InvalidException(
+            f"Property graph {info.property_graph_name} does not exist")
+    del con.registered_property_graphs[key]
+    internal = con.catalog.get_table("__duckpgq_internal", missing_ok=True)
+    if internal is not None and internal.row_count:
+        col = internal.get_column("property_graph")
+        mask = np.array([str(col.value(i)).lower() == key
+                         for i in range(internal.row_count)])
+        internal.delete_rows(mask)
+    return QueryResult([], [])
+
+
+def _persist(executor, info: CreatePropertyGraphInfo):
+    internal = _ensure_internal_table(executor)
+    # REPLACE: drop previous rows for this graph
+    if internal.row_count:
+        col = internal.get_column("property_graph")
+        key = info.property_graph_name.lower()
+        mask = np.array([str(col.value(i)).lower() == key
+                         for i in range(internal.row_count)])
+        if mask.any():
+            internal.delete_rows(mask)
+    rows = []
+    for t in info.all_tables():
+        props = None
+        if not t.all_columns and not t.no_columns:
+            props = list(t.column_names)
+        aliases = [t.column_aliases.get(c, c) for c in t.column_names] \
+            if t.column_aliases else None
+        rows.append([
+            info.property_graph_name, t.table_name, t.main_label,
+            t.is_vertex_table,
+            t.source_reference or None,
+            t.source_pk or None, t.source_fk or None,
+            t.destination_reference or None,
+            t.destination_pk or None, t.destination_fk or None,
+            t.discriminator or None, t.sub_labels or None,
+            t.catalog_name or None, t.schema_name or "",
+            t.source_catalog or None, t.source_schema or None,
+            t.destination_catalog or None, t.destination_schema or None,
+            props, aliases,
+        ])
+    cols = []
+    for j, cdef in enumerate(internal.column_defs):
+        cols.append(Vector.from_values([r[j] for r in rows], cdef.type))
+    internal.append(cols)
+
+
+def execute_describe_property_graph(executor, name: str) -> QueryResult:
+    con = executor.connection
+    info = con.registered_property_graphs.get(name.lower())
+    if info is None:
+        raise InvalidException(f"Property graph {name} does not exist")
+    names = ["property_graph", "table_name", "label", "is_vertex_table",
+             "source_table", "source_pk", "source_fk", "destination_table",
+             "destination_pk", "destination_fk", "discriminator",
+             "sub_labels", "catalog", "schema"]
+    rows = []
+    for t in info.all_tables():
+        if t.is_vertex_table:
+            rows.append([info.property_graph_name, t.table_name, t.main_label,
+                         True, None, None, None, None, None, None,
+                         t.discriminator or None, t.sub_labels or None,
+                         t.catalog_name or None, t.schema_name or ""])
+        else:
+            rows.append([info.property_graph_name, t.table_name, t.main_label,
+                         False, t.source_reference, t.source_pk, t.source_fk,
+                         t.destination_reference, t.destination_pk,
+                         t.destination_fk,
+                         t.discriminator or None, t.sub_labels or None,
+                         t.catalog_name or None, t.schema_name or ""])
+    types = [VARCHAR, VARCHAR, VARCHAR, BOOLEAN, VARCHAR, LIST(VARCHAR),
+             LIST(VARCHAR), VARCHAR, LIST(VARCHAR), LIST(VARCHAR), VARCHAR,
+             LIST(VARCHAR), VARCHAR, VARCHAR]
+    cols = [Vector.from_values([r[j] for r in rows], types[j])
+            for j in range(len(names))]
+    return QueryResult(names, cols)
+
+
+def execute_summarize_property_graph(executor, name: str) -> QueryResult:
+    """Per-table graph statistics (reference
+    summarize_property_graph.cpp:100-274): counts, distinct src/dst, isolated
+    nodes, degree stats."""
+    con = executor.connection
+    info = con.registered_property_graphs.get(name.lower())
+    if info is None:
+        raise InvalidException(f"Property graph {name} does not exist")
+    names = ["table_name", "label", "is_vertex_table", "source_table",
+             "destination_table", "total_count", "distinct_src_count",
+             "distinct_dst_count", "isolated_nodes", "avg_degree",
+             "max_degree", "min_degree", "avg_in_degree", "max_in_degree",
+             "min_in_degree", "avg_out_degree", "max_out_degree",
+             "min_out_degree"]
+    rows = []
+    for t in info.all_tables():
+        table = _resolve_table(executor, t)
+        n = table.row_count
+        if t.is_vertex_table:
+            rows.append([t.table_name, t.main_label, True, None, None, n] +
+                        [None] * 12)
+        else:
+            src_col = table.get_column(t.source_fk[0])
+            dst_col = table.get_column(t.destination_fk[0])
+            src = np.asarray([src_col.value(i) for i in range(n)])
+            dst = np.asarray([dst_col.value(i) for i in range(n)])
+            d_src = len(np.unique(src)) if n else 0
+            d_dst = len(np.unique(dst)) if n else 0
+            vt = [v for v in info.vertex_tables
+                  if v.table_name.lower() == t.source_reference.lower()]
+            isolated = None
+            if vt:
+                vtable = _resolve_table(executor, vt[0])
+                pk_col = vtable.get_column(t.source_pk[0])
+                ids = np.asarray([pk_col.value(i)
+                                  for i in range(vtable.row_count)])
+                used = set(src.tolist()) | set(dst.tolist())
+                isolated = int(sum(1 for x in ids if x not in used))
+            def _stats(arr, total):
+                if len(arr) == 0:
+                    return [None, None, None]
+                counts = {}
+                for x in arr:
+                    counts[x] = counts.get(x, 0) + 1
+                vals = list(counts.values())
+                return [float(np.mean(vals)), int(np.max(vals)),
+                        int(np.min(vals))]
+            out_stats = _stats(src, n)
+            in_stats = _stats(dst, n)
+            both = _stats(np.concatenate([src, dst]), n)
+            rows.append([t.table_name, t.main_label, False,
+                         t.source_reference, t.destination_reference, n,
+                         d_src, d_dst, isolated] + both + in_stats + out_stats)
+    types = [VARCHAR, VARCHAR, BOOLEAN, VARCHAR, VARCHAR, BIGINT, BIGINT,
+             BIGINT, BIGINT, DOUBLE, BIGINT, BIGINT, DOUBLE, BIGINT, BIGINT,
+             DOUBLE, BIGINT, BIGINT]
+    cols = [Vector.from_values([r[j] for r in rows], types[j])
+            for j in range(len(names))]
+    return QueryResult(names, cols)

@@ -1418,7 +1418,7 @@ class Parser:
                 parts.append(self.expect_ident())
             fks, pks = [], []
         ref = parts[-1]
-        schema = parts[-2] if len(parts) >= 2 else "main"
+        schema = parts[-2] if len(parts) >= 2 else ""
         catalog = parts[-3] if len(parts) >= 3 else ""
         if source:
             t.source_fk, t.source_pk = fks, pks
@@ -1543,8 +1543,11 @@ class Parser:
     def parse_vertex_pattern(self) -> past.PathReference:
         self.expect_op("(")
         el = past.PathElement(match_type=past.PGQMatchType.MATCH_VERTEX)
-        if self.at_ident() and not self.peek().is_kw("WHERE"):
-            el.variable_binding = self.expect_ident()
+        # binding identifier is mandatory in the reference grammar
+        # (pgq.gram GraphVertexReference <- '(' Identifier ...)
+        if self.peek().is_kw("WHERE") or not self.at_ident():
+            self.error("expected vertex binding identifier")
+        el.variable_binding = self.expect_ident()
         if self.accept_op(":") or self.accept_kw("IS"):
             el.label = self.expect_ident()
         where = None
@@ -1560,50 +1563,32 @@ class Parser:
         return t1.end == t2.start
 
     def parse_edge_pattern(self) -> past.PathReference:
-        """Edge directions per reference pgq.gram:60-68: ``-[..]->`` ``<-[..]-``
-        ``-[..]-`` ``<-[..]->`` plus abbreviated ``->`` etc.; then an optional
-        quantifier ``* + ? {n} {n,m}``."""
+        """Edge directions per reference pgq.gram:60-68: ``-[b]->`` ``<-[b]-``
+        ``-[b]-`` ``<-[b]->`` — the bracketed body is mandatory (the reference
+        grammar rejects abbreviated ``->`` edges and empty ``[]`` bodies,
+        test/sql/path_finding/parser_arrow_kleene.test), arrows may be spaced
+        (``- >``); then an optional quantifier ``* + ? {n} {n,m}``."""
         left_arrow = False
         if self.peek().is_op("<"):
-            t1 = self.next()
-            t2 = self.expect_op("-")
-            if not self._adjacent(t1, t2):
-                self.error("malformed edge pattern")
+            self.next()
+            self.expect_op("-")
             left_arrow = True
         else:
             self.expect_op("-")
         el = past.PathElement()
         where = None
-        has_body = False
-        if self.accept_op("["):
-            has_body = True
-            if self.at_ident() and not self.peek().is_kw("WHERE"):
-                el.variable_binding = self.expect_ident()
-            if self.accept_op(":") or self.accept_kw("IS"):
-                el.label = self.expect_ident()
-            if self.accept_kw("WHERE"):
-                where = self.parse_expression()
-            self.expect_op("]")
-            # right endpoint
-            if self.peek().is_op("-"):
-                t1 = self.next()
-                if self.peek().is_op(">") and self._adjacent(t1, self.peek()):
-                    self.next()
-                    right_arrow = True
-                else:
-                    right_arrow = False
-            else:
-                self.error("expected edge right endpoint")
-        else:
-            # abbreviated edge: - or -> or <- or <->
-            if self.peek().is_op(">") and \
-                    self._adjacent(self.tokens[self.pos - 1], self.peek()):
-                self.next()
-                right_arrow = True
-            else:
-                right_arrow = False
-        if not has_body:
-            pass
+        self.expect_op("[")
+        if self.peek().is_kw("WHERE") or not self.at_ident():
+            self.error("expected edge binding identifier")
+        el.variable_binding = self.expect_ident()
+        if self.accept_op(":") or self.accept_kw("IS"):
+            el.label = self.expect_ident()
+        if self.accept_kw("WHERE"):
+            where = self.parse_expression()
+        self.expect_op("]")
+        # right endpoint: '-' optionally followed by '>'
+        self.expect_op("-")
+        right_arrow = bool(self.accept_op(">"))
         if left_arrow and right_arrow:
             el.match_type = past.PGQMatchType.MATCH_EDGE_LEFT_RIGHT
         elif left_arrow:
