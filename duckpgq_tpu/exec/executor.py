@@ -55,6 +55,22 @@ class Executor:
     def catalog(self):
         return self.connection.catalog
 
+    def default_schema(self) -> str:
+        sp = self.connection.settings.get("search_path")
+        if sp:
+            return str(sp).split(",")[0].strip()
+        return "main"
+
+    def schema_search_order(self, explicit):
+        if explicit:
+            return [explicit]
+        sp = self.connection.settings.get("search_path")
+        out = []
+        if sp:
+            out.extend(x.strip() for x in str(sp).split(",") if x.strip())
+        out.append("main")
+        return out
+
     # ================================================================ dispatch
     def execute_statement(self, stmt: a.Statement) -> QueryResult:
         if isinstance(stmt, a.SelectStatement):
@@ -233,13 +249,8 @@ class Executor:
     # --------------------------------------------------------- SELECT node
     def execute_select_node(self, node: a.SelectNode, outer, env
                             ) -> Tuple[QueryResult, Optional[dict]]:
-        rel = self.execute_from(node.from_table, outer, env)
-        # WHERE
-        if node.where is not None:
-            ev = Evaluator(self, rel, outer, env=env)
-            cond = ev.as_bool(ev.evaluate(node.where))
-            mask = cond.data.astype(bool) & cond.validity
-            rel = rel.filter(mask)
+        rel = self.execute_from_filtered(node.from_table, node.where, outer,
+                                         env)
 
         # aggregate detection
         aggs: List[a.AggregateCall] = []
@@ -503,6 +514,158 @@ class Executor:
             f"ORDER BY expression could not be resolved")
 
     # ----------------------------------------------------------------- FROM
+    def execute_from_filtered(self, ref: a.TableRef, where, outer, env
+                              ) -> Relation:
+        """FROM + WHERE with greedy join ordering / predicate pushdown:
+        cross-join chains become hash joins driven by the WHERE equi-
+        conjuncts, and filters apply as soon as their columns are available
+        (the reference delegates this to DuckDB's optimizer; SURVEY.md §7.3
+        lists join ordering as a required component of the rebuild)."""
+        items: List[a.TableRef] = []
+
+        def flatten(r):
+            if isinstance(r, a.JoinRef) and r.join_type == "CROSS":
+                flatten(r.left)
+                flatten(r.right)
+            else:
+                items.append(r)
+        flatten(ref) if ref is not None else items.append(ref)
+        if len(items) <= 1 or where is None:
+            rel = self.execute_from(ref, outer, env)
+            if where is not None:
+                ev = Evaluator(self, rel, outer, env=env)
+                cond = ev.as_bool(ev.evaluate(where))
+                rel = rel.filter(cond.data.astype(bool) & cond.validity)
+            return rel
+
+        rels = [self.execute_from(item, outer, env) for item in items]
+        conjuncts: List[a.Expression] = []
+
+        def split(e):
+            if isinstance(e, a.Conjunction) and e.op == "AND":
+                for c in e.children:
+                    split(c)
+            else:
+                conjuncts.append(e)
+        split(where)
+
+        def refs_of(e) -> Optional[set]:
+            """Item indices referenced by e's column refs; None when a ref
+            resolves in no item (outer correlation — defer to the end)."""
+            out = set()
+            unresolved = [False]
+
+            def visit(x):
+                if isinstance(x, a.ColumnRef):
+                    hit = False
+                    for j, r in enumerate(rels):
+                        try:
+                            if r.resolve(x.parts) is not None:
+                                out.add(j)
+                                hit = True
+                                break
+                        except BinderException:
+                            out.add(j)
+                            hit = True
+                            break
+                    if not hit:
+                        unresolved[0] = True
+                elif isinstance(x, a.SubqueryExpr):
+                    if x.child is not None:
+                        visit(x.child)
+                else:
+                    from .expression import _children
+                    for ch in _children(x):
+                        visit(ch)
+            visit(e)
+            return None if unresolved[0] else out
+
+        conj_refs = [refs_of(c) for c in conjuncts]
+        pending = list(range(len(conjuncts)))
+        joined = rels[0]
+        joined_set = {0}
+        remaining_items = list(range(1, len(items)))
+
+        def apply_ready_filters():
+            nonlocal joined
+            applied = []
+            for ci in pending:
+                r = conj_refs[ci]
+                if r is not None and r.issubset(joined_set):
+                    ev = Evaluator(self, joined, outer, env=env)
+                    try:
+                        cond = ev.as_bool(ev.evaluate(conjuncts[ci]))
+                    except BinderException:
+                        continue   # needs more context; retry at the end
+                    joined = joined.filter(
+                        cond.data.astype(bool) & cond.validity)
+                    applied.append(ci)
+            for ci in applied:
+                pending.remove(ci)
+
+        apply_ready_filters()
+        while remaining_items:
+            # find an equi conjunct connecting joined_set to one new item
+            next_item = None
+            for ci in pending:
+                c = conjuncts[ci]
+                r = conj_refs[ci]
+                if not isinstance(c, a.Comparison) or c.op != "=" or \
+                        r is None:
+                    continue
+                new = r - joined_set
+                if len(new) == 1 and (r & joined_set):
+                    next_item = new.pop()
+                    break
+            if next_item is None:
+                next_item = remaining_items[0]
+            remaining_items.remove(next_item)
+            right = rels[next_item]
+            # gather all equi conjuncts between joined_set and next_item
+            equi_pairs = []
+            used = []
+            for ci in pending:
+                c = conjuncts[ci]
+                r = conj_refs[ci]
+                if not isinstance(c, a.Comparison) or c.op != "=" or \
+                        r is None:
+                    continue
+                if not (next_item in r and
+                        (r - {next_item}).issubset(joined_set) and
+                        len(r) > 1):
+                    continue
+                lside = self._side_of(c.left, joined, right)
+                rside = self._side_of(c.right, joined, right)
+                if lside == "L" and rside == "R":
+                    equi_pairs.append((c.left, c.right))
+                    used.append(ci)
+                elif lside == "R" and rside == "L":
+                    equi_pairs.append((c.right, c.left))
+                    used.append(ci)
+            if equi_pairs:
+                lkeys = [self._eval_side(e_l, joined, outer)
+                         for e_l, _ in equi_pairs]
+                rkeys = [self._eval_side(e_r, right, outer)
+                         for _, e_r in equi_pairs]
+                lcode, rcode = factorize_keys(lkeys, rkeys)
+                li, ri = equi_join_pairs(lcode, rcode)
+                joined = Relation.concat_horizontal(joined.take(li),
+                                                    right.take(ri))
+                for ci in used:
+                    pending.remove(ci)
+            else:
+                li, ri = cross_pairs(joined.row_count, right.row_count)
+                joined = Relation.concat_horizontal(joined.take(li),
+                                                    right.take(ri))
+            joined_set.add(next_item)
+            apply_ready_filters()
+        # leftover conjuncts (correlated or previously unresolvable)
+        for ci in pending:
+            ev = Evaluator(self, joined, outer, env=env)
+            cond = ev.as_bool(ev.evaluate(conjuncts[ci]))
+            joined = joined.filter(cond.data.astype(bool) & cond.validity)
+        return joined
+
     def execute_from(self, ref: a.TableRef, outer, env) -> Relation:
         if ref is None or isinstance(ref, a.EmptyTableRef):
             # single-row dummy relation
@@ -563,9 +726,16 @@ class Executor:
                     names[:len(ref.column_aliases)] = list(ref.column_aliases)
                 return Relation.from_columns(alias, names, cached.columns,
                                              with_rowid=True)
+        if ref.schema and ref.schema.lower() == "information_schema":
+            return self._information_schema_relation(ref)
         catalog = self.connection.resolve_catalog(ref.catalog)
+        schemas = self.schema_search_order(ref.schema)
         # view?
-        view = catalog.get_view(ref.table, ref.schema)
+        view = None
+        for sch in schemas:
+            view = catalog.get_view(ref.table, sch)
+            if view is not None:
+                break
         if view is not None:
             res = self.execute_select(view.query, None, None)
             alias = ref.alias or ref.table
@@ -574,7 +744,11 @@ class Executor:
                 names[:len(view.column_aliases)] = list(view.column_aliases)
             return Relation.from_columns(alias, names, res.columns,
                                          with_rowid=True)
-        table = catalog.get_table(ref.table, ref.schema, missing_ok=True)
+        table = None
+        for sch in schemas:
+            table = catalog.get_table(ref.table, sch, missing_ok=True)
+            if table is not None:
+                break
         if table is None:
             # search attached catalogs
             table = self.connection.find_table_any_catalog(
@@ -589,6 +763,44 @@ class Executor:
             for i, nm in enumerate(ref.column_aliases):
                 b.names[i] = nm
         return rel
+
+    def _information_schema_relation(self, ref: a.BaseTableRef) -> Relation:
+        db = self.connection.database
+        name = ref.table.lower()
+        if name == "tables":
+            rows = []
+            for schema in db.catalog.schemas.values():
+                for t in schema.tables.values():
+                    rows.append(["memory", schema.name, t.name, "BASE TABLE"])
+                for v in schema.views.values():
+                    rows.append(["memory", schema.name, v.name, "VIEW"])
+            names = ["table_catalog", "table_schema", "table_name",
+                     "table_type"]
+            cols = [Vector.from_values([r[j] for r in rows], VARCHAR)
+                    for j in range(4)]
+            return Relation.from_columns(ref.alias or "tables", names, cols,
+                                         with_rowid=True)
+        if name == "columns":
+            rows = []
+            for schema in db.catalog.schemas.values():
+                for t in schema.tables.values():
+                    for i, cdef in enumerate(t.column_defs):
+                        rows.append(["memory", schema.name, t.name,
+                                     cdef.name, i + 1, str(cdef.type)])
+            names = ["table_catalog", "table_schema", "table_name",
+                     "column_name", "ordinal_position", "data_type"]
+            cols = [
+                Vector.from_values([r[0] for r in rows], VARCHAR),
+                Vector.from_values([r[1] for r in rows], VARCHAR),
+                Vector.from_values([r[2] for r in rows], VARCHAR),
+                Vector.from_values([r[3] for r in rows], VARCHAR),
+                Vector.from_values([r[4] for r in rows], BIGINT),
+                Vector.from_values([r[5] for r in rows], VARCHAR),
+            ]
+            return Relation.from_columns(ref.alias or "columns", names, cols,
+                                         with_rowid=True)
+        raise CatalogException(
+            f'Table with name {ref.table} does not exist!')
 
     def execute_values(self, ref: a.ValuesRef, outer, env) -> Relation:
         ev_rel = Relation([Vector(BIGINT, np.zeros(1, dtype=np.int64))],
@@ -627,6 +839,14 @@ class Executor:
         left = self.execute_from(ref.left, outer, env)
         right = self.execute_from(ref.right, outer, env)
         jt = ref.join_type
+        if jt == "POSITIONAL":
+            n = min(left.row_count, right.row_count)
+            idx = np.arange(n)
+            lpart = left.take(idx)
+            rpart = right.take(idx)
+            if left.row_count > n:
+                pass
+            return Relation.concat_horizontal(lpart, rpart)
         if jt == "CROSS":
             li, ri = cross_pairs(left.row_count, right.row_count)
             return Relation.concat_horizontal(
@@ -871,7 +1091,28 @@ class Executor:
             return QueryResult([], [])
         defs = [ColumnDefinition(nm, t, nn, default)
                 for nm, t, nn, default in stmt.columns]
-        table = DataTable(stmt.name, defs, schema=stmt.schema or "main")
+        table = DataTable(stmt.name, defs,
+                          schema=stmt.schema or self.default_schema())
+        table.constraints = list(getattr(stmt, "constraints", []))
+        # validate foreign keys (DuckDB semantics: referenced table must
+        # exist in this table's schema/main and carry a PK/UNIQUE)
+        for c in table.constraints:
+            if c[0] != "fk":
+                continue
+            _, fk_cols, ref_name, pk_cols = c
+            ref_table = None
+            for sch in (table.schema, "main"):
+                ref_table = catalog.get_table(ref_name, sch, missing_ok=True)
+                if ref_table is not None:
+                    break
+            if ref_table is None:
+                raise CatalogException(
+                    f"Table with name {ref_name} does not exist!")
+            has_pk = any(rc[0] == "pk" for rc in ref_table.constraints)
+            if not has_pk:
+                raise BinderException(
+                    f"Failed to create foreign key: there is no primary key "
+                    f'or unique constraint for referenced table "{ref_name}"')
         catalog.create_table(table, or_replace=stmt.or_replace,
                              if_not_exists=stmt.if_not_exists)
         return QueryResult([], [])
@@ -1050,13 +1291,10 @@ class Executor:
                 continue
             with open(path) as f:
                 text = f.read()
-            prev = self.connection.database.base_path
-            self.connection.database.base_path = os.path.dirname(base) or "."
-            try:
-                for s in parse_sql(text):
-                    self.execute_statement(s)
-            finally:
-                self.connection.database.base_path = prev
+            # load.sql paths are relative to the exporting process's cwd,
+            # i.e. the same base_path the caller is already using
+            for s in parse_sql(text):
+                self.execute_statement(s)
         return QueryResult([], [])
 
     def execute_attach(self, stmt: a.AttachStatement) -> QueryResult:

@@ -503,6 +503,9 @@ class Evaluator:
             return fn(args)
         idx = self.evaluate(e.index)
         if base.type.id == TypeId.STRUCT:
+            if len(idx) == 0:
+                from ..types import SQLNULL as _N
+                return Vector.empty(_N)
             return self._struct_field(base, str(idx.data[0]))
         fn = get_function("list_element")
         return fn([base, idx])
@@ -532,9 +535,19 @@ class Evaluator:
 
     # ------------------------------------------------------------ subqueries
     def evaluate_subquery(self, e: a.SubqueryExpr) -> Vector:
-        probe = OuterScope(self.rel, 0, self.outer)
         if self.n == 0:
-            return Vector.empty(SQLNULL)
+            # uncorrelated subqueries still execute once (DuckDB plans them
+            # as independent nodes; the PGQ CSR-build side effects rely on
+            # this — e.g. create_csr_vertex under an empty edge CTE)
+            try:
+                res = self.executor.execute_select(e.subquery,
+                                                   outer=self.outer,
+                                                   cte_env=self.env)
+                typ = res.columns[0].type if res.columns else SQLNULL
+            except BinderException:
+                typ = SQLNULL
+            return Vector.empty(typ if e.kind == "SCALAR" else BOOLEAN)
+        probe = OuterScope(self.rel, 0, self.outer)
         result0 = self.executor.execute_select(e.subquery, outer=probe, cte_env=self.env)
         correlated = probe.accessed
         if e.kind == "SCALAR":

@@ -833,3 +833,66 @@ def fn_xor(args):
     x, y = args
     out = x.data.astype(np.int64) ^ y.data.astype(np.int64)
     return Vector(BIGINT, out, _common_validity(args))
+
+
+@register("regexp_extract")
+def fn_regexp_extract(args):
+    """regexp_extract(s, pattern[, group_or_names]) — with a name list the
+    result is a STRUCT of the captured groups (DuckDB semantics)."""
+    from ..types import STRUCT
+    s, pat = args[0], args[1]
+    n = len(s)
+    third = args[2] if len(args) > 2 else None
+    names = None
+    group = 0
+    if third is not None and n > 0:
+        if third.type.id == TypeId.LIST:
+            names = [str(x) for x in (third.data[0] or [])]
+        else:
+            group = int(third.data[0])
+    elif third is not None and third.type.id == TypeId.LIST:
+        names = []
+    validity = s.validity & pat.validity
+    if names is not None:
+        typ = STRUCT([(nm, VARCHAR) for nm in names])
+        out = np.empty(n, dtype=object)
+        for i in range(n):
+            if not validity[i]:
+                continue
+            m = re.search(str(pat.data[i]), str(s.data[i]))
+            if m:
+                out[i] = tuple(m.group(j + 1) or "" for j in range(len(names)))
+            else:
+                out[i] = tuple("" for _ in names)
+        return Vector(typ, out, validity)
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        if validity[i]:
+            m = re.search(str(pat.data[i]), str(s.data[i]))
+            out[i] = (m.group(group) if m else "") or ""
+    return Vector(VARCHAR, out, validity)
+
+
+@register("current_database")
+def fn_current_database(args):
+    n = len(args[0]) if args else 1
+    out = np.empty(n, dtype=object)
+    out[:] = "memory"
+    return Vector(VARCHAR, out, np.ones(n, dtype=bool))
+
+
+@register("current_schema")
+def fn_current_schema(args):
+    n = len(args[0]) if args else 1
+    out = np.empty(n, dtype=object)
+    out[:] = "main"
+    return Vector(VARCHAR, out, np.ones(n, dtype=bool))
+
+
+@register("typeof")
+def fn_typeof(args):
+    a = args[0]
+    n = len(a)
+    out = np.empty(n, dtype=object)
+    out[:] = str(a.type)
+    return Vector(VARCHAR, out, np.ones(n, dtype=bool))

@@ -121,7 +121,11 @@ def _csr(executor, csr_id: int):
 
 def _fn_get_csr_v(executor, args):
     csr = _csr(executor, args[0])
-    return ["csrv"], [Vector(BIGINT, np.asarray(csr.v, dtype=np.int64))]
+    # reference layout is V+2 entries (padded, csr_creation.cpp:29-30); our
+    # canonical offsets are [V+1] — expose the padded view for parity
+    v = np.asarray(csr.v, dtype=np.int64)
+    v = np.append(v, v[-1] if len(v) else 0)
+    return ["csrv"], [Vector(BIGINT, v)]
 
 
 def _fn_get_csr_e(executor, args):
@@ -209,6 +213,75 @@ def arg_to_string_any(args):
     return str(args[0])
 
 
+def _fn_duckdb_constraints(executor, args):
+    """duckdb_constraints() system table function (constraint metadata the
+    reference corpus inspects, e.g. test/sql/source_keyword.test)."""
+    rows = []
+    db = executor.connection.database
+    for schema in db.catalog.schemas.values():
+        for table in schema.tables.values():
+            for c in table.constraints:
+                if c[0] == "pk":
+                    text = f"PRIMARY KEY({', '.join(c[1])})"
+                    rows.append(["memory", schema.name, table.name,
+                                 "PRIMARY KEY", text])
+                elif c[0] == "fk":
+                    _, fk_cols, ref, pk_cols = c
+                    text = (f"FOREIGN KEY ({', '.join(fk_cols)}) REFERENCES "
+                            f"{ref}({', '.join(pk_cols) if pk_cols else ''})")
+                    rows.append(["memory", schema.name, table.name,
+                                 "FOREIGN KEY", text])
+            for cdef in table.column_defs:
+                if cdef.not_null:
+                    rows.append(["memory", schema.name, table.name,
+                                 "NOT NULL", f"NOT NULL({cdef.name})"])
+    names = ["database_name", "schema_name", "table_name",
+             "constraint_type", "constraint_text"]
+    cols = [Vector.from_values([r[j] for r in rows], VARCHAR)
+            for j in range(5)]
+    return names, cols
+
+
+def _fn_duckdb_tables(executor, args):
+    rows = []
+    db = executor.connection.database
+    for schema in db.catalog.schemas.values():
+        for table in schema.tables.values():
+            rows.append(["memory", schema.name, table.name,
+                         len(table.column_defs), table.row_count])
+    names = ["database_name", "schema_name", "table_name",
+             "column_count", "estimated_size"]
+    cols = [
+        Vector.from_values([r[0] for r in rows], VARCHAR),
+        Vector.from_values([r[1] for r in rows], VARCHAR),
+        Vector.from_values([r[2] for r in rows], VARCHAR),
+        Vector.from_values([r[3] for r in rows], BIGINT),
+        Vector.from_values([r[4] for r in rows], BIGINT),
+    ]
+    return names, cols
+
+
+def _fn_duckdb_columns(executor, args):
+    rows = []
+    db = executor.connection.database
+    for schema in db.catalog.schemas.values():
+        for table in schema.tables.values():
+            for i, cdef in enumerate(table.column_defs):
+                rows.append(["memory", schema.name, table.name, cdef.name,
+                             i, str(cdef.type)])
+    names = ["database_name", "schema_name", "table_name", "column_name",
+             "column_index", "data_type"]
+    cols = [
+        Vector.from_values([r[0] for r in rows], VARCHAR),
+        Vector.from_values([r[1] for r in rows], VARCHAR),
+        Vector.from_values([r[2] for r in rows], VARCHAR),
+        Vector.from_values([r[3] for r in rows], VARCHAR),
+        Vector.from_values([r[4] for r in rows], BIGINT),
+        Vector.from_values([r[5] for r in rows], VARCHAR),
+    ]
+    return names, cols
+
+
 def _register_all():
     from ..pgq import algorithms as alg
     registry: Dict[str, Callable] = {
@@ -231,6 +304,9 @@ def _register_all():
         "get_pg_etablenames": _relation_fn(_fn_get_pg_etablenames),
         "get_pg_vcolnames": _relation_fn(_fn_get_pg_vcolnames),
         "get_pg_ecolnames": _relation_fn(_fn_get_pg_ecolnames),
+        "duckdb_constraints": _relation_fn(_fn_duckdb_constraints),
+        "duckdb_tables": _relation_fn(_fn_duckdb_tables),
+        "duckdb_columns": _relation_fn(_fn_duckdb_columns),
     }
     return registry
 

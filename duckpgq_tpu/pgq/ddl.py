@@ -63,15 +63,21 @@ def _resolve_table(executor, pg_table: PropertyGraphTable) -> DataTable:
                 f"Catalog '{pg_table.catalog_name}' does not exist!")
     else:
         catalog = con.catalog
-    schema = pg_table.schema_name or None
-    view = catalog.get_view(pg_table.table_name, schema)
-    if view is not None:
-        raise InvalidException(
-            f"Found a view with name {pg_table.table_name}, which is not "
-            f"supported by DuckPGQ yet.")
-    table = catalog.get_table(pg_table.table_name, schema, missing_ok=True)
+    schemas = executor.schema_search_order(pg_table.schema_name or None)
+    for sch in schemas:
+        view = catalog.get_view(pg_table.table_name, sch)
+        if view is not None:
+            raise InvalidException(
+                f"Found a view with name {pg_table.table_name}, which is not "
+                f"supported by DuckPGQ yet.")
+    table = None
+    for sch in schemas:
+        table = catalog.get_table(pg_table.table_name, sch, missing_ok=True)
+        if table is not None:
+            break
     if table is None and not pg_table.catalog_name:
-        table = con.find_table_any_catalog(pg_table.table_name, schema, None)
+        table = con.find_table_any_catalog(
+            pg_table.table_name, pg_table.schema_name or None, None)
     if table is None:
         raise InvalidException(
             f"Table with name {pg_table.table_name} does not exist")
@@ -106,18 +112,72 @@ def _validate_columns(pg_table: PropertyGraphTable, table: DataTable):
                 f"or BIGINT")
 
 
+def _discover_keys(executor, edge: PropertyGraphTable, edge_table: DataTable,
+                   key_type: str, ref: str, pks: List[str], fks: List[str]):
+    """FK-constraint key discovery (reference
+    create_property_graph.cpp:104-154 ValidateKeys): when no explicit keys
+    were given, find exactly one FK constraint on the edge table referencing
+    ``ref``; zero with no constraints at all / ambiguity / partial => the
+    reference's exact errors."""
+    if fks or pks:
+        return pks, fks
+    constraints = edge_table.constraints
+    if not constraints:
+        raise InvalidException(
+            f"No primary key - foreign key relationship found in "
+            f"{edge.table_name} with {key_type.upper()} table {ref}")
+    found_pk: List[str] = []
+    found_fk: List[str] = []
+    for c in constraints:
+        if c[0] != "fk":
+            continue
+        _, fk_cols, ref_table, pk_cols = c
+        if ref_table.lower() != ref.lower():
+            continue
+        if found_pk and found_fk:
+            raise InvalidException(
+                f"Multiple primary key - foreign key relationships "
+                f"detected between {edge.table_name} and {ref}. "
+                f"Please explicitly define the primary key and "
+                f"foreign key columns using `{key_type.upper()}"
+                f" KEY <primary key> REFERENCES {ref} <foreign key>`")
+        found_pk = list(pk_cols)
+        found_fk = list(fk_cols)
+    if found_fk and not found_pk:
+        # bare REFERENCES <table>: resolve the referenced table's PRIMARY KEY
+        cat = executor.connection.catalog
+        for sch in executor.schema_search_order(None):
+            rt = cat.get_table(ref, sch, missing_ok=True)
+            if rt is not None:
+                for c in rt.constraints:
+                    if c[0] == "pk":
+                        found_pk = list(c[1])
+                        break
+                break
+    if not found_pk:
+        raise InvalidException(
+            f"The primary key for the {key_type.upper()} table {ref} is "
+            f"not defined in the edge table {edge.table_name}")
+    if not found_fk:
+        raise InvalidException(
+            f"The foreign key for the {key_type.upper()} table {ref} is "
+            f"not defined in the edge table {edge.table_name}")
+    return found_pk, found_fk
+
+
 def _validate_keys(executor, edge: PropertyGraphTable,
                    info: CreatePropertyGraphInfo):
     edge_table = _resolve_table(executor, edge)
+    edge.source_pk, edge.source_fk = _discover_keys(
+        executor, edge, edge_table, "source", edge.source_reference,
+        edge.source_pk, edge.source_fk)
+    edge.destination_pk, edge.destination_fk = _discover_keys(
+        executor, edge, edge_table, "destination", edge.destination_reference,
+        edge.destination_pk, edge.destination_fk)
     for key_type, pks, fks, ref in (
             ("source", edge.source_pk, edge.source_fk, edge.source_reference),
             ("destination", edge.destination_pk, edge.destination_fk,
              edge.destination_reference)):
-        if not pks or not fks:
-            raise InvalidException(
-                f"No primary key - foreign key relationship found in "
-                f"{edge.table_name} with referenced table {ref}. "
-                f"Please define the SOURCE/DESTINATION KEY explicitly.")
         # referenced vertex table must be registered
         vt = None
         for v in info.vertex_tables:
@@ -127,19 +187,18 @@ def _validate_keys(executor, edge: PropertyGraphTable,
         if vt is None:
             raise InvalidException(
                 f"Referenced vertex table {ref} is not registered in the "
-                f"vertex tables of property graph "
-                f"{info.property_graph_name}.")
+                f"vertex tables.")
         ref_table = _resolve_table(executor, vt)
         for pk in pks:
             if not ref_table.has_column(pk):
                 raise InvalidException(
-                    f"The primary key for the {key_type.upper()} table "
-                    f"{ref} was not found in the table")
+                    f"Primary key {pk} does not exist in table "
+                    f"{vt.table_name}")
         for fk in fks:
             if not edge_table.has_column(fk):
                 raise InvalidException(
-                    f"The foreign key for the {key_type.upper()} table "
-                    f"{ref} was not found in the table")
+                    f"Foreign key {fk} does not exist in table "
+                    f"{edge.table_name}")
         if key_type == "source":
             edge.source_pg_table = vt
         else:

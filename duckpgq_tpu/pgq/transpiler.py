@@ -849,9 +849,16 @@ class MatchTranspiler:
         if self.m.where_clause is not None:
             conditions.append(self.normalize_expression(self.m.where_clause))
 
-        # FROM: cross join of all alias tables + extras
+        # FROM: cross join of all alias tables + extras. Edge tables come
+        # first: the probe side drives output row order, and the host
+        # engine's plans scan the (larger) edge side — keeps LIMIT-without-
+        # ORDER test expectations aligned.
+        ordered_aliases = [al for al in self.alias_order
+                           if not self.alias_map[al.lower()].is_vertex_table]
+        ordered_aliases += [al for al in self.alias_order
+                            if self.alias_map[al.lower()].is_vertex_table]
         from_refs: List[a.TableRef] = []
-        for alias in self.alias_order:
+        for alias in ordered_aliases:
             custom = self.custom_from.get(alias.lower())
             if custom is not None:
                 from_refs.append(custom)
@@ -930,5 +937,5 @@ def bind_graph_table(executor, ref) -> Tuple[a.SelectStatement, str]:
     m = ref.match_expr
     transpiler = MatchTranspiler(executor, m)
     stmt = transpiler.transpile()
-    alias = ref.alias or m.alias or "unnamed_graphtable"
+    alias = ref.alias or m.alias or "unnamed_subquery"
     return stmt, alias

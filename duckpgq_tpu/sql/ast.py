@@ -331,6 +331,7 @@ class CreateTableStatement(Statement):
     or_replace: bool = False
     if_not_exists: bool = False
     temporary: bool = False
+    constraints: list = field(default_factory=list)  # ("pk",cols)/("fk",...)
 
 
 @dataclass

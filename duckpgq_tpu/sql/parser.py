@@ -356,6 +356,13 @@ class Parser:
                 natural = True
                 self.next()
                 tok = self.peek()
+            if tok.is_kw("POSITIONAL"):
+                self.next()
+                self.expect_kw("JOIN")
+                right = self.parse_single_table_ref()
+                left = a.JoinRef(left=left, right=right,
+                                 join_type="POSITIONAL")
+                continue
             join_type = None
             if tok.is_kw("JOIN"):
                 join_type = "INNER"
@@ -1010,47 +1017,44 @@ class Parser:
             stmt.query = self.parse_select_statement()
             return stmt
         self.expect_op("(")
+        constraints: List[tuple] = []
         while True:
-            cname = self.expect_ident()
-            ctype = self.parse_type()
-            not_null = False
-            default = None
-            while True:
-                if self.accept_kw("NOT"):
-                    self.expect_kw("NULL")
-                    not_null = True
-                elif self.accept_kw("NULL"):
-                    pass
-                elif self.accept_kw("PRIMARY"):
-                    self.expect_kw("KEY")
-                    not_null = True
-                elif self.accept_kw("UNIQUE"):
-                    pass
-                elif self.accept_kw("DEFAULT"):
-                    default = self.parse_expression()
-                elif self.accept_kw("REFERENCES"):
-                    self.expect_ident()
-                    if self.accept_op("("):
-                        self.expect_ident()
-                        self.expect_op(")")
-                elif self.accept_kw("CHECK"):
-                    self.expect_op("(")
-                    depth = 1
-                    while depth:
-                        t2 = self.next()
-                        if t2.is_op("("):
-                            depth += 1
-                        elif t2.is_op(")"):
-                            depth -= 1
-                else:
-                    break
-            stmt.columns.append((cname, ctype, not_null, default))
-            if not self.accept_op(","):
-                break
+            if self.peek().is_op(")"):
+                break   # trailing comma (DuckDB-compatible)
             # table-level constraints
-            if self.peek().is_kw("PRIMARY", "FOREIGN", "UNIQUE", "CHECK",
-                                 "CONSTRAINT"):
-                while not self.peek().is_op(")"):
+            if self.peek().is_kw("PRIMARY"):
+                self.next()
+                self.expect_kw("KEY")
+                self.expect_op("(")
+                cols = [self.expect_ident()]
+                while self.accept_op(","):
+                    cols.append(self.expect_ident())
+                self.expect_op(")")
+                constraints.append(("pk", cols))
+            elif self.peek().is_kw("FOREIGN"):
+                self.next()
+                self.expect_kw("KEY")
+                self.expect_op("(")
+                fk_cols = [self.expect_ident()]
+                while self.accept_op(","):
+                    fk_cols.append(self.expect_ident())
+                self.expect_op(")")
+                self.expect_kw("REFERENCES")
+                rparts = [self.expect_ident()]
+                while self.accept_op("."):
+                    rparts.append(self.expect_ident())
+                pk_cols: List[str] = []
+                if self.accept_op("("):
+                    pk_cols.append(self.expect_ident())
+                    while self.accept_op(","):
+                        pk_cols.append(self.expect_ident())
+                    self.expect_op(")")
+                constraints.append(("fk", fk_cols, rparts[-1], pk_cols))
+            elif self.peek().is_kw("UNIQUE", "CHECK", "CONSTRAINT"):
+                # consume and ignore
+                self.next()
+                while not self.peek().is_op(",") and \
+                        not self.peek().is_op(")"):
                     t2 = self.next()
                     if t2.is_op("("):
                         depth = 1
@@ -1060,8 +1064,53 @@ class Parser:
                                 depth += 1
                             elif t3.is_op(")"):
                                 depth -= 1
+            else:
+                cname = self.expect_ident()
+                ctype = self.parse_type()
+                not_null = False
+                default = None
+                while True:
+                    if self.accept_kw("NOT"):
+                        self.expect_kw("NULL")
+                        not_null = True
+                    elif self.accept_kw("NULL"):
+                        pass
+                    elif self.accept_kw("PRIMARY"):
+                        self.expect_kw("KEY")
+                        not_null = True
+                        constraints.append(("pk", [cname]))
+                    elif self.accept_kw("UNIQUE"):
+                        pass
+                    elif self.accept_kw("DEFAULT"):
+                        default = self.parse_expression()
+                    elif self.accept_kw("REFERENCES"):
+                        rparts = [self.expect_ident()]
+                        while self.accept_op("."):
+                            rparts.append(self.expect_ident())
+                        pk_cols = []
+                        if self.accept_op("("):
+                            pk_cols.append(self.expect_ident())
+                            while self.accept_op(","):
+                                pk_cols.append(self.expect_ident())
+                            self.expect_op(")")
+                        constraints.append(("fk", [cname], rparts[-1],
+                                            pk_cols))
+                    elif self.accept_kw("CHECK"):
+                        self.expect_op("(")
+                        depth = 1
+                        while depth:
+                            t2 = self.next()
+                            if t2.is_op("("):
+                                depth += 1
+                            elif t2.is_op(")"):
+                                depth -= 1
+                    else:
+                        break
+                stmt.columns.append((cname, ctype, not_null, default))
+            if not self.accept_op(","):
                 break
         self.expect_op(")")
+        stmt.constraints = constraints
         if self.accept_kw("AS"):
             stmt.query = self.parse_select_statement()
         return stmt
@@ -1635,7 +1684,12 @@ class Parser:
             else:
                 upper = lower
             self.expect_op("}")
-            return (lower if lower is not None else 0), upper
+            lower = lower if lower is not None else 0
+            if lower > upper:
+                from ..errors import ConstraintException
+                raise ConstraintException(
+                    "Lower bound greater than upper bound")
+            return lower, upper
         return None, None
 
 

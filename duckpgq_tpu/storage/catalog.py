@@ -108,7 +108,7 @@ class Catalog:
 
     def get_table(self, name: str, schema: Optional[str] = None,
                   missing_ok: bool = False) -> Optional[DataTable]:
-        for sname in ([schema] if schema else list(self.schemas)):
+        for sname in ([schema] if schema else ["main"]):
             s = self.schemas.get(sname.lower())
             if s is None:
                 continue
@@ -122,7 +122,7 @@ class Catalog:
             f'Did you mean to query a different table?')
 
     def get_view(self, name: str, schema: Optional[str] = None) -> Optional[View]:
-        for sname in ([schema] if schema else list(self.schemas)):
+        for sname in ([schema] if schema else ["main"]):
             s = self.schemas.get(sname.lower())
             if s is None:
                 continue

@@ -40,6 +40,10 @@ class DataTable:
         self.columns: List[Vector] = [Vector.empty(c.type) for c in columns]
         # version bumps on any mutation; used to invalidate cached CSRs
         self.version = 0
+        # constraints (mirrors the catalog metadata the reference's FK-based
+        # key discovery walks, create_property_graph.cpp:106-154):
+        # ("pk", [cols]) and ("fk", [fk_cols], ref_table, [pk_cols])
+        self.constraints: List[tuple] = []
 
     # -- lookups ------------------------------------------------------------
     @property

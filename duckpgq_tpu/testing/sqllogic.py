@@ -231,9 +231,17 @@ class SQLLogicRunner:
                 result.results.append(self._run_query(con, rec))
         return result
 
+    def _substitute(self, sql: str) -> str:
+        if "__TEST_DIR__" in sql:
+            import tempfile
+            if not hasattr(self, "_test_dir"):
+                self._test_dir = tempfile.mkdtemp(prefix="duckpgq_tpu_test_")
+            sql = sql.replace("__TEST_DIR__", self._test_dir)
+        return sql
+
     def _run_statement(self, con, rec: Record) -> RecordResult:
         try:
-            con.execute(rec.sql)
+            con.execute(self._substitute(rec.sql))
             if rec.expect_error:
                 return RecordResult(rec, "fail",
                                     "expected error but statement succeeded")
@@ -259,10 +267,10 @@ class SQLLogicRunner:
 
     def _run_query(self, con, rec: Record) -> RecordResult:
         try:
-            res = con.execute(rec.sql)
+            res = con.execute(self._substitute(rec.sql))
+            actual_rows = res.rows_as_strings()
         except Exception as e:
             return RecordResult(rec, "fail", f"query failed: {e}")
-        actual_rows = res.rows_as_strings()
         n_cols = len(res.columns)
         # parse expected: either tab-separated rows or one value per line
         expected_rows: List[List[str]] = []

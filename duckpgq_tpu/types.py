@@ -225,6 +225,21 @@ def max_numeric_type(a: LogicalType, b: LogicalType) -> LogicalType:
 _EPOCH = datetime.date(1970, 1, 1)
 
 
+def _civil_from_days(z: int):
+    """Days-since-epoch -> (y, m, d) without datetime range limits
+    (Howard Hinnant's civil_from_days algorithm)."""
+    z += 719468
+    era = (z if z >= 0 else z - 146096) // 146097
+    doe = z - era * 146097
+    yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+    y = yoe + era * 400
+    doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+    mp = (5 * doy + 2) // 153
+    d = doy - (153 * mp + 2) // 5 + 1
+    m = mp + 3 if mp < 10 else mp - 9
+    return (y + (1 if m <= 2 else 0), m, d)
+
+
 def value_to_string(value, typ: LogicalType) -> str:
     """Render a single (non-NULL) value the way the host engine's test runner
     renders it (reference test expectations, e.g. floats as repr, structs as
@@ -243,7 +258,8 @@ def value_to_string(value, typ: LogicalType) -> str:
     if t == TypeId.VARCHAR:
         return str(value)
     if t == TypeId.DATE:
-        return (_EPOCH + datetime.timedelta(days=int(value))).isoformat()
+        y, m, d = _civil_from_days(int(value))
+        return f"{y:04d}-{m:02d}-{d:02d}"
     if t in (TypeId.TIMESTAMP, TypeId.TIMESTAMP_MS, TypeId.TIMESTAMP_S,
              TypeId.TIMESTAMP_NS):
         micros = int(value)
@@ -253,10 +269,14 @@ def value_to_string(value, typ: LogicalType) -> str:
             micros *= 1_000_000
         elif t == TypeId.TIMESTAMP_NS:
             micros //= 1000
-        dt = datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=micros)
-        out = dt.strftime("%Y-%m-%d %H:%M:%S")
-        if dt.microsecond:
-            out += (".%06d" % dt.microsecond).rstrip("0")
+        days, rem = divmod(micros, 86_400_000_000)
+        y, m, d = _civil_from_days(days)
+        secs, frac = divmod(rem, 1_000_000)
+        hh, rest = divmod(secs, 3600)
+        mm, ss = divmod(rest, 60)
+        out = f"{y:04d}-{m:02d}-{d:02d} {hh:02d}:{mm:02d}:{ss:02d}"
+        if frac:
+            out += ("." + f"{frac:06d}").rstrip("0")
         return out
     if t == TypeId.LIST:
         inner = ", ".join(
