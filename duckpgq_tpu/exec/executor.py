@@ -251,6 +251,8 @@ class Executor:
                             ) -> Tuple[QueryResult, Optional[dict]]:
         rel = self.execute_from_filtered(node.from_table, node.where, outer,
                                          env)
+        if getattr(node, "sample", None):
+            rel = self._apply_sample(rel, node.sample)
 
         # aggregate detection
         aggs: List[a.AggregateCall] = []
@@ -351,6 +353,16 @@ class Executor:
             replacements[fingerprint(g_expr)] = slot
             if g_expr.alias:
                 replacements[f"col:{g_expr.alias.lower()}"] = slot
+            if isinstance(g_expr, a.ColumnRef):
+                # register every alias path that reaches the same column so
+                # qualified/unqualified select refs resolve post-aggregation
+                src_slot = rel.resolve(g_expr.parts)
+                col = g_expr.parts[-1].lower()
+                replacements.setdefault(f"col:{col}", slot)
+                for b in rel.bindings:
+                    if b.find(col) == src_slot and b.alias:
+                        replacements.setdefault(
+                            f"col:{b.alias.lower()}.{col}", slot)
         for fp, call in uniq.items():
             impl = get_aggregate(call.name)
             if impl is None:
@@ -369,6 +381,18 @@ class Executor:
         new_rel = new_rel.take(np.argsort(order_first, kind="stable")) \
             if n_groups > 1 else new_rel
         return new_rel, replacements
+
+    def _apply_sample(self, rel: Relation, spec: dict) -> Relation:
+        n = rel.row_count
+        if spec.get("percent"):
+            k = int(round(n * spec["size"] / 100.0))
+        else:
+            k = int(spec["size"])
+        k = min(k, n)
+        rng = np.random.RandomState(spec.get("seed") or 0)
+        idx = np.sort(rng.choice(n, size=k, replace=False)) if n else \
+            np.arange(0)
+        return rel.take(idx)
 
     def _resolve_group_expr(self, g: a.Expression, node: a.SelectNode
                             ) -> a.Expression:
@@ -490,12 +514,20 @@ class Executor:
         # output name / alias match
         if isinstance(e, a.ColumnRef):
             target = e.parts[-1].lower()
-            qualifier = e.parts[0].lower() if len(e.parts) > 1 else None
+            qualified = len(e.parts) > 1
+            if qualified and order_ctx is not None:
+                # alias-qualified: resolve against the source relation
+                rel = order_ctx["rel"]
+                try:
+                    slot = rel.resolve(e.parts)
+                except BinderException:
+                    slot = None
+                if slot is not None and \
+                        len(rel.columns[slot]) == result.row_count:
+                    return rel.columns[slot]
             matches = [i for i, nm in enumerate(result.names)
                        if nm.lower() == target]
-            if len(matches) == 1 and (qualifier is None or True):
-                return result.columns[matches[0]]
-            if len(matches) > 1:
+            if matches:
                 return result.columns[matches[0]]
         # fingerprint match against output columns
         if order_ctx is not None:
@@ -754,6 +786,13 @@ class Executor:
             table = self.connection.find_table_any_catalog(
                 ref.table, ref.schema, ref.catalog)
         if table is None:
+            from ..functions.table import REGISTRY as TF_REGISTRY, \
+                execute_table_function
+            if ref.schema is None and ref.table.lower() in TF_REGISTRY:
+                tf = a.TableFunctionRef(name=ref.table.lower(), args=[],
+                                        alias=ref.alias,
+                                        column_aliases=ref.column_aliases)
+                return execute_table_function(self, tf, outer, env)
             raise CatalogException(
                 f'Table with name {ref.table} does not exist!\n'
                 f'Did you mean to query a different table?')
@@ -1074,8 +1113,10 @@ class Executor:
         if stmt.query is not None:
             res = self.execute_select(stmt.query)
             if stmt.columns:
-                defs = [ColumnDefinition(nm, t, nn)
-                        for nm, t, nn, _ in stmt.columns]
+                defs = [ColumnDefinition(nm, t if t is not None else c.type,
+                                         nn)
+                        for (nm, t, nn, _), c in zip(stmt.columns,
+                                                     res.columns)]
             else:
                 defs = [ColumnDefinition(nm, c.type)
                         for nm, c in zip(res.names, res.columns)]

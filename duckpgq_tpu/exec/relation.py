@@ -117,8 +117,18 @@ class Relation:
         offset = len(left.columns)
         cols = left.columns + right.columns
         bindings = list(left.bindings)
+        existing = {b.alias.lower() for b in bindings}
         for b in right.bindings:
-            bindings.append(Binding(b.alias, list(b.names),
+            alias = b.alias
+            if alias.lower() in existing and \
+                    alias.lower().startswith("unnamed_subquery"):
+                # DuckDB numbers duplicate unnamed subqueries: 2, 3, ...
+                k = 2
+                while f"unnamed_subquery{k}" in existing:
+                    k += 1
+                alias = f"unnamed_subquery{k}"
+            existing.add(alias.lower())
+            bindings.append(Binding(alias, list(b.names),
                                     [i + offset for i in b.indices],
                                     list(b.hidden)))
         return Relation(cols, bindings)
@@ -141,6 +151,19 @@ class Relation:
     def from_columns(alias: str, names: List[str], cols: List[Vector],
                      with_rowid: bool = False) -> "Relation":
         names = list(names)
+        # DuckDB renames duplicate subquery output columns: id, id_1, id_2
+        seen = {}
+        for i, nm in enumerate(names):
+            key = nm.lower()
+            if key in seen:
+                k = seen[key]
+                while f"{nm}_{k}".lower() in seen:
+                    k += 1
+                seen[key] = k + 1
+                names[i] = f"{nm}_{k}"
+                seen[names[i].lower()] = 1
+            else:
+                seen[key] = 1
         cols = list(cols)
         hidden = [False] * len(names)
         if with_rowid:

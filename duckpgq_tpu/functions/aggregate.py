@@ -257,7 +257,7 @@ def agg_bool_or(args, gids, n_groups, distinct):
     return Vector(BOOLEAN, acc, has)
 
 
-def _quantile_impl(interpolate: bool):
+def _quantile_impl(mode: str):
     def impl(args, gids, n_groups, distinct):
         a = args[0]
         q = float(args[1].data[0]) if len(args) > 1 else 0.5
@@ -269,13 +269,22 @@ def _quantile_impl(interpolate: bool):
             sel = valid & (gids == g)
             if sel.any():
                 vals = np.sort(data[sel])
-                if interpolate:
+                if mode == "cont":
                     out[g] = np.quantile(vals, q)
+                elif mode == "approx":
+                    # DuckDB's t-digest behaves like continuous
+                    # interpolation on small inputs, rounded back to the
+                    # input type
+                    v = np.quantile(vals, q)
+                    if a.type.is_integral:
+                        v = np.floor(np.abs(v) + 0.5) * np.sign(v)
+                    out[g] = v
                 else:
                     idx = min(len(vals) - 1, int(np.ceil(q * len(vals))) - 1)
                     idx = max(idx, 0)
                     out[g] = vals[idx]
                 has[g] = True
+        interpolate = mode == "cont"
         typ = DOUBLE if interpolate else a.type
         if not interpolate and a.type.is_integral:
             return Vector(typ, out.astype(a.type.numpy_dtype()), has)
@@ -283,11 +292,11 @@ def _quantile_impl(interpolate: bool):
     return impl
 
 
-register("quantile_cont")(_quantile_impl(True))
-register("median")(_quantile_impl(True))
-register("quantile")(_quantile_impl(False))
-register("quantile_disc")(_quantile_impl(False))
-register("approx_quantile")(_quantile_impl(False))
+register("quantile_cont")(_quantile_impl("cont"))
+register("median")(_quantile_impl("cont"))
+register("quantile")(_quantile_impl("disc"))
+register("quantile_disc")(_quantile_impl("disc"))
+register("approx_quantile")(_quantile_impl("approx"))
 
 
 def _stddev_impl(pop: bool, var: bool):

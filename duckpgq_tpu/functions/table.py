@@ -282,6 +282,38 @@ def _fn_duckdb_columns(executor, args):
     return names, cols
 
 
+def _fn_summarize_pg(executor, ref, outer, env):
+    from ..pgq.ddl import summarize_property_graph_statement
+    name = arg_to_string(ref.args[0])
+    stmt = summarize_property_graph_statement(executor, name)
+    res = executor.execute_select(stmt, outer, env)
+    alias = ref.alias or "summarize"
+    return Relation.from_columns(alias, res.names, res.columns,
+                                 with_rowid=True)
+
+
+def _fn_describe_pg(executor, ref, outer, env):
+    from ..pgq.ddl import execute_describe_property_graph
+    name = arg_to_string(ref.args[0])
+    res = execute_describe_property_graph(executor, name)
+    alias = ref.alias or "describe"
+    return Relation.from_columns(alias, res.names, res.columns,
+                                 with_rowid=True)
+
+
+def _fn_duckdb_databases(executor, args):
+    from ..types import BOOLEAN
+    db = executor.connection.database
+    rows = [[1000, "memory", None, False]]
+    for i, name in enumerate(sorted(db.attached)):
+        rows.append([1001 + i, name, name, False])
+    return (["database_oid", "database_name", "path", "internal"],
+            [Vector.from_values([r[0] for r in rows], BIGINT),
+             Vector.from_values([r[1] for r in rows], VARCHAR),
+             Vector.from_values([r[2] for r in rows], VARCHAR),
+             Vector.from_values([r[3] for r in rows], BOOLEAN)])
+
+
 def _register_all():
     from ..pgq import algorithms as alg
     registry: Dict[str, Callable] = {
@@ -307,6 +339,9 @@ def _register_all():
         "duckdb_constraints": _relation_fn(_fn_duckdb_constraints),
         "duckdb_tables": _relation_fn(_fn_duckdb_tables),
         "duckdb_columns": _relation_fn(_fn_duckdb_columns),
+        "summarize_property_graph": _fn_summarize_pg,
+        "describe_property_graph": _fn_describe_pg,
+        "duckdb_databases": _relation_fn(_fn_duckdb_databases),
     }
     return registry
 

@@ -181,7 +181,9 @@ def _validate_keys(executor, edge: PropertyGraphTable,
         # referenced vertex table must be registered
         vt = None
         for v in info.vertex_tables:
-            if v.table_name.lower() == ref.lower():
+            if v.table_name.lower() == ref.lower() or \
+                    (v.table_name_alias and
+                     v.table_name_alias.lower() == ref.lower()):
                 vt = v
                 break
         if vt is None:
@@ -316,62 +318,102 @@ def execute_describe_property_graph(executor, name: str) -> QueryResult:
     return QueryResult(names, cols)
 
 
-def execute_summarize_property_graph(executor, name: str) -> QueryResult:
-    """Per-table graph statistics (reference
-    summarize_property_graph.cpp:100-274): counts, distinct src/dst, isolated
-    nodes, degree stats."""
+def _summarize_vertex_sql(t) -> str:
+    from .transpiler import _tref_sql
+    null_cols = ["source_table", "destination_table"]
+    head = (f"SELECT '{t.table_name}' AS table_name, "
+            f"true AS is_vertex_table, NULL AS source_table, "
+            f"NULL AS destination_table, count(*) AS vertex_count")
+    rest = ["edge_count", "unique_source_count", "unique_destination_count",
+            "isolated_sources", "isolated_destinations",
+            "avg_in_degree", "min_in_degree", "max_in_degree",
+            "q25_in_degree", "q50_in_degree", "q75_in_degree",
+            "avg_out_degree", "min_out_degree", "max_out_degree",
+            "q25_out_degree", "q50_out_degree", "q75_out_degree"]
+    nulls = ", ".join(f"NULL AS {c}" for c in rest)
+    return f"{head}, {nulls} FROM {_tref_sql(t, 'vertex_table')}"
+
+
+def _summarize_degree_cte(t, fk: str, is_in: bool) -> str:
+    from .transpiler import _q, _tref_sql
+    d = "in_degree" if is_in else "out_degree"
+    return (f"SELECT avg({_q(d)}) AS avg_{d}, min({_q(d)}) AS min_{d}, "
+            f"max({_q(d)}) AS max_{d}, "
+            f"approx_quantile({_q(d)}, 0.25) AS q25_{d}, "
+            f"approx_quantile({_q(d)}, 0.5) AS q50_{d}, "
+            f"approx_quantile({_q(d)}, 0.75) AS q75_{d} FROM ("
+            f"SELECT {_q(fk)}, count(*) AS {_q(d)} FROM "
+            f"{_tref_sql(t, 'degree_source')} GROUP BY {_q(fk)}) "
+            f"AS degree_groups")
+
+
+def _summarize_isolated_sql(t, is_source: bool) -> str:
+    from .transpiler import _col_sql, _q, _tref_sql
+    ref = t.source_reference if is_source else t.destination_reference
+    pk = t.source_pk[0] if is_source else t.destination_pk[0]
+    fk = t.source_fk[0] if is_source else t.destination_fk[0]
+    vt = t.source_pg_table if is_source else t.destination_pg_table
+    return (f"(SELECT count({_col_sql(pk, 'vertex_table')}) FROM "
+            f"{_tref_sql(vt, 'vertex_table')} LEFT JOIN "
+            f"{_tref_sql(t, 'edge_table')} ON "
+            f"{_col_sql(pk, 'vertex_table')} = {_col_sql(fk, 'edge_table')} "
+            f"WHERE {_col_sql(fk, 'edge_table')} IS NULL)")
+
+
+def _summarize_edge_sql(t) -> str:
+    from .transpiler import _col_sql, _q, _tref_sql
+    stats_in = ", ".join(f"(SELECT {c}_in_degree FROM in_degrees) AS "
+                         f"{c}_in_degree"
+                         for c in ("avg", "min", "max", "q25", "q50", "q75"))
+    stats_out = ", ".join(f"(SELECT {c}_out_degree FROM out_degrees) AS "
+                          f"{c}_out_degree"
+                          for c in ("avg", "min", "max", "q25", "q50", "q75"))
+    # reference quirk: the qXX scalars are named qXX_* already in the CTE
+    stats_in = stats_in.replace("avg_in_degree FROM", "avg_in_degree FROM") \
+
+    return (
+        f"WITH in_degrees AS "
+        f"({_summarize_degree_cte(t, t.destination_fk[0], True)}), "
+        f"out_degrees AS "
+        f"({_summarize_degree_cte(t, t.source_fk[0], False)}) "
+        f"SELECT '{t.table_name}' AS table_name, "
+        f"false AS is_vertex_table, "
+        f"'{t.source_reference}' AS source_table, "
+        f"'{t.destination_reference}' AS destination_table, "
+        f"NULL AS vertex_count, count(*) AS edge_count, "
+        f"(SELECT count(DISTINCT {_col_sql(t.source_fk[0], 'edge_count')}) "
+        f"FROM {_tref_sql(t, 'edge_count')}) AS unique_source_count, "
+        f"(SELECT count(DISTINCT "
+        f"{_col_sql(t.destination_fk[0], 'edge_count')}) FROM "
+        f"{_tref_sql(t, 'edge_count')}) AS unique_destination_count, "
+        f"{_summarize_isolated_sql(t, True)} AS isolated_sources, "
+        f"{_summarize_isolated_sql(t, False)} AS isolated_destinations, "
+        f"{stats_in}, {stats_out} FROM {_tref_sql(t, 'edge_table')}")
+
+
+def summarize_property_graph_statement(executor, name: str):
+    """Build the UNION ALL summarize statement (mirrors reference
+    summarize_property_graph.cpp:100-274)."""
+    from ..sql.parser import Parser
     con = executor.connection
     info = con.registered_property_graphs.get(name.lower())
     if info is None:
-        raise InvalidException(f"Property graph {name} does not exist")
-    names = ["table_name", "label", "is_vertex_table", "source_table",
-             "destination_table", "total_count", "distinct_src_count",
-             "distinct_dst_count", "isolated_nodes", "avg_degree",
-             "max_degree", "min_degree", "avg_in_degree", "max_in_degree",
-             "min_in_degree", "avg_out_degree", "max_out_degree",
-             "min_out_degree"]
-    rows = []
-    for t in info.all_tables():
-        table = _resolve_table(executor, t)
-        n = table.row_count
-        if t.is_vertex_table:
-            rows.append([t.table_name, t.main_label, True, None, None, n] +
-                        [None] * 12)
-        else:
-            src_col = table.get_column(t.source_fk[0])
-            dst_col = table.get_column(t.destination_fk[0])
-            src = np.asarray([src_col.value(i) for i in range(n)])
-            dst = np.asarray([dst_col.value(i) for i in range(n)])
-            d_src = len(np.unique(src)) if n else 0
-            d_dst = len(np.unique(dst)) if n else 0
-            vt = [v for v in info.vertex_tables
-                  if v.table_name.lower() == t.source_reference.lower()]
-            isolated = None
-            if vt:
-                vtable = _resolve_table(executor, vt[0])
-                pk_col = vtable.get_column(t.source_pk[0])
-                ids = np.asarray([pk_col.value(i)
-                                  for i in range(vtable.row_count)])
-                used = set(src.tolist()) | set(dst.tolist())
-                isolated = int(sum(1 for x in ids if x not in used))
-            def _stats(arr, total):
-                if len(arr) == 0:
-                    return [None, None, None]
-                counts = {}
-                for x in arr:
-                    counts[x] = counts.get(x, 0) + 1
-                vals = list(counts.values())
-                return [float(np.mean(vals)), int(np.max(vals)),
-                        int(np.min(vals))]
-            out_stats = _stats(src, n)
-            in_stats = _stats(dst, n)
-            both = _stats(np.concatenate([src, dst]), n)
-            rows.append([t.table_name, t.main_label, False,
-                         t.source_reference, t.destination_reference, n,
-                         d_src, d_dst, isolated] + both + in_stats + out_stats)
-    types = [VARCHAR, VARCHAR, BOOLEAN, VARCHAR, VARCHAR, BIGINT, BIGINT,
-             BIGINT, BIGINT, DOUBLE, BIGINT, BIGINT, DOUBLE, BIGINT, BIGINT,
-             DOUBLE, BIGINT, BIGINT]
-    cols = [Vector.from_values([r[j] for r in rows], types[j])
-            for j in range(len(names))]
-    return QueryResult(names, cols)
+        raise InvalidException(f"Property graph {name} not found")
+    parts = []
+    for t in info.vertex_tables:
+        parts.append("(" + _summarize_vertex_sql(t) + ")")
+    for t in info.edge_tables:
+        if getattr(t, "source_pg_table", None) is None:
+            for v in info.vertex_tables:
+                if v.table_name.lower() == t.source_reference.lower():
+                    t.source_pg_table = v
+                if v.table_name.lower() == t.destination_reference.lower():
+                    t.destination_pg_table = v
+        parts.append("(" + _summarize_edge_sql(t) + ")")
+    sql = " UNION ALL ".join(parts)
+    return Parser(sql).parse_statements()[0]
+
+
+def execute_summarize_property_graph(executor, name: str) -> QueryResult:
+    stmt = summarize_property_graph_statement(executor, name)
+    return executor.execute_select(stmt)

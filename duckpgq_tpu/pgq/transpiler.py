@@ -305,11 +305,15 @@ class MatchTranspiler:
 
     def _find_vertex_table(self, el: past.PathElement
                            ) -> past.PropertyGraphTable:
-        return self.info.get_table_by_label(el.label, True, True)
+        # label-less elements fall back to the binding name as label
+        # (reference graph_table_keyword.test: MATCH (Person))
+        label = el.label or el.variable_binding
+        return self.info.get_table_by_label(label, True, True)
 
     def _find_edge_table(self, el: past.PathElement
                          ) -> past.PropertyGraphTable:
-        return self.info.get_table_by_label(el.label, True, False)
+        label = el.label or el.variable_binding
+        return self.info.get_table_by_label(label, True, False)
 
     def _check_inheritance(self, table: past.PropertyGraphTable,
                            el: past.PathElement):
@@ -784,7 +788,11 @@ class MatchTranspiler:
                     out = a.ColumnRef(parts=(binding, col))
                     out.alias = node.alias or prop
                     return out
-                return node
+                # COLUMNS entries may only be <col> or <binding>.<col>;
+                # catalog/schema prefixes are rejected (reference
+                # CheckColumnBinding, no_properties.test:49)
+                raise BinderException(
+                    f"Property {'.'.join(parts)} is never registered!")
             if isinstance(node, a.StructExtract):
                 # a.x.y chains parsed as struct extract over column ref
                 return None
@@ -813,7 +821,12 @@ class MatchTranspiler:
         excl = {x.lower() for x in star.exclude}
         for alias in targets:
             table = self.alias_map[alias.lower()]
-            for p, c in self.registered_properties(table):
+            props = self.registered_properties(table)
+            if table.all_columns:
+                # star expansion iterates the reference's sorted property
+                # map (ASCII order) — whole-binding structs keep table order
+                props = sorted(props, key=lambda pc: pc[0])
+            for p, c in props:
                 if p.lower() in excl:
                     continue
                 ref = a.ColumnRef(parts=(alias, c))
@@ -839,7 +852,18 @@ class MatchTranspiler:
         select_list: List[a.Expression] = []
         for col in columns:
             if isinstance(col, a.Star):
+                if col.relation is not None and \
+                        col.relation.lower() not in self.alias_map:
+                    continue   # reference drops unknown-relation stars
                 select_list.extend(self._expand_star(col))
+            elif isinstance(col, a.FunctionCall) and \
+                    col.name.lower() == "path_length" and col.args and \
+                    isinstance(col.args[0], a.ColumnRef) and \
+                    len(col.args[0].parts) == 1 and \
+                    col.args[0].parts[0].lower() not in self.alias_map:
+                # un-rewritten path_length(unknown) columns are silently
+                # dropped (reference match.cpp:1030-1046)
+                continue
             else:
                 select_list.append(self.normalize_expression(col))
 

@@ -293,6 +293,7 @@ class SelectNode(QueryNode):
     qualify: Optional[Expression] = None
     distinct: bool = False
     distinct_on: List[Expression] = field(default_factory=list)
+    sample: Optional[dict] = None
 
 
 @dataclass

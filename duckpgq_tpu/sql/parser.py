@@ -19,6 +19,14 @@ from . import ast as a
 from .lexer import T, Token, tokenize
 
 
+# keywords that cannot begin an expression (reserved in the reference's
+# grammar; pragma/create_vertex_table tests rely on the parse error)
+_RESERVED_EXPR = {
+    "SELECT", "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
+    "UNION", "EXCEPT", "INTERSECT", "ON", "USING", "WHEN", "THEN",
+    "ELSE", "END",
+}
+
 # words that terminate an implicit alias position
 _ALIAS_STOP = {
     "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "OFFSET", "UNION", "EXCEPT",
@@ -273,8 +281,14 @@ class Parser:
                 node.from_table = self.parse_from_list()
             else:
                 node.from_table = a.EmptyTableRef()
+        if self.accept_kw("USING"):
+            self.expect_kw("SAMPLE")
+            node.sample = self.parse_sample_clause()
         if self.accept_kw("WHERE"):
             node.where = self.parse_expression()
+        if self.peek().is_kw("USING") and self.peek(1).is_kw("SAMPLE"):
+            self.next(); self.next()
+            node.sample = self.parse_sample_clause()
         if self.accept_kw("GROUP"):
             self.expect_kw("BY")
             if self.accept_kw("ALL"):
@@ -288,6 +302,39 @@ class Parser:
         if self.accept_kw("QUALIFY"):
             node.qualify = self.parse_expression()
         return node
+
+    def parse_sample_clause(self):
+        """USING SAMPLE <n> [%|PERCENT|ROWS] [(method[, seed])] |
+        USING SAMPLE method(n [ROWS|%]) [REPEATABLE (seed)]"""
+        spec = {"method": "reservoir", "size": 0, "percent": False,
+                "seed": None}
+        tok = self.peek()
+        if tok.kind == T.NUMBER:
+            self.next()
+            spec["size"] = float(tok.text)
+            if self.accept_op("%") or self.accept_kw("PERCENT"):
+                spec["percent"] = True
+            else:
+                self.accept_kw("ROWS")
+            if self.accept_op("("):
+                spec["method"] = self.expect_ident().lower()
+                if self.accept_op(","):
+                    spec["seed"] = int(self.next().text)
+                self.expect_op(")")
+        else:
+            spec["method"] = self.expect_ident().lower()
+            if self.accept_op("("):
+                spec["size"] = float(self.next().text)
+                if self.accept_op("%") or self.accept_kw("PERCENT"):
+                    spec["percent"] = True
+                else:
+                    self.accept_kw("ROWS")
+                self.expect_op(")")
+            if self.accept_kw("REPEATABLE"):
+                self.expect_op("(")
+                spec["seed"] = int(self.next().text)
+                self.expect_op(")")
+        return spec
 
     def _parse_distinct(self, node: a.SelectNode):
         if self.accept_kw("DISTINCT"):
@@ -419,6 +466,16 @@ class Parser:
 
     def parse_single_table_ref(self) -> a.TableRef:
         tok = self.peek()
+        if tok.kind == T.STRING:
+            # FROM 'file.parquet' / 'file.csv'
+            self.next()
+            fname = tok.text
+            lower = fname.lower()
+            fn = "read_parquet" if lower.endswith(".parquet") else "read_csv"
+            ref = a.TableFunctionRef(name=fn, args=[
+                a.Constant(fname, tt.VARCHAR)])
+            self._parse_table_alias(ref)
+            return ref
         if tok.is_op("("):
             self.next()
             # subquery or parenthesized join
@@ -428,6 +485,17 @@ class Parser:
                 ref = a.SubqueryRef(subquery=sub)
                 self._parse_table_alias(ref)
                 return ref
+            if self.peek().is_op("("):
+                # could be a parenthesized set-op tree: ((SELECT..) UNION ..)
+                save = self.pos
+                try:
+                    sub = self.parse_select_statement()
+                    self.expect_op(")")
+                    ref = a.SubqueryRef(subquery=sub)
+                    self._parse_table_alias(ref)
+                    return ref
+                except ParserException:
+                    self.pos = save
             inner = self.parse_from_list()
             self.expect_op(")")
             self._parse_table_alias(inner)
@@ -705,8 +773,15 @@ class Parser:
                 else:
                     idx = self.parse_expression()
                     if self.accept_op(":"):
-                        stop = None if self.peek().is_op("]") else \
-                            self.parse_expression()
+                        if self.peek().is_op("-") and \
+                                (self.peek(1).is_op(":") or
+                                 self.peek(1).is_op("]")):
+                            self.next()
+                            stop = a.Constant(-1, tt.INTEGER)
+                        elif self.peek().is_op("]") or self.peek().is_op(":"):
+                            stop = None
+                        else:
+                            stop = self.parse_expression()
                         if self.accept_op(":"):
                             step = self.parse_expression()
                         else:
@@ -836,6 +911,8 @@ class Parser:
             if kw == "DISTINCT" and self.peek(1).is_kw("FROM"):
                 self.error("unexpected DISTINCT")
 
+        if tok.kind == T.IDENT and tok.upper in _RESERVED_EXPR:
+            self.error("reserved keyword")
         # identifier chain: column ref, a.*, or function call
         parts = [self.next().text]
         while self.peek().is_op(".") and not self.peek(1).is_op("*"):
@@ -1064,6 +1141,9 @@ class Parser:
                                 depth += 1
                             elif t3.is_op(")"):
                                 depth -= 1
+            elif self.peek(1).is_op(",") or self.peek(1).is_op(")"):
+                # names-only column list (CREATE TABLE t(a, b) AS ...)
+                stmt.columns.append((self.expect_ident(), None, False, None))
             else:
                 cname = self.expect_ident()
                 ctype = self.parse_type()
@@ -1546,6 +1626,8 @@ class Parser:
             self.expect_op("(")
             m.column_list.append(self.parse_aliased_expression())
             while self.accept_op(","):
+                if self.peek().is_op(")"):
+                    break   # trailing comma tolerated
                 m.column_list.append(self.parse_aliased_expression())
             self.expect_op(")")
         return m

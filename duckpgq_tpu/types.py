@@ -186,6 +186,7 @@ _NAME_TO_TYPE = {
     "UBIGINT": UBIGINT,
     "FLOAT": FLOAT, "FLOAT4": FLOAT, "REAL": FLOAT,
     "DOUBLE": DOUBLE, "FLOAT8": DOUBLE, "NUMERIC": DOUBLE,
+    "DECIMAL": DECIMAL(18, 3),
     "VARCHAR": VARCHAR, "TEXT": VARCHAR, "STRING": VARCHAR, "CHAR": VARCHAR,
     "BPCHAR": VARCHAR,
     "BLOB": BLOB, "BYTEA": BLOB,
