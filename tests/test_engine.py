@@ -1,0 +1,144 @@
+"""Engine-level unit tests: SQL basics, PGQ DDL and MATCH, parquet I/O."""
+
+import numpy as np
+import pytest
+
+import duckpgq_tpu
+from duckpgq_tpu.errors import (BinderException, ConstraintException,
+                                InvalidException)
+
+
+@pytest.fixture()
+def con():
+    c = duckpgq_tpu.connect()
+    c.execute("CREATE TABLE Student(id BIGINT, name VARCHAR)")
+    c.execute("INSERT INTO Student VALUES (0,'Daniel'),(1,'Tavneet'),"
+              "(2,'Gabor'),(3,'Peter'),(4,'David')")
+    c.execute("CREATE TABLE know(src BIGINT, dst BIGINT, createDate BIGINT)")
+    c.execute("INSERT INTO know VALUES (0,1,10),(0,2,11),(0,3,12),(3,0,13),"
+              "(1,2,14),(1,3,15),(2,3,16),(4,3,17)")
+    c.execute("""CREATE PROPERTY GRAPH pg
+        VERTEX TABLES (Student PROPERTIES (id, name) LABEL Person)
+        EDGE TABLES (know SOURCE KEY (src) REFERENCES Student (id)
+                          DESTINATION KEY (dst) REFERENCES Student (id)
+                          LABEL Knows)""")
+    return c
+
+
+def test_select_basics(con):
+    assert con.execute("SELECT 1 + 1").fetchone() == (2,)
+    assert con.execute("SELECT count(*) FROM Student").fetchone() == (5,)
+    rows = con.execute(
+        "SELECT name FROM Student WHERE id >= 3 ORDER BY name").fetchall()
+    assert rows == [("David",), ("Peter",)]
+
+
+def test_join_and_group(con):
+    rows = con.execute("""
+        SELECT s.name, count(*) FROM Student s JOIN know k ON s.id = k.src
+        GROUP BY s.name ORDER BY count(*) DESC, s.name""").fetchall()
+    assert rows[0] == ("Daniel", 3)
+
+
+def test_match_basic(con):
+    rows = con.execute("""
+        SELECT t.a_name, t.b_name FROM GRAPH_TABLE (pg
+            MATCH (a:Person)-[k:Knows]->(b:Person)
+            WHERE a.name = 'Daniel'
+            COLUMNS (a.name AS a_name, b.name AS b_name)) t
+        ORDER BY b_name""").fetchall()
+    assert rows == [("Daniel", "Gabor"), ("Daniel", "Peter"),
+                    ("Daniel", "Tavneet")]
+
+
+def test_match_any_shortest(con):
+    rows = con.execute("""
+        FROM GRAPH_TABLE (pg
+            MATCH p = ANY SHORTEST (a:Person WHERE a.name = 'David')
+                      -[k:knows]->{1,3}(b:Person)
+            COLUMNS (path_length(p), b.name AS b)) t
+        ORDER BY b""").fetchall()
+    assert rows == [(2, "Daniel"), (3, "Gabor"), (1, "Peter"),
+                    (3, "Tavneet")]
+
+
+def test_unregistered_property_errors(con):
+    with pytest.raises(BinderException, match="never registered"):
+        con.execute("""
+            FROM GRAPH_TABLE (pg MATCH (a:Person)
+                COLUMNS (a.nonexistent)) t""")
+
+
+def test_label_typo_suggestion(con):
+    with pytest.raises(InvalidException, match="Did you mean"):
+        con.execute("SELECT * FROM pagerank(pg, persn, knows)")
+
+
+def test_pagerank_values(con):
+    rows = dict(con.execute(
+        "SELECT id, pagerank FROM pagerank(pg, person, knows)").fetchall())
+    assert abs(rows[0] - 0.30722555839452875) < 1e-12
+    assert abs(rows[4] - 0.028301886792456276) < 1e-12
+
+
+def test_wcc_and_lcc(con):
+    wcc = dict(con.execute(
+        "SELECT id, componentId FROM "
+        "weakly_connected_component(pg, person, knows)").fetchall())
+    assert set(wcc.values()) == {4}
+    lcc = dict(con.execute(
+        "SELECT id, local_clustering_coefficient FROM "
+        "local_clustering_coefficient(pg, person, knows)").fetchall())
+    assert lcc[4] == 0.0 and abs(lcc[3] - 0.5) < 1e-6
+
+
+def test_csr_lifecycle(con):
+    # raw CSR protocol + introspection + GC at query end
+    con.execute("""WITH cte1 AS (
+        SELECT CREATE_CSR_EDGE(0, (SELECT count(a.id) FROM Student a),
+            CAST((SELECT sum(CREATE_CSR_VERTEX(0,
+                (SELECT count(a.id) FROM Student a),
+                sub.dense_id, sub.cnt))
+              FROM (SELECT a.rowid AS dense_id, count(k.src) AS cnt
+                    FROM Student a LEFT JOIN know k ON k.src = a.id
+                    GROUP BY a.rowid) sub) AS BIGINT),
+            (SELECT count(*) FROM know k JOIN Student a ON a.id = k.src
+             JOIN Student c ON c.id = k.dst),
+            a.rowid, c.rowid, k.rowid) AS temp
+        FROM know k JOIN Student a ON a.id = k.src
+        JOIN Student c ON c.id = k.dst)
+        SELECT min(cte1.temp) FROM cte1""")
+    # csr 0 was created but not flagged for deletion by any kernel
+    assert 0 in con.csr_list
+    con.execute("SELECT delete_csr(0)")
+    assert 0 not in con.csr_list
+
+
+def test_persistence_table(con):
+    rows = con.execute(
+        "SELECT property_graph, table_name, is_vertex_table "
+        "FROM __duckpgq_internal ORDER BY table_name").fetchall()
+    assert rows == [("pg", "Student", True), ("pg", "know", False)]
+
+
+def test_non_unique_vertices_error(con):
+    con.execute("INSERT INTO Student VALUES (0, 'Dup')")
+    with pytest.raises(ConstraintException, match="Non-existent/non-unique"):
+        con.execute("""
+            FROM GRAPH_TABLE (pg
+                MATCH (a:Person)-[k:Knows]->{1,2}(b:Person)
+                COLUMNS (a.name)) t""")
+
+
+def test_parquet_roundtrip(tmp_path, con):
+    path = str(tmp_path / "out.parquet")
+    con.execute(f"COPY Student TO '{path}' (FORMAT PARQUET)")
+    rows = con.execute(
+        f"SELECT * FROM read_parquet('{path}') ORDER BY id").fetchall()
+    assert rows[0] == (0, "Daniel") and len(rows) == 5
+
+
+def test_describe_property_graph(con):
+    res = con.execute("DESCRIBE PROPERTY GRAPH pg")
+    assert res.names[0] == "property_graph"
+    assert res.row_count == 2
