@@ -1,0 +1,146 @@
+"""Device-side CSR: JAX/XLA build pipeline and the array bundle the TPU
+kernels consume.
+
+TPU-first design (SURVEY.md §7.1 item 5): degree histogram via segment_sum,
+exclusive cumsum for offsets, stable sort of edges by source — no atomic
+scatters (the reference's build, csr_creation.cpp, is an atomic-scatter design
+for a shared-memory CPU; sort+segment is the bandwidth-optimal equivalent for
+XLA).
+
+All shapes are padded to static bucket sizes so jit caches stay warm across
+graphs of similar size; the padding vertex is ``vpad`` (one past the real
+vertex range) and padding edges point pad->pad.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def pad_bucket(n: int, minimum: int = 128) -> int:
+    """Next power-of-two-ish bucket (1, 1.5 steps) to bound recompiles."""
+    n = max(n, minimum)
+    p = 1 << (int(n - 1).bit_length())
+    if n <= (p // 4) * 3:
+        return (p // 4) * 3
+    return p
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class DeviceCSR:
+    """CSR on device. ``e``/``edge_src`` sorted by (src, insertion order);
+    ``in_src``/``in_dst``/``in_pos`` are the in-edge view sorted by dst
+    (for pull-style frontier expansion with sorted segment ids)."""
+
+    offsets: jnp.ndarray      # int32 [Vp + 1]
+    e: jnp.ndarray            # int32 [Ep]   destination per out-edge
+    edge_src: jnp.ndarray     # int32 [Ep]   source per out-edge
+    edge_ids: jnp.ndarray     # int32 [Ep]
+    in_src: jnp.ndarray       # int32 [Ep]   source per in-edge (dst-sorted)
+    in_dst: jnp.ndarray       # int32 [Ep]
+    in_pos: jnp.ndarray       # int32 [Ep]   position into e/edge_ids
+    w: Optional[jnp.ndarray]  # float32 [Ep] or None
+    vcount: int               # real V (static)
+    ecount: int               # real E (static)
+
+    @property
+    def vpad(self) -> int:
+        return int(self.offsets.shape[0]) - 1
+
+    @property
+    def epad(self) -> int:
+        return int(self.e.shape[0])
+
+    def tree_flatten(self):
+        children = (self.offsets, self.e, self.edge_src, self.edge_ids,
+                    self.in_src, self.in_dst, self.in_pos, self.w)
+        aux = (self.vcount, self.ecount)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+@functools.partial(jax.jit, static_argnames=("vpad", "epad"))
+def _build_device_csr(src, dst, eid, w, vpad: int, epad: int):
+    """src/dst/eid already padded to epad with pad entries = vpad."""
+    order = jnp.argsort(src, stable=True)
+    s = src[order]
+    d = dst[order]
+    ids = eid[order]
+    counts = jax.ops.segment_sum(jnp.ones_like(s, dtype=jnp.int32), s,
+                                 num_segments=vpad + 1)
+    offsets = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                               jnp.cumsum(counts[:vpad]).astype(jnp.int32)])
+    in_order = jnp.argsort(d, stable=True)
+    out = {
+        "offsets": offsets,
+        "e": d, "edge_src": s, "edge_ids": ids,
+        "in_src": s[in_order], "in_dst": d[in_order],
+        "in_pos": in_order.astype(jnp.int32),
+    }
+    if w is not None:
+        out["w"] = w[order]
+        out["in_w"] = out["w"][in_order]
+    return out
+
+
+def build_device_csr(vcount: int, src: np.ndarray, dst: np.ndarray,
+                     edge_ids: Optional[np.ndarray] = None,
+                     w: Optional[np.ndarray] = None,
+                     vpad: Optional[int] = None,
+                     epad: Optional[int] = None) -> DeviceCSR:
+    """Host arrays -> padded device CSR. Padding edges are (vpad -> vpad)."""
+    e = len(src)
+    vpad = vpad or pad_bucket(vcount + 1)
+    epad = epad or pad_bucket(max(e, 1))
+    if edge_ids is None:
+        edge_ids = np.arange(e, dtype=np.int64)
+
+    def pad_edges(arr, fill):
+        out = np.full(epad, fill, dtype=np.int32)
+        out[:e] = arr.astype(np.int32)
+        return jnp.asarray(out)
+
+    src_p = pad_edges(src, vpad)
+    dst_p = pad_edges(dst, vpad)
+    eid_p = pad_edges(edge_ids, -1)
+    w_p = None
+    if w is not None:
+        wf = np.zeros(epad, dtype=np.float32)
+        wf[:e] = w.astype(np.float32)
+        w_p = jnp.asarray(wf)
+    built = _build_device_csr(src_p, dst_p, eid_p, w_p, vpad, epad)
+    return DeviceCSR(
+        offsets=built["offsets"], e=built["e"], edge_src=built["edge_src"],
+        edge_ids=built["edge_ids"], in_src=built["in_src"],
+        in_dst=built["in_dst"], in_pos=built["in_pos"],
+        w=built.get("w"), vcount=vcount, ecount=e)
+
+
+def from_host_csr(csr, vpad: Optional[int] = None,
+                  epad: Optional[int] = None) -> DeviceCSR:
+    """Lift a host ops.csr.CSR (the SQL engine's structure) onto the device."""
+    w = None
+    if csr.w is not None:
+        w = csr.w
+    elif csr.w_double is not None:
+        w = csr.w_double
+    return build_device_csr(csr.vcount, csr.src_of_edge, csr.e,
+                            csr.edge_ids, w, vpad=vpad, epad=epad)
+
+
+def out_degrees(csr: DeviceCSR) -> jnp.ndarray:
+    return csr.offsets[1:] - csr.offsets[:-1]

@@ -1,0 +1,224 @@
+"""TPU device kernels: lane-packed multi-source BFS, Bellman-Ford, PageRank,
+WCC label propagation — pure JAX/XLA, jittable, static padded shapes.
+
+Design (SURVEY.md §7.1 item 6 / BASELINE north star): the frontier is a dense
+``[Vp, L]`` lane matrix (the TPU analog of the reference's bitset<512> per
+vertex, iterativelength.cpp:12-32). One expansion step is a pull-style
+masked sparse-matrix product: gather frontier rows at in-edge sources, then a
+sorted segment-max by destination — both map onto XLA's fused
+gather/segmented-reduce paths and stream at HBM bandwidth; no scatter with
+conflicts anywhere. Iteration is a ``lax.while_loop`` with a fixpoint flag
+(the reference's ``change`` bool).
+
+These kernels run identically on the CPU backend (tests) and TPU (bench);
+tests cross-check them against the exact host mirrors in ops/msbfs.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .csr_jax import DeviceCSR, out_degrees
+
+LANES_DEFAULT = 512  # reference LANE_LIMIT (duckpgq_utils.hpp:10)
+
+
+# ---------------------------------------------------------------------------
+# multi-source BFS lengths
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def msbfs_lengths(csr: DeviceCSR, src: jnp.ndarray, dst: jnp.ndarray,
+                  active: jnp.ndarray, max_iters: int
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """BFS lengths for L lane queries. Returns (lengths int32 [L] with -1 for
+    unreached/inactive, traversed_edges int64 [L] for TEPS accounting).
+
+    src == dst lanes resolve to 0 without expansion (reference lane setup,
+    iterativelength.cpp:95-106)."""
+    Vp = csr.vpad
+    L = src.shape[0]
+    lanes = jnp.arange(L)
+    deg = out_degrees(csr)                            # [Vp]
+
+    trivial = active & (src == dst)
+    searching = active & (src != dst)
+    frontier = jnp.zeros((Vp + 1, L), dtype=jnp.bool_)
+    frontier = frontier.at[src, lanes].set(searching)
+    seen = frontier
+    result = jnp.where(trivial, 0, -1).astype(jnp.int32)
+
+    def cond(state):
+        it, frontier, seen, result = state
+        return (it <= max_iters) & frontier.any()
+
+    def body(state):
+        it, frontier, seen, result = state
+        gathered = frontier[csr.in_src]               # [Ep, L]
+        nxt = jax.ops.segment_max(
+            gathered.astype(jnp.int8), csr.in_dst,
+            num_segments=Vp + 1, indices_are_sorted=True) > 0
+        nxt = nxt & ~seen
+        nxt = nxt.at[Vp].set(False)
+        seen = seen | nxt
+        found = nxt[dst, lanes] & (result < 0) & searching
+        result = jnp.where(found, it, result)
+        # lanes that found their target stop expanding
+        nxt = nxt & (result < 0)[None, :]
+        return it + 1, nxt, seen, result
+
+    _, _, seen, result = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), frontier, seen, result))
+    # graph500-style TEPS accounting: each edge of a visited vertex counts
+    # once per search (float32 to stay int32-overflow-safe without x64)
+    traversed = (seen[:Vp].astype(jnp.float32) *
+                 deg.astype(jnp.float32)[:, None]).sum(axis=0)
+    return result, traversed
+
+
+def msbfs_lengths_batched(csr: DeviceCSR, src, dst, lanes: int = 64):
+    """Batch arbitrary query counts into fixed-width lane groups (keeps one
+    compiled kernel per (graph bucket, lanes))."""
+    import numpy as np
+    n = len(src)
+    out = np.full(n, -1, dtype=np.int64)
+    total_traversed = 0
+    max_iters = max(csr.vcount, 1)
+    for start in range(0, n, lanes):
+        chunk_s = np.full(lanes, 0, dtype=np.int32)
+        chunk_d = np.full(lanes, 0, dtype=np.int32)
+        chunk_a = np.zeros(lanes, dtype=bool)
+        m = min(lanes, n - start)
+        chunk_s[:m] = src[start:start + m]
+        chunk_d[:m] = dst[start:start + m]
+        chunk_a[:m] = True
+        res, trav = msbfs_lengths(csr, jnp.asarray(chunk_s),
+                                  jnp.asarray(chunk_d),
+                                  jnp.asarray(chunk_a), max_iters)
+        out[start:start + m] = np.asarray(res)[:m]
+        total_traversed += int(np.asarray(trav)[:m].sum())
+    return out, total_traversed
+
+
+# ---------------------------------------------------------------------------
+# reachability (BFS early-exit is the found-lane masking above)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def msbfs_reachability(csr: DeviceCSR, src, dst, active, max_iters: int):
+    lengths, _ = msbfs_lengths(csr, src, dst, active, max_iters)
+    return lengths >= 0
+
+
+# ---------------------------------------------------------------------------
+# multi-source Bellman-Ford (weighted shortest path lengths)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def bellman_ford(csr: DeviceCSR, src: jnp.ndarray, dst: jnp.ndarray,
+                 active: jnp.ndarray, max_iters: int) -> jnp.ndarray:
+    """Dense [Vp, L] distance relaxation (reference cheapest_path_length.cpp
+    as a segment-min product). Returns costs (inf = unreached)."""
+    Vp = csr.vpad
+    L = src.shape[0]
+    lanes = jnp.arange(L)
+    INF = jnp.float32(jnp.inf)
+    w = csr.w if csr.w is not None else jnp.ones_like(csr.in_pos,
+                                                      dtype=jnp.float32)
+    in_w = w[csr.in_pos]
+    dist = jnp.full((Vp + 1, L), INF, dtype=jnp.float32)
+    dist = dist.at[src, lanes].set(jnp.where(active, 0.0, INF))
+
+    def cond(state):
+        it, dist, changed = state
+        return changed & (it < max_iters)
+
+    def body(state):
+        it, dist, _ = state
+        cand = dist[csr.in_src] + in_w[:, None]       # [Ep, L]
+        relaxed = jax.ops.segment_min(
+            cand, csr.in_dst, num_segments=Vp + 1, indices_are_sorted=True)
+        new = jnp.minimum(dist, relaxed)
+        changed = (new < dist).any()
+        return it + 1, new, changed
+
+    _, dist, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), dist, jnp.bool_(True)))
+    return dist[dst, lanes]
+
+
+# ---------------------------------------------------------------------------
+# PageRank (power iteration as segment_sum products)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def pagerank_device(csr: DeviceCSR, damping: float = 0.85,
+                    tol: float = 1e-6, max_iters: int = 200) -> jnp.ndarray:
+    """Returns rank over the REAL vertex range [vcount] normalized over
+    vcount (device variant; the SQL-facing kernel keeps the reference's
+    vsize=V+2 padding quirk in ops/algorithms.py)."""
+    Vp = csr.vpad
+    V = csr.vcount
+    deg = out_degrees(csr).astype(jnp.float32)
+    real = jnp.arange(Vp) < V
+    has_out = (deg > 0) & real
+    n = jnp.float32(V)
+    rank = jnp.where(real, 1.0 / n, 0.0)
+
+    def cond(state):
+        it, rank, delta = state
+        return (delta >= tol) & (it < max_iters)
+
+    def body(state):
+        it, rank, _ = state
+        contrib = jnp.where(has_out, rank / jnp.maximum(deg, 1.0), 0.0)
+        edge_contrib = contrib[csr.edge_src]
+        acc = jax.ops.segment_sum(edge_contrib, csr.e,
+                                  num_segments=Vp + 1)[:Vp]
+        dangling = jnp.where(real & ~has_out, rank, 0.0).sum()
+        new = jnp.where(real,
+                        (1.0 - damping) / n +
+                        damping * (acc + dangling / n), 0.0)
+        delta = jnp.abs(new - rank).max()
+        return it + 1, new, delta
+
+    _, rank, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), rank, jnp.float32(jnp.inf)))
+    return rank[:V]
+
+
+# ---------------------------------------------------------------------------
+# WCC via pointer-jumping label propagation (TPU-friendly union-find
+# substitute; same equivalence classes, canonical label = min vertex id)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def wcc_label_propagation(csr: DeviceCSR, max_iters: int = 64) -> jnp.ndarray:
+    Vp = csr.vpad
+    V = csr.vcount
+    labels = jnp.arange(Vp, dtype=jnp.int32)
+
+    def cond(state):
+        it, labels, changed = state
+        return changed & (it < max_iters)
+
+    def body(state):
+        it, labels, _ = state
+        fwd = jax.ops.segment_min(labels[csr.edge_src], csr.e,
+                                  num_segments=Vp + 1,
+                                  )[:Vp]
+        bwd = jax.ops.segment_min(labels[csr.in_dst], csr.in_src,
+                                  num_segments=Vp + 1)[:Vp]
+        new = jnp.minimum(labels, jnp.minimum(fwd, bwd))
+        # pointer jumping: label <- label of label (doubles convergence)
+        new = jnp.minimum(new, new[new])
+        changed = (new < labels).any()
+        return it + 1, new, changed
+
+    _, labels, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), labels, jnp.bool_(True)))
+    return labels[:V]
