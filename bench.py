@@ -1,0 +1,83 @@
+"""Benchmark driver: MS-BFS GTEPS per chip on an R-MAT power-law graph.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the BASELINE.md north star of 1 GTEPS/chip (the reference
+publishes no numbers of its own).
+
+TEPS accounting is graph500-style: for each BFS lane, every out-edge of
+every visited vertex counts once; GTEPS = total traversed edges / wall time.
+Run on whatever backend JAX selects (the real TPU under the driver).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    scale = int(os.environ.get("BENCH_SCALE", "18"))
+    edge_factor = int(os.environ.get("BENCH_EDGE_FACTOR", "16"))
+    lanes = int(os.environ.get("BENCH_LANES", "512"))
+    batches = int(os.environ.get("BENCH_BATCHES", "2"))
+
+    import jax
+    import jax.numpy as jnp
+
+    from duckpgq_tpu.ops.csr_jax import build_device_csr
+    from duckpgq_tpu.ops.msbfs_jax import msbfs_lengths
+    from duckpgq_tpu.utils.rmat import rmat_edges
+
+    rng = np.random.default_rng(7)
+    src, dst = rmat_edges(scale, edge_factor, seed=11)
+    v = 1 << scale
+    e = len(src)
+    print(f"# graph: RMAT scale={scale} V={v} E={e} "
+          f"device={jax.devices()[0]}", file=sys.stderr)
+
+    t0 = time.time()
+    csr = build_device_csr(v, src, dst)
+    csr.offsets.block_until_ready()
+    build_s = time.time() - t0
+    print(f"# csr build: {build_s:.3f}s "
+          f"({e / max(build_s, 1e-9) / 1e6:.1f} Medges/s)", file=sys.stderr)
+
+    # Depth-bounded MS-BFS: SQL/PGQ path queries are quantifier-bounded
+    # (MATCH ...->{1,k}), so depth-16 bounded search is the production
+    # workload; full-traversal tails (graph eccentricity) are future work
+    # via a sparse-frontier mode.
+    max_iters = int(os.environ.get("BENCH_MAX_ITERS", "16"))
+    qs_all = rng.integers(0, v, size=lanes * batches).astype(np.int32)
+    qd_all = rng.integers(0, v, size=lanes * batches).astype(np.int32)
+    active = jnp.ones(lanes, dtype=bool)
+
+    # warm up (compile)
+    res, trav = msbfs_lengths(csr, jnp.asarray(qs_all[:lanes]),
+                              jnp.asarray(qd_all[:lanes]), active, max_iters)
+    res.block_until_ready()
+
+    total_traversed = 0.0
+    t0 = time.time()
+    for b in range(batches):
+        qs = jnp.asarray(qs_all[b * lanes:(b + 1) * lanes])
+        qd = jnp.asarray(qd_all[b * lanes:(b + 1) * lanes])
+        res, trav = msbfs_lengths(csr, qs, qd, active, max_iters)
+        total_traversed += float(np.asarray(trav).sum())
+    res.block_until_ready()
+    elapsed = time.time() - t0
+
+    gteps = total_traversed / elapsed / 1e9
+    print(f"# bfs: {lanes * batches} searches in {elapsed:.3f}s, "
+          f"{total_traversed / 1e9:.2f}G edges traversed", file=sys.stderr)
+    print(json.dumps({
+        "metric": "msbfs_gteps_per_chip",
+        "value": round(gteps, 3),
+        "unit": "GTEPS",
+        "vs_baseline": round(gteps / 1.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -51,13 +51,20 @@ def msbfs_lengths(csr: DeviceCSR, src: jnp.ndarray, dst: jnp.ndarray,
     frontier = frontier.at[src, lanes].set(searching)
     seen = frontier
     result = jnp.where(trivial, 0, -1).astype(jnp.int32)
+    degf = deg.astype(jnp.float32)
+    traversed = jnp.zeros(L, dtype=jnp.float32)
 
     def cond(state):
-        it, frontier, seen, result = state
+        it, frontier, seen, result, traversed = state
         return (it <= max_iters) & frontier.any()
 
     def body(state):
-        it, frontier, seen, result = state
+        it, frontier, seen, result, traversed = state
+        # TEPS credit: edges whose source is in this wave's frontier — each
+        # edge is expanded at most once per search (frontier sets are
+        # disjoint across iterations)
+        traversed = traversed + (frontier[:Vp].astype(jnp.float32) *
+                                 degf[:, None]).sum(axis=0)
         gathered = frontier[csr.in_src]               # [Ep, L]
         nxt = jax.ops.segment_max(
             gathered.astype(jnp.int8), csr.in_dst,
@@ -69,14 +76,10 @@ def msbfs_lengths(csr: DeviceCSR, src: jnp.ndarray, dst: jnp.ndarray,
         result = jnp.where(found, it, result)
         # lanes that found their target stop expanding
         nxt = nxt & (result < 0)[None, :]
-        return it + 1, nxt, seen, result
+        return it + 1, nxt, seen, result, traversed
 
-    _, _, seen, result = jax.lax.while_loop(
-        cond, body, (jnp.int32(1), frontier, seen, result))
-    # graph500-style TEPS accounting: each edge of a visited vertex counts
-    # once per search (float32 to stay int32-overflow-safe without x64)
-    traversed = (seen[:Vp].astype(jnp.float32) *
-                 deg.astype(jnp.float32)[:, None]).sum(axis=0)
+    _, _, seen, result, traversed = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), frontier, seen, result, traversed))
     return result, traversed
 
 

@@ -1,0 +1,197 @@
+"""Distributed multi-source BFS over a vertex-partitioned CSR.
+
+Design (SURVEY.md §7.1 item 7 / BASELINE north-star configs 4-5):
+- vertices are range-partitioned across the mesh axis; each shard owns the
+  in-edges whose destination it owns (pull model), padded to equal length;
+- per iteration each shard expands its local destinations from the
+  replicated global frontier (gather + sorted segment-max, the same masked
+  SpMM as the single-chip kernel), then the new frontier is exchanged with
+  one ``all_gather`` over ICI — the frontier OR-exchange;
+- the search loop is a ``lax.while_loop`` *inside* ``shard_map`` so the
+  exchange happens on-device every iteration with no host round trips.
+
+Skew note: contiguous range partitioning plus destination-side ownership
+spreads hub in-edges across their owners; hub *sources* cost nothing extra
+because the frontier is replicated (a hub's bit is broadcast once in the
+all_gather, not once per edge).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..ops.csr_jax import round_up
+
+
+@dataclass
+class ShardedCSR:
+    """Host-side container of per-shard edge partitions.
+
+    in_src: int32 [nx, Es]  global source vertex per in-edge
+    in_dst_local: int32 [nx, Es]  local (within-shard) destination
+    v_shard: vertices per shard (padded global V = nx * v_shard)
+    """
+
+    in_src: np.ndarray
+    in_dst_local: np.ndarray
+    n_shards: int
+    v_shard: int
+    vcount: int
+    ecount: int
+
+    @property
+    def v_padded(self) -> int:
+        return self.n_shards * self.v_shard
+
+
+def partition_csr(vcount: int, src: np.ndarray, dst: np.ndarray,
+                  n_shards: int) -> ShardedCSR:
+    """Range-partition edges by destination owner; equal-pad shard lists."""
+    v_shard = round_up(max((vcount + n_shards - 1) // n_shards, 8), 8)
+    owner = dst // v_shard
+    per_shard = []
+    max_e = 1
+    for s in range(n_shards):
+        mask = owner == s
+        es = src[mask].astype(np.int32)
+        ed = (dst[mask] - s * v_shard).astype(np.int32)
+        order = np.argsort(ed, kind="stable")
+        per_shard.append((es[order], ed[order]))
+        max_e = max(max_e, len(es))
+    es_pad = round_up(max_e, 8)
+    in_src = np.full((n_shards, es_pad), n_shards * v_shard,
+                     dtype=np.int32)   # pad: out-of-range source
+    in_dst_local = np.full((n_shards, es_pad), v_shard - 1, dtype=np.int32)
+    pad_valid = np.zeros((n_shards, es_pad), dtype=bool)
+    for s, (es, ed) in enumerate(per_shard):
+        in_src[s, :len(es)] = es
+        in_dst_local[s, :len(es)] = ed
+        pad_valid[s, :len(es)] = True
+    # encode padding by pointing the source at the global pad row (see below)
+    sharded = ShardedCSR(in_src=in_src, in_dst_local=in_dst_local,
+                         n_shards=n_shards, v_shard=v_shard,
+                         vcount=vcount, ecount=len(src))
+    sharded.edge_valid = pad_valid
+    return sharded
+
+
+def make_dist_bfs(mesh: Mesh, sharded: ShardedCSR, lanes: int,
+                  max_iters: int):
+    """Build the jitted distributed BFS step function.
+
+    Returns fn(src[L] int32, dst[L] int32, active[L] bool) ->
+    (lengths[L] int32, traversed[L] float32)."""
+    nx = sharded.n_shards
+    Vs = sharded.v_shard
+    Vtot = sharded.v_padded
+    axis = mesh.axis_names[0]
+
+    in_src = jax.device_put(
+        jnp.asarray(sharded.in_src), NamedSharding(mesh, P(axis, None)))
+    in_dst = jax.device_put(
+        jnp.asarray(sharded.in_dst_local),
+        NamedSharding(mesh, P(axis, None)))
+    edge_valid = jax.device_put(
+        jnp.asarray(sharded.edge_valid),
+        NamedSharding(mesh, P(axis, None)))
+
+    # per-shard out-degree of owned vertices (for TEPS accounting): count
+    # edges by source ownership
+    deg = np.zeros(Vtot + 1, dtype=np.float32)
+    np.add.at(deg, sharded.in_src.reshape(-1)[
+        sharded.edge_valid.reshape(-1)], 1.0)
+    deg_global = jnp.asarray(deg[:Vtot])
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                  P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+    def bfs(in_src_blk, in_dst_blk, valid_blk, src, dst, active):
+        in_src_l = in_src_blk[0]          # [Es] global ids
+        in_dst_l = in_dst_blk[0]          # [Es] local ids
+        valid_l = valid_blk[0]            # [Es]
+        L = src.shape[0]
+        lanes_idx = jnp.arange(L)
+        shard_id = jax.lax.axis_index(axis)
+        row0 = shard_id * Vs
+
+        trivial = active & (src == dst)
+        searching = active & (src != dst)
+        result = jnp.where(trivial, 0, -1).astype(jnp.int32)
+
+        # replicated global frontier [Vtot, L]; sharded seen [Vs, L]
+        frontier_g = jnp.zeros((Vtot, L), dtype=jnp.bool_)
+        frontier_g = frontier_g.at[src, lanes_idx].set(searching)
+        seen_l = jax.lax.dynamic_slice_in_dim(frontier_g, row0, Vs, axis=0)
+
+        def cond(state):
+            it, frontier_g, seen_l, result = state
+            return (it <= max_iters) & frontier_g.any()
+
+        def body(state):
+            it, frontier_g, seen_l, result = state
+            gathered = jnp.where(
+                valid_l[:, None],
+                frontier_g.at[in_src_l].get(mode="fill", fill_value=False),
+                False)                                       # [Es, L]
+            nxt_l = jax.ops.segment_max(
+                gathered.astype(jnp.int8), in_dst_l,
+                num_segments=Vs, indices_are_sorted=True) > 0
+            nxt_l = nxt_l & ~seen_l
+            seen_l = seen_l | nxt_l
+            # frontier OR-exchange over ICI
+            frontier_g = jax.lax.all_gather(
+                nxt_l, axis, axis=0, tiled=True)             # [Vtot, L]
+            found = frontier_g[dst, lanes_idx] & (result < 0) & searching
+            result = jnp.where(found, it, result)
+            frontier_g = frontier_g & (result < 0)[None, :]
+            return it + 1, frontier_g, seen_l, result
+
+        _, _, seen_l, result = jax.lax.while_loop(
+            cond, body, (jnp.int32(1), frontier_g, seen_l, result))
+        # TEPS accounting over the union of visited vertices
+        seen_g = jax.lax.all_gather(seen_l, axis, axis=0, tiled=True)
+        traversed = (seen_g.astype(jnp.float32) *
+                     deg_global[:, None]).sum(axis=0)
+        return result, traversed
+
+    @jax.jit
+    def run(src, dst, active):
+        return bfs(in_src, in_dst, edge_valid, src, dst, active)
+
+    return run
+
+
+def dist_bfs_lengths(mesh: Mesh, sharded: ShardedCSR, src, dst,
+                     lanes: int = 64, max_iters: int = 0):
+    """Convenience batched driver over the distributed BFS."""
+    max_iters = max_iters or max(sharded.vcount, 1)
+    fn = make_dist_bfs(mesh, sharded, lanes, max_iters)
+    n = len(src)
+    out = np.full(n, -1, dtype=np.int64)
+    traversed_total = 0.0
+    for start in range(0, n, lanes):
+        m = min(lanes, n - start)
+        s = np.zeros(lanes, dtype=np.int32)
+        d = np.zeros(lanes, dtype=np.int32)
+        a = np.zeros(lanes, dtype=bool)
+        s[:m] = src[start:start + m]
+        d[:m] = dst[start:start + m]
+        a[:m] = True
+        res, trav = fn(jnp.asarray(s), jnp.asarray(d), jnp.asarray(a))
+        out[start:start + m] = np.asarray(res)[:m]
+        traversed_total += float(np.asarray(trav)[:m].sum())
+    return out, traversed_total

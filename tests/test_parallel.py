@@ -1,0 +1,27 @@
+"""Distributed BFS on the virtual 8-device CPU mesh, cross-checked against
+the single-device kernels and host mirrors."""
+
+import numpy as np
+import jax
+
+from duckpgq_tpu.ops import msbfs as host_msbfs
+from duckpgq_tpu.ops.csr import build_csr
+from duckpgq_tpu.parallel.dist_bfs import dist_bfs_lengths, partition_csr
+from duckpgq_tpu.parallel.mesh import make_mesh
+
+
+def test_dist_bfs_matches_host():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    rng = np.random.default_rng(21)
+    v, e = 96, 400
+    src = rng.integers(0, v, size=e).astype(np.int64)
+    dst = rng.integers(0, v, size=e).astype(np.int64)
+    mesh = make_mesh(8)
+    sharded = partition_csr(v, src, dst, 8)
+    qs = rng.integers(0, v, size=96).astype(np.int64)
+    qd = rng.integers(0, v, size=96).astype(np.int64)
+    got, traversed = dist_bfs_lengths(mesh, sharded, qs, qd, lanes=32)
+    csr = build_csr(v, src, dst, np.arange(e, dtype=np.int64))
+    want, valid = host_msbfs.iterative_length(csr, qs, qd)
+    np.testing.assert_array_equal(got, np.where(valid, want, -1))
+    assert traversed > 0
