@@ -1,0 +1,186 @@
+"""ctypes bindings for the native graph runtime (native/graphrt.cpp).
+
+The native library owns host-resident graph kernels (CSR build, 512-lane
+MS-BFS, shortest path, Bellman-Ford, PageRank, WCC, LCC) — the same layer the
+reference implements in C++ (src/core/functions/scalar/*). The engine
+dispatches here for graphs below the device threshold; the JAX/Pallas kernels
+own large graphs on TPU. Falls back silently to the numpy mirrors in
+ops/msbfs.py / ops/algorithms.py when no compiler is available.
+
+Set DUCKPGQ_NATIVE=0 to disable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "build", "libgraphrt.so")
+
+_lib = None
+_tried = False
+
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+_f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+_u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+_i64 = ctypes.c_int64
+_f64 = ctypes.c_double
+
+
+def _build() -> bool:
+    src = os.path.join(_NATIVE_DIR, "graphrt.cpp")
+    if not os.path.exists(src):
+        return False
+    try:
+        os.makedirs(os.path.dirname(_SO_PATH), exist_ok=True)
+        subprocess.run(
+            ["g++", "-O3", "-std=c++17", "-fPIC", "-shared", src,
+             "-o", _SO_PATH],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("DUCKPGQ_NATIVE", "1") == "0":
+        return None
+    src = os.path.join(_NATIVE_DIR, "graphrt.cpp")
+    needs_build = not os.path.exists(_SO_PATH) or (
+        os.path.exists(src) and
+        os.path.getmtime(src) > os.path.getmtime(_SO_PATH))
+    if needs_build and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+    except OSError:
+        return None
+    lib.gr_csr_build.argtypes = [_i64, _i64, _i64p, _i64p, _i64p, _i64p,
+                                 _i64p]
+    lib.gr_msbfs_lengths.argtypes = [_i64, _i64p, _i64p, _i64, _i64p, _i64p,
+                                     _i64p]
+    lib.gr_msbfs_paths.argtypes = [_i64, _i64p, _i64p, _i64p, _i64p, _i64,
+                                   _i64p, _i64p, _i64p, _i64p, _i64p]
+    lib.gr_msbfs_reachability.argtypes = [_i64, _i64p, _i64p, _i64, _i64p,
+                                          _i64p, _u8p]
+    lib.gr_bellman_ford_f64.argtypes = [_i64, _i64p, _i64p, _f64p, _i64,
+                                        _i64p, _i64p, _f64p, _u8p]
+    lib.gr_bellman_ford_i64.argtypes = [_i64, _i64p, _i64p, _i64p, _i64,
+                                        _i64p, _i64p, _i64p, _u8p]
+    lib.gr_pagerank.argtypes = [_i64, _i64, _i64p, _i64p, _f64, _f64, _f64p]
+    lib.gr_wcc.argtypes = [_i64, _i64, _i64p, _i64p, _i64p]
+    lib.gr_lcc.argtypes = [_i64, _i64p, _i64p, _f32p]
+    lib.gr_version.restype = _i64
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _c64(a) -> np.ndarray:
+    return np.ascontiguousarray(a, dtype=np.int64)
+
+
+def msbfs_lengths(vcount: int, offsets, adj, qs, qd) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    qs = _c64(qs)
+    qd = _c64(qd)
+    out = np.empty(len(qs), dtype=np.int64)
+    lib.gr_msbfs_lengths(vcount, _c64(offsets), _c64(adj), len(qs), qs, qd,
+                         out)
+    return out
+
+
+def msbfs_paths(vcount: int, offsets, adj, eid_of_slot, src_of_slot, qs, qd
+                ) -> Optional[Tuple[np.ndarray, List[Optional[List[int]]]]]:
+    """Returns (lengths, paths) or None when native is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    qs = _c64(qs)
+    qd = _c64(qd)
+    offsets = _c64(offsets)
+    adj = _c64(adj)
+    lengths = np.empty(len(qs), dtype=np.int64)
+    lib.gr_msbfs_lengths(vcount, offsets, adj, len(qs), qs, qd, lengths)
+    sizes = np.where(lengths >= 0, 2 * np.maximum(lengths, 0) + 1, 0)
+    path_offsets = np.zeros(len(qs), dtype=np.int64)
+    if len(qs) > 1:
+        path_offsets[1:] = np.cumsum(sizes[:-1])
+    buf = np.zeros(int(sizes.sum()), dtype=np.int64)
+    lib.gr_msbfs_paths(vcount, offsets, adj, _c64(eid_of_slot),
+                       _c64(src_of_slot), len(qs), qs, qd, lengths,
+                       path_offsets, buf)
+    paths: List[Optional[List[int]]] = []
+    for q in range(len(qs)):
+        if lengths[q] < 0:
+            paths.append(None)
+        else:
+            o = int(path_offsets[q])
+            paths.append([int(x) for x in buf[o:o + int(sizes[q])]])
+    return lengths, paths
+
+
+def bellman_ford(vcount: int, offsets, adj, w: np.ndarray, qs, qd
+                 ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Returns (costs, reached bool) or None. w dtype picks the variant."""
+    lib = _load()
+    if lib is None:
+        return None
+    qs = _c64(qs)
+    qd = _c64(qd)
+    reached = np.empty(len(qs), dtype=np.uint8)
+    if w.dtype == np.float64:
+        out = np.empty(len(qs), dtype=np.float64)
+        lib.gr_bellman_ford_f64(vcount, _c64(offsets), _c64(adj),
+                                np.ascontiguousarray(w, np.float64),
+                                len(qs), qs, qd, out, reached)
+    else:
+        out = np.empty(len(qs), dtype=np.int64)
+        lib.gr_bellman_ford_i64(vcount, _c64(offsets), _c64(adj), _c64(w),
+                                len(qs), qs, qd, out, reached)
+    return out, reached.astype(bool)
+
+
+def pagerank(vcount: int, n: int, offsets, adj, damping: float,
+             threshold: float) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    rank = np.empty(n, dtype=np.float64)
+    lib.gr_pagerank(vcount, n, _c64(offsets), _c64(adj), damping, threshold,
+                    rank)
+    return rank
+
+
+def wcc(vcount: int, n: int, offsets, adj) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty(n, dtype=np.int64)
+    lib.gr_wcc(vcount, n, _c64(offsets), _c64(adj), out)
+    return out
+
+
+def lcc(vcount: int, offsets, adj) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty(vcount, dtype=np.float32)
+    lib.gr_lcc(vcount, _c64(offsets), _c64(adj), out)
+    return out

@@ -25,7 +25,15 @@ from .csr import CSR
 
 def pagerank(csr: CSR, damping: float = 0.85, threshold: float = 1e-6
              ) -> np.ndarray:
-    """Returns rank array over vsize entries (callers index by rowid)."""
+    """Returns rank array over vsize entries (callers index by rowid).
+
+    Dispatches to the native runtime (native/graphrt.cpp) when built."""
+    from .. import native_rt
+    if native_rt.available():
+        out = native_rt.pagerank(csr.vcount, csr.vsize, csr.v, csr.e,
+                                 damping, threshold)
+        if out is not None:
+            return out
     N = csr.vsize
     V = csr.vcount
     deg = np.zeros(N, dtype=np.int64)
@@ -51,6 +59,11 @@ def pagerank(csr: CSR, damping: float = 0.85, threshold: float = 1e-6
 def weakly_connected_component(csr: CSR) -> np.ndarray:
     """Union-find with the reference's exact linking order; returns the root
     per vertex for vertices [0, vsize-1)."""
+    from .. import native_rt
+    if native_rt.available():
+        out = native_rt.wcc(csr.vcount, csr.vsize - 1, csr.v, csr.e)
+        if out is not None:
+            return out
     n = csr.vsize - 1
     forest = np.arange(n, dtype=np.int64)
 
@@ -81,6 +94,11 @@ def local_clustering_coefficient(csr: CSR) -> np.ndarray:
     """lcc[v] = (# directed links among neighbors of v) / (d*(d-1)).
     Works on whichever CSR it is given (the SQL layer hands it the
     deduplicated undirected CSR, mirroring the reference's table function)."""
+    from .. import native_rt
+    if native_rt.available():
+        out = native_rt.lcc(csr.vcount, csr.v, csr.e)
+        if out is not None:
+            return out
     V = csr.vcount
     out = np.zeros(V, dtype=np.float32)
     v, e = csr.v, csr.e

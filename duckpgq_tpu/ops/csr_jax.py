@@ -50,6 +50,7 @@ class DeviceCSR:
     in_src: jnp.ndarray       # int32 [Ep]   source per in-edge (dst-sorted)
     in_dst: jnp.ndarray       # int32 [Ep]
     in_pos: jnp.ndarray       # int32 [Ep]   position into e/edge_ids
+    in_offsets: jnp.ndarray   # int32 [Vp + 1]  offsets of the in-edge view
     w: Optional[jnp.ndarray]  # float32 [Ep] or None
     vcount: int               # real V (static)
     ecount: int               # real E (static)
@@ -64,7 +65,8 @@ class DeviceCSR:
 
     def tree_flatten(self):
         children = (self.offsets, self.e, self.edge_src, self.edge_ids,
-                    self.in_src, self.in_dst, self.in_pos, self.w)
+                    self.in_src, self.in_dst, self.in_pos, self.in_offsets,
+                    self.w)
         aux = (self.vcount, self.ecount)
         return children, aux
 
@@ -85,11 +87,17 @@ def _build_device_csr(src, dst, eid, w, vpad: int, epad: int):
     offsets = jnp.concatenate([jnp.zeros(1, jnp.int32),
                                jnp.cumsum(counts[:vpad]).astype(jnp.int32)])
     in_order = jnp.argsort(d, stable=True)
+    in_counts = jax.ops.segment_sum(jnp.ones_like(d, dtype=jnp.int32), d,
+                                    num_segments=vpad + 1)
+    in_offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32),
+         jnp.cumsum(in_counts[:vpad]).astype(jnp.int32)])
     out = {
         "offsets": offsets,
         "e": d, "edge_src": s, "edge_ids": ids,
         "in_src": s[in_order], "in_dst": d[in_order],
         "in_pos": in_order.astype(jnp.int32),
+        "in_offsets": in_offsets,
     }
     if w is not None:
         out["w"] = w[order]
@@ -127,6 +135,7 @@ def build_device_csr(vcount: int, src: np.ndarray, dst: np.ndarray,
         offsets=built["offsets"], e=built["e"], edge_src=built["edge_src"],
         edge_ids=built["edge_ids"], in_src=built["in_src"],
         in_dst=built["in_dst"], in_pos=built["in_pos"],
+        in_offsets=built["in_offsets"],
         w=built.get("w"), vcount=vcount, ecount=e)
 
 

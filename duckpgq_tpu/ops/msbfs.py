@@ -40,13 +40,27 @@ def _expand(frontier: np.ndarray, seen: np.ndarray, rsrc, rdst) -> np.ndarray:
 def iterative_length(csr: CSR, src: np.ndarray, dst: np.ndarray,
                      src_valid: Optional[np.ndarray] = None
                      ) -> Tuple[np.ndarray, np.ndarray]:
-    """Batched BFS lengths. Returns (lengths int64, validity bool)."""
+    """Batched BFS lengths. Returns (lengths int64, validity bool).
+
+    Dispatches to the native C++ runtime (native/graphrt.cpp) when built;
+    the numpy path below is the exact mirror and fallback."""
     n = len(src)
     V = csr.vcount
     out = np.full(n, -1, dtype=np.int64)
     validity = np.ones(n, dtype=bool)
     if src_valid is None:
         src_valid = np.ones(n, dtype=bool)
+
+    from .. import native_rt
+    if native_rt.available() and n:
+        sel = np.flatnonzero(src_valid)
+        if len(sel):
+            lengths = native_rt.msbfs_lengths(
+                V, csr.v, csr.e, src[sel], dst[sel])
+            out[sel] = lengths
+            validity[sel] = lengths >= 0
+        validity[~src_valid] = False
+        return out, validity
     rsrc, rdst, _ = csr.reverse() if csr.ecount else \
         (np.empty(0, np.int64), np.empty(0, np.int64), None)
 
@@ -158,6 +172,20 @@ def shortest_path(csr: CSR, src: np.ndarray, dst: np.ndarray,
     validity = np.zeros(n, dtype=bool)
     if src_valid is None:
         src_valid = np.ones(n, dtype=bool)
+
+    from .. import native_rt
+    if native_rt.available() and n and V * 512 * 4 <= (1 << 30):
+        sel = np.flatnonzero(src_valid)
+        if len(sel):
+            res = native_rt.msbfs_paths(
+                V, csr.v, csr.e, csr.edge_ids, csr.src_of_edge,
+                src[sel], dst[sel])
+            if res is not None:
+                _, sel_paths = res
+                for k, q in enumerate(sel):
+                    paths[q] = sel_paths[k]
+                    validity[q] = sel_paths[k] is not None
+                return paths, validity
     if csr.ecount:
         rsrc, rdst, rpos = csr.reverse()
     else:
@@ -247,6 +275,26 @@ def cheapest_path_length(csr: CSR, src: np.ndarray, dst: np.ndarray,
     INF = np.inf if is_double else np.iinfo(np.int64).max // 2
     out = np.full(n, INF, dtype=dtype)
     validity = np.ones(n, dtype=bool)
+
+    from .. import native_rt
+    if native_rt.available() and n:
+        sel = np.flatnonzero(src_valid)
+        out = np.zeros(n, dtype=dtype)
+        validity = np.zeros(n, dtype=bool)
+        if len(sel):
+            res = native_rt.bellman_ford(
+                V, csr.v, csr.e,
+                np.asarray(w, dtype=np.float64 if is_double else np.int64),
+                src[sel], dst[sel])
+            if res is not None:
+                costs, reached = res
+                out[sel] = np.where(reached, costs, 0)
+                validity[sel] = reached
+                return out, validity, is_double
+        else:
+            return out, validity, is_double
+        out = np.full(n, INF, dtype=dtype)
+        validity = np.ones(n, dtype=bool)
     if csr.ecount:
         rsrc, rdst, rpos = csr.reverse()
         rw = w[rpos]

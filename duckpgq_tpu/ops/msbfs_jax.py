@@ -83,6 +83,86 @@ def msbfs_lengths(csr: DeviceCSR, src: jnp.ndarray, dst: jnp.ndarray,
     return result, traversed
 
 
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def msbfs_lengths_packed(csr: DeviceCSR, src: jnp.ndarray, dst: jnp.ndarray,
+                         active: jnp.ndarray, max_iters: int
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Bit-packed MS-BFS: 32 lanes per uint32 word (the direct TPU analog of
+    the reference's ``bitset<LANE_LIMIT>`` per vertex, iterativelength.cpp:
+    12-32). The frontier is ``uint32 [Vp+1, W]`` with ``W = L/32`` — 32x less
+    gather traffic than the dense bool kernel, and the per-destination OR is
+    a segmented scan (associative_scan with head flags) instead of a
+    scatter-lowered segment reduce.
+
+    Returns (lengths int32 [L], traversed float32 [L])."""
+    Vp = csr.vpad
+    L = src.shape[0]
+    assert L % 32 == 0, "packed kernel needs lanes % 32 == 0"
+    W = L // 32
+    lanes = jnp.arange(L)
+    word_of_lane = lanes // 32
+    bit_of_lane = (jnp.uint32(1) << (lanes % 32).astype(jnp.uint32))
+    deg = out_degrees(csr).astype(jnp.float32)       # [Vp]
+
+    trivial = active & (src == dst)
+    searching = active & (src != dst)
+    frontier = jnp.zeros((Vp + 1, W), dtype=jnp.uint32)
+    frontier = frontier.at[src, word_of_lane].add(
+        jnp.where(searching, bit_of_lane, jnp.uint32(0)))
+    seen = frontier
+    result = jnp.where(trivial, 0, -1).astype(jnp.int32)
+
+    # static per-CSR segment structure of the dst-sorted in-edge view
+    heads = jnp.concatenate(
+        [jnp.ones(1, jnp.bool_), csr.in_dst[1:] != csr.in_dst[:-1]])
+    last_pos = jnp.maximum(csr.in_offsets[1:] - 1, 0)       # [Vp]
+    has_in = (csr.in_offsets[1:] > csr.in_offsets[:-1])     # [Vp]
+
+    def seg_or(a, b):
+        af, av = a
+        bf, bv = b
+        return af | bf, jnp.where(bf[:, None], bv, av | bv)
+
+    def pack_lane_mask(cond):
+        """bool [L] -> uint32 [W] with bit l%32 of word l//32 = cond[l]."""
+        bits = cond.reshape(W, 32).astype(jnp.uint32)
+        return (bits << jnp.arange(32, dtype=jnp.uint32)[None, :]).sum(
+            axis=1, dtype=jnp.uint32)
+
+    def cond(state):
+        it, frontier, seen, result = state
+        return (it <= max_iters) & (frontier != 0).any()
+
+    def body(state):
+        it, frontier, seen, result = state
+        gathered = frontier[csr.in_src]                       # [Ep, W]
+        _, scanned = jax.lax.associative_scan(
+            seg_or, (heads, gathered), axis=0)
+        ext = jnp.where(has_in[:, None], scanned[last_pos],
+                        jnp.uint32(0))                        # [Vp, W]
+        nxt = jnp.concatenate(
+            [ext, jnp.zeros((1, W), jnp.uint32)]) & ~seen
+        seen = seen | nxt
+        found = ((nxt[dst, word_of_lane] & bit_of_lane) != 0) \
+            & (result < 0) & searching
+        result = jnp.where(found, it, result)
+        nxt = nxt & pack_lane_mask(result < 0)[None, :]
+        return it + 1, nxt, seen, result
+
+    _, _, seen, result = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), frontier, seen, result))
+
+    # graph500 TEPS accounting: every out-edge of every visited vertex
+    # counts once per lane; unpack seen bit-plane by bit-plane (32 matvecs)
+    per_bit = []
+    seen_v = seen[:Vp]
+    for b in range(32):
+        col = ((seen_v >> jnp.uint32(b)) & jnp.uint32(1)).astype(jnp.float32)
+        per_bit.append(deg @ col)                             # [W]
+    traversed = jnp.stack(per_bit, axis=1).reshape(L)         # [W,32]->[L]
+    return result, traversed
+
+
 def msbfs_lengths_batched(csr: DeviceCSR, src, dst, lanes: int = 64):
     """Batch arbitrary query counts into fixed-width lane groups (keeps one
     compiled kernel per (graph bucket, lanes))."""

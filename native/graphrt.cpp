@@ -1,0 +1,413 @@
+// Native graph runtime: CSR build + lane-packed MS-BFS family + whole-graph
+// algorithms, exposed as a C ABI for the Python engine (ctypes).
+//
+// This is the native counterpart of the reference's scalar-kernel layer
+// (reference src/core/functions/scalar/*: iterativelength.cpp 512-lane
+// bitset MS-BFS, shortest_path.cpp parent tracking, cheapest_path_length.cpp
+// multi-source Bellman-Ford, pagerank.cpp, weakly_connected_component.cpp
+// union-find, local_clustering_coefficient.cpp) — used by this framework for
+// host-resident graphs below the device-dispatch threshold, while the
+// JAX/Pallas kernels own large graphs on TPU.
+//
+// Semantics are kept bit-identical to the Python host mirrors in
+// duckpgq_tpu/ops/{msbfs.py,algorithms.py} (which are themselves parity-
+// checked against the reference's sqllogictests); tests cross-check native
+// vs Python on random graphs.
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+#include <cmath>
+
+namespace {
+
+constexpr int kLaneWords = 8;   // 512 lanes / 64 bits (reference LANE_LIMIT)
+
+inline bool row_any(const uint64_t* row) {
+  uint64_t acc = 0;
+  for (int w = 0; w < kLaneWords; ++w) acc |= row[w];
+  return acc != 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// CSR build: stable counting sort of edges by source.
+// offsets: [vcount+1], e_out/pos_out: [ecount]; pos_out[i] = original index
+// of the edge placed at CSR slot i (for edge_ids / weights alignment).
+// ---------------------------------------------------------------------------
+void gr_csr_build(int64_t vcount, int64_t ecount, const int64_t* src,
+                  const int64_t* dst, int64_t* offsets, int64_t* e_out,
+                  int64_t* pos_out) {
+  std::memset(offsets, 0, sizeof(int64_t) * (vcount + 1));
+  for (int64_t i = 0; i < ecount; ++i) offsets[src[i] + 1]++;
+  for (int64_t v = 0; v < vcount; ++v) offsets[v + 1] += offsets[v];
+  std::vector<int64_t> cursor(offsets, offsets + vcount);
+  for (int64_t i = 0; i < ecount; ++i) {
+    int64_t slot = cursor[src[i]]++;
+    e_out[slot] = dst[i];
+    pos_out[slot] = i;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// MS-BFS lengths: 512 bitset lanes, push-style frontier expansion over the
+// forward CSR (reference iterativelength.cpp:12-32). qs/qd are lane queries;
+// out[q] = hops, or -1 when unreached. src == dst lanes resolve to 0.
+// ---------------------------------------------------------------------------
+void gr_msbfs_lengths(int64_t vcount, const int64_t* offsets,
+                      const int64_t* adj, int64_t nq, const int64_t* qs,
+                      const int64_t* qd, int64_t* out) {
+  std::vector<int64_t> pending;
+  pending.reserve(nq);
+  for (int64_t q = 0; q < nq; ++q) {
+    if (qs[q] == qd[q]) {
+      out[q] = 0;
+    } else {
+      out[q] = -1;
+      pending.push_back(q);
+    }
+  }
+  const size_t row_words = kLaneWords;
+  std::vector<uint64_t> visit(vcount * row_words);
+  std::vector<uint64_t> next(vcount * row_words);
+  std::vector<uint64_t> seen(vcount * row_words);
+
+  for (size_t start = 0; start < pending.size(); start += 512) {
+    size_t L = std::min<size_t>(512, pending.size() - start);
+    std::fill(visit.begin(), visit.end(), 0);
+    std::fill(next.begin(), next.end(), 0);
+    std::fill(seen.begin(), seen.end(), 0);
+    for (size_t l = 0; l < L; ++l) {
+      int64_t q = pending[start + l];
+      visit[qs[q] * row_words + l / 64] |= 1ULL << (l % 64);
+    }
+    uint64_t active[kLaneWords];
+    std::memset(active, 0, sizeof(active));
+    for (size_t l = 0; l < L; ++l) active[l / 64] |= 1ULL << (l % 64);
+
+    for (int64_t it = 1; it <= vcount + 1; ++it) {
+      bool changed = false;
+      for (int64_t v = 0; v < vcount; ++v) {
+        const uint64_t* row = &visit[v * row_words];
+        if (!row_any(row)) continue;
+        for (int64_t j = offsets[v]; j < offsets[v + 1]; ++j) {
+          uint64_t* nrow = &next[adj[j] * row_words];
+          for (int w = 0; w < kLaneWords; ++w) nrow[w] |= row[w];
+        }
+      }
+      for (int64_t v = 0; v < vcount; ++v) {
+        uint64_t* nrow = &next[v * row_words];
+        uint64_t* srow = &seen[v * row_words];
+        for (int w = 0; w < kLaneWords; ++w) {
+          nrow[w] &= ~srow[w] & active[w];
+          srow[w] |= nrow[w];
+          changed |= (nrow[w] != 0);
+        }
+      }
+      if (!changed) break;
+      for (size_t l = 0; l < L; ++l) {
+        if (!(active[l / 64] >> (l % 64) & 1)) continue;
+        int64_t q = pending[start + l];
+        if (seen[qd[q] * row_words + l / 64] >> (l % 64) & 1) {
+          out[q] = it;
+          active[l / 64] &= ~(1ULL << (l % 64));
+        }
+      }
+      std::swap(visit, next);
+      std::fill(next.begin(), next.end(), 0);
+      bool any_active = false;
+      for (int w = 0; w < kLaneWords; ++w) any_active |= (active[w] != 0);
+      if (!any_active) break;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Shortest path (BFS + parent tracking; reference shortest_path.cpp:12-41).
+// Parent tie-break: lowest CSR position wins (ascending (v, slot) iteration
+// sets parents first-touch). Caller protocol: run gr_msbfs_lengths first,
+// size path_buf as sum(2*len[q]+1), pass per-query output offsets.
+// pos_out from gr_csr_build maps CSR slot -> original edge index; paths are
+// [v0, edge_id(e0), v1, ..., vk] with edge_id = eid[pos].
+// ---------------------------------------------------------------------------
+void gr_msbfs_paths(int64_t vcount, const int64_t* offsets, const int64_t* adj,
+                    const int64_t* eid_of_slot, const int64_t* src_of_slot,
+                    int64_t nq, const int64_t* qs,
+                    const int64_t* qd, const int64_t* lengths,
+                    const int64_t* path_offsets, int64_t* path_buf) {
+  std::vector<int64_t> pending;
+  pending.reserve(nq);
+  for (int64_t q = 0; q < nq; ++q) {
+    if (lengths[q] < 0) continue;
+    if (qs[q] == qd[q]) {
+      path_buf[path_offsets[q]] = qs[q];
+    } else {
+      pending.push_back(q);
+    }
+  }
+  const size_t row_words = kLaneWords;
+  std::vector<uint64_t> visit(vcount * row_words);
+  std::vector<uint64_t> next(vcount * row_words);
+  std::vector<uint64_t> seen(vcount * row_words);
+  // per-lane parent CSR slot (-1 unset): [vcount][512] laid out lane-major
+  // per vertex; 512 lanes keeps reference batching, caller bounds V.
+  std::vector<int32_t> parent;
+
+  for (size_t start = 0; start < pending.size(); start += 512) {
+    size_t L = std::min<size_t>(512, pending.size() - start);
+    std::fill(visit.begin(), visit.end(), 0);
+    std::fill(next.begin(), next.end(), 0);
+    std::fill(seen.begin(), seen.end(), 0);
+    parent.assign(vcount * L, -1);
+    for (size_t l = 0; l < L; ++l) {
+      int64_t q = pending[start + l];
+      visit[qs[q] * row_words + l / 64] |= 1ULL << (l % 64);
+    }
+    uint64_t active[kLaneWords];
+    std::memset(active, 0, sizeof(active));
+    for (size_t l = 0; l < L; ++l) active[l / 64] |= 1ULL << (l % 64);
+
+    for (int64_t it = 1; it <= vcount + 1; ++it) {
+      for (int64_t v = 0; v < vcount; ++v) {
+        const uint64_t* row = &visit[v * row_words];
+        if (!row_any(row)) continue;
+        for (int64_t j = offsets[v]; j < offsets[v + 1]; ++j) {
+          int64_t u = adj[j];
+          uint64_t* nrow = &next[u * row_words];
+          const uint64_t* srow = &seen[u * row_words];
+          for (int w = 0; w < kLaneWords; ++w) {
+            uint64_t fresh = row[w] & ~srow[w] & ~nrow[w] & active[w];
+            if (!fresh) continue;
+            nrow[w] |= fresh;
+            while (fresh) {
+              int b = __builtin_ctzll(fresh);
+              fresh &= fresh - 1;
+              size_t lane = w * 64 + b;
+              if (parent[u * L + lane] < 0)
+                parent[u * L + lane] = static_cast<int32_t>(j);
+            }
+          }
+        }
+      }
+      bool changed = false;
+      for (int64_t v = 0; v < vcount; ++v) {
+        uint64_t* nrow = &next[v * row_words];
+        uint64_t* srow = &seen[v * row_words];
+        for (int w = 0; w < kLaneWords; ++w) {
+          srow[w] |= nrow[w];
+          changed |= (nrow[w] != 0);
+        }
+      }
+      if (!changed) break;
+      for (size_t l = 0; l < L; ++l) {
+        if (!(active[l / 64] >> (l % 64) & 1)) continue;
+        int64_t q = pending[start + l];
+        if (seen[qd[q] * row_words + l / 64] >> (l % 64) & 1) {
+          // reconstruct backwards dst -> src
+          int64_t len = lengths[q];
+          int64_t* outp = &path_buf[path_offsets[q]];
+          int64_t cur = qd[q];
+          int64_t slot = 2 * len;
+          outp[slot] = cur;
+          while (cur != qs[q] && slot > 0) {
+            int32_t p = parent[cur * L + l];
+            outp[slot - 1] = eid_of_slot[p];
+            cur = src_of_slot[p];
+            outp[slot - 2] = cur;
+            slot -= 2;
+          }
+          active[l / 64] &= ~(1ULL << (l % 64));
+        }
+      }
+      std::swap(visit, next);
+      std::fill(next.begin(), next.end(), 0);
+      bool any_active = false;
+      for (int w = 0; w < kLaneWords; ++w) any_active |= (active[w] != 0);
+      if (!any_active) break;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Multi-source Bellman-Ford (reference cheapest_path_length.cpp): relax all
+// CSR edges until fixpoint, batched over queries. Double variant; the int64
+// variant mirrors it. dist buffer is caller-provided scratch of vcount*L.
+// ---------------------------------------------------------------------------
+void gr_bellman_ford_f64(int64_t vcount, const int64_t* offsets,
+                         const int64_t* adj, const double* w, int64_t nq,
+                         const int64_t* qs, const int64_t* qd, double* out,
+                         uint8_t* reached) {
+  const double INF = HUGE_VAL;
+  constexpr int64_t kChunk = 256;
+  std::vector<double> dist;
+  for (int64_t start = 0; start < nq; start += kChunk) {
+    int64_t L = std::min(kChunk, nq - start);
+    dist.assign(vcount * L, INF);
+    for (int64_t l = 0; l < L; ++l) dist[qs[start + l] * L + l] = 0.0;
+    for (int64_t round = 0; round <= vcount; ++round) {
+      bool changed = false;
+      for (int64_t v = 0; v < vcount; ++v) {
+        const double* dv = &dist[v * L];
+        for (int64_t j = offsets[v]; j < offsets[v + 1]; ++j) {
+          double* du = &dist[adj[j] * L];
+          double wj = w[j];
+          for (int64_t l = 0; l < L; ++l) {
+            if (dv[l] != INF && dv[l] + wj < du[l]) {
+              du[l] = dv[l] + wj;
+              changed = true;
+            }
+          }
+        }
+      }
+      if (!changed) break;
+    }
+    for (int64_t l = 0; l < L; ++l) {
+      double d = dist[qd[start + l] * L + l];
+      reached[start + l] = (d != INF);
+      out[start + l] = (d != INF) ? d : 0.0;
+    }
+  }
+}
+
+void gr_bellman_ford_i64(int64_t vcount, const int64_t* offsets,
+                         const int64_t* adj, const int64_t* w, int64_t nq,
+                         const int64_t* qs, const int64_t* qd, int64_t* out,
+                         uint8_t* reached) {
+  const int64_t INF = INT64_MAX / 2;
+  constexpr int64_t kChunk = 256;
+  std::vector<int64_t> dist;
+  for (int64_t start = 0; start < nq; start += kChunk) {
+    int64_t L = std::min(kChunk, nq - start);
+    dist.assign(vcount * L, INF);
+    for (int64_t l = 0; l < L; ++l) dist[qs[start + l] * L + l] = 0;
+    for (int64_t round = 0; round <= vcount; ++round) {
+      bool changed = false;
+      for (int64_t v = 0; v < vcount; ++v) {
+        const int64_t* dv = &dist[v * L];
+        for (int64_t j = offsets[v]; j < offsets[v + 1]; ++j) {
+          int64_t* du = &dist[adj[j] * L];
+          int64_t wj = w[j];
+          for (int64_t l = 0; l < L; ++l) {
+            if (dv[l] < INF && dv[l] + wj < du[l]) {
+              du[l] = dv[l] + wj;
+              changed = true;
+            }
+          }
+        }
+      }
+      if (!changed) break;
+    }
+    for (int64_t l = 0; l < L; ++l) {
+      int64_t d = dist[qd[start + l] * L + l];
+      reached[start + l] = (d < INF);
+      out[start + l] = (d < INF) ? d : 0;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// PageRank over N = vsize = V+2 entries (reference pagerank.cpp:31-78 — the
+// padded array leaks into the denominator; phantom vertices are dangling).
+// ---------------------------------------------------------------------------
+void gr_pagerank(int64_t vcount, int64_t n, const int64_t* offsets,
+                 const int64_t* adj, double damping, double threshold,
+                 double* rank) {
+  std::vector<double> temp(n);
+  for (int64_t i = 0; i < n; ++i) rank[i] = 1.0 / n;
+  while (true) {
+    std::fill(temp.begin(), temp.end(), 0.0);
+    double dangling = 0.0;
+    for (int64_t v = 0; v < n; ++v) {
+      int64_t deg = (v < vcount) ? offsets[v + 1] - offsets[v] : 0;
+      if (deg == 0) {
+        dangling += rank[v];
+        continue;
+      }
+      double contrib = rank[v] / deg;
+      for (int64_t j = offsets[v]; j < offsets[v + 1]; ++j)
+        temp[adj[j]] += contrib;
+    }
+    double correction = dangling / n;
+    double max_delta = 0.0;
+    for (int64_t i = 0; i < n; ++i) {
+      double nv = (1.0 - damping) / n + damping * (temp[i] + correction);
+      max_delta = std::max(max_delta, std::fabs(nv - rank[i]));
+      rank[i] = nv;
+    }
+    if (max_delta < threshold) return;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// WCC: the reference's exact union-find linking order (forest[rootA]=rootB
+// per CSR edge in order; weakly_connected_component.cpp:14-34,66-91).
+// out: [n] component root per vertex, n = vsize-1.
+// ---------------------------------------------------------------------------
+void gr_wcc(int64_t vcount, int64_t n, const int64_t* offsets,
+            const int64_t* adj, int64_t* out) {
+  std::vector<int64_t> forest(n);
+  for (int64_t i = 0; i < n; ++i) forest[i] = i;
+  auto find = [&](int64_t node) {
+    while (true) {
+      int64_t parent = forest[node];
+      if (parent == node) return node;
+      forest[node] = forest[parent];
+      node = parent;
+    }
+  };
+  int64_t vmax = std::min(vcount, n);
+  for (int64_t i = 0; i < vmax; ++i) {
+    for (int64_t j = offsets[i]; j < offsets[i + 1]; ++j) {
+      int64_t ra = find(i);
+      int64_t rb = find(adj[j]);
+      if (ra != rb) forest[ra] = rb;
+    }
+  }
+  for (int64_t i = 0; i < n; ++i) out[i] = find(i);
+}
+
+// ---------------------------------------------------------------------------
+// Local clustering coefficient over a deduplicated symmetric CSR
+// (reference local_clustering_coefficient.cpp:11-72). out: float [vcount].
+// ---------------------------------------------------------------------------
+void gr_lcc(int64_t vcount, const int64_t* offsets, const int64_t* adj,
+            float* out) {
+  std::vector<uint8_t> mark(vcount + 2, 0);
+  for (int64_t u = 0; u < vcount; ++u) {
+    int64_t d = offsets[u + 1] - offsets[u];
+    if (d < 2) {
+      out[u] = 0.0f;
+      continue;
+    }
+    for (int64_t j = offsets[u]; j < offsets[u + 1]; ++j) mark[adj[j]] = 1;
+    int64_t count = 0;
+    for (int64_t j = offsets[u]; j < offsets[u + 1]; ++j) {
+      int64_t x = adj[j];
+      for (int64_t k = offsets[x]; k < offsets[x + 1]; ++k)
+        count += mark[adj[k]];
+    }
+    for (int64_t j = offsets[u]; j < offsets[u + 1]; ++j) mark[adj[j]] = 0;
+    out[u] = static_cast<float>(count) /
+             (static_cast<float>(d) * static_cast<float>(d - 1));
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Reachability with source-dedup (reference reachability.cpp lane_map):
+// same as lengths but only reachability is reported.
+// ---------------------------------------------------------------------------
+void gr_msbfs_reachability(int64_t vcount, const int64_t* offsets,
+                           const int64_t* adj, int64_t nq, const int64_t* qs,
+                           const int64_t* qd, uint8_t* out) {
+  std::vector<int64_t> lengths(nq);
+  gr_msbfs_lengths(vcount, offsets, adj, nq, qs, qd, lengths.data());
+  for (int64_t q = 0; q < nq; ++q) out[q] = (lengths[q] >= 0);
+}
+
+int64_t gr_version() { return 1; }
+
+}  // extern "C"

@@ -30,6 +30,32 @@ def test_device_bfs_matches_host(seed):
     np.testing.assert_array_equal(dev_lengths, expect)
 
 
+@pytest.mark.parametrize("seed", [0, 5])
+def test_packed_bfs_matches_host(seed):
+    import jax.numpy as jnp
+    from duckpgq_tpu.ops.csr_jax import from_host_csr
+    from duckpgq_tpu.ops.msbfs_jax import msbfs_lengths_packed
+
+    g = random_graph(seed, v=70, e=260)
+    rng = np.random.default_rng(seed + 200)
+    L = 64
+    qs = rng.integers(0, g.vcount, size=L).astype(np.int32)
+    qd = rng.integers(0, g.vcount, size=L).astype(np.int32)
+    active = np.ones(L, dtype=bool)
+    active[-3:] = False
+    qs[5] = qd[5]  # trivial lane
+    dcsr = from_host_csr(g.host_csr)
+    got, traversed = msbfs_lengths_packed(
+        dcsr, jnp.asarray(qs), jnp.asarray(qd), jnp.asarray(active),
+        g.vcount)
+    host_lengths, host_valid = host_msbfs.iterative_length(
+        g.host_csr, qs.astype(np.int64), qd.astype(np.int64))
+    expect = np.where(host_valid & active, host_lengths, -1)
+    np.testing.assert_array_equal(np.asarray(got), expect)
+    assert float(np.asarray(traversed)[active].sum()) > 0
+    assert float(np.asarray(traversed)[~active].sum()) == 0
+
+
 def test_device_bellman_ford_matches_host():
     g = random_graph(7, weighted=True)
     rng = np.random.default_rng(3)
