@@ -10,6 +10,55 @@ from duckpgq_tpu.parallel.dist_bfs import dist_bfs_lengths, partition_csr
 from duckpgq_tpu.parallel.mesh import make_mesh
 
 
+def test_dist_pagerank_matches_host():
+    from duckpgq_tpu.models import Graph
+    from duckpgq_tpu.parallel.dist_algorithms import make_dist_pagerank
+
+    rng = np.random.default_rng(31)
+    v, e = 96, 400
+    src = rng.integers(0, v, size=e).astype(np.int64)
+    dst = rng.integers(0, v, size=e).astype(np.int64)
+    mesh = make_mesh(8)
+    sharded = partition_csr(v, src, dst, 8)
+    got = np.asarray(make_dist_pagerank(mesh, sharded)())
+    g = Graph(v, src, dst)
+    want = np.asarray(g.pagerank())
+    got_n = got / got.sum()
+    want_n = want / want.sum()
+    assert np.abs(got_n - want_n).max() < 5e-4
+
+
+def test_dist_wcc_matches_host():
+    from duckpgq_tpu.parallel.dist_algorithms import make_dist_wcc
+
+    rng = np.random.default_rng(33)
+    v, e = 120, 140
+    src = rng.integers(0, v, size=e).astype(np.int64)
+    dst = rng.integers(0, v, size=e).astype(np.int64)
+    mesh = make_mesh(8)
+    sharded = partition_csr(v, src, dst, 8)
+    got = np.asarray(make_dist_wcc(mesh, sharded)())
+    # oracle: undirected components via scipy-free union-find
+    parent = list(range(v))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in zip(src, dst):
+        parent[find(int(s))] = find(int(d))
+    want = [find(i) for i in range(v)]
+    # same equivalence classes
+    from collections import defaultdict
+    by_got = defaultdict(set)
+    for i in range(v):
+        by_got[int(got[i])].add(want[i])
+    for members in by_got.values():
+        assert len(members) == 1
+
+
 def test_dist_bfs_matches_host():
     assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
     rng = np.random.default_rng(21)
