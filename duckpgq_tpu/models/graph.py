@@ -110,13 +110,18 @@ class Graph:
     def reachability(self, src, dst, lanes: int = 64) -> np.ndarray:
         return self.bfs_lengths(src, dst, lanes=lanes) >= 0
 
-    def shortest_paths(self, src, dst):
-        """Vertex/edge-id interleaved paths (host reconstruction; parents are
-        tracked per-lane — reference shortest_path.cpp semantics)."""
-        paths, validity = host_msbfs.shortest_path(
-            self.host_csr, np.asarray(src, dtype=np.int64),
-            np.asarray(dst, dtype=np.int64))
-        return paths, validity
+    def shortest_paths(self, src, dst, device: Optional[bool] = None):
+        """Vertex/edge-id interleaved paths (reference shortest_path.cpp
+        semantics). Parent search runs on device for large graphs (packed
+        per-lane parents, host backtracking); small graphs use the native/
+        numpy host kernel where dispatch overhead wins."""
+        src = np.asarray(src, dtype=np.int64)
+        dst = np.asarray(dst, dtype=np.int64)
+        if device is None:
+            device = self.ecount >= 100_000
+        if device:
+            return dev.shortest_paths_device(self.device_csr, src, dst)
+        return host_msbfs.shortest_path(self.host_csr, src, dst)
 
     def cheapest_path_costs(self, src, dst, lanes: int = 64) -> np.ndarray:
         import jax.numpy as jnp
@@ -154,6 +159,11 @@ class Graph:
                 :self.vcount]
         return np.asarray(dev.wcc_label_propagation(self.device_csr))
 
-    def local_clustering_coefficient(self) -> np.ndarray:
+    def local_clustering_coefficient(self, device: Optional[bool] = None
+                                     ) -> np.ndarray:
         g = self if not self.directed else self.symmetrized()
+        if device is None:
+            device = g.ecount >= 100_000
+        if device:
+            return np.asarray(dev.lcc_device(g.device_csr))
         return host_algs.local_clustering_coefficient(g.host_csr)

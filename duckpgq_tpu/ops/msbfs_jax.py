@@ -275,6 +275,165 @@ def pagerank_device(csr: DeviceCSR, damping: float = 0.85,
 
 
 # ---------------------------------------------------------------------------
+# shortest path: packed MS-BFS with per-lane parent tracking
+# (reference shortest_path.cpp:12-41 — first-touch parent, min CSR position)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def msbfs_parents(csr: DeviceCSR, src: jnp.ndarray, dst: jnp.ndarray,
+                  active: jnp.ndarray, max_iters: int
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """BFS with parent tracking. Returns (lengths int32 [L],
+    parent_pos int32 [Vp, L]) where parent_pos[v, l] is the position in the
+    dst-sorted in-edge view of the edge that first discovered v in lane l
+    (-1 = undiscovered). Tie-break matches the reference: the in-edge with
+    the lowest source CSR position wins (shortest_path.cpp:27-30) — here the
+    lowest in-view position whose (src, insertion) order mirrors it.
+
+    Host-side reconstruction walks parent_pos backwards (SURVEY.md §7.3
+    item 2: backtracking is sequential per query; ship parents to host)."""
+    Vp = csr.vpad
+    Ep = csr.epad
+    L = src.shape[0]
+    lanes = jnp.arange(L)
+
+    trivial = active & (src == dst)
+    searching = active & (src != dst)
+    frontier = jnp.zeros((Vp + 1, L), dtype=jnp.bool_)
+    frontier = frontier.at[src, lanes].set(searching)
+    seen = frontier
+    result = jnp.where(trivial, 0, -1).astype(jnp.int32)
+    parent = jnp.full((Vp, L), -1, dtype=jnp.int32)
+
+    # min in-view position per (dst, lane) among frontier-origin edges:
+    # in_pos is the position in the (src, insertion)-sorted edge arrays —
+    # minimizing it reproduces the reference's deterministic parent
+    in_rank = csr.in_pos.astype(jnp.int32)
+    BIGPOS = jnp.int32(Ep + 1)
+
+    def cond(state):
+        it, frontier, seen, result, parent = state
+        return (it <= max_iters) & frontier.any()
+
+    def body(state):
+        it, frontier, seen, result, parent = state
+        gathered = frontier[csr.in_src]                       # [Ep, L]
+        nxt = jax.ops.segment_max(
+            gathered.astype(jnp.int8), csr.in_dst,
+            num_segments=Vp + 1, indices_are_sorted=True) > 0
+        nxt = nxt & ~seen
+        nxt = nxt.at[Vp].set(False)
+        cand = jnp.where(gathered, in_rank[:, None], BIGPOS)  # [Ep, L]
+        minpos = jax.ops.segment_min(
+            cand, csr.in_dst, num_segments=Vp + 1,
+            indices_are_sorted=True)[:Vp]                     # [Vp, L]
+        newly = nxt[:Vp] & (parent < 0)
+        parent = jnp.where(newly, minpos, parent)
+        seen = seen | nxt
+        found = nxt[dst, lanes] & (result < 0) & searching
+        result = jnp.where(found, it, result)
+        nxt = nxt & (result < 0)[None, :]
+        return it + 1, nxt, seen, result, parent
+
+    _, _, seen, result, parent = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), frontier, seen, result, parent))
+    return result, parent
+
+
+def shortest_paths_device(csr: DeviceCSR, src, dst, lanes: int = 64):
+    """Batched device BFS + host path reconstruction. Returns
+    (paths list of [v0, e0, v1, ...] or None, validity bool array)."""
+    import numpy as np
+    n = len(src)
+    paths = [None] * n
+    validity = np.zeros(n, dtype=bool)
+    max_iters = max(csr.vcount, 1)
+    eid = np.asarray(csr.edge_ids)
+    edge_src_np = np.asarray(csr.edge_src)
+    for start in range(0, n, lanes):
+        m = min(lanes, n - start)
+        s = np.zeros(lanes, dtype=np.int32)
+        d = np.zeros(lanes, dtype=np.int32)
+        a = np.zeros(lanes, dtype=bool)
+        s[:m] = src[start:start + m]
+        d[:m] = dst[start:start + m]
+        a[:m] = True
+        res, parent = msbfs_parents(
+            csr, jnp.asarray(s), jnp.asarray(d), jnp.asarray(a), max_iters)
+        res = np.asarray(res)
+        parent = np.asarray(parent)                 # [Vp, L] in-view pos
+        for l in range(m):
+            q = start + l
+            if res[l] < 0:
+                continue
+            if s[l] == d[l]:
+                paths[q] = [int(s[l])]
+                validity[q] = True
+                continue
+            # backtrack dst -> src through the in-edge view
+            out = [int(d[l])]
+            cur = int(d[l])
+            ok = True
+            for _ in range(int(res[l])):
+                # parent stores the discovering edge's CSR position
+                p = parent[cur, l]
+                if p < 0:
+                    ok = False
+                    break
+                out.append(int(eid[p]))
+                cur = int(edge_src_np[p])
+                out.append(cur)
+            if ok and cur == int(s[l]):
+                out.reverse()
+                paths[q] = out
+                validity[q] = True
+    return paths, validity
+
+
+# ---------------------------------------------------------------------------
+# local clustering coefficient (neighborhood bitmaps as dense masks;
+# reference local_clustering_coefficient.cpp:11-72)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def lcc_device(csr: DeviceCSR, block: int = 128) -> jnp.ndarray:
+    """lcc[v] = directed neighbor-neighbor links / (d*(d-1)) over the given
+    (deduplicated, symmetrized) CSR. Blocked dense formulation: process
+    vertices in blocks of ``block``; each block materializes its neighbor
+    bitmap [block, Vp] and counts wedge closures with one masked matmul —
+    MXU work instead of per-vertex loops."""
+    Vp = csr.vpad
+    deg = out_degrees(csr).astype(jnp.float32)                # [Vp]
+    # neighbor incidence: nbr[b, v] = 1 if v adjacent to vertex b0+b
+    n_blocks = Vp // block
+
+    def per_block(b0):
+        rows = b0 + jnp.arange(block)                         # [B]
+        # bitmap[B, Vp]: scatter each in-block edge once (out-of-block
+        # edges land on a dummy row)
+        local_row = csr.edge_src - b0
+        safe_row = jnp.where((local_row >= 0) & (local_row < block),
+                             local_row, block)
+        bitmap = jnp.zeros((block + 1, Vp + 1), jnp.float32)
+        bitmap = bitmap.at[safe_row, csr.e].max(1.0)
+        bitmap = bitmap[:block]     # keep the pad column: pad-edge
+        # gathers read it and it is never set for real rows
+        # closures[b] = sum over neighbors x of |N(x) ∩ N(b)|: gather each
+        # neighbor's adjacency via the same edge list — count pairs
+        # (edge u->x of row b, edge x->w) with w in N(b):
+        # links = sum_e2 bitmap[b, e2.dst] * (e2.src in N(b-row))
+        src_in_nbr = jax.vmap(lambda row: row[csr.edge_src])(bitmap)
+        dst_in_nbr = jax.vmap(lambda row: row[csr.e])(bitmap)  # [B, Ep]
+        links = (src_in_nbr * dst_in_nbr).sum(axis=1)          # [B]
+        d = deg[rows]
+        denom = d * (d - 1.0)
+        return jnp.where(denom > 0, links / denom, 0.0)
+
+    out = jax.lax.map(per_block, jnp.arange(n_blocks) * block)
+    return out.reshape(-1)[:csr.vcount].astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
 # WCC via pointer-jumping label propagation (TPU-friendly union-find
 # substitute; same equivalence classes, canonical label = min vertex id)
 # ---------------------------------------------------------------------------

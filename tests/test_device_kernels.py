@@ -56,6 +56,42 @@ def test_packed_bfs_matches_host(seed):
     assert float(np.asarray(traversed)[~active].sum()) == 0
 
 
+@pytest.mark.parametrize("seed", [0, 7])
+def test_device_shortest_paths_match_host(seed):
+    from duckpgq_tpu.ops.csr_jax import from_host_csr
+    from duckpgq_tpu.ops.msbfs_jax import shortest_paths_device
+
+    g = random_graph(seed, v=50, e=190)
+    rng = np.random.default_rng(seed + 300)
+    qs = rng.integers(0, g.vcount, size=40).astype(np.int64)
+    qd = rng.integers(0, g.vcount, size=40).astype(np.int64)
+    qs[1] = qd[1]
+    dcsr = from_host_csr(g.host_csr)
+    got_paths, got_valid = shortest_paths_device(dcsr, qs, qd)
+    want_paths, want_valid = host_msbfs.shortest_path(g.host_csr, qs, qd)
+    np.testing.assert_array_equal(got_valid, want_valid)
+    assert got_paths == want_paths
+
+
+def test_device_lcc_matches_host():
+    from duckpgq_tpu.ops.csr_jax import from_host_csr
+    from duckpgq_tpu.ops.msbfs_jax import lcc_device
+
+    # symmetrized dedup graph like the SQL layer hands the LCC kernel
+    rng = np.random.default_rng(23)
+    v, e = 60, 260
+    src = rng.integers(0, v, size=e)
+    dst = rng.integers(0, v, size=e)
+    s2 = np.concatenate([src, dst])
+    d2 = np.concatenate([dst, src])
+    pairs = np.unique(np.stack([s2, d2], 1), axis=0)
+    s2, d2 = pairs[:, 0].astype(np.int64), pairs[:, 1].astype(np.int64)
+    csr = build_csr(v, s2, d2, np.arange(len(s2), dtype=np.int64))
+    got = np.asarray(lcc_device(from_host_csr(csr)))
+    want = host_algs.local_clustering_coefficient(csr)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
 def test_device_bellman_ford_matches_host():
     g = random_graph(7, weighted=True)
     rng = np.random.default_rng(3)
