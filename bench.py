@@ -22,13 +22,26 @@ def main():
     edge_factor = int(os.environ.get("BENCH_EDGE_FACTOR", "16"))
     lanes = int(os.environ.get("BENCH_LANES", "512"))
     batches = int(os.environ.get("BENCH_BATCHES", "2"))
+    kernel = os.environ.get("BENCH_KERNEL", "packed")
 
     import jax
     import jax.numpy as jnp
 
+    # persistent local compilation cache: first-time XLA compiles on this
+    # backend can take minutes; cached executables load in seconds
+    cache_dir = os.environ.get("JAX_LOCAL_CACHE", "/root/repo/.jax_cache")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except (OSError, AttributeError):
+        pass
+
     from duckpgq_tpu.ops.csr_jax import build_device_csr
-    from duckpgq_tpu.ops.msbfs_jax import msbfs_lengths
+    from duckpgq_tpu.ops.msbfs_jax import msbfs_lengths, msbfs_lengths_packed
     from duckpgq_tpu.utils.rmat import rmat_edges
+
+    bfs = msbfs_lengths_packed if kernel == "packed" else msbfs_lengths
 
     rng = np.random.default_rng(7)
     src, dst = rmat_edges(scale, edge_factor, seed=11)
@@ -39,7 +52,7 @@ def main():
 
     t0 = time.time()
     csr = build_device_csr(v, src, dst)
-    csr.offsets.block_until_ready()
+    np.asarray(csr.offsets[:2])  # hard sync through host transfer
     build_s = time.time() - t0
     print(f"# csr build: {build_s:.3f}s "
           f"({e / max(build_s, 1e-9) / 1e6:.1f} Medges/s)", file=sys.stderr)
@@ -54,18 +67,20 @@ def main():
     active = jnp.ones(lanes, dtype=bool)
 
     # warm up (compile)
-    res, trav = msbfs_lengths(csr, jnp.asarray(qs_all[:lanes]),
-                              jnp.asarray(qd_all[:lanes]), active, max_iters)
-    res.block_until_ready()
+    t0 = time.time()
+    res, trav = bfs(csr, jnp.asarray(qs_all[:lanes]),
+                    jnp.asarray(qd_all[:lanes]), active, max_iters)
+    np.asarray(res)  # hard sync: block_until_ready can return early here
+    print(f"# warmup (compile): {time.time() - t0:.1f}s", file=sys.stderr)
 
     total_traversed = 0.0
     t0 = time.time()
     for b in range(batches):
         qs = jnp.asarray(qs_all[b * lanes:(b + 1) * lanes])
         qd = jnp.asarray(qd_all[b * lanes:(b + 1) * lanes])
-        res, trav = msbfs_lengths(csr, qs, qd, active, max_iters)
+        res, trav = bfs(csr, qs, qd, active, max_iters)
         total_traversed += float(np.asarray(trav).sum())
-    res.block_until_ready()
+    np.asarray(res)
     elapsed = time.time() - t0
 
     gteps = total_traversed / elapsed / 1e9

@@ -99,6 +99,64 @@ def make_dist_pagerank(mesh: Mesh, sharded: ShardedCSR,
     return run
 
 
+def make_dist_bellman_ford(mesh: Mesh, sharded: ShardedCSR,
+                           weights: np.ndarray, lanes: int, max_iters: int):
+    """Distributed multi-source Bellman-Ford: replicated dist [Vtot, L],
+    sharded relaxation by owned destination, all_gather per round.
+    ``weights`` must align with the sharded in-edge layout [nx, Es].
+    Returns fn(src[L], dst[L], active[L]) -> costs float32 [L] (inf =
+    unreached)."""
+    Vs = sharded.v_shard
+    Vtot = sharded.v_padded
+    axis = mesh.axis_names[0]
+    in_src, in_dst, edge_valid = _device_edges(mesh, sharded, axis)
+    w_dev = jax.device_put(
+        jnp.asarray(weights, jnp.float32), NamedSharding(mesh, P(axis, None)))
+    INF = jnp.float32(jnp.inf)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis, None),
+                  P(), P(), P()),
+        out_specs=P(),
+        check_vma=False)
+    def bf(in_src_blk, in_dst_blk, valid_blk, w_blk, src, dst, active):
+        in_src_l = in_src_blk[0]
+        in_dst_l = in_dst_blk[0]
+        valid_l = valid_blk[0]
+        w_l = w_blk[0]
+        L = src.shape[0]
+        lanes_idx = jnp.arange(L)
+        dist = jnp.full((Vtot, L), INF, dtype=jnp.float32)
+        dist = dist.at[src, lanes_idx].set(jnp.where(active, 0.0, INF))
+
+        def cond(state):
+            it, dist, changed = state
+            return changed & (it < max_iters)
+
+        def body(state):
+            it, dist, _ = state
+            cand = jnp.where(valid_l[:, None],
+                             dist[in_src_l] + w_l[:, None], INF)  # [Es, L]
+            relaxed_l = jax.ops.segment_min(
+                cand, in_dst_l, num_segments=Vs,
+                indices_are_sorted=True)                          # [Vs, L]
+            new = jnp.minimum(
+                dist, jax.lax.all_gather(relaxed_l, axis, axis=0, tiled=True))
+            changed = (new < dist).any()
+            return it + 1, new, changed
+
+        _, dist, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), dist, jnp.bool_(True)))
+        return dist[dst, lanes_idx]
+
+    @jax.jit
+    def run(src, dst, active):
+        return bf(in_src, in_dst, edge_valid, w_dev, src, dst, active)
+
+    return run
+
+
 def make_dist_wcc(mesh: Mesh, sharded: ShardedCSR, max_iters: int = 64):
     """Distributed WCC label propagation. Returns fn() -> labels [vcount]."""
     Vs = sharded.v_shard

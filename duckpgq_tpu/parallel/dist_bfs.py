@@ -56,8 +56,11 @@ class ShardedCSR:
 
 
 def partition_csr(vcount: int, src: np.ndarray, dst: np.ndarray,
-                  n_shards: int) -> ShardedCSR:
-    """Range-partition edges by destination owner; equal-pad shard lists."""
+                  n_shards: int,
+                  w: Optional[np.ndarray] = None) -> ShardedCSR:
+    """Range-partition edges by destination owner; equal-pad shard lists.
+    Optional per-edge weights are carried through in the same layout
+    (``sharded.w_shard``)."""
     v_shard = round_up(max((vcount + n_shards - 1) // n_shards, 8), 8)
     owner = dst // v_shard
     per_shard = []
@@ -67,22 +70,28 @@ def partition_csr(vcount: int, src: np.ndarray, dst: np.ndarray,
         es = src[mask].astype(np.int32)
         ed = (dst[mask] - s * v_shard).astype(np.int32)
         order = np.argsort(ed, kind="stable")
-        per_shard.append((es[order], ed[order]))
+        ws = w[mask][order].astype(np.float32) if w is not None else None
+        per_shard.append((es[order], ed[order], ws))
         max_e = max(max_e, len(es))
     es_pad = round_up(max_e, 8)
     in_src = np.full((n_shards, es_pad), n_shards * v_shard,
                      dtype=np.int32)   # pad: out-of-range source
     in_dst_local = np.full((n_shards, es_pad), v_shard - 1, dtype=np.int32)
     pad_valid = np.zeros((n_shards, es_pad), dtype=bool)
-    for s, (es, ed) in enumerate(per_shard):
+    w_shard = (np.zeros((n_shards, es_pad), dtype=np.float32)
+               if w is not None else None)
+    for s, (es, ed, ws) in enumerate(per_shard):
         in_src[s, :len(es)] = es
         in_dst_local[s, :len(es)] = ed
         pad_valid[s, :len(es)] = True
+        if ws is not None:
+            w_shard[s, :len(es)] = ws
     # encode padding by pointing the source at the global pad row (see below)
     sharded = ShardedCSR(in_src=in_src, in_dst_local=in_dst_local,
                          n_shards=n_shards, v_shard=v_shard,
                          vcount=vcount, ecount=len(src))
     sharded.edge_valid = pad_valid
+    sharded.w_shard = w_shard
     return sharded
 
 

@@ -59,6 +59,35 @@ def test_dist_wcc_matches_host():
         assert len(members) == 1
 
 
+def test_dist_bellman_ford_matches_host():
+    import jax.numpy as jnp
+
+    from duckpgq_tpu.parallel.dist_algorithms import make_dist_bellman_ford
+
+    rng = np.random.default_rng(41)
+    v, e = 64, 300
+    src = rng.integers(0, v, size=e).astype(np.int64)
+    dst = rng.integers(0, v, size=e).astype(np.int64)
+    w = rng.integers(1, 9, size=e).astype(np.float64)
+    mesh = make_mesh(8)
+    sharded = partition_csr(v, src, dst, 8, w=w)
+    L = 32
+    qs = rng.integers(0, v, size=L).astype(np.int32)
+    qd = rng.integers(0, v, size=L).astype(np.int32)
+    fn = make_dist_bellman_ford(mesh, sharded, sharded.w_shard, L, v + 1)
+    got = np.asarray(fn(jnp.asarray(qs), jnp.asarray(qd),
+                        jnp.ones(L, dtype=bool)))
+    csr = build_csr(v, src, dst, np.arange(e, dtype=np.int64), w=w,
+                    w_is_double=True)
+    want, valid, _ = host_msbfs.cheapest_path_length(
+        csr, qs.astype(np.int64), qd.astype(np.int64))
+    for i in range(L):
+        if valid[i]:
+            assert got[i] == want[i], (i, got[i], want[i])
+        else:
+            assert np.isinf(got[i])
+
+
 def test_dist_bfs_matches_host():
     assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
     rng = np.random.default_rng(21)
