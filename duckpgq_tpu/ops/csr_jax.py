@@ -109,28 +109,62 @@ def build_device_csr(vcount: int, src: np.ndarray, dst: np.ndarray,
                      edge_ids: Optional[np.ndarray] = None,
                      w: Optional[np.ndarray] = None,
                      vpad: Optional[int] = None,
-                     epad: Optional[int] = None) -> DeviceCSR:
-    """Host arrays -> padded device CSR. Padding edges are (vpad -> vpad)."""
+                     epad: Optional[int] = None,
+                     host_build: bool = True) -> DeviceCSR:
+    """Host arrays -> padded device CSR. Padding edges are (vpad -> vpad).
+
+    By default the sort/prefix-sum pipeline runs on the host (numpy) and the
+    finished arrays are device_put — the jitted variant (``host_build=False``)
+    exists for data already resident on device, but XLA's sort/scatter
+    compile on some backends costs minutes while the host build is O(E)
+    and compile-free."""
     e = len(src)
     vpad = vpad or pad_bucket(vcount + 1)
     epad = epad or pad_bucket(max(e, 1))
     if edge_ids is None:
         edge_ids = np.arange(e, dtype=np.int64)
 
-    def pad_edges(arr, fill):
+    def pad_edges_np(arr, fill):
         out = np.full(epad, fill, dtype=np.int32)
         out[:e] = arr.astype(np.int32)
-        return jnp.asarray(out)
+        return out
 
-    src_p = pad_edges(src, vpad)
-    dst_p = pad_edges(dst, vpad)
-    eid_p = pad_edges(edge_ids, -1)
+    src_p = pad_edges_np(src, vpad)
+    dst_p = pad_edges_np(dst, vpad)
+    eid_p = pad_edges_np(edge_ids, -1)
     w_p = None
     if w is not None:
         wf = np.zeros(epad, dtype=np.float32)
         wf[:e] = w.astype(np.float32)
-        w_p = jnp.asarray(wf)
-    built = _build_device_csr(src_p, dst_p, eid_p, w_p, vpad, epad)
+        w_p = wf
+
+    if host_build:
+        order = np.argsort(src_p, kind="stable")
+        s = src_p[order]
+        d = dst_p[order]
+        ids = eid_p[order]
+        counts = np.bincount(s, minlength=vpad + 1)
+        offsets = np.zeros(vpad + 1, dtype=np.int32)
+        np.cumsum(counts[:vpad], out=offsets[1:])
+        in_order = np.argsort(d, kind="stable")
+        in_counts = np.bincount(d, minlength=vpad + 1)
+        in_offsets = np.zeros(vpad + 1, dtype=np.int32)
+        np.cumsum(in_counts[:vpad], out=in_offsets[1:])
+        return DeviceCSR(
+            offsets=jnp.asarray(offsets),
+            e=jnp.asarray(d), edge_src=jnp.asarray(s),
+            edge_ids=jnp.asarray(ids),
+            in_src=jnp.asarray(s[in_order]),
+            in_dst=jnp.asarray(d[in_order]),
+            in_pos=jnp.asarray(in_order.astype(np.int32)),
+            in_offsets=jnp.asarray(in_offsets),
+            w=jnp.asarray(w_p[order]) if w_p is not None else None,
+            vcount=vcount, ecount=e)
+
+    built = _build_device_csr(jnp.asarray(src_p), jnp.asarray(dst_p),
+                              jnp.asarray(eid_p),
+                              jnp.asarray(w_p) if w_p is not None else None,
+                              vpad, epad)
     return DeviceCSR(
         offsets=built["offsets"], e=built["e"], edge_src=built["edge_src"],
         edge_ids=built["edge_ids"], in_src=built["in_src"],

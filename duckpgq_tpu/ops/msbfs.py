@@ -51,6 +51,23 @@ def iterative_length(csr: CSR, src: np.ndarray, dst: np.ndarray,
     if src_valid is None:
         src_valid = np.ones(n, dtype=bool)
 
+    import os
+
+    # very large graphs route to the TPU packed kernel (SQL -> device
+    # bridge); bucketed padding in csr_jax bounds recompiles
+    device_min = int(os.environ.get("DUCKPGQ_DEVICE_MIN_EDGES", "2000000"))
+    if csr.ecount >= device_min and n:
+        from . import msbfs_jax
+        from .csr_jax import from_host_csr
+        sel = np.flatnonzero(src_valid)
+        if len(sel):
+            lengths, _ = msbfs_jax.msbfs_lengths_batched(
+                from_host_csr(csr), src[sel], dst[sel], lanes=512)
+            out[sel] = lengths
+            validity[sel] = lengths >= 0
+        validity[~src_valid] = False
+        return out, validity
+
     from .. import native_rt
     if native_rt.available() and n:
         sel = np.flatnonzero(src_valid)

@@ -165,12 +165,14 @@ def msbfs_lengths_packed(csr: DeviceCSR, src: jnp.ndarray, dst: jnp.ndarray,
 
 def msbfs_lengths_batched(csr: DeviceCSR, src, dst, lanes: int = 64):
     """Batch arbitrary query counts into fixed-width lane groups (keeps one
-    compiled kernel per (graph bucket, lanes))."""
+    compiled kernel per (graph bucket, lanes)). Uses the bit-packed kernel
+    when lanes is a multiple of 32."""
     import numpy as np
     n = len(src)
     out = np.full(n, -1, dtype=np.int64)
     total_traversed = 0
     max_iters = max(csr.vcount, 1)
+    kernel = msbfs_lengths_packed if lanes % 32 == 0 else msbfs_lengths
     for start in range(0, n, lanes):
         chunk_s = np.full(lanes, 0, dtype=np.int32)
         chunk_d = np.full(lanes, 0, dtype=np.int32)
@@ -179,9 +181,9 @@ def msbfs_lengths_batched(csr: DeviceCSR, src, dst, lanes: int = 64):
         chunk_s[:m] = src[start:start + m]
         chunk_d[:m] = dst[start:start + m]
         chunk_a[:m] = True
-        res, trav = msbfs_lengths(csr, jnp.asarray(chunk_s),
-                                  jnp.asarray(chunk_d),
-                                  jnp.asarray(chunk_a), max_iters)
+        res, trav = kernel(csr, jnp.asarray(chunk_s),
+                           jnp.asarray(chunk_d),
+                           jnp.asarray(chunk_a), max_iters)
         out[start:start + m] = np.asarray(res)[:m]
         total_traversed += int(np.asarray(trav)[:m].sum())
     return out, total_traversed

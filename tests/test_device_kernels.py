@@ -18,6 +18,24 @@ def random_graph(seed, v=48, e=160, weighted=False):
     return Graph(v, src, dst, weights=w)
 
 
+def test_host_build_matches_jit_build():
+    import numpy as np
+
+    from duckpgq_tpu.ops.csr_jax import build_device_csr
+
+    rng = np.random.default_rng(1)
+    v, e = 77, 310
+    src = rng.integers(0, v, size=e).astype(np.int64)
+    dst = rng.integers(0, v, size=e).astype(np.int64)
+    w = rng.uniform(0, 1, e)
+    a = build_device_csr(v, src, dst, w=w, host_build=True)
+    b = build_device_csr(v, src, dst, w=w, host_build=False)
+    for f in ("offsets", "e", "edge_src", "edge_ids", "in_src", "in_dst",
+              "in_pos", "in_offsets", "w"):
+        x, y = np.asarray(getattr(a, f)), np.asarray(getattr(b, f))
+        assert (x == y).all() and x.dtype == y.dtype, f
+
+
 @pytest.mark.parametrize("seed", [0, 1])
 def test_device_bfs_matches_host(seed):
     g = random_graph(seed)
