@@ -1345,7 +1345,20 @@ class Executor:
     def execute_explain(self, stmt: a.ExplainStatement) -> QueryResult:
         from .explain import explain_statement
         text = explain_statement(self, stmt.child)
+        keys = ["logical_plan"]
+        vals = [text]
+        if getattr(stmt, "analyze", False):
+            # EXPLAIN ANALYZE: run the statement and report wall time + rows
+            # (the profiling surface the reference inherits from its host)
+            import time as _time
+            t0 = _time.time()
+            result = self.execute_statement(stmt.child)
+            elapsed = _time.time() - t0
+            nrows = result.row_count if hasattr(result, "row_count") else 0
+            keys.append("analyze")
+            vals.append(f"runtime: {elapsed * 1000:.3f} ms\n"
+                        f"rows returned: {nrows}")
         return QueryResult(
             ["explain_key", "explain_value"],
-            [Vector.from_values(["logical_plan"], VARCHAR),
-             Vector.from_values([text], VARCHAR)])
+            [Vector.from_values(keys, VARCHAR),
+             Vector.from_values(vals, VARCHAR)])
