@@ -59,6 +59,32 @@ def test_dist_wcc_matches_host():
         assert len(members) == 1
 
 
+def test_dist_bfs_packed_matches_host():
+    import jax.numpy as jnp
+
+    from duckpgq_tpu.parallel.dist_bfs import make_dist_bfs_packed
+
+    rng = np.random.default_rng(55)
+    v, e = 96, 400
+    src = rng.integers(0, v, size=e).astype(np.int64)
+    dst = rng.integers(0, v, size=e).astype(np.int64)
+    mesh = make_mesh(8)
+    sharded = partition_csr(v, src, dst, 8)
+    L = 64
+    qs = rng.integers(0, v, size=L).astype(np.int32)
+    qd = rng.integers(0, v, size=L).astype(np.int32)
+    active = np.ones(L, dtype=bool)
+    active[-2:] = False
+    fn = make_dist_bfs_packed(mesh, sharded, L, v + 1)
+    got, trav = fn(jnp.asarray(qs), jnp.asarray(qd), jnp.asarray(active))
+    got = np.asarray(got)
+    csr = build_csr(v, src, dst, np.arange(e, dtype=np.int64))
+    want, valid = host_msbfs.iterative_length(
+        csr, qs.astype(np.int64), qd.astype(np.int64))
+    np.testing.assert_array_equal(got, np.where(valid & active, want, -1))
+    assert float(np.asarray(trav)[active].sum()) > 0
+
+
 def test_dist_bellman_ford_matches_host():
     import jax.numpy as jnp
 
