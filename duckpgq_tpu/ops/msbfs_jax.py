@@ -23,8 +23,26 @@ import jax
 import jax.numpy as jnp
 
 from .csr_jax import DeviceCSR, out_degrees
+from .segscan import (has_segment, last_positions, segment_heads,
+                      segment_min_sorted, segment_or_sorted,
+                      segment_reduce_sorted, segment_sum_sorted)
 
 LANES_DEFAULT = 512  # reference LANE_LIMIT (duckpgq_utils.hpp:10)
+
+
+def _in_segments(csr: DeviceCSR):
+    """Segmented-reduce metadata for the dst-sorted in-edge view. All
+    reductions by destination use scan-based segmented ops (segscan.py)
+    instead of scatter-lowered jax.ops.segment_* — scatter compiles take
+    minutes on some TPU backends."""
+    return (segment_heads(csr.in_dst), last_positions(csr.in_offsets),
+            has_segment(csr.in_offsets))
+
+
+def _out_segments(csr: DeviceCSR):
+    """Same for the src-sorted forward edge view (segments = edge_src)."""
+    return (segment_heads(csr.edge_src), last_positions(csr.offsets),
+            has_segment(csr.offsets))
 
 
 # ---------------------------------------------------------------------------
@@ -58,6 +76,8 @@ def msbfs_lengths(csr: DeviceCSR, src: jnp.ndarray, dst: jnp.ndarray,
         it, frontier, seen, result, traversed = state
         return (it <= max_iters) & frontier.any()
 
+    heads, last_pos, has_in = _in_segments(csr)
+
     def body(state):
         it, frontier, seen, result, traversed = state
         # TEPS credit: edges whose source is in this wave's frontier — each
@@ -66,11 +86,10 @@ def msbfs_lengths(csr: DeviceCSR, src: jnp.ndarray, dst: jnp.ndarray,
         traversed = traversed + (frontier[:Vp].astype(jnp.float32) *
                                  degf[:, None]).sum(axis=0)
         gathered = frontier[csr.in_src]               # [Ep, L]
-        nxt = jax.ops.segment_max(
-            gathered.astype(jnp.int8), csr.in_dst,
-            num_segments=Vp + 1, indices_are_sorted=True) > 0
-        nxt = nxt & ~seen
-        nxt = nxt.at[Vp].set(False)
+        ext = segment_or_sorted(gathered.astype(jnp.int8), heads, last_pos,
+                                has_in) > 0           # [Vp, L]
+        nxt = jnp.concatenate(
+            [ext, jnp.zeros((1, L), jnp.bool_)]) & ~seen
         seen = seen | nxt
         found = nxt[dst, lanes] & (result < 0) & searching
         result = jnp.where(found, it, result)
@@ -113,15 +132,7 @@ def msbfs_lengths_packed(csr: DeviceCSR, src: jnp.ndarray, dst: jnp.ndarray,
     result = jnp.where(trivial, 0, -1).astype(jnp.int32)
 
     # static per-CSR segment structure of the dst-sorted in-edge view
-    heads = jnp.concatenate(
-        [jnp.ones(1, jnp.bool_), csr.in_dst[1:] != csr.in_dst[:-1]])
-    last_pos = jnp.maximum(csr.in_offsets[1:] - 1, 0)       # [Vp]
-    has_in = (csr.in_offsets[1:] > csr.in_offsets[:-1])     # [Vp]
-
-    def seg_or(a, b):
-        af, av = a
-        bf, bv = b
-        return af | bf, jnp.where(bf[:, None], bv, av | bv)
+    heads, last_pos, has_in = _in_segments(csr)
 
     def pack_lane_mask(cond):
         """bool [L] -> uint32 [W] with bit l%32 of word l//32 = cond[l]."""
@@ -136,10 +147,8 @@ def msbfs_lengths_packed(csr: DeviceCSR, src: jnp.ndarray, dst: jnp.ndarray,
     def body(state):
         it, frontier, seen, result = state
         gathered = frontier[csr.in_src]                       # [Ep, W]
-        _, scanned = jax.lax.associative_scan(
-            seg_or, (heads, gathered), axis=0)
-        ext = jnp.where(has_in[:, None], scanned[last_pos],
-                        jnp.uint32(0))                        # [Vp, W]
+        ext = segment_or_sorted(gathered, heads, last_pos,
+                                has_in)                       # [Vp, W]
         nxt = jnp.concatenate(
             [ext, jnp.zeros((1, W), jnp.uint32)]) & ~seen
         seen = seen | nxt
@@ -222,11 +231,14 @@ def bellman_ford(csr: DeviceCSR, src: jnp.ndarray, dst: jnp.ndarray,
         it, dist, changed = state
         return changed & (it < max_iters)
 
+    heads, last_pos, has_in = _in_segments(csr)
+
     def body(state):
         it, dist, _ = state
         cand = dist[csr.in_src] + in_w[:, None]       # [Ep, L]
-        relaxed = jax.ops.segment_min(
-            cand, csr.in_dst, num_segments=Vp + 1, indices_are_sorted=True)
+        relaxed = segment_min_sorted(cand, heads, last_pos, has_in, INF)
+        relaxed = jnp.concatenate([relaxed,
+                                   jnp.full((1, L), INF, jnp.float32)])
         new = jnp.minimum(dist, relaxed)
         changed = (new < dist).any()
         return it + 1, new, changed
@@ -258,12 +270,15 @@ def pagerank_device(csr: DeviceCSR, damping: float = 0.85,
         it, rank, delta = state
         return (delta >= tol) & (it < max_iters)
 
+    heads, last_pos, has_in = _in_segments(csr)
+
     def body(state):
         it, rank, _ = state
         contrib = jnp.where(has_out, rank / jnp.maximum(deg, 1.0), 0.0)
-        edge_contrib = contrib[csr.edge_src]
-        acc = jax.ops.segment_sum(edge_contrib, csr.e,
-                                  num_segments=Vp + 1)[:Vp]
+        edge_contrib = jnp.where(csr.in_src < Vp,
+                                 contrib[jnp.minimum(csr.in_src, Vp - 1)],
+                                 0.0)                          # [Ep]
+        acc = segment_sum_sorted(edge_contrib, heads, last_pos, has_in)
         dangling = jnp.where(real & ~has_out, rank, 0.0).sum()
         new = jnp.where(real,
                         (1.0 - damping) / n +
@@ -317,18 +332,18 @@ def msbfs_parents(csr: DeviceCSR, src: jnp.ndarray, dst: jnp.ndarray,
         it, frontier, seen, result, parent = state
         return (it <= max_iters) & frontier.any()
 
+    heads, last_pos, has_in = _in_segments(csr)
+
     def body(state):
         it, frontier, seen, result, parent = state
         gathered = frontier[csr.in_src]                       # [Ep, L]
-        nxt = jax.ops.segment_max(
-            gathered.astype(jnp.int8), csr.in_dst,
-            num_segments=Vp + 1, indices_are_sorted=True) > 0
-        nxt = nxt & ~seen
-        nxt = nxt.at[Vp].set(False)
+        ext = segment_or_sorted(gathered.astype(jnp.int8), heads, last_pos,
+                                has_in) > 0                   # [Vp, L]
+        nxt = jnp.concatenate(
+            [ext, jnp.zeros((1, L), jnp.bool_)]) & ~seen
         cand = jnp.where(gathered, in_rank[:, None], BIGPOS)  # [Ep, L]
-        minpos = jax.ops.segment_min(
-            cand, csr.in_dst, num_segments=Vp + 1,
-            indices_are_sorted=True)[:Vp]                     # [Vp, L]
+        minpos = segment_min_sorted(cand, heads, last_pos, has_in,
+                                    BIGPOS)                   # [Vp, L]
         newly = nxt[:Vp] & (parent < 0)
         parent = jnp.where(newly, minpos, parent)
         seen = seen | nxt
@@ -450,13 +465,22 @@ def wcc_label_propagation(csr: DeviceCSR, max_iters: int = 64) -> jnp.ndarray:
         it, labels, changed = state
         return changed & (it < max_iters)
 
+    BIG = jnp.int32(Vp)
+    in_heads, in_last, in_has = _in_segments(csr)
+    out_heads, out_last, out_has = _out_segments(csr)
+
+    def safe_label(labels, idx):
+        return jnp.where(idx < Vp, labels[jnp.minimum(idx, Vp - 1)], BIG)
+
     def body(state):
         it, labels, _ = state
-        fwd = jax.ops.segment_min(labels[csr.edge_src], csr.e,
-                                  num_segments=Vp + 1,
-                                  )[:Vp]
-        bwd = jax.ops.segment_min(labels[csr.in_dst], csr.in_src,
-                                  num_segments=Vp + 1)[:Vp]
+        # min source label into each destination (pull over in-view) and
+        # min destination label back into each source (forward view) —
+        # both edge views are sorted by their segment key
+        fwd = segment_min_sorted(safe_label(labels, csr.in_src),
+                                 in_heads, in_last, in_has, BIG)
+        bwd = segment_min_sorted(safe_label(labels, csr.e),
+                                 out_heads, out_last, out_has, BIG)
         new = jnp.minimum(labels, jnp.minimum(fwd, bwd))
         # pointer jumping: label <- label of label (doubles convergence)
         new = jnp.minimum(new, new[new])
