@@ -49,19 +49,44 @@ class ShardedCSR:
     v_shard: int
     vcount: int
     ecount: int
+    # optional degree-balancing relabeling (hub handling): perm maps
+    # original vertex id -> partition-space id; queries must be mapped in
+    perm: Optional[np.ndarray] = None
 
     @property
     def v_padded(self) -> int:
         return self.n_shards * self.v_shard
 
+    def map_queries(self, q: np.ndarray) -> np.ndarray:
+        return q if self.perm is None else self.perm[q]
+
 
 def partition_csr(vcount: int, src: np.ndarray, dst: np.ndarray,
                   n_shards: int,
-                  w: Optional[np.ndarray] = None) -> ShardedCSR:
+                  w: Optional[np.ndarray] = None,
+                  balance: bool = False) -> ShardedCSR:
     """Range-partition edges by destination owner; equal-pad shard lists.
     Optional per-edge weights are carried through in the same layout
-    (``sharded.w_shard``)."""
+    (``sharded.w_shard``).
+
+    ``balance=True`` applies hub handling for power-law skew: vertices are
+    relabeled by descending in-degree dealt round-robin across shard
+    ranges, so each shard owns ~E/n in-edges instead of whatever its
+    contiguous range happens to contain (hub in-edges no longer pile onto
+    one shard and the equal-pad waste collapses). Queries must be mapped
+    through ``sharded.map_queries`` (lengths are label-invariant)."""
     v_shard = round_up(max((vcount + n_shards - 1) // n_shards, 8), 8)
+    perm = None
+    if balance:
+        indeg = np.bincount(dst, minlength=vcount)
+        order = np.argsort(-indeg, kind="stable")      # hubs first
+        ranks = np.empty(vcount, dtype=np.int64)
+        ranks[order] = np.arange(vcount)
+        # deal by rank: shard = rank % n, slot = rank // n — every shard
+        # gets one vertex from each in-degree stratum
+        perm = (ranks % n_shards) * v_shard + ranks // n_shards
+        src = perm[src]
+        dst = perm[dst]
     owner = dst // v_shard
     per_shard = []
     max_e = 1
@@ -89,7 +114,7 @@ def partition_csr(vcount: int, src: np.ndarray, dst: np.ndarray,
     # encode padding by pointing the source at the global pad row (see below)
     sharded = ShardedCSR(in_src=in_src, in_dst_local=in_dst_local,
                          n_shards=n_shards, v_shard=v_shard,
-                         vcount=vcount, ecount=len(src))
+                         vcount=vcount, ecount=len(src), perm=perm)
     sharded.edge_valid = pad_valid
     sharded.w_shard = w_shard
     return sharded
@@ -317,6 +342,8 @@ def dist_bfs_lengths(mesh: Mesh, sharded: ShardedCSR, src, dst,
     max_iters = max_iters or max(sharded.vcount, 1)
     maker = make_dist_bfs_packed if lanes % 32 == 0 else make_dist_bfs
     fn = maker(mesh, sharded, lanes, max_iters)
+    src = sharded.map_queries(np.asarray(src))
+    dst = sharded.map_queries(np.asarray(dst))
     n = len(src)
     out = np.full(n, -1, dtype=np.int64)
     traversed_total = 0.0

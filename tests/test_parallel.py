@@ -10,6 +10,28 @@ from duckpgq_tpu.parallel.dist_bfs import dist_bfs_lengths, partition_csr
 from duckpgq_tpu.parallel.mesh import make_mesh
 
 
+def test_dist_bfs_balanced_matches_host():
+    """Hub-balanced (degree-relabeled) partitioning: same lengths, and the
+    per-shard edge imbalance must shrink on a skewed graph."""
+    rng = np.random.default_rng(77)
+    v, e = 128, 600
+    # power-law-ish: half the edges hit a handful of hub destinations
+    hubs = rng.integers(0, 4, size=e // 2)
+    dst = np.concatenate([hubs, rng.integers(0, v, size=e - e // 2)])
+    src = rng.integers(0, v, size=e)
+    mesh = make_mesh(8)
+    plain = partition_csr(v, src, dst, 8)
+    balanced = partition_csr(v, src, dst, 8, balance=True)
+    assert balanced.in_src.shape[1] < plain.in_src.shape[1]  # less padding
+    qs = rng.integers(0, v, size=64).astype(np.int64)
+    qd = rng.integers(0, v, size=64).astype(np.int64)
+    got, _ = dist_bfs_lengths(mesh, balanced, qs, qd, lanes=32)
+    csr = build_csr(v, src.astype(np.int64), dst.astype(np.int64),
+                    np.arange(e, dtype=np.int64))
+    want, valid = host_msbfs.iterative_length(csr, qs, qd)
+    np.testing.assert_array_equal(got, np.where(valid, want, -1))
+
+
 def test_dist_pagerank_matches_host():
     from duckpgq_tpu.models import Graph
     from duckpgq_tpu.parallel.dist_algorithms import make_dist_pagerank
