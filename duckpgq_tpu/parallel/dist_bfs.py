@@ -246,6 +246,151 @@ def make_dist_bfs_packed(mesh: Mesh, sharded: ShardedCSR, lanes: int,
     return run
 
 
+def make_dist_bfs_parents(mesh: Mesh, sharded: ShardedCSR, lanes: int,
+                          max_iters: int):
+    """Distributed BFS with parent tracking: each shard records, per owned
+    vertex and lane, the global source vertex that first discovered it
+    (min source id among this wave's frontier-origin in-edges — a
+    deterministic tie-break). Parents stay sharded; the full [Vtot, L]
+    parent table is gathered once at the end for host-side backtracking.
+
+    Returns fn(src[L], dst[L], active[L]) -> (lengths int32 [L],
+    parents int32 [Vtot, L], -1 = undiscovered)."""
+    Vs = sharded.v_shard
+    Vtot = sharded.v_padded
+    axis = mesh.axis_names[0]
+
+    in_src = jax.device_put(
+        jnp.asarray(sharded.in_src), NamedSharding(mesh, P(axis, None)))
+    in_dst = jax.device_put(
+        jnp.asarray(sharded.in_dst_local),
+        NamedSharding(mesh, P(axis, None)))
+    edge_valid = jax.device_put(
+        jnp.asarray(sharded.edge_valid),
+        NamedSharding(mesh, P(axis, None)))
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                  P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+    def bfs(in_src_blk, in_dst_blk, valid_blk, src, dst, active):
+        in_src_l = in_src_blk[0]
+        in_dst_l = in_dst_blk[0]
+        valid_l = valid_blk[0]
+        L = src.shape[0]
+        lanes_idx = jnp.arange(L)
+        shard_id = jax.lax.axis_index(axis)
+        row0 = shard_id * Vs
+        BIG = jnp.int32(Vtot + 1)
+
+        trivial = active & (src == dst)
+        searching = active & (src != dst)
+        result = jnp.where(trivial, 0, -1).astype(jnp.int32)
+
+        frontier_g = jnp.zeros((Vtot, L), dtype=jnp.bool_)
+        frontier_g = frontier_g.at[src, lanes_idx].set(searching)
+        seen_l = jax.lax.dynamic_slice_in_dim(frontier_g, row0, Vs, axis=0)
+        parent_l = jnp.full((Vs, L), -1, dtype=jnp.int32)
+
+        def cond(state):
+            it, frontier_g, seen_l, result, parent_l = state
+            return (it <= max_iters) & frontier_g.any()
+
+        def body(state):
+            it, frontier_g, seen_l, result, parent_l = state
+            gathered = jnp.where(
+                valid_l[:, None],
+                frontier_g.at[in_src_l].get(mode="fill", fill_value=False),
+                False)                                       # [Es, L]
+            nxt_l = jax.ops.segment_max(
+                gathered.astype(jnp.int8), in_dst_l,
+                num_segments=Vs, indices_are_sorted=True) > 0
+            nxt_l = nxt_l & ~seen_l
+            # min global source id among frontier-origin in-edges
+            cand = jnp.where(gathered, in_src_l[:, None], BIG)
+            minsrc = jax.ops.segment_min(
+                cand, in_dst_l, num_segments=Vs,
+                indices_are_sorted=True)                     # [Vs, L]
+            newly = nxt_l & (parent_l < 0)
+            parent_l = jnp.where(newly, minsrc, parent_l)
+            seen_l = seen_l | nxt_l
+            frontier_g = jax.lax.all_gather(
+                nxt_l, axis, axis=0, tiled=True)
+            found = frontier_g[dst, lanes_idx] & (result < 0) & searching
+            result = jnp.where(found, it, result)
+            frontier_g = frontier_g & (result < 0)[None, :]
+            return it + 1, frontier_g, seen_l, result, parent_l
+
+        _, _, seen_l, result, parent_l = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(1), frontier_g, seen_l, result, parent_l))
+        parents = jax.lax.all_gather(parent_l, axis, axis=0, tiled=True)
+        return result, parents
+
+    @jax.jit
+    def run(src, dst, active):
+        return bfs(in_src, in_dst, edge_valid, src, dst, active)
+
+    return run
+
+
+def dist_shortest_paths(mesh: Mesh, sharded: ShardedCSR, src, dst,
+                        lanes: int = 32, max_iters: int = 0):
+    """Distributed BFS + host backtracking. Returns (paths, validity):
+    each path is the vertex sequence [v0, v1, ..., vk] in ORIGINAL vertex
+    ids (edge ids are shard-local and not tracked distributed; the
+    single-chip kernels provide edge-id paths)."""
+    max_iters = max_iters or max(sharded.vcount, 1)
+    fn = make_dist_bfs_parents(mesh, sharded, lanes, max_iters)
+    src_m = sharded.map_queries(np.asarray(src))
+    dst_m = sharded.map_queries(np.asarray(dst))
+    inv = None
+    if sharded.perm is not None:
+        inv = np.full(sharded.v_padded, -1, dtype=np.int64)
+        inv[sharded.perm] = np.arange(sharded.vcount)
+    n = len(src_m)
+    paths = [None] * n
+    validity = np.zeros(n, dtype=bool)
+    for start in range(0, n, lanes):
+        m = min(lanes, n - start)
+        s = np.zeros(lanes, dtype=np.int32)
+        d = np.zeros(lanes, dtype=np.int32)
+        a = np.zeros(lanes, dtype=bool)
+        s[:m] = src_m[start:start + m]
+        d[:m] = dst_m[start:start + m]
+        a[:m] = True
+        res, parents = fn(jnp.asarray(s), jnp.asarray(d), jnp.asarray(a))
+        res = np.asarray(res)
+        parents = np.asarray(parents)
+        for l in range(m):
+            q = start + l
+            if res[l] < 0:
+                continue
+            if s[l] == d[l]:
+                chain = [int(s[l])]
+            else:
+                chain = [int(d[l])]
+                cur = int(d[l])
+                ok = True
+                for _ in range(int(res[l])):
+                    p = parents[cur, l]
+                    if p < 0:
+                        ok = False
+                        break
+                    cur = int(p)
+                    chain.append(cur)
+                if not ok or cur != int(s[l]):
+                    continue
+                chain.reverse()
+            if inv is not None:
+                chain = [int(inv[c]) for c in chain]
+            paths[q] = chain
+            validity[q] = True
+    return paths, validity
+
+
 def make_dist_bfs(mesh: Mesh, sharded: ShardedCSR, lanes: int,
                   max_iters: int):
     """Build the jitted distributed BFS step function.

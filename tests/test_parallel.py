@@ -10,6 +10,33 @@ from duckpgq_tpu.parallel.dist_bfs import dist_bfs_lengths, partition_csr
 from duckpgq_tpu.parallel.mesh import make_mesh
 
 
+def test_dist_shortest_paths_valid():
+    from duckpgq_tpu.parallel.dist_bfs import dist_shortest_paths
+
+    rng = np.random.default_rng(61)
+    v, e = 96, 420
+    src = rng.integers(0, v, size=e).astype(np.int64)
+    dst = rng.integers(0, v, size=e).astype(np.int64)
+    mesh = make_mesh(8)
+    sharded = partition_csr(v, src, dst, 8, balance=True)
+    qs = rng.integers(0, v, size=50).astype(np.int64)
+    qd = rng.integers(0, v, size=50).astype(np.int64)
+    qs[0] = qd[0]
+    paths, valid = dist_shortest_paths(mesh, sharded, qs, qd)
+    csr = build_csr(v, src, dst, np.arange(e, dtype=np.int64))
+    want, host_valid = host_msbfs.iterative_length(csr, qs, qd)
+    edges = set(zip(src.tolist(), dst.tolist()))
+    np.testing.assert_array_equal(valid, host_valid)
+    for i in range(50):
+        if not valid[i]:
+            continue
+        p = paths[i]
+        assert p[0] == qs[i] and p[-1] == qd[i]
+        assert len(p) - 1 == (want[i] if host_valid[i] else -1)
+        for a_, b_ in zip(p, p[1:]):        # every hop is a real edge
+            assert (a_, b_) in edges
+
+
 def test_dist_bfs_balanced_matches_host():
     """Hub-balanced (degree-relabeled) partitioning: same lengths, and the
     per-shard edge imbalance must shrink on a skewed graph."""
