@@ -41,14 +41,18 @@ def main():
     from duckpgq_tpu.ops.msbfs_jax import msbfs_lengths, msbfs_lengths_packed
     from duckpgq_tpu.utils.rmat import rmat_edges
 
-    bfs = msbfs_lengths_packed if kernel == "packed" else msbfs_lengths
-
     rng = np.random.default_rng(7)
     src, dst = rmat_edges(scale, edge_factor, seed=11)
     v = 1 << scale
     e = len(src)
-    print(f"# graph: RMAT scale={scale} V={v} E={e} "
+    print(f"# graph: RMAT scale={scale} V={v} E={e} kernel={kernel} "
           f"device={jax.devices()[0]}", file=sys.stderr)
+
+    max_iters = int(os.environ.get("BENCH_MAX_ITERS", "16"))
+    if kernel == "pallas":
+        _bench_pallas(v, src, dst, lanes, batches, max_iters, rng)
+        return
+    bfs = msbfs_lengths_packed if kernel == "packed" else msbfs_lengths
 
     t0 = time.time()
     csr = build_device_csr(v, src, dst)
@@ -61,7 +65,6 @@ def main():
     # (MATCH ...->{1,k}), so depth-16 bounded search is the production
     # workload; full-traversal tails (graph eccentricity) are future work
     # via a sparse-frontier mode.
-    max_iters = int(os.environ.get("BENCH_MAX_ITERS", "16"))
     qs_all = rng.integers(0, v, size=lanes * batches).astype(np.int32)
     qd_all = rng.integers(0, v, size=lanes * batches).astype(np.int32)
     active = jnp.ones(lanes, dtype=bool)
@@ -83,6 +86,40 @@ def main():
     np.asarray(res)
     elapsed = time.time() - t0
 
+    gteps = total_traversed / elapsed / 1e9
+    print(f"# bfs: {lanes * batches} searches in {elapsed:.3f}s, "
+          f"{total_traversed / 1e9:.2f}G edges traversed", file=sys.stderr)
+    print(json.dumps({
+        "metric": "msbfs_gteps_per_chip",
+        "value": round(gteps, 3),
+        "unit": "GTEPS",
+        "vs_baseline": round(gteps / 1.0, 3),
+    }))
+
+
+def _bench_pallas(v, src, dst, lanes, batches, max_iters, rng):
+    import time
+
+    from duckpgq_tpu.kernels.bfs_pallas import PallasBFS, pack_csr
+
+    t0 = time.time()
+    packed = pack_csr(v, src, dst)
+    print(f"# pack: {time.time() - t0:.1f}s tiles={packed.n_tiles}",
+          file=sys.stderr)
+    bfs = PallasBFS(packed, lanes=lanes)
+    qs_all = rng.integers(0, v, size=lanes * batches).astype(np.int64)
+    qd_all = rng.integers(0, v, size=lanes * batches).astype(np.int64)
+    t0 = time.time()
+    bfs.run(qs_all[:lanes], qd_all[:lanes], max_iters=max_iters)
+    print(f"# warmup (compile): {time.time() - t0:.1f}s", file=sys.stderr)
+    total_traversed = 0.0
+    t0 = time.time()
+    for b in range(batches):
+        _, trav = bfs.run(qs_all[b * lanes:(b + 1) * lanes],
+                          qd_all[b * lanes:(b + 1) * lanes],
+                          max_iters=max_iters)
+        total_traversed += trav
+    elapsed = time.time() - t0
     gteps = total_traversed / elapsed / 1e9
     print(f"# bfs: {lanes * batches} searches in {elapsed:.3f}s, "
           f"{total_traversed / 1e9:.2f}G edges traversed", file=sys.stderr)
