@@ -41,8 +41,8 @@ def _build() -> bool:
     try:
         os.makedirs(os.path.dirname(_SO_PATH), exist_ok=True)
         subprocess.run(
-            ["g++", "-O3", "-std=c++17", "-fPIC", "-shared", src,
-             "-o", _SO_PATH],
+            ["g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-pthread",
+             src, "-o", _SO_PATH],
             check=True, capture_output=True, timeout=120)
         return True
     except (OSError, subprocess.SubprocessError):

@@ -19,6 +19,7 @@
 #include <vector>
 #include <algorithm>
 #include <cmath>
+#include <thread>
 
 namespace {
 
@@ -58,6 +59,19 @@ void gr_csr_build(int64_t vcount, int64_t ecount, const int64_t* src,
 // forward CSR (reference iterativelength.cpp:12-32). qs/qd are lane queries;
 // out[q] = hops, or -1 when unreached. src == dst lanes resolve to 0.
 // ---------------------------------------------------------------------------
+namespace {
+
+// One 512-lane batch of the MS-BFS (independent of other batches; the
+// reference gets the same concurrency from its host engine's pipeline
+// threads running the scalar kernel on separate chunks).
+void msbfs_batch(int64_t vcount, const int64_t* offsets, const int64_t* adj,
+                 const int64_t* qs, const int64_t* qd, int64_t* out,
+                 const int64_t* pending, size_t start, size_t L,
+                 std::vector<uint64_t>& visit, std::vector<uint64_t>& next,
+                 std::vector<uint64_t>& seen);
+
+}  // namespace
+
 void gr_msbfs_lengths(int64_t vcount, const int64_t* offsets,
                       const int64_t* adj, int64_t nq, const int64_t* qs,
                       const int64_t* qd, int64_t* out) {
@@ -71,6 +85,28 @@ void gr_msbfs_lengths(int64_t vcount, const int64_t* offsets,
       pending.push_back(q);
     }
   }
+  size_t n_batches = (pending.size() + 511) / 512;
+  size_t hw = std::thread::hardware_concurrency();
+  size_t n_threads = std::min<size_t>(std::max<size_t>(hw, 1),
+                                      std::min<size_t>(n_batches, 8));
+  if (n_threads > 1 && n_batches > 1) {
+    std::vector<std::thread> workers;
+    for (size_t t = 0; t < n_threads; ++t) {
+      workers.emplace_back([&, t]() {
+        std::vector<uint64_t> visit(vcount * kLaneWords);
+        std::vector<uint64_t> next(vcount * kLaneWords);
+        std::vector<uint64_t> seen(vcount * kLaneWords);
+        for (size_t b = t; b < n_batches; b += n_threads) {
+          size_t start = b * 512;
+          size_t L = std::min<size_t>(512, pending.size() - start);
+          msbfs_batch(vcount, offsets, adj, qs, qd, out, pending.data(),
+                      start, L, visit, next, seen);
+        }
+      });
+    }
+    for (auto& w : workers) w.join();
+    return;
+  }
   const size_t row_words = kLaneWords;
   std::vector<uint64_t> visit(vcount * row_words);
   std::vector<uint64_t> next(vcount * row_words);
@@ -78,6 +114,20 @@ void gr_msbfs_lengths(int64_t vcount, const int64_t* offsets,
 
   for (size_t start = 0; start < pending.size(); start += 512) {
     size_t L = std::min<size_t>(512, pending.size() - start);
+    msbfs_batch(vcount, offsets, adj, qs, qd, out, pending.data(), start, L,
+                visit, next, seen);
+  }
+}
+
+namespace {
+
+void msbfs_batch(int64_t vcount, const int64_t* offsets, const int64_t* adj,
+                 const int64_t* qs, const int64_t* qd, int64_t* out,
+                 const int64_t* pending, size_t start, size_t L,
+                 std::vector<uint64_t>& visit, std::vector<uint64_t>& next,
+                 std::vector<uint64_t>& seen) {
+  const size_t row_words = kLaneWords;
+  {
     std::fill(visit.begin(), visit.end(), 0);
     std::fill(next.begin(), next.end(), 0);
     std::fill(seen.begin(), seen.end(), 0);
@@ -125,6 +175,8 @@ void gr_msbfs_lengths(int64_t vcount, const int64_t* offsets,
     }
   }
 }
+
+}  // namespace
 
 // ---------------------------------------------------------------------------
 // Shortest path (BFS + parent tracking; reference shortest_path.cpp:12-41).
