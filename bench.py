@@ -33,7 +33,10 @@ def main():
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # cache EVERYTHING: the compile helper is a shared 2-core local
+        # subprocess — even sub-second compiles become queue-minutes when
+        # it is busy, so skipping "cheap" compiles is never worth it
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except (OSError, AttributeError):
         pass
 

@@ -28,7 +28,7 @@ def main():
     cache_dir = "/root/repo/.jax_cache"
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from duckpgq_tpu.kernels.bfs_pallas import PallasBFS, pack_csr
     from duckpgq_tpu.ops.csr import build_csr

@@ -30,7 +30,7 @@ def main():
                                "/root/repo/.jax_cache")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from duckpgq_tpu.ops.csr_jax import build_device_csr
     from duckpgq_tpu.ops.msbfs_jax import msbfs_lengths, msbfs_lengths_packed
