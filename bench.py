@@ -18,7 +18,10 @@ import numpy as np
 
 
 def main():
-    scale = int(os.environ.get("BENCH_SCALE", "18"))
+    # scale 16 is the largest whose scan-kernel compile fits the local
+    # 2-core AOT compile helper (scale 18's gets OOM-killed); the Pallas
+    # kernel path (BENCH_KERNEL=pallas) lifts this
+    scale = int(os.environ.get("BENCH_SCALE", "16"))
     edge_factor = int(os.environ.get("BENCH_EDGE_FACTOR", "16"))
     lanes = int(os.environ.get("BENCH_LANES", "512"))
     batches = int(os.environ.get("BENCH_BATCHES", "2"))
