@@ -1,0 +1,81 @@
+"""Pallas TPU kernel: segmented OR-scan over packed frontier words.
+
+Replaces the XLA ``associative_scan`` in the packed MS-BFS expansion
+(ops/msbfs_jax.py). Why: the XLA scan lowers to ~log2(E) slice/concat levels
+over the full [E, W] array — at RMAT-18 shapes that graph OOM-kills the
+local 2-core AOT compile helper and, when it does compile, re-reads the
+array once per level (~23 passes of HBM traffic). This kernel is ONE pass:
+a sequential grid over [C, W] chunks, a log2(C)-step in-register roll-OR
+segmented scan per chunk, and a cross-chunk carry in VMEM scratch (TPU grid
+steps run sequentially on the core, so the carry is exact).
+
+Layout note: chunks are [C sublanes, W lanes]; W is the packed word count
+(lanes/32), so W=128 (4096 BFS lanes) tiles vregs perfectly; smaller W pads
+the lane dimension.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _scan_kernel(vals_ref, heads_ref, out_ref, carry_ref, *, C: int):
+    """One chunk: inclusive segmented OR-scan with carry-in from the
+    previous chunk. heads are int32 (1 = first slot of a segment)."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        carry_ref[0, :] = jnp.zeros_like(carry_ref[0, :])
+
+    v = vals_ref[:]                           # [C, W] uint32
+    f = heads_ref[:] != 0                     # [C, 1] bool
+    row = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+    s = 1
+    while s < C:
+        v_s = pltpu.roll(v, s, axis=0)        # circular: row i <- i-s
+        f_s = pltpu.roll(f, s, axis=0)
+        wrap = row < s                        # rows whose source wrapped:
+        v_s = jnp.where(wrap, jnp.uint32(0), v_s)   # identity (False, 0)
+        f_s = jnp.where(wrap, False, f_s)
+        v = jnp.where(f, v, v | v_s)
+        f = f | f_s
+        s *= 2
+    # rows whose run started before this chunk (no head up to and incl. row)
+    open_prefix = ~f
+    v = jnp.where(open_prefix, v | carry_ref[0, :][None, :], v)
+    out_ref[:] = v
+    carry_ref[0, :] = v[C - 1, :]
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def seg_or_scan_packed(values: jnp.ndarray, heads: jnp.ndarray,
+                       chunk: int = 512) -> jnp.ndarray:
+    """Inclusive segmented OR-scan of ``values`` [E, W] uint32 with segment
+    head flags ``heads`` [E] bool. E must be a multiple of ``chunk``."""
+    E, W = values.shape
+    assert E % chunk == 0, (E, chunk)
+    n_chunks = E // chunk
+    heads_i = heads.astype(jnp.int32).reshape(E, 1)
+    grid_spec = pl.GridSpec(
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((chunk, W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((chunk, W), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((1, W), jnp.uint32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_scan_kernel, C=chunk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((E, W), jnp.uint32),
+    )(values, heads_i)

@@ -102,7 +102,6 @@ def msbfs_lengths(csr: DeviceCSR, src: jnp.ndarray, dst: jnp.ndarray,
     return result, traversed
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters",))
 def msbfs_lengths_packed(csr: DeviceCSR, src: jnp.ndarray, dst: jnp.ndarray,
                          active: jnp.ndarray, max_iters: int
                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -110,10 +109,26 @@ def msbfs_lengths_packed(csr: DeviceCSR, src: jnp.ndarray, dst: jnp.ndarray,
     the reference's ``bitset<LANE_LIMIT>`` per vertex, iterativelength.cpp:
     12-32). The frontier is ``uint32 [Vp+1, W]`` with ``W = L/32`` — 32x less
     gather traffic than the dense bool kernel, and the per-destination OR is
-    a segmented scan (associative_scan with head flags) instead of a
-    scatter-lowered segment reduce.
+    a segmented scan instead of a scatter-lowered segment reduce.
+
+    Scan implementation: DUCKPGQ_SCAN_IMPL=pallas uses the single-pass
+    Pallas chunk kernel (kernels/segscan_pallas.py — one HBM pass and a
+    tiny compile, vs ~log2(E) passes for the XLA associative_scan whose
+    compile OOMs at RMAT-18 shapes); default is the XLA scan (portable,
+    used on the CPU test backend).
 
     Returns (lengths int32 [L], traversed float32 [L])."""
+    import os
+    use_pallas = os.environ.get("DUCKPGQ_SCAN_IMPL", "xla") == "pallas"
+    return _msbfs_lengths_packed(csr, src, dst, active, max_iters,
+                                 use_pallas)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "use_pallas"))
+def _msbfs_lengths_packed(csr: DeviceCSR, src: jnp.ndarray, dst: jnp.ndarray,
+                          active: jnp.ndarray, max_iters: int,
+                          use_pallas: bool
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     Vp = csr.vpad
     L = src.shape[0]
     assert L % 32 == 0, "packed kernel needs lanes % 32 == 0"
@@ -144,11 +159,22 @@ def msbfs_lengths_packed(csr: DeviceCSR, src: jnp.ndarray, dst: jnp.ndarray,
         it, frontier, seen, result = state
         return (it <= max_iters) & (frontier != 0).any()
 
+    Ep = csr.epad
+    scan_chunk = 1
+    while scan_chunk * 2 <= min(Ep, 512) and Ep % (scan_chunk * 2) == 0:
+        scan_chunk *= 2
+
     def body(state):
         it, frontier, seen, result = state
         gathered = frontier[csr.in_src]                       # [Ep, W]
-        ext = segment_or_sorted(gathered, heads, last_pos,
-                                has_in)                       # [Vp, W]
+        if use_pallas:
+            from ..kernels.segscan_pallas import seg_or_scan_packed
+            scanned = seg_or_scan_packed(gathered, heads, chunk=scan_chunk)
+            ext = jnp.where(has_in[:, None], scanned[last_pos],
+                            jnp.uint32(0))                    # [Vp, W]
+        else:
+            ext = segment_or_sorted(gathered, heads, last_pos,
+                                    has_in)                   # [Vp, W]
         nxt = jnp.concatenate(
             [ext, jnp.zeros((1, W), jnp.uint32)]) & ~seen
         seen = seen | nxt

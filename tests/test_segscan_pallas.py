@@ -1,0 +1,31 @@
+"""Pallas segmented OR-scan vs the XLA scan oracle (interpret mode)."""
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.parametrize("seed,E,W,chunk", [
+    (0, 2048, 4, 256), (1, 1024, 16, 512), (2, 4096, 2, 128)])
+def test_seg_or_scan_matches_oracle(seed, E, W, chunk):
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from duckpgq_tpu.kernels.segscan_pallas import seg_or_scan_packed
+
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 1 << 32, size=(E, W), dtype=np.uint32)
+    # random run structure incl. runs crossing chunk boundaries
+    heads = rng.random(E) < 0.05
+    heads[0] = True
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(seg_or_scan_packed(
+            jnp.asarray(vals), jnp.asarray(heads), chunk=chunk))
+    want = np.zeros_like(vals)
+    acc = np.zeros(W, dtype=np.uint32)
+    for i in range(E):
+        if heads[i]:
+            acc = vals[i].copy()
+        else:
+            acc = acc | vals[i]
+        want[i] = acc
+    np.testing.assert_array_equal(got, want)
