@@ -34,20 +34,20 @@ def _scan_kernel(vals_ref, heads_ref, out_ref, carry_ref, *, C: int):
         carry_ref[0, :] = jnp.zeros_like(carry_ref[0, :])
 
     v = vals_ref[:]                           # [C, W] uint32
-    f = heads_ref[:] != 0                     # [C, 1] bool
-    row = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+    f = heads_ref[:]                          # [C, 1] int32 (Mosaic can't
+    row = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)   # rotate i1)
     s = 1
     while s < C:
         v_s = pltpu.roll(v, s, axis=0)        # circular: row i <- i-s
         f_s = pltpu.roll(f, s, axis=0)
         wrap = row < s                        # rows whose source wrapped:
-        v_s = jnp.where(wrap, jnp.uint32(0), v_s)   # identity (False, 0)
-        f_s = jnp.where(wrap, False, f_s)
-        v = jnp.where(f, v, v | v_s)
+        v_s = jnp.where(wrap, jnp.uint32(0), v_s)   # identity (0, 0)
+        f_s = jnp.where(wrap, 0, f_s)
+        v = jnp.where(f != 0, v, v | v_s)
         f = f | f_s
         s *= 2
     # rows whose run started before this chunk (no head up to and incl. row)
-    open_prefix = ~f
+    open_prefix = f == 0
     v = jnp.where(open_prefix, v | carry_ref[0, :][None, :], v)
     out_ref[:] = v
     carry_ref[0, :] = v[C - 1, :]
