@@ -51,11 +51,39 @@ class Database:
                 f'attached')
         catalog = Catalog(alias)
         self.attached[alias.lower()] = catalog
-        # .duckdb files cannot be read; an attached database starts empty
-        # unless it is a directory with schema.sql/load.sql
-        if os.path.isdir(self.resolve_path(path)):
+        resolved = self.resolve_path(path)
+        # a directory with schema.sql/load.sql is an exported database;
+        # a .duckdb file is DuckDB binary storage (io/duckdb_file.py)
+        if os.path.isdir(resolved):
             con = self.connect()
             con.execute(f"IMPORT DATABASE '{path}'")
+        elif os.path.isfile(resolved):
+            try:
+                self._load_duckdb_file(resolved, catalog)
+            except Exception:
+                del self.attached[alias.lower()]
+                raise
+
+    def _load_duckdb_file(self, path: str, catalog: Catalog):
+        """Materialize every table of a DuckDB storage file into the
+        attached catalog (reference test/sql/create_pg/attach_pg.test)."""
+        from .io.duckdb_file import DuckDBFile
+        from .storage.table import ColumnDefinition, DataTable
+        from .storage.vector import Vector
+        from .types import type_from_name
+
+        dbfile = DuckDBFile(path)
+        for schema_name in dbfile.catalog.schemas:
+            catalog.create_schema(schema_name, if_not_exists=True)
+        for schema_name, table_name in dbfile.table_names():
+            cols, data = dbfile.read_table(table_name, schema_name)
+            cdefs = [ColumnDefinition(c.name, type_from_name(c.sql_type))
+                     for c in cols]
+            table = DataTable(table_name, cdefs, schema=schema_name,
+                              catalog=catalog.name)
+            table.append([Vector.from_values(vals, cdefs[i].type)
+                          for i, vals in enumerate(data)])
+            catalog.create_table(table)
 
     def detach(self, name: str):
         if name.lower() not in self.attached:
@@ -117,10 +145,13 @@ class Connection:
             if cat:
                 return cat.get_table(table, schema, missing_ok=True)
             return None
-        for cat in self.database.attached.values():
-            t = cat.get_table(table, schema, missing_ok=True)
-            if t is not None:
-                return t
+        # DuckDB resolves a two-part name first as schema.table, then as
+        # catalog.table (default schema) against attached databases;
+        # unqualified names never search attached catalogs
+        if schema is not None:
+            cat = self.database.attached.get(schema.lower())
+            if cat:
+                return cat.get_table(table, None, missing_ok=True)
         return None
 
     # ------------------------------------------------------------ execution

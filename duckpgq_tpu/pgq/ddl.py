@@ -55,6 +55,12 @@ def _ensure_internal_table(executor):
 
 def _resolve_table(executor, pg_table: PropertyGraphTable) -> DataTable:
     con = executor.connection
+    # a two-part qualifier naming an attached database is catalog.table
+    # (DuckDB name resolution; reference test/sql/create_pg/attach_pg.test)
+    if (not pg_table.catalog_name and pg_table.schema_name and
+            pg_table.schema_name.lower() in con.database.attached):
+        pg_table.catalog_name = pg_table.schema_name
+        pg_table.schema_name = ""
     if pg_table.catalog_name:
         try:
             catalog = con.resolve_catalog(pg_table.catalog_name)
@@ -178,15 +184,36 @@ def _validate_keys(executor, edge: PropertyGraphTable,
             ("source", edge.source_pk, edge.source_fk, edge.source_reference),
             ("destination", edge.destination_pk, edge.destination_fk,
              edge.destination_reference)):
-        # referenced vertex table must be registered
+        # referenced vertex table must be registered; a qualified reference
+        # must match the vertex table's registered qualifier (reference
+        # test/sql/create_pg/attach_pg.test: references
+        # nonexistingschema.account fails against bluesky.account)
+        ref_schema = (edge.source_schema if key_type == "source"
+                      else edge.destination_schema) or ""
+        ref_catalog = (edge.source_catalog if key_type == "source"
+                       else edge.destination_catalog) or ""
         vt = None
         for v in info.vertex_tables:
-            if v.table_name.lower() == ref.lower() or \
-                    (v.table_name_alias and
-                     v.table_name_alias.lower() == ref.lower()):
-                vt = v
-                break
+            name_hit = (v.table_name.lower() == ref.lower() or
+                        (v.table_name_alias and
+                         v.table_name_alias.lower() == ref.lower()))
+            if not name_hit:
+                continue
+            if ref_schema or ref_catalog:
+                qualifiers = {q.lower() for q in
+                              (v.schema_name, v.catalog_name, "main") if q}
+                wanted = {q.lower() for q in (ref_schema, ref_catalog) if q}
+                if not wanted.issubset(qualifiers):
+                    continue
+            vt = v
+            break
         if vt is None:
+            if ref_schema or ref_catalog:
+                qualified = ".".join(
+                    p for p in (ref_catalog, ref_schema, ref) if p)
+                raise InvalidException(
+                    f"Table '{qualified}' not found in the property graph "
+                    f"{info.property_graph_name}.")
             raise InvalidException(
                 f"Referenced vertex table {ref} is not registered in the "
                 f"vertex tables.")
@@ -300,17 +327,17 @@ def execute_describe_property_graph(executor, name: str) -> QueryResult:
     for t in info.all_tables():
         if t.is_vertex_table:
             rows.append([info.property_graph_name, t.table_name, t.main_label,
-                         True, None, None, None, None, None, None,
+                         1, None, None, None, None, None, None,
                          t.discriminator or None, t.sub_labels or None,
                          t.catalog_name or None, t.schema_name or ""])
         else:
             rows.append([info.property_graph_name, t.table_name, t.main_label,
-                         False, t.source_reference, t.source_pk, t.source_fk,
+                         0, t.source_reference, t.source_pk, t.source_fk,
                          t.destination_reference, t.destination_pk,
                          t.destination_fk,
                          t.discriminator or None, t.sub_labels or None,
                          t.catalog_name or None, t.schema_name or ""])
-    types = [VARCHAR, VARCHAR, VARCHAR, BOOLEAN, VARCHAR, LIST(VARCHAR),
+    types = [VARCHAR, VARCHAR, VARCHAR, BIGINT, VARCHAR, LIST(VARCHAR),
              LIST(VARCHAR), VARCHAR, LIST(VARCHAR), LIST(VARCHAR), VARCHAR,
              LIST(VARCHAR), VARCHAR, VARCHAR]
     cols = [Vector.from_values([r[j] for r in rows], types[j])

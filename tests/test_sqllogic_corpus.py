@@ -11,13 +11,9 @@ from duckpgq_tpu.testing.sqllogic import SQLLogicRunner
 from .conftest import REFERENCE_ROOT, requires_reference
 
 # Files whose remaining records require capabilities outside this framework's
-# scope (reading DuckDB's binary .duckdb storage files — no DuckDB runtime
-# exists in this environment).
-KNOWN_UNSUPPORTED = {
-    "create_pg/attach_pg.test": "requires reading binary .duckdb files",
-    "create_pg/describe_pg.test":
-        "bluesky section requires reading binary .duckdb files",
-}
+# scope (none at present: .duckdb binary storage files are read natively by
+# duckpgq_tpu/io/duckdb_file.py).
+KNOWN_UNSUPPORTED = {}
 
 
 def _corpus_files():
