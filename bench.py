@@ -24,11 +24,17 @@ def main():
     scale = int(os.environ.get("BENCH_SCALE", "16"))
     edge_factor = int(os.environ.get("BENCH_EDGE_FACTOR", "16"))
     lanes = int(os.environ.get("BENCH_LANES", "512"))
-    batches = int(os.environ.get("BENCH_BATCHES", "2"))
+    batches = int(os.environ.get("BENCH_BATCHES", "8"))
     kernel = os.environ.get("BENCH_KERNEL", "packed")
 
     import jax
     import jax.numpy as jnp
+
+    # the Pallas single-pass segmented scan is ~3x the XLA associative scan
+    # on TPU and compiles in seconds; tests use the XLA scan on CPU
+    if "DUCKPGQ_SCAN_IMPL" not in os.environ and \
+            jax.devices()[0].platform != "cpu":
+        os.environ["DUCKPGQ_SCAN_IMPL"] = "pallas"
 
     # persistent local compilation cache: first-time XLA compiles on this
     # backend can take minutes; cached executables load in seconds
@@ -44,7 +50,9 @@ def main():
         pass
 
     from duckpgq_tpu.ops.csr_jax import build_device_csr
-    from duckpgq_tpu.ops.msbfs_jax import msbfs_lengths, msbfs_lengths_packed
+    from duckpgq_tpu.ops.msbfs_jax import (msbfs_lengths,
+                                           msbfs_lengths_packed,
+                                           msbfs_lengths_packed_multi)
     from duckpgq_tpu.utils.rmat import rmat_edges
 
     rng = np.random.default_rng(7)
@@ -58,8 +66,6 @@ def main():
     if kernel == "pallas":
         _bench_pallas(v, src, dst, lanes, batches, max_iters, rng)
         return
-    bfs = msbfs_lengths_packed if kernel == "packed" else msbfs_lengths
-
     t0 = time.time()
     csr = build_device_csr(v, src, dst)
     np.asarray(csr.offsets[:2])  # hard sync through host transfer
@@ -71,25 +77,36 @@ def main():
     # (MATCH ...->{1,k}), so depth-16 bounded search is the production
     # workload; full-traversal tails (graph eccentricity) are future work
     # via a sparse-frontier mode.
-    qs_all = rng.integers(0, v, size=lanes * batches).astype(np.int32)
-    qd_all = rng.integers(0, v, size=lanes * batches).astype(np.int32)
+    qs_all = rng.integers(0, v, size=(batches, lanes)).astype(np.int32)
+    qd_all = rng.integers(0, v, size=(batches, lanes)).astype(np.int32)
     active = jnp.ones(lanes, dtype=bool)
+    use_pallas = os.environ.get("DUCKPGQ_SCAN_IMPL", "xla") == "pallas"
+
+    if kernel == "packed":
+        # all batches in ONE device dispatch (lax.map) — host/tunnel RTT
+        # otherwise dominates sub-100ms waves
+        def run_all():
+            res, trav = msbfs_lengths_packed_multi(
+                csr, jnp.asarray(qs_all), jnp.asarray(qd_all), active,
+                max_iters, use_pallas)
+            return np.asarray(res), float(np.asarray(trav).sum())
+    else:
+        def run_all():
+            total = 0.0
+            for b in range(batches):
+                res, trav = msbfs_lengths(
+                    csr, jnp.asarray(qs_all[b]), jnp.asarray(qd_all[b]),
+                    active, max_iters)
+                total += float(np.asarray(trav).sum())
+            return np.asarray(res), total
 
     # warm up (compile)
     t0 = time.time()
-    res, trav = bfs(csr, jnp.asarray(qs_all[:lanes]),
-                    jnp.asarray(qd_all[:lanes]), active, max_iters)
-    np.asarray(res)  # hard sync: block_until_ready can return early here
+    run_all()
     print(f"# warmup (compile): {time.time() - t0:.1f}s", file=sys.stderr)
 
-    total_traversed = 0.0
     t0 = time.time()
-    for b in range(batches):
-        qs = jnp.asarray(qs_all[b * lanes:(b + 1) * lanes])
-        qd = jnp.asarray(qd_all[b * lanes:(b + 1) * lanes])
-        res, trav = bfs(csr, qs, qd, active, max_iters)
-        total_traversed += float(np.asarray(trav).sum())
-    np.asarray(res)
+    _, total_traversed = run_all()
     elapsed = time.time() - t0
 
     gteps = total_traversed / elapsed / 1e9

@@ -190,18 +190,30 @@ def _bfs_packed(frontier, seen, result, src_tiles, dst_tiles, start_tile,
         dst_words = nxt[lane_word, dst_lane]          # [L]
         found = ((dst_words >> lane_bit) & 1).astype(jnp.bool_) & (result < 0)
         result = jnp.where(found, it, result)
-        # stop expanding finished lanes
+        # stop expanding finished lanes: pack (result < 0) into one uint32
+        # mask word per 32 lanes (reshape + shift, no scatter)
         active_bits = jnp.where(result < 0, jnp.uint32(1),
-                                jnp.uint32(0)) << lane_bit
-        active_mask = jax.ops.segment_sum(
-            active_bits.astype(jnp.int32), lane_word,
-            num_segments=W).astype(jnp.uint32)
+                                jnp.uint32(0)).reshape(W, 32)
+        active_mask = (active_bits <<
+                       jnp.arange(32, dtype=jnp.uint32)[None, :]).sum(
+                           axis=1, dtype=jnp.uint32)            # [W]
         frontier = nxt & active_mask[:, None]
         return it + 1, frontier, seen, result
 
     _, _, seen, result = jax.lax.while_loop(
         cond, body, (jnp.int32(1), frontier, seen, result))
     return result, seen
+
+
+@jax.jit
+def _traversed_per_lane(seen: jnp.ndarray, deg: jnp.ndarray) -> jnp.ndarray:
+    """graph500 TEPS accounting on device: for each lane, the sum of
+    out-degrees over its visited vertices. seen [W, Vw] uint32, deg [Vw]."""
+    per_bit = []
+    for b in range(32):
+        bits = ((seen >> jnp.uint32(b)) & jnp.uint32(1)).astype(jnp.float32)
+        per_bit.append((bits * deg[None, :]).sum(axis=1))       # [W]
+    return jnp.stack(per_bit, axis=1).reshape(-1)               # [W*32]
 
 
 class PallasBFS:
@@ -260,14 +272,10 @@ class PallasBFS:
             jnp.asarray(lw.astype(np.int32)), jnp.asarray(lb.astype(np.uint32)),
             meta)
         res_np = np.asarray(res)[:n]
-        # TEPS: per lane, sum of out-degrees of visited vertices (vectorized
-        # popcount-weighted reduction)
-        seen_np = np.asarray(seen)                     # [W, Vw] uint32
-        deg = np.asarray(self.packed.out_deg)          # [Vw]
-        traversed = 0.0
-        for b in range(32):
-            bits = (seen_np >> np.uint32(b)) & np.uint32(1)   # [W, Vw]
-            lanes_here = np.arange(W) * 32 + b
-            valid = lanes_here < n
-            traversed += float((bits[valid] * deg[None, :]).sum())
+        # TEPS: per lane, sum of out-degrees of visited vertices — computed
+        # on device (bit-plane unpack + weighted row sums); only the [L]
+        # result crosses the tunnel
+        trav = np.asarray(_traversed_per_lane(seen, self.out_deg))
+        lanes_idx = np.arange(W)[:, None] * 32 + np.arange(32)[None, :]
+        traversed = float(trav[(lanes_idx < n).reshape(-1)].sum())
         return res_np, traversed

@@ -53,6 +53,66 @@ def _scan_kernel(vals_ref, heads_ref, out_ref, carry_ref, *, C: int):
     carry_ref[0, :] = v[C - 1, :]
 
 
+def _scan_rows_kernel(vals_ref, heads_ref, out_ref, carry_ref, *, C: int):
+    """Transposed chunk: values [W, C] with the SCAN AXIS ALONG LANES —
+    a [W, C] uint32 block occupies W*C/1024 vregs with full lane
+    utilization, vs [C, W] wasting (128-W)/128 of every vreg when W < 128.
+    Head flags are a single [1, C] row (shared across words), so the flag
+    scan costs 1/W of the value scan."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        carry_ref[:, 0] = jnp.zeros_like(carry_ref[:, 0])
+
+    v = vals_ref[:]                            # [W, C] uint32
+    f = heads_ref[:]                           # [1, C] int32
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    s = 1
+    while s < C:
+        v_s = pltpu.roll(v, s, axis=1)         # circular: col i <- i-s
+        f_s = pltpu.roll(f, s, axis=1)
+        wrap = col < s                         # wrapped columns: identity
+        v_s = jnp.where(wrap, jnp.uint32(0), v_s)
+        f_s = jnp.where(wrap, 0, f_s)
+        v = jnp.where(f != 0, v, v | v_s)      # [1,C] gate broadcasts over W
+        f = f | f_s
+        s *= 2
+    open_prefix = f == 0                       # run started before the chunk
+    v = jnp.where(open_prefix, v | carry_ref[:, 0][:, None], v)
+    out_ref[:] = v
+    carry_ref[:, 0] = v[:, C - 1]
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def seg_or_scan_rows(values: jnp.ndarray, heads: jnp.ndarray,
+                     chunk: int = 512) -> jnp.ndarray:
+    """Inclusive segmented OR-scan of ``values`` [W, E] uint32 along axis 1
+    with segment head flags ``heads`` [E] bool. E must be a multiple of
+    ``chunk``. This is the lane-major layout the packed MS-BFS uses."""
+    W, E = values.shape
+    assert E % chunk == 0, (E, chunk)
+    n_chunks = E // chunk
+    heads_i = heads.astype(jnp.int32).reshape(1, E)
+    grid_spec = pl.GridSpec(
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((W, chunk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((W, chunk), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((W, 1), jnp.uint32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_scan_rows_kernel, C=chunk),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((W, E), jnp.uint32),
+    )(values, heads_i)
+
+
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def seg_or_scan_packed(values: jnp.ndarray, heads: jnp.ndarray,
                        chunk: int = 512) -> jnp.ndarray:

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 from .csr_jax import DeviceCSR, out_degrees
 from .segscan import (has_segment, last_positions, segment_heads,
                       segment_min_sorted, segment_or_sorted,
-                      segment_reduce_sorted, segment_sum_sorted)
+                      segment_or_sorted_rows, segment_reduce_sorted,
+                      segment_sum_sorted)
 
 LANES_DEFAULT = 512  # reference LANE_LIMIT (duckpgq_utils.hpp:10)
 
@@ -125,10 +126,39 @@ def msbfs_lengths_packed(csr: DeviceCSR, src: jnp.ndarray, dst: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters", "use_pallas"))
+def msbfs_lengths_packed_multi(csr: DeviceCSR, src: jnp.ndarray,
+                               dst: jnp.ndarray, active: jnp.ndarray,
+                               max_iters: int, use_pallas: bool = False
+                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run B sequential packed-BFS waves in ONE device dispatch:
+    src/dst are [B, L], active [L]; returns ([B, L] lengths, [B, L]
+    traversed). Production engines issue queries in batches — a single
+    dispatch amortizes host round-trips (the tunnel RTT otherwise dominates
+    sub-100ms searches)."""
+    return jax.lax.map(
+        lambda q: _msbfs_lengths_packed_impl(csr, q[0], q[1], active,
+                                             max_iters, use_pallas),
+        (src, dst))
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "use_pallas"))
 def _msbfs_lengths_packed(csr: DeviceCSR, src: jnp.ndarray, dst: jnp.ndarray,
                           active: jnp.ndarray, max_iters: int,
                           use_pallas: bool
                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return _msbfs_lengths_packed_impl(csr, src, dst, active, max_iters,
+                                      use_pallas)
+
+
+def _msbfs_lengths_packed_impl(csr: DeviceCSR, src: jnp.ndarray,
+                               dst: jnp.ndarray, active: jnp.ndarray,
+                               max_iters: int, use_pallas: bool
+                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Lane-major ("transposed") layout: the frontier is ``uint32 [W, Vp+1]``
+    — vertices along the 128-wide lane axis, packed lane words along
+    sublanes. Every elementwise step then runs at full vreg lane utilization
+    (a [E, W] layout wastes (128-W)/128 of the VPU when W < 128), and the
+    segmented scan rolls along lanes (kernels/segscan_pallas.seg_or_scan_rows)."""
     Vp = csr.vpad
     L = src.shape[0]
     assert L % 32 == 0, "packed kernel needs lanes % 32 == 0"
@@ -140,8 +170,8 @@ def _msbfs_lengths_packed(csr: DeviceCSR, src: jnp.ndarray, dst: jnp.ndarray,
 
     trivial = active & (src == dst)
     searching = active & (src != dst)
-    frontier = jnp.zeros((Vp + 1, W), dtype=jnp.uint32)
-    frontier = frontier.at[src, word_of_lane].add(
+    frontier = jnp.zeros((W, Vp + 1), dtype=jnp.uint32)
+    frontier = frontier.at[word_of_lane, src].add(
         jnp.where(searching, bit_of_lane, jnp.uint32(0)))
     seen = frontier
     result = jnp.where(trivial, 0, -1).astype(jnp.int32)
@@ -166,22 +196,22 @@ def _msbfs_lengths_packed(csr: DeviceCSR, src: jnp.ndarray, dst: jnp.ndarray,
 
     def body(state):
         it, frontier, seen, result = state
-        gathered = frontier[csr.in_src]                       # [Ep, W]
+        gathered = jnp.take(frontier, csr.in_src, axis=1)     # [W, Ep]
         if use_pallas:
-            from ..kernels.segscan_pallas import seg_or_scan_packed
-            scanned = seg_or_scan_packed(gathered, heads, chunk=scan_chunk)
-            ext = jnp.where(has_in[:, None], scanned[last_pos],
-                            jnp.uint32(0))                    # [Vp, W]
+            from ..kernels.segscan_pallas import seg_or_scan_rows
+            scanned = seg_or_scan_rows(gathered, heads, chunk=scan_chunk)
+            ext = jnp.where(has_in[None, :], scanned[:, last_pos],
+                            jnp.uint32(0))                    # [W, Vp]
         else:
-            ext = segment_or_sorted(gathered, heads, last_pos,
-                                    has_in)                   # [Vp, W]
+            ext = segment_or_sorted_rows(gathered, heads, last_pos,
+                                         has_in)              # [W, Vp]
         nxt = jnp.concatenate(
-            [ext, jnp.zeros((1, W), jnp.uint32)]) & ~seen
+            [ext, jnp.zeros((W, 1), jnp.uint32)], axis=1) & ~seen
         seen = seen | nxt
-        found = ((nxt[dst, word_of_lane] & bit_of_lane) != 0) \
+        found = ((nxt[word_of_lane, dst] & bit_of_lane) != 0) \
             & (result < 0) & searching
         result = jnp.where(found, it, result)
-        nxt = nxt & pack_lane_mask(result < 0)[None, :]
+        nxt = nxt & pack_lane_mask(result < 0)[:, None]
         return it + 1, nxt, seen, result
 
     _, _, seen, result = jax.lax.while_loop(
@@ -190,10 +220,10 @@ def _msbfs_lengths_packed(csr: DeviceCSR, src: jnp.ndarray, dst: jnp.ndarray,
     # graph500 TEPS accounting: every out-edge of every visited vertex
     # counts once per lane; unpack seen bit-plane by bit-plane (32 matvecs)
     per_bit = []
-    seen_v = seen[:Vp]
+    seen_v = seen[:, :Vp]                                     # [W, Vp]
     for b in range(32):
-        col = ((seen_v >> jnp.uint32(b)) & jnp.uint32(1)).astype(jnp.float32)
-        per_bit.append(deg @ col)                             # [W]
+        bits = ((seen_v >> jnp.uint32(b)) & jnp.uint32(1)).astype(jnp.float32)
+        per_bit.append(bits @ deg)                            # [W]
     traversed = jnp.stack(per_bit, axis=1).reshape(L)         # [W,32]->[L]
     return result, traversed
 

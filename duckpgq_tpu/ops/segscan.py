@@ -88,3 +88,20 @@ def segment_min_sorted(values, heads, last_pos, has_seg, identity):
 def segment_or_sorted(values, heads, last_pos, has_seg):
     return segment_reduce_sorted(values, heads, last_pos, has_seg,
                                  lambda a, b: a | b, 0)
+
+
+def segment_or_sorted_rows(values: jnp.ndarray, heads: jnp.ndarray,
+                           last_pos: jnp.ndarray, has_seg: jnp.ndarray
+                           ) -> jnp.ndarray:
+    """Lane-major variant: values [W, E] scanned along axis 1 (heads [E],
+    last_pos/has_seg [S]); returns [W, S]. Mirrors segment_or_sorted for the
+    transposed packed-BFS layout."""
+    flags = heads.reshape(1, -1)
+
+    def op(a, b):
+        af, av = a
+        bf, bv = b
+        return af | bf, jnp.where(bf, bv, av | bv)
+
+    _, scanned = jax.lax.associative_scan(op, (flags, values), axis=1)
+    return jnp.where(has_seg[None, :], scanned[:, last_pos], 0)

@@ -35,6 +35,30 @@ def test_packed_bfs_with_pallas_scan(monkeypatch):
 
 @pytest.mark.parametrize("seed,E,W,chunk", [
     (0, 2048, 4, 256), (1, 1024, 16, 512), (2, 4096, 2, 128)])
+def test_seg_or_scan_rows_matches_oracle(seed, E, W, chunk):
+    """Lane-major kernel (the layout the packed BFS uses)."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from duckpgq_tpu.kernels.segscan_pallas import seg_or_scan_rows
+
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 1 << 32, size=(W, E), dtype=np.uint32)
+    heads = rng.random(E) < 0.05
+    heads[0] = True
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(seg_or_scan_rows(
+            jnp.asarray(vals), jnp.asarray(heads), chunk=chunk))
+    acc = np.zeros(W, dtype=np.uint32)
+    want = np.zeros_like(vals)
+    for i in range(E):
+        acc = vals[:, i].copy() if heads[i] else acc | vals[:, i]
+        want[:, i] = acc
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("seed,E,W,chunk", [
+    (0, 2048, 4, 256), (1, 1024, 16, 512), (2, 4096, 2, 128)])
 def test_seg_or_scan_matches_oracle(seed, E, W, chunk):
     import jax.numpy as jnp
     from jax.experimental.pallas import tpu as pltpu
