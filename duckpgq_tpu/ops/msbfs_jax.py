@@ -190,8 +190,10 @@ def _msbfs_lengths_packed_impl(csr: DeviceCSR, src: jnp.ndarray,
         return (it <= max_iters) & (frontier != 0).any()
 
     Ep = csr.epad
+    # chunk sweep on v5e: 2048 beats 512 by ~16% (fewer grid steps; the
+    # log-depth roll cost grows slower than the per-step overhead shrinks)
     scan_chunk = 1
-    while scan_chunk * 2 <= min(Ep, 512) and Ep % (scan_chunk * 2) == 0:
+    while scan_chunk * 2 <= min(Ep, 2048) and Ep % (scan_chunk * 2) == 0:
         scan_chunk *= 2
 
     def body(state):

@@ -111,5 +111,61 @@ def main():
     time_it("full expansion  ", full_ext, Ep * (3 * WB + 4) + Vp * WB)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and os.environ.get("PROF_MODE") != "chunks":
     main()
+
+
+def chunk_sweep():
+    """Time full expansion across scan chunk sizes (grid-step overhead vs
+    log-depth roll cost)."""
+    scale = int(os.environ.get("BENCH_SCALE", "16"))
+    lanes = int(os.environ.get("BENCH_LANES", "512"))
+    reps = int(os.environ.get("PROF_REPS", "32"))
+    import jax
+    import jax.numpy as jnp
+    cache_dir = os.environ.get("JAX_LOCAL_CACHE", "/root/repo/.jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    from duckpgq_tpu.kernels.segscan_pallas import seg_or_scan_rows
+    from duckpgq_tpu.ops.csr_jax import build_device_csr
+    from duckpgq_tpu.ops.msbfs_jax import _in_segments
+    from duckpgq_tpu.utils.rmat import rmat_edges
+    src, dst = rmat_edges(scale, 16, seed=11)
+    v = 1 << scale
+    csr = build_device_csr(v, src, dst)
+    Vp, Ep, W = csr.vpad, csr.epad, lanes // 32
+    heads, last_pos, has_in = _in_segments(csr)
+    rng = np.random.default_rng(0)
+    frontier = jnp.asarray(
+        rng.integers(0, 1 << 32, size=(W, Vp + 1), dtype=np.uint32))
+    in_src = csr.in_src
+
+    for chunk in (256, 512, 1024, 2048, 4096):
+        if Ep % chunk:
+            continue
+
+        def full_ext(f, c=chunk):
+            g = jnp.take(f, in_src, axis=1)
+            s = seg_or_scan_rows(g, heads, chunk=c)
+            ext = jnp.where(has_in[None, :], s[:, last_pos], jnp.uint32(0))
+            return jnp.concatenate([ext, jnp.zeros((W, 1), jnp.uint32)],
+                                   axis=1)
+
+        @jax.jit
+        def run(f0, c=chunk):
+            def body(i, f):
+                out = full_ext(f, c)
+                return (f ^ out) | f
+            return jax.lax.fori_loop(0, reps, body, f0)
+
+        out = run(frontier)
+        np.asarray(out[0, :2])
+        t0 = time.time()
+        out = run(frontier)
+        np.asarray(out[0, :2])
+        dt = (time.time() - t0) / reps
+        print(f"chunk {chunk:5d}: {dt * 1e3:.2f} ms/rep")
+
+
+if __name__ == "__main__" and os.environ.get("PROF_MODE") == "chunks":
+    chunk_sweep()
