@@ -37,6 +37,29 @@ class Database:
         self.connections: List["Connection"] = []
         # cached CSRs keyed by (graph build signature); invalidated on writes
         self._csr_cache: Dict[tuple, object] = {}
+        # durable databases (reference: PG metadata persists inside the
+        # user's database file, duckpgq_state.cpp:34-160): a non-:memory:
+        # path restores on open; CHECKPOINT / close() save
+        if self.is_durable and os.path.exists(
+                os.path.join(path, "catalog.json")):
+            from .storage.persist import load_database
+            load_database(self, path)
+
+    @property
+    def is_durable(self) -> bool:
+        return self.path not in (":memory:", "")
+
+    def checkpoint(self):
+        """Write the catalog, table data, views, and property-graph
+        registry to ``self.path`` (no-op for in-memory databases)."""
+        if not self.is_durable:
+            return
+        from .storage.persist import save_database
+        with self.lock:
+            save_database(self, self.path)
+
+    def close(self):
+        self.checkpoint()
 
     def connect(self) -> "Connection":
         con = Connection(self)
@@ -167,6 +190,9 @@ class Connection:
 
     def sql(self, query: str) -> QueryResult:
         return self.execute(query)
+
+    def close(self):
+        self.database.close()
 
     def query_end(self):
         """GC CSRs flagged for deletion (reference duckpgq_state.cpp:162-170)."""

@@ -126,6 +126,9 @@ class Executor:
             return QueryResult([], [])
         if isinstance(stmt, a.TransactionStatement):
             return QueryResult([], [])
+        if isinstance(stmt, a.CheckpointStatement):
+            self.connection.database.checkpoint()
+            return QueryResult([], [])
         if isinstance(stmt, a.ExportDatabaseStatement):
             raise NotImplementedException("EXPORT DATABASE not supported")
         raise InternalException(f"unhandled statement {type(stmt).__name__}")

@@ -465,6 +465,11 @@ class ExportDatabaseStatement(Statement):
 
 
 @dataclass
+class CheckpointStatement(Statement):
+    pass
+
+
+@dataclass
 class CreatePropertyGraphStatement(Statement):
     info: Any = None     # pgq.ast.CreatePropertyGraphInfo
 

@@ -164,7 +164,10 @@ class Parser:
             self.accept_kw("TRANSACTION")
             return a.TransactionStatement(
                 action="BEGIN" if kw == "START" else kw)
-        if kw in ("FORCE", "INSTALL", "LOAD", "CHECKPOINT", "ANALYZE", "CALL",
+        if kw == "CHECKPOINT":
+            self.next()
+            return a.CheckpointStatement()
+        if kw in ("FORCE", "INSTALL", "LOAD", "ANALYZE", "CALL",
                   "VACUUM"):
             # compatibility no-ops (e.g. `force install duckpgq` in test prologues)
             while self.peek().kind != T.EOF and not self.peek().is_op(";"):
