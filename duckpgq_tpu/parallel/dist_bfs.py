@@ -123,14 +123,19 @@ def partition_csr(vcount: int, src: np.ndarray, dst: np.ndarray,
 def make_dist_bfs_packed(mesh: Mesh, sharded: ShardedCSR, lanes: int,
                          max_iters: int):
     """Bit-packed distributed BFS: the replicated frontier is uint32
-    [Vtot, W] (W = lanes/32), cutting the per-iteration all_gather exchange
+    [W, Vtot] (W = lanes/32), cutting the per-iteration all_gather exchange
     and frontier memory 8x vs the bool variant — the enabler for RMAT-26
     scale graphs (BASELINE config 5) where a bool frontier would not fit.
 
-    Per-destination OR uses a segmented scan over the dst-sorted shard edges
-    (head flags precomputed from in_dst_local), mirroring the single-chip
-    packed kernel. Returns fn(src[L], dst[L], active[L]) ->
-    (lengths[L] int32, traversed[L] float32)."""
+    The layout is lane-major like the single-chip kernel (vertices along
+    the 128-wide vreg lane axis; ops/msbfs_jax.py): per-destination OR is a
+    segmented scan along lanes over the dst-sorted shard edges — the Pallas
+    single-pass kernel when DUCKPGQ_SCAN_IMPL=pallas (real TPU meshes), the
+    XLA associative scan otherwise (CPU test meshes). Returns
+    fn(src[L], dst[L], active[L]) -> (lengths[L] int32, traversed[L]
+    float32)."""
+    import os
+    use_pallas = os.environ.get("DUCKPGQ_SCAN_IMPL", "xla") == "pallas"
     nx = sharded.n_shards
     Vs = sharded.v_shard
     Vtot = sharded.v_padded
@@ -152,6 +157,11 @@ def make_dist_bfs_packed(mesh: Mesh, sharded: ShardedCSR, lanes: int,
         sharded.edge_valid.reshape(-1)], 1.0)
     deg_global = jnp.asarray(deg[:Vtot])
 
+    Es = sharded.in_src.shape[1]
+    scan_chunk = 1
+    while scan_chunk * 2 <= min(Es, 2048) and Es % (scan_chunk * 2) == 0:
+        scan_chunk *= 2
+
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(P(axis, None), P(axis, None), P(axis, None),
@@ -168,23 +178,22 @@ def make_dist_bfs_packed(mesh: Mesh, sharded: ShardedCSR, lanes: int,
         bit_of_lane = (jnp.uint32(1) <<
                        (lanes_idx % 32).astype(jnp.uint32))
         shard_id = jax.lax.axis_index(axis)
-        row0 = shard_id * Vs
+        col0 = shard_id * Vs
 
         trivial = active & (src == dst)
         searching = active & (src != dst)
         result = jnp.where(trivial, 0, -1).astype(jnp.int32)
 
-        frontier_g = jnp.zeros((Vtot + 1, W), dtype=jnp.uint32)
-        frontier_g = frontier_g.at[src, word_of_lane].add(
+        frontier_g = jnp.zeros((W, Vtot + 1), dtype=jnp.uint32)
+        frontier_g = frontier_g.at[word_of_lane, src].add(
             jnp.where(searching, bit_of_lane, jnp.uint32(0)))
-        frontier_g = frontier_g[:Vtot]
-        seen_l = jax.lax.dynamic_slice_in_dim(frontier_g, row0, Vs, axis=0)
+        frontier_g = frontier_g[:, :Vtot]
+        seen_l = jax.lax.dynamic_slice_in_dim(frontier_g, col0, Vs, axis=1)
 
         heads = jnp.concatenate(
             [jnp.ones(1, jnp.bool_), in_dst_l[1:] != in_dst_l[:-1]])
         # last position of each local segment: in_dst_l sorted -> for each
-        # local vertex take the last matching slot (precompute via scan of
-        # positions)
+        # local vertex take the last matching slot
         slot_ids = jnp.arange(in_dst_l.shape[0], dtype=jnp.int32)
         last_pos = jax.ops.segment_max(
             slot_ids, in_dst_l, num_segments=Vs,
@@ -196,7 +205,7 @@ def make_dist_bfs_packed(mesh: Mesh, sharded: ShardedCSR, lanes: int,
         def seg_or(a, b):
             af, av = a
             bf, bv = b
-            return af | bf, jnp.where(bf[:, None], bv, av | bv)
+            return af | bf, jnp.where(bf, bv, av | bv)
 
         def pack_lane_mask(cond):
             bits = cond.reshape(W, 32).astype(jnp.uint32)
@@ -210,32 +219,38 @@ def make_dist_bfs_packed(mesh: Mesh, sharded: ShardedCSR, lanes: int,
         def body(state):
             it, frontier_g, seen_l, result = state
             gathered = jnp.where(
-                valid_l[:, None],
-                frontier_g.at[in_src_l].get(mode="fill", fill_value=0),
-                jnp.uint32(0))                               # [Es, W]
-            _, scanned = jax.lax.associative_scan(
-                seg_or, (heads, gathered), axis=0)
-            nxt_l = jnp.where(has_in[:, None],
-                              scanned[jnp.maximum(last_pos, 0)],
-                              jnp.uint32(0))                 # [Vs, W]
+                valid_l[None, :],
+                frontier_g.at[:, in_src_l].get(mode="fill", fill_value=0),
+                jnp.uint32(0))                               # [W, Es]
+            if use_pallas:
+                from ..kernels.segscan_pallas import seg_or_scan_rows
+                scanned = seg_or_scan_rows(gathered, heads,
+                                           chunk=scan_chunk)
+            else:
+                _, scanned = jax.lax.associative_scan(
+                    seg_or, (heads.reshape(1, -1), gathered), axis=1)
+            nxt_l = jnp.where(has_in[None, :],
+                              scanned[:, jnp.maximum(last_pos, 0)],
+                              jnp.uint32(0))                 # [W, Vs]
             nxt_l = nxt_l & ~seen_l
             seen_l = seen_l | nxt_l
+            # frontier OR-exchange over ICI
             frontier_g = jax.lax.all_gather(
-                nxt_l, axis, axis=0, tiled=True)             # [Vtot, W]
-            found = ((frontier_g[dst, word_of_lane] & bit_of_lane) != 0) \
+                nxt_l, axis, axis=1, tiled=True)             # [W, Vtot]
+            found = ((frontier_g[word_of_lane, dst] & bit_of_lane) != 0) \
                 & (result < 0) & searching
             result = jnp.where(found, it, result)
-            frontier_g = frontier_g & pack_lane_mask(result < 0)[None, :]
+            frontier_g = frontier_g & pack_lane_mask(result < 0)[:, None]
             return it + 1, frontier_g, seen_l, result
 
         _, _, seen_l, result = jax.lax.while_loop(
             cond, body, (jnp.int32(1), frontier_g, seen_l, result))
-        seen_g = jax.lax.all_gather(seen_l, axis, axis=0, tiled=True)
+        seen_g = jax.lax.all_gather(seen_l, axis, axis=1, tiled=True)
         per_bit = []
         for b in range(32):
-            col = ((seen_g >> jnp.uint32(b)) &
-                   jnp.uint32(1)).astype(jnp.float32)        # [Vtot, W]
-            per_bit.append(deg_global @ col)                 # [W]
+            bits = ((seen_g >> jnp.uint32(b)) &
+                    jnp.uint32(1)).astype(jnp.float32)       # [W, Vtot]
+            per_bit.append(bits @ deg_global)                # [W]
         traversed = jnp.stack(per_bit, axis=1).reshape(L)
         return result, traversed
 
