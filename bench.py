@@ -105,9 +105,19 @@ def main():
     run_all()
     print(f"# warmup (compile): {time.time() - t0:.1f}s", file=sys.stderr)
 
-    t0 = time.time()
-    _, total_traversed = run_all()
-    elapsed = time.time() - t0
+    # median of 3 timed runs: the shared tunnel TPU shows 2-3x run-to-run
+    # variance, and the driver samples this once per round
+    times, travs = [], []
+    for _ in range(int(os.environ.get("BENCH_RUNS", "3"))):
+        t0 = time.time()
+        _, trav = run_all()
+        times.append(time.time() - t0)
+        travs.append(trav)
+    order = sorted(range(len(times)), key=lambda i: times[i])
+    mid = order[len(order) // 2]
+    elapsed, total_traversed = times[mid], travs[mid]
+    print(f"# runs: {['%.3f' % t for t in times]}s (median reported)",
+          file=sys.stderr)
 
     gteps = total_traversed / elapsed / 1e9
     print(f"# bfs: {lanes * batches} searches in {elapsed:.3f}s, "

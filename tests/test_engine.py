@@ -142,3 +142,21 @@ def test_describe_property_graph(con):
     res = con.execute("DESCRIBE PROPERTY GRAPH pg")
     assert res.names[0] == "property_graph"
     assert res.row_count == 2
+
+
+def test_device_trace_captures(tmp_path):
+    """SURVEY §5 tracing equivalent: jax profiler wrapper writes a trace."""
+    import os
+
+    import jax.numpy as jnp
+
+    from duckpgq_tpu.utils.tracing import annotate, device_trace
+
+    with device_trace(str(tmp_path)):
+        with annotate("unit-test-region"):
+            jnp.arange(8).sum().block_until_ready()
+    found = []
+    for root, _dirs, files in os.walk(tmp_path):
+        found.extend(f for f in files if f.endswith((".pb", ".json.gz",
+                                                     ".trace.json.gz")))
+    assert found, "no profiler artifacts written"
