@@ -682,8 +682,8 @@ class Executor:
                          for e_l, _ in equi_pairs]
                 rkeys = [self._eval_side(e_r, right, outer)
                          for _, e_r in equi_pairs]
-                lcode, rcode = factorize_keys(lkeys, rkeys)
-                li, ri = equi_join_pairs(lcode, rcode)
+                lcode, rcode, lval, rval = factorize_keys(lkeys, rkeys)
+                li, ri = equi_join_pairs(lcode, rcode, lval, rval)
                 joined = Relation.concat_horizontal(joined.take(li),
                                                     right.take(ri))
                 for ci in used:
@@ -923,8 +923,8 @@ class Executor:
         if equi:
             lkeys = [self._eval_side(e_l, left, outer) for e_l, _ in equi]
             rkeys = [self._eval_side(e_r, right, outer) for _, e_r in equi]
-            lcode, rcode = factorize_keys(lkeys, rkeys)
-            li, ri = equi_join_pairs(lcode, rcode)
+            lcode, rcode, lval, rval = factorize_keys(lkeys, rkeys)
+            li, ri = equi_join_pairs(lcode, rcode, lval, rval)
         else:
             li, ri = cross_pairs(left.row_count, right.row_count)
 

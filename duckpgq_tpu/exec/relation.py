@@ -14,7 +14,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..errors import BinderException
-from ..storage.vector import Vector
+from ..storage.vector import LazyVector, SelChain, Vector
 from ..types import BIGINT
 
 
@@ -91,26 +91,61 @@ class Relation:
         return None
 
     # -------------------------------------------------------------- row ops
+    # take/filter are LAZY: columns become LazyVector views over their eager
+    # bases, and selector composition is shared across columns (all columns
+    # of a join side share one index array, so the index math happens once
+    # per distinct parent selector instead of once per column). Only columns
+    # an expression actually reads ever gather their data.
+
+    def _lazy_gather(self, idx: np.ndarray,
+                     null_mask: Optional[np.ndarray] = None) -> "Relation":
+        memo: Dict[int, object] = {}
+
+        def extend(sel: "SelChain") -> "SelChain":
+            key = id(sel)
+            out = memo.get(key)
+            if out is None:
+                out = SelChain(idx, sel)
+                memo[key] = out
+            return out
+
+        def compose_nm(nm: np.ndarray) -> np.ndarray:
+            key = id(nm)
+            out = memo.get(key)
+            if out is None:
+                out = nm[idx]
+                memo[key] = out
+            return out
+
+        root = SelChain(idx)
+        cols: List[Vector] = []
+        for c in self.columns:
+            if isinstance(c, LazyVector):
+                nm = compose_nm(c._nullmask) if c._nullmask is not None \
+                    else None
+                if null_mask is not None:
+                    nm = null_mask if nm is None else (nm | null_mask)
+                cols.append(LazyVector(c._base, extend(c._sel), nm))
+            else:
+                cols.append(LazyVector(c, root, null_mask))
+        return Relation(cols, self.bindings)
+
     def take(self, idx: np.ndarray) -> "Relation":
-        return Relation([c.take(idx) for c in self.columns], self.bindings)
+        return self._lazy_gather(idx)
 
     def filter(self, mask: np.ndarray) -> "Relation":
-        return Relation([c.filter(mask) for c in self.columns], self.bindings)
+        return self._lazy_gather(np.flatnonzero(mask))
 
     def take_with_nulls(self, idx: np.ndarray, null_mask: np.ndarray
                         ) -> "Relation":
         """Gather rows; rows where null_mask is True become all-NULL (for
         outer-join padding). idx entries for null rows may be arbitrary."""
-        cols = []
+        if self.row_count == 0:
+            cols = [Vector.constant(None, c.type, len(idx))
+                    for c in self.columns]
+            return Relation(cols, self.bindings)
         safe_idx = np.where(null_mask, 0, idx) if len(idx) else idx
-        for c in self.columns:
-            if self.row_count == 0:
-                cols.append(Vector.constant(None, c.type, len(idx)))
-                continue
-            taken = c.take(safe_idx)
-            taken.validity = taken.validity & ~null_mask
-            cols.append(taken)
-        return Relation(cols, self.bindings)
+        return self._lazy_gather(safe_idx, null_mask)
 
     @staticmethod
     def concat_horizontal(left: "Relation", right: "Relation") -> "Relation":

@@ -81,6 +81,13 @@ def _load():
     lib.gr_pagerank.argtypes = [_i64, _i64, _i64p, _i64p, _f64, _f64, _f64p]
     lib.gr_wcc.argtypes = [_i64, _i64, _i64p, _i64p, _i64p]
     lib.gr_lcc.argtypes = [_i64, _i64p, _i64p, _f32p]
+    lib.gr_lut_bucket_build.argtypes = [_i64p, _i64, ctypes.c_void_p, _i64,
+                                        _i64, _i64p, _i64p]
+    lib.gr_lut_join_total.argtypes = [_i64p, _i64, ctypes.c_void_p, _i64p,
+                                      _i64, _i64]
+    lib.gr_lut_join_total.restype = _i64
+    lib.gr_lut_join_fill.argtypes = [_i64p, _i64, ctypes.c_void_p, _i64p,
+                                     _i64p, _i64, _i64, _i64p, _i64p]
     lib.gr_version.restype = _i64
     _lib = lib
     return _lib
@@ -184,3 +191,32 @@ def lcc(vcount: int, offsets, adj) -> Optional[np.ndarray]:
     out = np.empty(vcount, dtype=np.float32)
     lib.gr_lcc(vcount, _c64(offsets), _c64(adj), out)
     return out
+
+
+def lut_join_pairs(lcode: np.ndarray, lvalid: Optional[np.ndarray],
+                   rcode: np.ndarray, rvalid: Optional[np.ndarray],
+                   lo: int, span: int
+                   ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Equi-join pair construction via a dense build-side lookup table
+    (native/graphrt.cpp gr_lut_*). Caller guarantees every valid rcode lies
+    in [lo, lo+span). Returns (li, ri) or None when native is unavailable.
+    Output order matches the sort-based join: probe order, ties in build-row
+    order."""
+    lib = _load()
+    if lib is None:
+        return None
+    lcode = _c64(lcode)
+    rcode = _c64(rcode)
+    lv = None if lvalid is None else np.ascontiguousarray(lvalid, np.uint8)
+    rv = None if rvalid is None else np.ascontiguousarray(rvalid, np.uint8)
+    lvp = lv.ctypes.data_as(ctypes.c_void_p) if lv is not None else None
+    rvp = rv.ctypes.data_as(ctypes.c_void_p) if rv is not None else None
+    offsets = np.empty(span + 1, dtype=np.int64)
+    order = np.empty(len(rcode), dtype=np.int64)
+    lib.gr_lut_bucket_build(rcode, len(rcode), rvp, lo, span, offsets, order)
+    total = lib.gr_lut_join_total(lcode, len(lcode), lvp, offsets, lo, span)
+    li = np.empty(total, dtype=np.int64)
+    ri = np.empty(total, dtype=np.int64)
+    lib.gr_lut_join_fill(lcode, len(lcode), lvp, offsets, order, lo, span,
+                         li, ri)
+    return li, ri

@@ -133,3 +133,94 @@ class Vector:
 
     def __repr__(self):
         return f"Vector({self.type}, n={len(self)})"
+
+
+class SelChain:
+    """Deferred row-selector composition: a chain of index arrays applied in
+    sequence. ``resolve()`` flattens the chain to one index array and caches
+    it at every node, so chains shared across columns (all columns of a join
+    side share the same node) compose exactly once — and columns never read
+    never compose at all."""
+
+    __slots__ = ("parent", "idx", "_resolved")
+
+    def __init__(self, idx: np.ndarray, parent: Optional["SelChain"] = None):
+        self.parent = parent
+        self.idx = idx
+        self._resolved: Optional[np.ndarray] = None
+
+    def resolve(self) -> np.ndarray:
+        if self._resolved is None:
+            if self.parent is None:
+                self._resolved = self.idx
+            else:
+                self._resolved = self.parent.resolve()[self.idx]
+        return self._resolved
+
+    def __len__(self) -> int:
+        return len(self.idx)
+
+
+class LazyVector(Vector):
+    """Late-materializing column view: an eager base vector plus a selector
+    chain (and an optional forced-NULL mask for outer-join padding). Joins
+    and filters produce these, so a query only pays the gather for columns an
+    expression actually reads — the columnar late-materialization the
+    reference inherits from DuckDB's executor (SURVEY.md §1 L0), done here at
+    the column level.
+
+    ``data``/``validity`` materialize on first access and are cached; the
+    materialized arrays are fresh copies, so in-place writes behave exactly
+    like writes to an eagerly gathered vector."""
+
+    __slots__ = ("_base", "_sel", "_nullmask", "_mat")
+
+    def __init__(self, base: Vector, sel, nullmask: Optional[np.ndarray] = None):
+        # base must be eager — Relation keeps chains flat across gathers
+        self.type = base.type
+        self._base = base
+        self._sel = sel if isinstance(sel, SelChain) else SelChain(sel)
+        self._nullmask = nullmask
+        self._mat = None
+
+    def _materialize(self):
+        if self._mat is None:
+            sel = self._sel.resolve()
+            d = self._base.data[sel]
+            v = self._base.validity[sel]
+            if self._nullmask is not None:
+                v = v & ~self._nullmask
+            self._mat = (d, v)
+        return self._mat
+
+    @property
+    def data(self) -> np.ndarray:
+        return self._materialize()[0]
+
+    @property
+    def validity(self) -> np.ndarray:
+        return self._materialize()[1]
+
+    def __len__(self) -> int:
+        return len(self._sel)
+
+    def take(self, idx: np.ndarray) -> "Vector":
+        nm = self._nullmask[idx] if self._nullmask is not None else None
+        return LazyVector(self._base, SelChain(idx, self._sel), nm)
+
+    def filter(self, mask: np.ndarray) -> "Vector":
+        return self.take(np.flatnonzero(mask))
+
+    def slice(self, start: int, stop: int) -> "Vector":
+        return self.take(np.arange(start, stop, dtype=np.int64))
+
+    def value(self, i: int):
+        """Row access without materializing the whole column."""
+        if self._mat is not None:
+            return super().value(i)
+        if self._nullmask is not None and self._nullmask[i]:
+            return None
+        return self._base.value(int(self._sel.resolve()[i]))
+
+    def __repr__(self):
+        return f"LazyVector({self.type}, n={len(self)})"

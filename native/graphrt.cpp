@@ -460,6 +460,60 @@ void gr_msbfs_reachability(int64_t vcount, const int64_t* offsets,
   for (int64_t q = 0; q < nq; ++q) out[q] = (lengths[q] >= 0);
 }
 
-int64_t gr_version() { return 1; }
+// ---------------------------------------------------------------------------
+// Relational equi-join over dense int64 key ranges (the MATCH-binding hot
+// path: SURVEY.md §3.3 — the reference delegates these joins to DuckDB's
+// hash join; here a direct lookup table over [lo, lo+span) replaces the
+// sort+searchsorted pair construction the Python executor otherwise does).
+// Bucket layout mirrors a counting sort: offsets[span+1] + order[rn_valid],
+// so duplicate build keys list their rows in build order (stable).
+// ---------------------------------------------------------------------------
+
+void gr_lut_bucket_build(const int64_t* rcode, int64_t rn,
+                         const uint8_t* rvalid, int64_t lo, int64_t span,
+                         int64_t* offsets, int64_t* order) {
+  std::memset(offsets, 0, sizeof(int64_t) * (span + 1));
+  for (int64_t r = 0; r < rn; ++r) {
+    if (rvalid && !rvalid[r]) continue;
+    offsets[rcode[r] - lo + 1]++;
+  }
+  for (int64_t k = 0; k < span; ++k) offsets[k + 1] += offsets[k];
+  std::vector<int64_t> cursor(offsets, offsets + span);
+  for (int64_t r = 0; r < rn; ++r) {
+    if (rvalid && !rvalid[r]) continue;
+    order[cursor[rcode[r] - lo]++] = r;
+  }
+}
+
+int64_t gr_lut_join_total(const int64_t* lcode, int64_t ln,
+                          const uint8_t* lvalid, const int64_t* offsets,
+                          int64_t lo, int64_t span) {
+  int64_t total = 0;
+  for (int64_t l = 0; l < ln; ++l) {
+    if (lvalid && !lvalid[l]) continue;
+    int64_t k = lcode[l] - lo;
+    if (k < 0 || k >= span) continue;
+    total += offsets[k + 1] - offsets[k];
+  }
+  return total;
+}
+
+void gr_lut_join_fill(const int64_t* lcode, int64_t ln, const uint8_t* lvalid,
+                      const int64_t* offsets, const int64_t* order,
+                      int64_t lo, int64_t span, int64_t* li, int64_t* ri) {
+  int64_t n = 0;
+  for (int64_t l = 0; l < ln; ++l) {
+    if (lvalid && !lvalid[l]) continue;
+    int64_t k = lcode[l] - lo;
+    if (k < 0 || k >= span) continue;
+    for (int64_t p = offsets[k]; p < offsets[k + 1]; ++p) {
+      li[n] = l;
+      ri[n] = order[p];
+      ++n;
+    }
+  }
+}
+
+int64_t gr_version() { return 2; }
 
 }  // extern "C"
