@@ -279,6 +279,7 @@ class Executor:
         out_names: List[str] = []
         out_cols: List[Vector] = []
         out_fps: List[str] = []
+        unnest_slots: List[int] = []
         for e in node.select_list:
             if isinstance(e, a.Star):
                 for b_alias, name, col in self.expand_star(rel, e):
@@ -286,6 +287,14 @@ class Executor:
                     out_cols.append(col)
                     out_fps.append(f"col:{b_alias.lower()}.{name.lower()}"
                                    if b_alias else f"col:{name.lower()}")
+            elif isinstance(e, a.FunctionCall) and \
+                    e.name.lower() == "unnest" and len(e.args) == 1:
+                # top-level UNNEST: expand rows after projection
+                vec = ev.evaluate(e.args[0])
+                unnest_slots.append(len(out_cols))
+                out_names.append(e.alias or "unnest")
+                out_cols.append(vec)
+                out_fps.append(fingerprint(e))
             else:
                 vec = ev.evaluate(e)
                 out_names.append(self.derive_name(e))
@@ -294,6 +303,8 @@ class Executor:
         if out_cols and rel.row_count == 0:
             out_cols = [c.slice(0, 0) if len(c) else c for c in out_cols]
         # scalar select without FROM produces one row; handled by EmptyTableRef
+        if unnest_slots:
+            out_cols = self._expand_unnest(out_cols, unnest_slots)
 
         result = QueryResult(out_names, out_cols)
 
@@ -308,6 +319,45 @@ class Executor:
             "fps": out_fps,
         }
         return result, order_ctx
+
+    def _expand_unnest(self, out_cols: List[Vector], unnest_slots: List[int]
+                       ) -> List[Vector]:
+        """Row expansion for top-level UNNEST select items (DuckDB
+        semantics): each row yields max(len(list)) rows across the unnested
+        columns; shorter lists and scalar columns NULL-pad / repeat; NULL or
+        empty lists contribute zero rows (unless another unnest in the same
+        row is longer)."""
+        n = len(out_cols[0]) if out_cols else 0
+        lens = np.zeros(n, dtype=np.int64)
+        per_slot_lens: Dict[int, np.ndarray] = {}
+        for s in unnest_slots:
+            col = out_cols[s]
+            data, validity = col.data, col.validity
+            ln = np.array([len(data[i]) if validity[i] and
+                           isinstance(data[i], (list, tuple)) else 0
+                           for i in range(n)], dtype=np.int64)
+            per_slot_lens[s] = ln
+            lens = np.maximum(lens, ln)
+        rep = np.repeat(np.arange(n, dtype=np.int64), lens)
+        # position within each source row's expansion
+        starts = np.cumsum(lens) - lens
+        pos = np.arange(int(lens.sum()), dtype=np.int64) - starts[rep]
+        new_cols: List[Vector] = []
+        for slot, col in enumerate(out_cols):
+            if slot not in per_slot_lens:
+                new_cols.append(col.take(rep))
+                continue
+            child = col.type.child if col.type.child is not None else SQLNULL
+            ln = per_slot_lens[slot]
+            data, validity = col.data, col.validity
+            vals = []
+            for i, p in zip(rep, pos):
+                if p < ln[i]:
+                    vals.append(data[i][p])
+                else:
+                    vals.append(None)
+            new_cols.append(Vector.from_values(vals, child))
+        return new_cols
 
     # ------------------------------------------------------------ aggregate
     def apply_aggregate(self, node: a.SelectNode, rel: Relation, outer,

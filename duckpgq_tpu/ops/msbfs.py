@@ -342,3 +342,194 @@ def cheapest_path_length(csr: CSR, src: np.ndarray, dst: np.ndarray,
     validity &= src_valid
     out[~validity] = 0
     return out, validity, is_double
+
+
+# ---------------------------------------------------------------------------
+# Experimental path enumeration (capabilities BEYOND the reference, which
+# raises NotImplemented for ALL SHORTEST / SHORTEST k / non-WALK path modes —
+# match.cpp:80-108. Gated behind SET pgq_experimental = true.)
+# Path modes: 0=WALK, 1=TRAIL (no repeated edge), 2=ACYCLIC (no repeated
+# vertex), 3=SIMPLE (no repeated vertex except last may equal first).
+# ---------------------------------------------------------------------------
+
+MODE_WALK, MODE_TRAIL, MODE_ACYCLIC, MODE_SIMPLE = 0, 1, 2, 3
+_ENUM_BUDGET = 1_000_000     # expansion cap for enumerative searches
+
+
+def _in_adjacency(csr: CSR):
+    """preds[v] = list of (u, csr_pos) over in-edges, csr_pos ascending
+    (mirrors the reference's deterministic parent tie-break)."""
+    rsrc, rdst, rpos = csr.reverse()
+    order = np.lexsort((rpos, rdst))
+    return rsrc[order], rdst[order], rpos[order]
+
+
+def all_shortest_paths(csr: CSR, s: int, d: int) -> List[List[int]]:
+    """Every shortest path s->d as [v0, e0, v1, ..., vk] rowid lists.
+    Deterministic order: depth-first over predecessors sorted by CSR
+    position, so the first path equals shortest_path()'s choice."""
+    V = csr.vcount
+    if s == d:
+        return [[int(s)]]
+    if not csr.ecount:
+        return []
+    # forward BFS levels
+    INF = np.iinfo(np.int64).max // 2   # headroom for dist[u] + 1
+    dist = np.full(V, INF, dtype=np.int64)
+    dist[s] = 0
+    frontier = [s]
+    while frontier and dist[d] == INF:
+        nxt = []
+        for u in frontier:
+            for v in csr.neighbors(u):
+                if dist[v] == INF:
+                    dist[v] = dist[u] + 1
+                    nxt.append(int(v))
+        frontier = nxt
+    if dist[d] == INF:
+        return []
+    rsrc, rdst, rpos = _in_adjacency(csr)
+    starts = np.searchsorted(rdst, np.arange(V), side="left")
+    ends = np.searchsorted(rdst, np.arange(V), side="right")
+    eids = csr.edge_ids
+
+    paths: List[List[int]] = []
+    # iterative DFS backward from d along (dist[u] + 1 == dist[v]) edges
+    stack: List[Tuple[int, List[int]]] = [(d, [int(d)])]
+    budget = _ENUM_BUDGET
+    while stack:
+        v, suffix = stack.pop()
+        budget -= 1
+        if budget <= 0:
+            raise RuntimeError(
+                "ALL SHORTEST enumeration exceeded the expansion budget")
+        if v == s:
+            paths.append(suffix[::-1])
+            continue
+        # reversed so the lowest-CSR-position predecessor pops first
+        for j in range(int(ends[v]) - 1, int(starts[v]) - 1, -1):
+            u = int(rsrc[j])
+            if dist[u] + 1 == dist[v]:
+                stack.append((u, suffix + [int(eids[rpos[j]]), u]))
+    return paths
+
+
+def k_shortest_walks(csr: CSR, s: int, d: int, k: int,
+                     mode: int = MODE_WALK) -> List[List[int]]:
+    """Up to k shortest s->d walks by hop count (nondecreasing length; ties
+    in CSR neighbor order). ``mode`` restricts enumeration: TRAIL skips
+    repeated edges, ACYCLIC repeated vertices, SIMPLE repeated vertices
+    except a final return to the start."""
+    if k <= 0:
+        return []
+    # FIFO expansion => paths discovered in nondecreasing length. Each item
+    # is (vertex, parent_item, csr_pos); paths rebuilt via the parent chain.
+    items: List[Tuple[int, int, int]] = [(s, -1, -1)]
+    pops = np.zeros(csr.vcount, dtype=np.int64)
+    out: List[List[int]] = []
+    eids = csr.edge_ids
+    src_of = csr.src_of_edge
+    head = 0
+    budget = _ENUM_BUDGET
+    while head < len(items) and len(out) < k:
+        v, parent, pos = items[head]
+        cur = head
+        head += 1
+        budget -= 1
+        if budget <= 0:
+            raise RuntimeError(
+                "SHORTEST k enumeration exceeded the expansion budget")
+        if mode == MODE_WALK:
+            if pops[v] >= k:
+                continue
+            pops[v] += 1
+        if v == d:
+            # rebuild [v0, e0, ..., vk]
+            path: List[int] = [int(v)]
+            it, p = parent, pos
+            while it >= 0:
+                path.append(int(eids[p]))
+                path.append(int(items[it][0]))
+                it, p = items[it][1], items[it][2]
+            out.append(path[::-1])
+            if len(out) >= k:
+                break
+        # expand
+        for j in range(int(csr.v[v]), int(csr.v[v + 1])):
+            w = int(csr.e[j])
+            if mode != MODE_WALK:
+                # walk the parent chain for repeat checks (paths are short)
+                ok = True
+                if mode == MODE_TRAIL:
+                    it2 = cur
+                    while it2 >= 0:
+                        if items[it2][2] == j:
+                            ok = False
+                            break
+                        it2 = items[it2][1]
+                else:  # ACYCLIC / SIMPLE
+                    it2 = cur
+                    while it2 >= 0:
+                        if items[it2][0] == w:
+                            ok = mode == MODE_SIMPLE and w == s and w == d
+                            break
+                        it2 = items[it2][1]
+                if not ok:
+                    continue
+            items.append((w, cur, j))
+    return out
+
+
+def path_mode_exists(csr: CSR, s: int, d: int, lower: int, upper: int,
+                     mode: int) -> bool:
+    """Does a path s->d with ``lower <= hops <= upper`` exist under the given
+    path mode? Depth-limited DFS with per-path repeat constraints (used for
+    non-SHORTEST quantified patterns with TRAIL/ACYCLIC/SIMPLE modes)."""
+    if s == d and lower <= 0:
+        return True
+    V, E = csr.vcount, csr.ecount
+    if mode in (MODE_ACYCLIC, MODE_SIMPLE):
+        upper = min(upper, V)
+    elif mode == MODE_TRAIL:
+        upper = min(upper, E)
+    budget = [_ENUM_BUDGET]
+    on_vertex = np.zeros(V, dtype=bool)
+    on_edge = np.zeros(E, dtype=bool)
+
+    def dfs(v: int, depth: int) -> bool:
+        budget[0] -= 1
+        if budget[0] <= 0:
+            raise RuntimeError(
+                "path-mode search exceeded the expansion budget")
+        if depth >= upper:
+            return False
+        for j in range(int(csr.v[v]), int(csr.v[v + 1])):
+            w = int(csr.e[j])
+            if mode == MODE_TRAIL and on_edge[j]:
+                continue
+            if mode in (MODE_ACYCLIC, MODE_SIMPLE) and on_vertex[w]:
+                if not (mode == MODE_SIMPLE and w == s and w == d):
+                    continue
+            if w == d and depth + 1 >= lower:
+                return True
+            if mode == MODE_TRAIL:
+                on_edge[j] = True
+            else:
+                on_vertex[w] = True
+            hit = dfs(w, depth + 1)
+            if mode == MODE_TRAIL:
+                on_edge[j] = False
+            else:
+                on_vertex[w] = False
+            if hit:
+                return True
+        return False
+
+    on_vertex[s] = True
+    import sys
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, upper + 100))
+    try:
+        return dfs(s, 0)
+    finally:
+        sys.setrecursionlimit(old)

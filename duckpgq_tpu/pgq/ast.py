@@ -47,7 +47,9 @@ class PathElement(PathReference):
 class SubPath(PathReference):
     path_list: List[PathReference] = field(default_factory=list)
     where_clause: object = None      # sql.ast.Expression
-    path_mode: PGQPathMode = PGQPathMode.WALK
+    path_mode: PGQPathMode = PGQPathMode.NONE   # parser sets modes on the
+    # pattern; a subpath-level mode only appears via explicit quantifier
+    # parens (not in the reference grammar either — pgq.gram:1-69)
     lower: int = 1
     upper: int = 1
     single_bind: bool = False        # wraps one element only (per-element WHERE)

@@ -291,6 +291,71 @@ def fn_local_clustering_coefficient(args: List[Vector], ctx) -> Vector:
     return Vector(FLOAT, out.astype(np.float32), validity)
 
 
+# ---------------------------------------------------------------------------
+# experimental path-enumeration kernels (beyond the reference, which raises
+# NotImplemented for ALL SHORTEST / SHORTEST k / non-WALK modes —
+# match.cpp:80-108; enabled via SET pgq_experimental = true)
+# ---------------------------------------------------------------------------
+
+def fn_allshortestpaths(args: List[Vector], ctx) -> Vector:
+    """allshortestpaths(id, vcount, src, dst) -> LIST(LIST(BIGINT)): every
+    tied-shortest path per pair, first entry matching shortestpath()."""
+    n = len(args[0])
+    if n == 0:
+        return Vector.empty(LIST(LIST(BIGINT)))
+    csr_id = _csr_id(args)
+    csr = _get_csr_path(ctx, csr_id)
+    src, dst, valid = _src_dst(args, 2, 3)
+    ctx.csr_to_delete.add(csr_id)
+    data = np.empty(n, dtype=object)
+    for i in range(n):
+        if valid[i]:
+            data[i] = msbfs.all_shortest_paths(csr, int(src[i]), int(dst[i]))
+    return Vector(LIST(LIST(BIGINT)), data, valid.copy())
+
+
+def fn_kshortestwalks(args: List[Vector], ctx) -> Vector:
+    """kshortestwalks(id, vcount, k, mode, src, dst) -> LIST(LIST(BIGINT)):
+    up to k shortest walks per pair, nondecreasing hop count; mode 0=WALK,
+    1=TRAIL, 2=ACYCLIC, 3=SIMPLE restricts enumeration."""
+    n = len(args[0])
+    if n == 0:
+        return Vector.empty(LIST(LIST(BIGINT)))
+    csr_id = _csr_id(args)
+    csr = _get_csr_path(ctx, csr_id)
+    k = int(args[2].data[0]) if len(args[2]) else 0
+    mode = int(args[3].data[0]) if len(args[3]) else 0
+    src, dst, valid = _src_dst(args, 4, 5)
+    ctx.csr_to_delete.add(csr_id)
+    data = np.empty(n, dtype=object)
+    for i in range(n):
+        if valid[i]:
+            data[i] = msbfs.k_shortest_walks(csr, int(src[i]), int(dst[i]),
+                                             k, mode)
+    return Vector(LIST(LIST(BIGINT)), data, valid.copy())
+
+
+def fn_pathmode_exists(args: List[Vector], ctx) -> Vector:
+    """pathmode_exists(id, vcount, mode, lower, upper, src, dst) -> BOOLEAN:
+    exists an s->d path with hops in [lower, upper] under the path mode."""
+    n = len(args[0])
+    if n == 0:
+        return Vector.empty(BOOLEAN)
+    csr_id = _csr_id(args)
+    csr = _get_csr_path(ctx, csr_id)
+    mode = int(args[2].data[0]) if len(args[2]) else 0
+    lower = int(args[3].data[0]) if len(args[3]) else 0
+    upper = int(args[4].data[0]) if len(args[4]) else csr.vcount
+    src, dst, valid = _src_dst(args, 5, 6)
+    ctx.csr_to_delete.add(csr_id)
+    out = np.zeros(n, dtype=bool)
+    for i in range(n):
+        if valid[i]:
+            out[i] = msbfs.path_mode_exists(csr, int(src[i]), int(dst[i]),
+                                            lower, upper, mode)
+    return Vector(BOOLEAN, out, valid.copy())
+
+
 def register_graph_kernels():
     _register("create_csr_vertex", fn_create_csr_vertex)
     _register("create_csr_edge", fn_create_csr_edge)
@@ -305,6 +370,9 @@ def register_graph_kernels():
     _register("pagerank", fn_pagerank)
     _register("weakly_connected_component", fn_weakly_connected_component)
     _register("local_clustering_coefficient", fn_local_clustering_coefficient)
+    _register("allshortestpaths", fn_allshortestpaths)
+    _register("kshortestwalks", fn_kshortestwalks)
+    _register("pathmode_exists", fn_pathmode_exists)
 
 
 register_graph_kernels()

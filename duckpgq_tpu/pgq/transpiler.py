@@ -282,6 +282,7 @@ class MatchTranspiler:
         # named path -> its elements (for path-column rewrites)
         self.named_paths: Dict[str, past.PathPattern] = {}
         self.path_list_exprs: Dict[str, a.Expression] = {}
+        self._cur_pattern: Optional[past.PathPattern] = None
 
     # ------------------------------------------------------------- utilities
     def _add_cte(self, name: str, sql: str) -> bool:
@@ -471,12 +472,30 @@ class MatchTranspiler:
                               subpath: past.SubPath) -> a.Expression:
         count_sql = count_table_sql(et.source_pg_table, prev_binding,
                                     et.source_pk[0])
+        count_arg = a.SubqueryExpr(subquery=parse_one_select(count_sql),
+                                   kind="SCALAR")
+        mode = self._effective_mode(subpath)
+        if mode != 0 and self._experimental():
+            # TRAIL/ACYCLIC/SIMPLE: per-path repeat constraints mean the
+            # shortest walk length cannot decide membership — existence
+            # search instead (capability beyond the reference)
+            upper = min(int(subpath.upper), 1 << 30)
+            # the CSR barrier __x.temp rides inside the csr-id argument
+            # (add(__x.temp, 0) == 0) instead of the kernel result, which
+            # is BOOLEAN here
+            csr_arg = a.FunctionCall(name="add", args=[
+                a.ColumnRef(parts=("__x", "temp")), a.Constant(0)])
+            return a.Comparison(
+                op="=", right=a.Constant(True),
+                left=a.FunctionCall(name="pathmode_exists", args=[
+                    csr_arg, count_arg, a.Constant(mode),
+                    a.Constant(int(subpath.lower)), a.Constant(upper),
+                    a.ColumnRef(parts=(prev_binding, "rowid")),
+                    a.ColumnRef(parts=(next_binding, "rowid"))]))
         expr = a.FunctionCall(name="add", args=[
             a.ColumnRef(parts=("__x", "temp")),
             a.FunctionCall(name="iterativelength", args=[
-                a.Constant(0),
-                a.SubqueryExpr(subquery=parse_one_select(count_sql),
-                               kind="SCALAR"),
+                a.Constant(0), count_arg,
                 a.ColumnRef(parts=(prev_binding, "rowid")),
                 a.ColumnRef(parts=(next_binding, "rowid"))])])
         if subpath.upper >= UNBOUNDED:
@@ -500,18 +519,55 @@ class MatchTranspiler:
         self.conditions.append(self._quantifier_condition(
             prev_el.variable_binding, next_el.variable_binding, et, subpath))
 
+    def _ensure_path_cte_for_pattern(self, pattern: past.PathPattern):
+        """Build shortest_path_cte for ALL SHORTEST / SHORTEST k patterns
+        that never reference a path column (row multiplicity alone needs it)."""
+        elements = pattern.path_elements
+        prev_el, prev_sub = self._unwrap(elements[0])
+        for i in range(1, len(elements), 2):
+            next_el, next_sub = self._unwrap(elements[i + 1])
+            edge_el, edge_sub = self._unwrap(elements[i])
+            if edge_sub is not None and edge_sub.upper > 1:
+                et = self._find_edge_table(edge_el)
+                self._ensure_cte1(edge_el, et, prev_el.variable_binding,
+                                  edge_el.variable_binding,
+                                  next_el.variable_binding)
+                self._build_shortest_path_cte(
+                    pattern, prev_el, prev_sub, next_el, next_sub,
+                    edge_el, et, edge_sub)
+                return
+            prev_el, prev_sub = next_el, next_sub
+
+    def _path_fn_sql(self, pattern: past.PathPattern, count_sql: str,
+                     pb: str, nb: str, subpath: past.SubPath) -> str:
+        """The path expression of shortest_path_cte: shortestpath() for ANY
+        SHORTEST (reference semantics), unnest(allshortestpaths()) /
+        unnest(kshortestwalks()) for the experimental variants (one CTE row
+        per path)."""
+        rowids = f"{_col_sql('rowid', pb)}, {_col_sql('rowid', nb)}"
+        if pattern.topk:
+            mode = self._effective_mode(subpath, pattern)
+            return (f"unnest(kshortestwalks(0, ({count_sql}), "
+                    f"{int(pattern.topk)}, {mode}, {rowids}))")
+        if pattern.all and pattern.shortest:
+            return f"unnest(allshortestpaths(0, ({count_sql}), {rowids}))"
+        return f"shortestpath(0, ({count_sql}), {rowids})"
+
     def _build_shortest_path_cte(self, pattern: past.PathPattern,
                                  prev_el, prev_sub, next_el, next_sub,
                                  edge_el, et, subpath: past.SubPath):
-        """GenerateShortestPathCTE equivalent (match.cpp:466-495)."""
+        """GenerateShortestPathCTE equivalent (match.cpp:466-495); the
+        experimental ALL SHORTEST / SHORTEST k variants swap the path
+        function and (for SHORTEST k) filter per-walk length instead of
+        per-pair shortest length."""
         if "shortest_path_cte" in self.cte_names:
             return
         pb = prev_el.variable_binding
         nb = next_el.variable_binding
         count_sql = count_table_sql(et.source_pg_table, pb, et.source_pk[0])
         cte_sql = (
-            f"SELECT shortestpath(0, ({count_sql}), "
-            f"{_col_sql('rowid', pb)}, {_col_sql('rowid', nb)}) AS path, "
+            f"SELECT {self._path_fn_sql(pattern, count_sql, pb, nb, subpath)}"
+            f" AS path, "
             f"{_col_sql('rowid', pb)} AS src_rowid, "
             f"{_col_sql('rowid', nb)} AS dst_rowid "
             f"FROM {_tref_sql(et.source_pg_table, pb)} CROSS JOIN "
@@ -519,8 +575,9 @@ class MatchTranspiler:
             f"(SELECT multiply(0, count(cte1.temp)) AS temp FROM cte1) "
             f"AS __x")
         stmt = parse_one_select(cte_sql)
-        conds: List[a.Expression] = [self._quantifier_condition(
-            pb, nb, et, subpath)]
+        conds: List[a.Expression] = []
+        if not pattern.topk:
+            conds.append(self._quantifier_condition(pb, nb, et, subpath))
         for sub in (prev_sub, next_sub):
             if sub is not None and sub.where_clause is not None:
                 # raw (un-normalized) like the reference: inside the CTE the
@@ -529,8 +586,21 @@ class MatchTranspiler:
                 conds.append(sub.where_clause)
                 sub.where_clause = None   # consumed (moved, like reference)
         node = stmt.node
-        node.where = conds[0] if len(conds) == 1 else \
-            a.Conjunction(op="AND", children=conds)
+        if conds:
+            node.where = conds[0] if len(conds) == 1 else \
+                a.Conjunction(op="AND", children=conds)
+        if pattern.topk:
+            # per-walk hop filter replaces the per-pair shortest-length
+            # BETWEEN (a pair's k-walk set may satisfy the quantifier even
+            # when its shortest length does not)
+            upper_sql = "" if subpath.upper >= UNBOUNDED else \
+                f" AND len(path) // 2 <= {int(subpath.upper)}"
+            outer = parse_one_select(
+                f"SELECT path, src_rowid, dst_rowid FROM __ksp "
+                f"WHERE len(path) // 2 >= {int(subpath.lower)}{upper_sql}")
+            outer.node.from_table = a.SubqueryRef(subquery=stmt,
+                                                  alias="__ksp")
+            stmt = outer
         self.ctes.append(a.CTE(name="shortest_path_cte", query=stmt))
         self.cte_names.add("shortest_path_cte")
         # join the cte into the main FROM
@@ -592,22 +662,48 @@ class MatchTranspiler:
         return _clone_expr(final_list)
 
     # --------------------------------------------------- pattern processing
+    _MODE_CODES = {past.PGQPathMode.NONE: 0, past.PGQPathMode.WALK: 0,
+                   past.PGQPathMode.TRAIL: 1, past.PGQPathMode.ACYCLIC: 2,
+                   past.PGQPathMode.SIMPLE: 3}
+
+    def _experimental(self) -> bool:
+        """SET pgq_experimental = true enables path features the reference
+        leaves unimplemented (ALL SHORTEST / SHORTEST k / non-WALK modes,
+        match.cpp:80-108); default keeps the reference's exact errors."""
+        v = self.con.settings.get("pgq_experimental")
+        return str(v).lower() in ("1", "true", "on", "yes")
+
+    def _effective_mode(self, subpath: Optional[past.SubPath],
+                        pattern: Optional[past.PathPattern] = None) -> int:
+        mode = past.PGQPathMode.NONE
+        if subpath is not None and subpath.path_mode != past.PGQPathMode.NONE:
+            mode = subpath.path_mode
+        elif pattern is not None:
+            mode = pattern.mode
+        elif self._cur_pattern is not None:
+            mode = self._cur_pattern.mode
+        return self._MODE_CODES[mode]
+
     def _check_mode_support(self, pattern: past.PathPattern):
-        if pattern.all and pattern.shortest:
+        exp = self._experimental()
+        if pattern.all and pattern.shortest and not exp:
             raise NotImplementedException(
                 "ALL SHORTEST has not been implemented yet.")
-        if pattern.topk:
+        if pattern.topk and not exp:
             raise NotImplementedException("TopK has not been implemented yet.")
-        if pattern.mode not in (past.PGQPathMode.NONE, past.PGQPathMode.WALK):
+        if pattern.mode not in (past.PGQPathMode.NONE, past.PGQPathMode.WALK) \
+                and not exp:
             raise NotImplementedException(
                 "Path modes other than WALK have not been implemented yet.")
         for ref in pattern.path_elements:
-            self._check_subpath_support(ref, pattern.shortest)
+            self._check_subpath_support(ref, pattern.shortest, exp)
 
-    def _check_subpath_support(self, ref: past.PathReference, shortest: bool):
+    def _check_subpath_support(self, ref: past.PathReference, shortest: bool,
+                               exp: bool = False):
         if not isinstance(ref, past.SubPath):
             return
-        if ref.path_mode not in (past.PGQPathMode.NONE, past.PGQPathMode.WALK):
+        if ref.path_mode not in (past.PGQPathMode.NONE, past.PGQPathMode.WALK) \
+                and not exp:
             raise NotImplementedException(
                 "Path modes other than WALK have not been implemented yet.")
         if not shortest and ref.upper >= UNBOUNDED and \
@@ -617,11 +713,17 @@ class MatchTranspiler:
                 "could lead to infinite results. Consider specifying an "
                 "upper bound or path mode other than WALK")
         for child in ref.path_list:
-            self._check_subpath_support(child, shortest)
+            self._check_subpath_support(child, shortest, exp)
 
     def _process_pattern(self, pattern: past.PathPattern):
         self._check_mode_support(pattern)
+        self._cur_pattern = pattern
         elements = pattern.path_elements
+        if pattern.topk or (pattern.all and pattern.shortest):
+            # experimental ALL SHORTEST / SHORTEST k: the path CTE drives
+            # row multiplicity (one row per path) even when COLUMNS never
+            # references a path function
+            self._ensure_path_cte_for_pattern(pattern)
         if pattern.path_variable and len(elements) > 1:
             self.named_paths[pattern.path_variable.lower()] = pattern
             # CheckNamedSubpath: rewrite path-function columns now, which may
