@@ -526,8 +526,8 @@ class Evaluator:
         args = [self.evaluate(x) for x in e.args if not isinstance(x, a.Star)]
         fn = get_function(name)
         if fn is None:
-            raise BinderException(
-                f"Scalar Function with name {name} does not exist!")
+            from ..functions.scalar import function_not_found
+            raise function_not_found(name)
         if not args and self.n >= 0:
             # supply row count to zero-arg functions (e.g. random())
             args = [Vector(BIGINT, np.zeros(self.n, dtype=np.int64))]

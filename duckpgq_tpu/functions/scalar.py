@@ -50,6 +50,42 @@ def get_function(name: str) -> Optional[ScalarFunction]:
     return REGISTRY.get(name.lower())
 
 
+def _levenshtein(s: str, t: str) -> int:
+    if len(s) < len(t):
+        s, t = t, s
+    prev = list(range(len(t) + 1))
+    for i, cs in enumerate(s, 1):
+        cur = [i]
+        for j, ct in enumerate(t, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (cs != ct)))
+        prev = cur
+    return prev[-1]
+
+
+def suggest_function(name: str) -> Optional[str]:
+    """Closest registered scalar-function name (DuckDB-style catalog
+    did-you-mean, e.g. element_id -> element_at)."""
+    key = name.lower()
+    best, best_d = None, None
+    for cand in REGISTRY:
+        d = _levenshtein(key, cand)
+        if best_d is None or d < best_d or (d == best_d and cand < best):
+            best, best_d = cand, d
+    return best if best is not None and best_d <= max(3, len(key) // 2) \
+        else None
+
+
+def function_not_found(name: str) -> "CatalogException":
+    """DuckDB-format catalog error for an unknown scalar function."""
+    from ..errors import CatalogException
+    msg = f"Scalar Function with name {name.lower()} does not exist!"
+    hint = suggest_function(name)
+    if hint:
+        msg += f'\nDid you mean "{hint}"?'
+    return CatalogException(msg)
+
+
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
@@ -667,6 +703,7 @@ def fn_list_contains(args):
     return Vector(BOOLEAN, out, validity)
 
 
+@register("element_at")
 @register("list_element")
 @register("list_extract")
 @register("array_extract")

@@ -115,7 +115,8 @@ def _fn_read_csv(executor, args):
 def _csr(executor, csr_id: int):
     csr = executor.connection.csr_list.get(int(csr_id))
     if csr is None:
-        raise ConstraintException("CSR not found. Is the graph populated?")
+        # reference DuckPGQState::GetCSR (duckpgq_state.cpp:181-185)
+        raise ConstraintException(f"CSR not found with ID {int(csr_id)}")
     return csr
 
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
-from ..errors import InvalidException
+from ..errors import BinderException, InvalidException
 from ..sql import ast as a
 from .ast import CreatePropertyGraphInfo, PropertyGraphTable
 from .transpiler import (_col_sql, _q, _tref_sql, directed_csr_cte_sql,
@@ -64,6 +64,9 @@ def _bind_algorithm(executor, args, function_name: str, function_alias: str,
     edge_label = arg_to_string(args[2]).lower()
     info = executor.connection.registered_property_graphs.get(pg_name)
     if info is None:
+        # reference GetPropertyGraphInfo (duckpgq_utils.cpp:35-41): the
+        # algorithm table functions use the INVALID "not found" variant,
+        # unlike summarize's Binder "does not exist" (duckpgq_state.cpp:175)
         raise InvalidException(f"Property graph {pg_name} not found")
     edge = validate_source_node_and_edge_table(info, node_label, edge_label)
     _link_pg_tables(executor, info, edge)

@@ -168,7 +168,8 @@ class CreatePropertyGraphInfo:
             if error_not_found:
                 kind = "vertex" if is_vertex_table else "edge"
                 raise InvalidException(
-                    f"Exact label '{label}' found, but it is not a {kind} table.")
+                    f"Exact label '{key}' found, but it is not a {kind} "
+                    f"table.")
             return None
 
         closest = None
@@ -176,9 +177,14 @@ class CreatePropertyGraphInfo:
         for pg_table in self.label_map.values():
             if pg_table.is_vertex_table != is_vertex_table:
                 continue
-            if pg_table.table_name.lower() == key:
+            # case-SENSITIVE name check like the reference
+            # (create_property_graph_info.hpp:174-180: std::string ==;
+            # callers pass a lowercased label, so a mixed-case table name
+            # falls through to the Levenshtein suggestion —
+            # label_optional.test:50)
+            if pg_table.table_name == key:
                 raise InvalidException(
-                    f"Table '{label}' found in the property graph, but does not "
+                    f"Table '{key}' found in the property graph, but does not "
                     f"have the correct label. Did you mean the label "
                     f"'{pg_table.main_label}' instead?")
             for cand in pg_table.all_labels():
@@ -189,11 +195,11 @@ class CreatePropertyGraphInfo:
         kind = "vertex" if is_vertex_table else "edge"
         if closest is not None and error_not_found:
             raise InvalidException(
-                f"Label '{label}' not found. Did you mean the {kind} label "
+                f"Label '{key}' not found. Did you mean the {kind} label "
                 f"'{closest.lower()}'?")
         if error_not_found:
             raise InvalidException(
-                f"Label '{label}' not found in the property graph for a "
+                f"Label '{key}' not found in the property graph for a "
                 f"{kind} table.")
         return None
 
@@ -201,8 +207,11 @@ class CreatePropertyGraphInfo:
         for lbl in table.all_labels():
             key = lbl.lower()
             if key in self.label_map:
+                # reference lowercases the label in this message
+                # (transform_pgq.cpp:132: StringUtil::Lower)
                 raise ConstraintException(
-                    f"Label {lbl} is not unique, make sure all labels are unique")
+                    f"Label {key} is not unique, make sure all labels "
+                    f"are unique")
             self.label_map[key] = table
 
 

@@ -73,9 +73,11 @@ def _resolve_table(executor, pg_table: PropertyGraphTable) -> DataTable:
     for sch in schemas:
         view = catalog.get_view(pg_table.table_name, sch)
         if view is not None:
+            # reference create_property_graph.cpp:230-234
             raise InvalidException(
-                f"Found a view with name {pg_table.table_name}, which is not "
-                f"supported by DuckPGQ yet.")
+                f"Found a view with name {pg_table.table_name}. Creating "
+                f"property graph tables over views is currently not "
+                f"supported.")
     table = None
     for sch in schemas:
         table = catalog.get_table(pg_table.table_name, sch, missing_ok=True)
@@ -214,9 +216,12 @@ def _validate_keys(executor, edge: PropertyGraphTable,
                 raise InvalidException(
                     f"Table '{qualified}' not found in the property graph "
                     f"{info.property_graph_name}.")
+            # reference: an unlinked source/destination reference throws via
+            # GetTableByName (ThrowMissingVertexReference ->
+            # create_property_graph_info.hpp:138-142)
             raise InvalidException(
-                f"Referenced vertex table {ref} is not registered in the "
-                f"vertex tables.")
+                f"Table '{ref}' not found in the property graph "
+                f"{info.property_graph_name}.")
         ref_table = _resolve_table(executor, vt)
         for pk in pks:
             if not ref_table.has_column(pk):
@@ -243,9 +248,10 @@ def execute_create_property_graph(executor, info: CreatePropertyGraphInfo
         if info.on_conflict == "IGNORE":
             return QueryResult([], [])
         if info.on_conflict == "ERROR":
+            # reference create_property_graph.cpp:213
             raise InvalidException(
-                f"Property graph {info.property_graph_name} is already "
-                f"registered")
+                f"Property graph table with name "
+                f"{info.property_graph_name} already exists")
     # validate all member tables
     for vt in info.vertex_tables:
         table = _resolve_table(executor, vt)
@@ -266,8 +272,9 @@ def execute_drop_property_graph(executor, info: DropPropertyGraphInfo
     if key not in con.registered_property_graphs:
         if info.missing_ok:
             return QueryResult([], [])
-        raise InvalidException(
-            f"Property graph {info.property_graph_name} does not exist")
+        # reference drop_property_graph.cpp:45 (BinderException)
+        raise BinderException(
+            f"Property graph {info.property_graph_name} does not exist.")
     del con.registered_property_graphs[key]
     internal = con.catalog.get_table("__duckpgq_internal", missing_ok=True)
     if internal is not None and internal.row_count:
@@ -318,7 +325,8 @@ def execute_describe_property_graph(executor, name: str) -> QueryResult:
     con = executor.connection
     info = con.registered_property_graphs.get(name.lower())
     if info is None:
-        raise InvalidException(f"Property graph {name} does not exist")
+        # reference describe_property_graph.cpp:31 (trailing period)
+        raise InvalidException(f"Property graph {name} does not exist.")
     names = ["property_graph", "table_name", "label", "is_vertex_table",
              "source_table", "source_pk", "source_fk", "destination_table",
              "destination_pk", "destination_fk", "discriminator",
@@ -425,7 +433,8 @@ def summarize_property_graph_statement(executor, name: str):
     con = executor.connection
     info = con.registered_property_graphs.get(name.lower())
     if info is None:
-        raise InvalidException(f"Property graph {name} not found")
+        # reference duckpgq_state.cpp:175 (BinderException, no period)
+        raise BinderException(f"Property graph {name} does not exist")
     parts = []
     for t in info.vertex_tables:
         parts.append("(" + _summarize_vertex_sql(t) + ")")

@@ -21,10 +21,14 @@ def execute_pragma(executor, stmt: a.PragmaStatement) -> QueryResult:
     if name == "create_vertex_table":
         from ..functions.table import arg_to_string
         if len(stmt.args) != 5:
+            # DuckDB's overload-resolution error verbatim (the reference
+            # registers a fixed 5xVARCHAR pragma signature —
+            # create_vertex_table.test:44-50)
+            arg_types = ", ".join(["VARCHAR"] * len(stmt.args))
             raise BinderException(
-                "create_vertex_table requires 5 arguments: edge table, "
-                "source column, destination column, vertex table name, "
-                "id column name")
+                f"No function matches the given name and argument types "
+                f"'create_vertex_table({arg_types})'. You might need to add "
+                f"explicit type casts.")
         edge_tbl = arg_to_string(stmt.args[0])
         src_col = arg_to_string(stmt.args[1])
         dst_col = arg_to_string(stmt.args[2])

@@ -304,17 +304,26 @@ class MatchTranspiler:
                 raise BinderException(
                     f"Variable {binding} is bound to multiple labels")
 
+    def _find_graph_table(self, label: str) -> past.PropertyGraphTable:
+        """MATCH uses a plain label-map hit with a Binder error — no
+        Levenshtein suggestion (reference FindGraphTable, match.cpp:268-276;
+        the did-you-mean path is only for algorithm table functions)."""
+        entry = self.info.label_map.get(label.lower())
+        if entry is None:
+            raise BinderException(
+                f"The label {label} is not registered in property graph "
+                f"{self.info.property_graph_name}")
+        return entry
+
     def _find_vertex_table(self, el: past.PathElement
                            ) -> past.PropertyGraphTable:
         # label-less elements fall back to the binding name as label
         # (reference graph_table_keyword.test: MATCH (Person))
-        label = el.label or el.variable_binding
-        return self.info.get_table_by_label(label, True, True)
+        return self._find_graph_table(el.label or el.variable_binding)
 
     def _find_edge_table(self, el: past.PathElement
                          ) -> past.PropertyGraphTable:
-        label = el.label or el.variable_binding
-        return self.info.get_table_by_label(label, True, False)
+        return self._find_graph_table(el.label or el.variable_binding)
 
     def _check_inheritance(self, table: past.PropertyGraphTable,
                            el: past.PathElement):
@@ -855,6 +864,19 @@ class MatchTranspiler:
 
     def normalize_expression(self, e: a.Expression) -> a.Expression:
         def fn(node):
+            if isinstance(node, a.FunctionCall):
+                # an unrewritten path function (unknown path variable, e.g.
+                # element_id(a) — reference issue #68) must fail as a catalog
+                # lookup BEFORE its arguments are column-validated, matching
+                # DuckDB's bind order (complex_matching.test:85)
+                from ..functions.scalar import function_not_found, \
+                    get_function
+                from ..functions.aggregate import get_aggregate
+                name = node.name.lower()
+                if get_function(name) is None and \
+                        get_aggregate(name) is None and name != "unnest":
+                    raise function_not_found(name)
+                return None
             if isinstance(node, a.ColumnRef):
                 parts = node.parts
                 if len(parts) == 1:

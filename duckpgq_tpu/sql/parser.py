@@ -39,6 +39,68 @@ _ALIAS_STOP = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Error-token extraction mirroring the reference PEG tokenizer
+# (third_party/duckdb_peg_parser/.../tokenizer/base_tokenizer.cpp:22-60,300-360;
+# error format peg_transformer_factory.cpp:116). The reference reports the PEG
+# token at the failure offset: special multi-char ops, single-byte ops, or a
+# maximal run of other operator characters. Our lexer splits differently (e.g.
+# '->' into '-','>'), so "at or near" re-derives the token from the raw SQL.
+# ---------------------------------------------------------------------------
+
+_PEG_SPECIAL_OPS = ("->>", "::", ":=", "->", "**", "//")
+_PEG_SINGLE_BYTE = set('(){}[],?-;".')
+
+
+def _peg_is_opchar(ch: str) -> bool:
+    return not (ch.isalnum() or ch == "_" or ch.isspace() or ch == "'") and \
+        ch not in _PEG_SINGLE_BYTE
+
+
+def _peg_error_token(sql: str, start: int, fallback: str) -> str:
+    """The PEG token containing byte offset ``start`` (punctuation only;
+    identifiers/keywords keep our lexer's text)."""
+    if start >= len(sql):
+        return fallback
+    c = sql[start]
+    if not (_peg_is_opchar(c) or c in _PEG_SINGLE_BYTE):
+        return fallback
+    # find the start of the contiguous punctuation cluster
+    lo = start
+    while lo > 0 and (_peg_is_opchar(sql[lo - 1]) or
+                      sql[lo - 1] in _PEG_SINGLE_BYTE):
+        lo -= 1
+    # PEG-tokenize the cluster; return the token covering `start`
+    i = lo
+    while i < len(sql):
+        for op in _PEG_SPECIAL_OPS:
+            if sql.startswith(op, i):
+                if i <= start < i + len(op):
+                    return op
+                i += len(op)
+                break
+        else:
+            ch = sql[i]
+            if ch in _PEG_SINGLE_BYTE:
+                if i == start:
+                    return ch
+                i += 1
+            elif _peg_is_opchar(ch):
+                j = i
+                while j < len(sql) and _peg_is_opchar(sql[j]):
+                    # a special op embedded in the run starts its own token
+                    if j > i and any(sql.startswith(op, j)
+                                     for op in _PEG_SPECIAL_OPS):
+                        break
+                    j += 1
+                if i <= start < j:
+                    return sql[i:j]
+                i = j
+            else:
+                break
+    return fallback
+
+
 class Parser:
     def __init__(self, sql: str):
         self.sql = sql
@@ -56,9 +118,13 @@ class Parser:
             self.pos += 1
         return tok
 
+    def _near(self, tok: Token) -> str:
+        if tok.kind == T.EOF:
+            return "end of input"
+        return _peg_error_token(self.sql, tok.start, tok.text)
+
     def error(self, msg: str):
-        tok = self.peek()
-        near = tok.text if tok.kind != T.EOF else "end of input"
+        near = self._near(self.peek())
         raise ParserException(f'syntax error at or near "{near}": {msg}')
 
     def accept_kw(self, *kws: str) -> Optional[Token]:
@@ -69,9 +135,8 @@ class Parser:
     def expect_kw(self, *kws: str) -> Token:
         if self.peek().is_kw(*kws):
             return self.next()
-        tok = self.peek()
-        near = tok.text if tok.kind != T.EOF else "end of input"
-        raise ParserException(f'syntax error at or near "{near}"')
+        raise ParserException(
+            f'syntax error at or near "{self._near(self.peek())}"')
 
     def accept_op(self, *ops: str) -> Optional[Token]:
         if self.peek().is_op(*ops):
@@ -81,10 +146,9 @@ class Parser:
     def expect_op(self, *ops: str) -> Token:
         if self.peek().is_op(*ops):
             return self.next()
-        tok = self.peek()
-        near = tok.text if tok.kind != T.EOF else "end of input"
-        raise ParserException(f'syntax error at or near "{near}" '
-                              f'(expected {" or ".join(ops)})')
+        raise ParserException(
+            f'syntax error at or near "{self._near(self.peek())}" '
+            f'(expected {" or ".join(ops)})')
 
     def at_ident(self) -> bool:
         return self.peek().kind in (T.IDENT, T.QIDENT)

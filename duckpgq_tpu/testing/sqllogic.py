@@ -53,7 +53,10 @@ class TestFileResult:
 
     @property
     def failures(self) -> List[RecordResult]:
-        return [r for r in self.results if r.status == "fail"]
+        # error-mismatch counts: expected-error TEXT is part of the
+        # behavioral spec (all reference messages are reproduced verbatim)
+        return [r for r in self.results
+                if r.status in ("fail", "error-mismatch")]
 
     @property
     def passed(self) -> int:
