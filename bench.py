@@ -18,13 +18,18 @@ import numpy as np
 
 
 def main():
-    # scale 16 is the largest whose scan-kernel compile fits the local
-    # 2-core AOT compile helper (scale 18's gets OOM-killed); the Pallas
-    # kernel path (BENCH_KERNEL=pallas) lifts this
-    scale = int(os.environ.get("BENCH_SCALE", "16"))
+    # scale 18 compiles fine on the packed + Pallas-segscan path (the old
+    # XLA-scan compile OOMed the 2-core AOT helper at this shape) and is
+    # both the larger graph and the faster config: 12.5 GTEPS vs 11.9 at
+    # scale 16 (v5e, 2026-08-18)
+    scale = int(os.environ.get("BENCH_SCALE", "18"))
     edge_factor = int(os.environ.get("BENCH_EDGE_FACTOR", "16"))
-    lanes = int(os.environ.get("BENCH_LANES", "512"))
-    batches = int(os.environ.get("BENCH_BATCHES", "8"))
+    # 4096 lanes in ONE wave (W=128 uint32 words): the frontier gather is
+    # index-bound, not bandwidth-bound — widening the lane batch 8x costs
+    # only ~2x per iteration (scripts/kernel_profile.py lane sweep), so
+    # per-lane cost drops 4x vs the reference-parity 512-lane wave
+    lanes = int(os.environ.get("BENCH_LANES", "4096"))
+    batches = int(os.environ.get("BENCH_BATCHES", "1"))
     kernel = os.environ.get("BENCH_KERNEL", "packed")
 
     import jax
