@@ -150,14 +150,23 @@ def build_device_csr(vcount: int, src: np.ndarray, dst: np.ndarray,
         in_counts = np.bincount(d, minlength=vpad + 1)
         in_offsets = np.zeros(vpad + 1, dtype=np.int32)
         np.cumsum(in_counts[:vpad], out=in_offsets[1:])
+        # ONE host->device transfer for all six [epad] arrays: per-transfer
+        # latency dominates on tunneled/remote devices (an 8-byte sync read
+        # can stall tens of seconds behind queued puts), and one put is also
+        # one dispatch on directly-attached hosts
+        packed = np.stack([s, d, ids, s[in_order], d[in_order],
+                           in_order.astype(np.int32)])          # [6, epad]
+        packed_dev = jnp.asarray(packed)
+        small = np.stack([offsets, in_offsets])                 # [2, vpad+1]
+        small_dev = jnp.asarray(small)
         return DeviceCSR(
-            offsets=jnp.asarray(offsets),
-            e=jnp.asarray(d), edge_src=jnp.asarray(s),
-            edge_ids=jnp.asarray(ids),
-            in_src=jnp.asarray(s[in_order]),
-            in_dst=jnp.asarray(d[in_order]),
-            in_pos=jnp.asarray(in_order.astype(np.int32)),
-            in_offsets=jnp.asarray(in_offsets),
+            offsets=small_dev[0],
+            e=packed_dev[1], edge_src=packed_dev[0],
+            edge_ids=packed_dev[2],
+            in_src=packed_dev[3],
+            in_dst=packed_dev[4],
+            in_pos=packed_dev[5],
+            in_offsets=small_dev[1],
             w=jnp.asarray(w_p[order]) if w_p is not None else None,
             vcount=vcount, ecount=e)
 
