@@ -61,8 +61,15 @@ def iterative_length(csr: CSR, src: np.ndarray, dst: np.ndarray,
         from .csr_jax import from_host_csr
         sel = np.flatnonzero(src_valid)
         if len(sel):
+            # wide waves: the frontier gather is index-bound, so 8x more
+            # lanes costs ~2x per iteration (scripts/kernel_profile.py);
+            # cap at 4096 (W=128 packed words) and shrink to the query
+            # count so small batches keep small compiles
+            lanes = 512
+            while lanes < 4096 and lanes < len(sel):
+                lanes *= 2
             lengths, _ = msbfs_jax.msbfs_lengths_batched(
-                from_host_csr(csr), src[sel], dst[sel], lanes=512)
+                from_host_csr(csr), src[sel], dst[sel], lanes=lanes)
             out[sel] = lengths
             validity[sel] = lengths >= 0
         validity[~src_valid] = False
