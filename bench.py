@@ -75,6 +75,16 @@ def main():
     csr = build_device_csr(v, src, dst)
     np.asarray(csr.offsets[:2])  # hard sync through host transfer
     build_s = time.time() - t0
+    # auto-narrow the wave when the packed working set exceeds HBM
+    # (e.g. RMAT-20 fits 2048 lanes, not 4096, on a 16 GB chip)
+    from duckpgq_tpu.ops.msbfs_jax import max_packed_lanes
+    fit = max_packed_lanes(csr)
+    if lanes > fit:
+        total = lanes * batches
+        lanes = fit
+        batches = max(1, total // lanes)
+        print(f"# lanes narrowed to {lanes} x {batches} batches (HBM fit)",
+              file=sys.stderr)
     print(f"# csr build: {build_s:.3f}s "
           f"({e / max(build_s, 1e-9) / 1e6:.1f} Medges/s)", file=sys.stderr)
 

@@ -222,6 +222,16 @@ class PallasBFS:
 
     def __init__(self, packed: PackedCSR, lanes: int = 128):
         assert lanes % 32 == 0
+        if packed.n_tiles * packed.T > (1 << 17):
+            # Mosaic's dynamic_gather cannot source across vregs at these
+            # frontier widths ("Multiple source vregs along gather
+            # dimension"); the packed XLA-gather + Pallas-segscan kernel
+            # (ops/msbfs_jax.msbfs_lengths_packed) is also faster at every
+            # scale measured — use it instead
+            raise NotImplementedError(
+                "PallasBFS supports frontiers up to 128Ki vertices; use "
+                "msbfs_lengths_packed (the default bench kernel) for "
+                "larger graphs")
         self.packed = packed
         self.lanes = lanes
         self.W = lanes // 32

@@ -230,11 +230,41 @@ def _msbfs_lengths_packed_impl(csr: DeviceCSR, src: jnp.ndarray,
     return result, traversed
 
 
+def max_packed_lanes(csr: DeviceCSR, hbm_budget: Optional[int] = None,
+                     cap: int = 4096) -> int:
+    """Largest packed-wave lane count whose working set fits HBM.
+
+    Per iteration the packed kernel materializes two [W, Ep] uint32 buffers
+    (gather output + scan output, W = lanes/32) plus the [W, Vp] frontier
+    pair; budget for ~3x [W, Ep] words to leave room for XLA temporaries.
+    RMAT-20 (Ep=16.8M) lands on 2048 lanes on a 16 GB chip — the measured
+    HBM-fit limit (BASELINE.md)."""
+    if hbm_budget is None:
+        hbm_budget = 12 << 30                  # conservative 16 GB default
+        try:
+            stats = jax.devices()[0].memory_stats()
+            if stats and stats.get("bytes_limit"):
+                hbm_budget = int(stats["bytes_limit"] * 3) // 4
+        except Exception:
+            pass
+    # two live [W, Ep] uint32 buffers per iteration (gather out + scan out;
+    # measured: RMAT-20 runs 2048 lanes on 16 GB, so no extra slack factor)
+    per_word = 8 * csr.epad + 8 * (csr.vpad + 1)    # bytes per W
+    w = max(1, hbm_budget // max(per_word, 1))
+    lanes = 32
+    while lanes * 2 <= min(w * 32, cap):
+        lanes *= 2
+    return lanes
+
+
 def msbfs_lengths_batched(csr: DeviceCSR, src, dst, lanes: int = 64):
     """Batch arbitrary query counts into fixed-width lane groups (keeps one
     compiled kernel per (graph bucket, lanes)). Uses the bit-packed kernel
-    when lanes is a multiple of 32."""
+    when lanes is a multiple of 32; the wave is auto-narrowed when the
+    packed working set would not fit HBM (see max_packed_lanes)."""
     import numpy as np
+    if lanes % 32 == 0:
+        lanes = min(lanes, max_packed_lanes(csr))
     n = len(src)
     out = np.full(n, -1, dtype=np.int64)
     total_traversed = 0
