@@ -158,7 +158,15 @@ def _msbfs_lengths_packed_impl(csr: DeviceCSR, src: jnp.ndarray,
     — vertices along the 128-wide lane axis, packed lane words along
     sublanes. Every elementwise step then runs at full vreg lane utilization
     (a [E, W] layout wastes (128-W)/128 of the VPU when W < 128), and the
-    segmented scan rolls along lanes (kernels/segscan_pallas.seg_or_scan_rows)."""
+    segmented scan rolls along lanes (kernels/segscan_pallas.seg_or_scan_rows).
+
+    At W == 128 the EDGE-MAJOR layout wins instead (full 4096-lane waves):
+    [E, 128] blocks tile vregs perfectly, each per-edge frontier access is
+    one contiguous 512-byte row, and the measured full expansion is 1.42x
+    the lane-major variant (scripts/kernel_profile.py) — dispatched below."""
+    if src.shape[0] // 32 == 128:
+        return _msbfs_lengths_packed_em(csr, src, dst, active, max_iters,
+                                        use_pallas)
     Vp = csr.vpad
     L = src.shape[0]
     assert L % 32 == 0, "packed kernel needs lanes % 32 == 0"
@@ -227,6 +235,83 @@ def _msbfs_lengths_packed_impl(csr: DeviceCSR, src: jnp.ndarray,
         bits = ((seen_v >> jnp.uint32(b)) & jnp.uint32(1)).astype(jnp.float32)
         per_bit.append(bits @ deg)                            # [W]
     traversed = jnp.stack(per_bit, axis=1).reshape(L)         # [W,32]->[L]
+    return result, traversed
+
+
+def _msbfs_lengths_packed_em(csr: DeviceCSR, src: jnp.ndarray,
+                             dst: jnp.ndarray, active: jnp.ndarray,
+                             max_iters: int, use_pallas: bool
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Edge-major packed MS-BFS for full 4096-lane waves (W = 128):
+    frontier ``uint32 [Vp+1, W]`` so each per-edge access reads one
+    contiguous 512-byte row, gathered/scanned as [Ep, W] blocks that tile
+    vregs exactly (see _msbfs_lengths_packed_impl for the measurement)."""
+    Vp = csr.vpad
+    L = src.shape[0]
+    W = L // 32
+    lanes = jnp.arange(L)
+    word_of_lane = lanes // 32
+    bit_of_lane = (jnp.uint32(1) << (lanes % 32).astype(jnp.uint32))
+    deg = out_degrees(csr).astype(jnp.float32)       # [Vp]
+
+    trivial = active & (src == dst)
+    searching = active & (src != dst)
+    frontier = jnp.zeros((Vp + 1, W), dtype=jnp.uint32)
+    frontier = frontier.at[src, word_of_lane].add(
+        jnp.where(searching, bit_of_lane, jnp.uint32(0)))
+    seen = frontier
+    result = jnp.where(trivial, 0, -1).astype(jnp.int32)
+
+    heads, last_pos, has_in = _in_segments(csr)
+
+    def pack_lane_mask(cond):
+        bits = cond.reshape(W, 32).astype(jnp.uint32)
+        return (bits << jnp.arange(32, dtype=jnp.uint32)[None, :]).sum(
+            axis=1, dtype=jnp.uint32)
+
+    def cond(state):
+        it, frontier, seen, result = state
+        return (it <= max_iters) & (frontier != 0).any()
+
+    Ep = csr.epad
+    scan_chunk = 1
+    while scan_chunk * 2 <= min(Ep, 2048) and Ep % (scan_chunk * 2) == 0:
+        scan_chunk *= 2
+
+    def seg_or(a, b):
+        af, av = a
+        bf, bv = b
+        return af | bf, jnp.where(bf, bv, av | bv)
+
+    def body(state):
+        it, frontier, seen, result = state
+        gathered = jnp.take(frontier, csr.in_src, axis=0)    # [Ep, W]
+        if use_pallas:
+            from ..kernels.segscan_pallas import seg_or_scan_packed
+            scanned = seg_or_scan_packed(gathered, heads, chunk=scan_chunk)
+        else:
+            _, scanned = jax.lax.associative_scan(
+                seg_or, (heads.reshape(-1, 1), gathered), axis=0)
+        ext = jnp.where(has_in[:, None], scanned[last_pos],
+                        jnp.uint32(0))                       # [Vp, W]
+        nxt = jnp.concatenate(
+            [ext, jnp.zeros((1, W), jnp.uint32)], axis=0) & ~seen
+        seen = seen | nxt
+        found = ((nxt[dst, word_of_lane] & bit_of_lane) != 0) \
+            & (result < 0) & searching
+        result = jnp.where(found, it, result)
+        nxt = nxt & pack_lane_mask(result < 0)[None, :]
+        return it + 1, nxt, seen, result
+
+    _, _, seen, result = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), frontier, seen, result))
+
+    per_bit = []
+    seen_v = seen[:Vp]                                       # [Vp, W]
+    for b in range(32):
+        bits = ((seen_v >> jnp.uint32(b)) & jnp.uint32(1)).astype(jnp.float32)
+        per_bit.append(deg @ bits)                           # [W]
+    traversed = jnp.stack(per_bit, axis=1).reshape(L)        # [W,32]->[L]
     return result, traversed
 
 

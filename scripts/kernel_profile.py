@@ -103,12 +103,57 @@ def main():
         g = jnp.take(fT, in_src, axis=0)
         return jnp.swapaxes(g[: Vp + 1], 0, 1)
 
+    # ---- edge-major variants: frontier [Vp+1, W] (vertex rows contiguous:
+    # one 4*W-byte read per edge instead of W strided 4-byte reads), scan
+    # along sublanes over [Ep, W] blocks (full lane tiling when W == 128)
+    from duckpgq_tpu.kernels.segscan_pallas import seg_or_scan_packed
+    frontier_vm = jnp.asarray(np.ascontiguousarray(np.asarray(frontier).T))
+    heads_e = jax.device_put(np.asarray(heads))
+
+    def loop_vm(fn):
+        @jax.jit
+        def run(f0):
+            def body(i, f):
+                out = fn(f)
+                return (f ^ out[: Vp + 1]) | f
+            return jax.lax.fori_loop(0, reps, body, f0)
+        return run
+
+    def time_vm(name, fn, nbytes):
+        run = loop_vm(fn)
+        out = run(frontier_vm)
+        np.asarray(out[0, :1])
+        t0 = time.time()
+        out = run(frontier_vm)
+        np.asarray(out[0, :1])
+        dt = (time.time() - t0) / reps
+        print(f"{name}: {dt * 1e3:.2f} ms/rep  "
+              f"({nbytes / dt / 1e9:.0f} GB/s effective)")
+
+    def em_gather(f):
+        g = jnp.take(f, in_src, axis=0)            # [Ep, W] contiguous rows
+        return g[: Vp + 1]
+
+    def em_gather_scan(f):
+        g = jnp.take(f, in_src, axis=0)
+        s = seg_or_scan_packed(g, heads_e, chunk=scan_chunk)
+        return s[: Vp + 1]
+
+    def em_full(f):
+        g = jnp.take(f, in_src, axis=0)
+        s = seg_or_scan_packed(g, heads_e, chunk=scan_chunk)
+        ext = jnp.where(has_in[:, None], s[last_pos], jnp.uint32(0))
+        return jnp.concatenate([ext, jnp.zeros((1, W), jnp.uint32)], axis=0)
+
     WB = W * 4
     time_it("gather          ", gather_only, Ep * (WB + 4))
     time_it("row gather      ", row_gather, Ep * (2 * WB + 4))
     time_it("gather+scan     ", gather_scan, Ep * (3 * WB + 4))
     time_it("gather+scan(xla)", gather_scan_xla, Ep * (3 * WB + 4))
     time_it("full expansion  ", full_ext, Ep * (3 * WB + 4) + Vp * WB)
+    time_vm("em gather       ", em_gather, Ep * (WB + 4))
+    time_vm("em gather+scan  ", em_gather_scan, Ep * (3 * WB + 4))
+    time_vm("em full         ", em_full, Ep * (3 * WB + 4) + Vp * WB)
 
 
 if __name__ == "__main__" and os.environ.get("PROF_MODE") != "chunks":

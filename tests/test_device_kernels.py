@@ -74,6 +74,35 @@ def test_packed_bfs_matches_host(seed):
     assert float(np.asarray(traversed)[~active].sum()) == 0
 
 
+@pytest.mark.parametrize("seed", [0, 3])
+def test_packed_bfs_edge_major_matches_host(seed):
+    """4096-lane waves (W=128) dispatch to the edge-major layout
+    (_msbfs_lengths_packed_em) — verify it against the host kernel and
+    the lane-major variant's traversed counts."""
+    import jax.numpy as jnp
+    from duckpgq_tpu.ops.csr_jax import from_host_csr
+    from duckpgq_tpu.ops.msbfs_jax import msbfs_lengths_packed
+
+    g = random_graph(seed, v=70, e=260)
+    rng = np.random.default_rng(seed + 300)
+    L = 4096
+    qs = rng.integers(0, g.vcount, size=L).astype(np.int32)
+    qd = rng.integers(0, g.vcount, size=L).astype(np.int32)
+    active = np.ones(L, dtype=bool)
+    active[100:120] = False
+    qs[7] = qd[7]  # trivial lane
+    dcsr = from_host_csr(g.host_csr)
+    got, traversed = msbfs_lengths_packed(
+        dcsr, jnp.asarray(qs), jnp.asarray(qd), jnp.asarray(active),
+        g.vcount)
+    host_lengths, host_valid = host_msbfs.iterative_length(
+        g.host_csr, qs.astype(np.int64), qd.astype(np.int64))
+    expect = np.where(host_valid & active, host_lengths, -1)
+    np.testing.assert_array_equal(np.asarray(got), expect)
+    assert float(np.asarray(traversed)[active].sum()) > 0
+    assert float(np.asarray(traversed)[~active].sum()) == 0
+
+
 @pytest.mark.parametrize("seed", [0, 7])
 def test_device_shortest_paths_match_host(seed):
     from duckpgq_tpu.ops.csr_jax import from_host_csr
