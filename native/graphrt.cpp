@@ -121,35 +121,67 @@ void gr_msbfs_lengths(int64_t vcount, const int64_t* offsets,
 
 namespace {
 
+// Adaptive frontier strategy mirroring the reference's reachability modes
+// (reference reachability.cpp:13,154-163 / duckpgq_utils.hpp:11
+// VISIT_SIZE_DIVISOR=2):
+//   ARRAY        — frontier vertex list known and small: iterate the list,
+//                  collect the next list (sparse top-down);
+//   INTERMEDIATE — dense scan, but collect the next list (frontier shrank
+//                  back under the limit);
+//   NO_ARRAY     — dense scan, no list bookkeeping (frontier above V/2).
 void msbfs_batch(int64_t vcount, const int64_t* offsets, const int64_t* adj,
                  const int64_t* qs, const int64_t* qd, int64_t* out,
                  const int64_t* pending, size_t start, size_t L,
                  std::vector<uint64_t>& visit, std::vector<uint64_t>& next,
                  std::vector<uint64_t>& seen) {
   const size_t row_words = kLaneWords;
+  const int64_t visit_limit = vcount / 2;  // VISIT_SIZE_DIVISOR = 2
   {
     std::fill(visit.begin(), visit.end(), 0);
     std::fill(next.begin(), next.end(), 0);
     std::fill(seen.begin(), seen.end(), 0);
+    std::vector<int64_t> flist, nlist;
+    std::vector<uint8_t> touched(vcount, 0);
+    flist.reserve(L);
     for (size_t l = 0; l < L; ++l) {
       int64_t q = pending[start + l];
-      visit[qs[q] * row_words + l / 64] |= 1ULL << (l % 64);
+      uint64_t* row = &visit[qs[q] * row_words];
+      if (!row_any(row)) flist.push_back(qs[q]);
+      row[l / 64] |= 1ULL << (l % 64);
     }
+    bool list_valid = true;                // flist holds the frontier
     uint64_t active[kLaneWords];
     std::memset(active, 0, sizeof(active));
     for (size_t l = 0; l < L; ++l) active[l / 64] |= 1ULL << (l % 64);
 
     for (int64_t it = 1; it <= vcount + 1; ++it) {
-      bool changed = false;
-      for (int64_t v = 0; v < vcount; ++v) {
+      bool use_array = list_valid &&
+                       static_cast<int64_t>(flist.size()) < visit_limit;
+      // collect the next list unless the frontier is already dense
+      // (NO_ARRAY: the per-edge bookkeeping costs more than it saves)
+      bool collect = !list_valid ||
+                     static_cast<int64_t>(flist.size()) < visit_limit;
+      nlist.clear();
+      auto expand = [&](int64_t v) {
         const uint64_t* row = &visit[v * row_words];
-        if (!row_any(row)) continue;
+        if (!row_any(row)) return;
         for (int64_t j = offsets[v]; j < offsets[v + 1]; ++j) {
-          uint64_t* nrow = &next[adj[j] * row_words];
+          int64_t u = adj[j];
+          uint64_t* nrow = &next[u * row_words];
+          if (collect && !touched[u]) {
+            touched[u] = 1;
+            nlist.push_back(u);
+          }
           for (int w = 0; w < kLaneWords; ++w) nrow[w] |= row[w];
         }
+      };
+      if (use_array) {
+        for (int64_t v : flist) expand(v);
+      } else {
+        for (int64_t v = 0; v < vcount; ++v) expand(v);
       }
-      for (int64_t v = 0; v < vcount; ++v) {
+      bool changed = false;
+      auto settle = [&](int64_t v) {
         uint64_t* nrow = &next[v * row_words];
         uint64_t* srow = &seen[v * row_words];
         for (int w = 0; w < kLaneWords; ++w) {
@@ -157,6 +189,14 @@ void msbfs_batch(int64_t vcount, const int64_t* offsets, const int64_t* adj,
           srow[w] |= nrow[w];
           changed |= (nrow[w] != 0);
         }
+      };
+      if (collect) {
+        for (int64_t u : nlist) {
+          settle(u);
+          touched[u] = 0;
+        }
+      } else {
+        for (int64_t v = 0; v < vcount; ++v) settle(v);
       }
       if (!changed) break;
       for (size_t l = 0; l < L; ++l) {
@@ -167,8 +207,18 @@ void msbfs_batch(int64_t vcount, const int64_t* offsets, const int64_t* adj,
           active[l / 64] &= ~(1ULL << (l % 64));
         }
       }
-      std::swap(visit, next);
-      std::fill(next.begin(), next.end(), 0);
+      std::swap(visit, next);   // next now holds the OLD frontier rows
+      if (list_valid) {
+        // old frontier enumerated by flist: clear just those rows
+        for (int64_t u : flist) {
+          std::memset(&next[u * row_words], 0,
+                      sizeof(uint64_t) * row_words);
+        }
+      } else {
+        std::fill(next.begin(), next.end(), 0);
+      }
+      flist.swap(nlist);
+      list_valid = collect;
       bool any_active = false;
       for (int w = 0; w < kLaneWords; ++w) any_active |= (active[w] != 0);
       if (!any_active) break;
