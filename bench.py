@@ -18,17 +18,19 @@ import numpy as np
 
 
 def main():
-    # scale 18 compiles fine on the packed + Pallas-segscan path (the old
-    # XLA-scan compile OOMed the 2-core AOT helper at this shape) and is
-    # both the larger graph and the faster config: 12.5 GTEPS vs 11.9 at
-    # scale 16 (v5e, 2026-08-18)
+    # scale 18 (262k V, 4.2M E) is the largest graph whose 8192-lane packed
+    # working set fits a 16 GB chip; smaller scales run wider waves and
+    # higher GTEPS (BASELINE.md sweep) but the headline stays on the
+    # largest-graph config
     scale = int(os.environ.get("BENCH_SCALE", "18"))
     edge_factor = int(os.environ.get("BENCH_EDGE_FACTOR", "16"))
-    # 4096 lanes in ONE wave (W=128 uint32 words): the frontier gather is
-    # index-bound, not bandwidth-bound — widening the lane batch 8x costs
-    # only ~2x per iteration (scripts/kernel_profile.py lane sweep), so
-    # per-lane cost drops 4x vs the reference-parity 512-lane wave
-    lanes = int(os.environ.get("BENCH_LANES", "4096"))
+    # 8192 lanes in ONE wave (W=256 uint32 words): the frontier gather is
+    # index-rate-bound (~96M idx/s, scripts/gather_probe.py) — doubling the
+    # row width moves 2x the bytes in ~1.2x the time, so per-lane cost keeps
+    # dropping as the wave widens (until the 2x [Ep, W] working set hits
+    # HBM: W=256 is the scale-18 fit; smaller graphs go wider and faster,
+    # see BASELINE.md sweep: scale 16 @ 32768 lanes = 34.9 GTEPS)
+    lanes = int(os.environ.get("BENCH_LANES", "8192"))
     batches = int(os.environ.get("BENCH_BATCHES", "1"))
     kernel = os.environ.get("BENCH_KERNEL", "packed")
 

@@ -160,11 +160,14 @@ def _msbfs_lengths_packed_impl(csr: DeviceCSR, src: jnp.ndarray,
     (a [E, W] layout wastes (128-W)/128 of the VPU when W < 128), and the
     segmented scan rolls along lanes (kernels/segscan_pallas.seg_or_scan_rows).
 
-    At W == 128 the EDGE-MAJOR layout wins instead (full 4096-lane waves):
-    [E, 128] blocks tile vregs perfectly, each per-edge frontier access is
-    one contiguous 512-byte row, and the measured full expansion is 1.42x
-    the lane-major variant (scripts/kernel_profile.py) — dispatched below."""
-    if src.shape[0] // 32 == 128:
+    At W >= 128 the EDGE-MAJOR layout wins instead (4096+-lane waves):
+    [E, W] blocks tile vregs perfectly when W is a multiple of 128, each
+    per-edge frontier access is one contiguous 4W-byte row, and the measured
+    full expansion is 1.42x the lane-major variant (scripts/kernel_profile.py)
+    — dispatched below. Wider rows also amortize the gather's per-index cost
+    (the gather is index-rate-bound at ~96M idx/s, scripts/gather_probe.py:
+    W=256 moves 2x the bytes in 1.2x the time)."""
+    if (src.shape[0] // 32) % 128 == 0:
         return _msbfs_lengths_packed_em(csr, src, dst, active, max_iters,
                                         use_pallas)
     Vp = csr.vpad
@@ -274,8 +277,12 @@ def _msbfs_lengths_packed_em(csr: DeviceCSR, src: jnp.ndarray,
         return (it <= max_iters) & (frontier != 0).any()
 
     Ep = csr.epad
+    # chunk * W bounded by the measured-good 2048x128 VMEM block budget
+    # (a [chunk, W] uint32 block is double-buffered in+out by the pipeline;
+    # 2048x256 blows the 16 MB scoped-VMEM limit)
+    chunk_cap = max(128, (2048 * 128) // W)
     scan_chunk = 1
-    while scan_chunk * 2 <= min(Ep, 2048) and Ep % (scan_chunk * 2) == 0:
+    while scan_chunk * 2 <= min(Ep, chunk_cap) and Ep % (scan_chunk * 2) == 0:
         scan_chunk *= 2
 
     def seg_or(a, b):
@@ -316,7 +323,7 @@ def _msbfs_lengths_packed_em(csr: DeviceCSR, src: jnp.ndarray,
 
 
 def max_packed_lanes(csr: DeviceCSR, hbm_budget: Optional[int] = None,
-                     cap: int = 4096) -> int:
+                     cap: Optional[int] = None) -> int:
     """Largest packed-wave lane count whose working set fits HBM.
 
     Per iteration the packed kernel materializes two [W, Ep] uint32 buffers
@@ -324,6 +331,9 @@ def max_packed_lanes(csr: DeviceCSR, hbm_budget: Optional[int] = None,
     pair; budget for ~3x [W, Ep] words to leave room for XLA temporaries.
     RMAT-20 (Ep=16.8M) lands on 2048 lanes on a 16 GB chip — the measured
     HBM-fit limit (BASELINE.md)."""
+    if cap is None:
+        import os
+        cap = int(os.environ.get("DUCKPGQ_MAX_LANES", "8192"))
     if hbm_budget is None:
         hbm_budget = 12 << 30                  # conservative 16 GB default
         try:

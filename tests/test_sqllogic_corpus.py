@@ -19,6 +19,8 @@ KNOWN_UNSUPPORTED = {}
 def _corpus_files():
     root = os.path.join(REFERENCE_ROOT, "test", "sql")
     files = sorted(glob.glob(os.path.join(root, "**", "*.test"),
+                             recursive=True) +
+                   glob.glob(os.path.join(root, "**", "*.test_slow"),
                              recursive=True))
     return [os.path.relpath(f, root) for f in files]
 
