@@ -24,13 +24,12 @@ def main():
     # largest-graph config
     scale = int(os.environ.get("BENCH_SCALE", "18"))
     edge_factor = int(os.environ.get("BENCH_EDGE_FACTOR", "16"))
-    # 8192 lanes in ONE wave (W=256 uint32 words): the frontier gather is
-    # index-rate-bound (~96M idx/s, scripts/gather_probe.py) — doubling the
-    # row width moves 2x the bytes in ~1.2x the time, so per-lane cost keeps
-    # dropping as the wave widens (until the 2x [Ep, W] working set hits
-    # HBM: W=256 is the scale-18 fit; smaller graphs go wider and faster,
-    # see BASELINE.md sweep: scale 16 @ 32768 lanes = 34.9 GTEPS)
-    lanes = int(os.environ.get("BENCH_LANES", "8192"))
+    # "auto": plan_packed_wave picks the widest HBM-feasible wave. The
+    # frontier gather is index-rate-bound (scripts/gather_probe.py), so
+    # per-lane cost keeps dropping as rows widen; the chunked expansion
+    # streams [Ec, W] edge super-chunks so width is capped by the resident
+    # [Vp, W] vertex state, not the [Ep, W] working set (BASELINE.md sweep)
+    lanes_env = os.environ.get("BENCH_LANES", "auto")
     batches = int(os.environ.get("BENCH_BATCHES", "1"))
     kernel = os.environ.get("BENCH_KERNEL", "packed")
 
@@ -77,18 +76,36 @@ def main():
     csr = build_device_csr(v, src, dst)
     np.asarray(csr.offsets[:2])  # hard sync through host transfer
     build_s = time.time() - t0
-    # auto-narrow the wave when the packed working set exceeds HBM
-    # (e.g. RMAT-20 fits 2048 lanes, not 4096, on a 16 GB chip)
-    from duckpgq_tpu.ops.msbfs_jax import max_packed_lanes
-    fit = max_packed_lanes(csr)
-    if lanes > fit:
-        total = lanes * batches
-        lanes = fit
-        batches = max(1, total // lanes)
-        print(f"# lanes narrowed to {lanes} x {batches} batches (HBM fit)",
-              file=sys.stderr)
     print(f"# csr build: {build_s:.3f}s "
           f"({e / max(build_s, 1e-9) / 1e6:.1f} Medges/s)", file=sys.stderr)
+
+    from duckpgq_tpu.ops.msbfs_jax import (max_packed_lanes,
+                                           msbfs_lengths_packed_planned,
+                                           plan_packed_wave)
+    chunks_env = os.environ.get("BENCH_CHUNKS")
+    plan = None
+    if lanes_env == "auto":
+        plan = plan_packed_wave(
+            csr, n_chunks=int(chunks_env) if chunks_env else None)
+        lanes = plan.lanes
+    else:
+        lanes = int(lanes_env)
+        if lanes % 4096 == 0:
+            plan = plan_packed_wave(
+                csr, lanes=lanes,
+                n_chunks=int(chunks_env) if chunks_env else None)
+        else:
+            # narrow non-em wave: auto-fit to the single-dispatch limit
+            fit = max_packed_lanes(csr)
+            if lanes > fit:
+                total = lanes * batches
+                lanes = fit
+                batches = max(1, total // lanes)
+                print(f"# lanes narrowed to {lanes} x {batches} batches "
+                      f"(HBM fit)", file=sys.stderr)
+    if plan is not None:
+        print(f"# wave plan: {plan.lanes} lanes (W={plan.lanes // 32}), "
+              f"{plan.n_chunks} chunks (bmax={plan.bmax})", file=sys.stderr)
 
     # Depth-bounded MS-BFS: SQL/PGQ path queries are quantifier-bounded
     # (MATCH ...->{1,k}), so depth-16 bounded search is the production
@@ -99,7 +116,19 @@ def main():
     active = jnp.ones(lanes, dtype=bool)
     use_pallas = os.environ.get("DUCKPGQ_SCAN_IMPL", "xla") == "pallas"
 
-    if kernel == "packed":
+    if kernel == "packed" and plan is not None and plan.n_chunks > 1:
+        # chunked wide wave: one dispatch per batch (each runs ~seconds, so
+        # host RTT is already amortized)
+        def run_all():
+            res, total = [], 0.0
+            for b in range(batches):
+                r, trav = msbfs_lengths_packed_planned(
+                    csr, plan, jnp.asarray(qs_all[b]),
+                    jnp.asarray(qd_all[b]), active, max_iters, use_pallas)
+                res.append(np.asarray(r))
+                total += float(np.asarray(trav).sum())
+            return np.concatenate(res), total
+    elif kernel == "packed":
         # all batches in ONE device dispatch (lax.map) — host/tunnel RTT
         # otherwise dominates sub-100ms waves
         def run_all():

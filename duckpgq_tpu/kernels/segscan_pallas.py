@@ -113,6 +113,75 @@ def seg_or_scan_rows(values: jnp.ndarray, heads: jnp.ndarray,
     )(values, heads_i)
 
 
+def _scan_kernel_carry(vals_ref, heads_ref, cin_ref, out_ref, cout_ref,
+                       carry_ref, *, C: int):
+    """Like _scan_kernel but with an explicit carry-in operand and carry-out
+    output, so a [E, W] scan can be split across multiple kernel calls (the
+    chunked wide-wave BFS expansion streams edge super-chunks and threads
+    the open-segment carry between them)."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        carry_ref[0, :] = cin_ref[0, :]
+
+    v = vals_ref[:]                           # [C, W] uint32
+    f = heads_ref[:]                          # [C, 1] int32
+    row = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+    s = 1
+    while s < C:
+        v_s = pltpu.roll(v, s, axis=0)
+        f_s = pltpu.roll(f, s, axis=0)
+        wrap = row < s
+        v_s = jnp.where(wrap, jnp.uint32(0), v_s)
+        f_s = jnp.where(wrap, 0, f_s)
+        v = jnp.where(f != 0, v, v | v_s)
+        f = f | f_s
+        s *= 2
+    open_prefix = f == 0
+    v = jnp.where(open_prefix, v | carry_ref[0, :][None, :], v)
+    out_ref[:] = v
+    carry_ref[0, :] = v[C - 1, :]
+    cout_ref[0, :] = v[C - 1, :]
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def seg_or_scan_packed_carry(values: jnp.ndarray, heads: jnp.ndarray,
+                             carry_in: jnp.ndarray, chunk: int = 512):
+    """Inclusive segmented OR-scan of ``values`` [E, W] uint32 (heads [E]
+    bool) whose leading open segment is primed with ``carry_in`` [1, W] —
+    the running OR of that segment's rows from earlier super-chunks.
+    Returns (scanned [E, W], carry_out [1, W])."""
+    E, W = values.shape
+    assert E % chunk == 0, (E, chunk)
+    n_chunks = E // chunk
+    heads_i = heads.astype(jnp.int32).reshape(E, 1)
+    grid_spec = pl.GridSpec(
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((chunk, W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((chunk, W), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, W), jnp.uint32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_scan_kernel_carry, C=chunk),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((E, W), jnp.uint32),
+                   jax.ShapeDtypeStruct((1, W), jnp.uint32)],
+    )(values, heads_i, carry_in)
+
+
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def seg_or_scan_packed(values: jnp.ndarray, heads: jnp.ndarray,
                        chunk: int = 512) -> jnp.ndarray:

@@ -16,6 +16,7 @@ tests cross-check them against the exact host mirrors in ops/msbfs.py.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional, Tuple
 
@@ -319,6 +320,236 @@ def _msbfs_lengths_packed_em(csr: DeviceCSR, src: jnp.ndarray,
         bits = ((seen_v >> jnp.uint32(b)) & jnp.uint32(1)).astype(jnp.float32)
         per_bit.append(deg @ bits)                           # [W]
     traversed = jnp.stack(per_bit, axis=1).reshape(L)        # [W,32]->[L]
+    return result, traversed
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PackedWavePlan:
+    """Execution plan for a chunked wide packed wave.
+
+    The single-dispatch packed kernels materialize two full [Ep, W] buffers
+    per iteration, so HBM capacity caps the wave width W (max_packed_lanes).
+    The chunked plan streams the expansion in ``n_chunks`` edge super-chunks
+    — only [Ec, W] stays live — so W is capped by the resident vertex state
+    ([Vp, W] frontier/seen/ext) instead: ~16x wider waves on a 16 GB chip.
+
+    Extraction bookkeeping (host-precomputed, static per CSR + n_chunks):
+    each vertex's segment-final scan value lives in exactly one super-chunk
+    (the one holding its last in-edge). ``rel[k, j]`` is the chunk-relative
+    scan row of the j-th such vertex of chunk k; its value is written to
+    compact row ``k * bmax + j``, and ``slot[v]`` maps each vertex to its
+    compact row (vertices with no in-edges point at the trailing zero row).
+    Total extraction cost is ~Vp rows regardless of n_chunks."""
+
+    rel: jnp.ndarray    # int32 [K, bmax]  chunk-relative last-edge rows
+    slot: jnp.ndarray   # int32 [Vp]       vertex -> compact row
+    lanes: int
+    n_chunks: int
+    bmax: int
+
+    def tree_flatten(self):
+        return (self.rel, self.slot), (self.lanes, self.n_chunks, self.bmax)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def plan_packed_wave(csr: DeviceCSR, lanes: Optional[int] = None,
+                     n_chunks: Optional[int] = None,
+                     hbm_budget: Optional[int] = None,
+                     cap: Optional[int] = None) -> PackedWavePlan:
+    """Pick (lanes, n_chunks) for the widest HBM-feasible chunked wave and
+    build the extraction tables. Runs on host (one small sync read of
+    in_offsets). The gather that dominates expansion is latency-bound
+    (~96M idx/s at W=128, scripts/gather_probe.py), so per-lane cost keeps
+    falling as rows widen — width is worth spending all spare HBM on."""
+    import os
+
+    import numpy as np
+
+    Vp, Ep = csr.vpad, csr.epad
+    if cap is None:
+        cap = int(os.environ.get("DUCKPGQ_MAX_LANES", "32768"))
+    if hbm_budget is None:
+        hbm_budget = 12 << 30
+        try:
+            stats = jax.devices()[0].memory_stats()
+            if stats and stats.get("bytes_limit"):
+                hbm_budget = int(stats["bytes_limit"] * 3) // 4
+        except Exception:
+            pass
+    if lanes is None:
+        # resident vertex state: frontier/seen/ext/compact + loop
+        # double-buffering — budget ~7 [Vp, W] uint32 buffers at 55%
+        w = (int(0.55 * hbm_budget) // (7 * 4 * (Vp + 1))) // 128 * 128
+        w = max(min(w, cap // 32), 0)
+        if w < 128:
+            # graph too large for a wide wave: single-chunk narrow path
+            return PackedWavePlan(
+                rel=jnp.zeros((1, 1), jnp.int32),
+                slot=jnp.zeros((1,), jnp.int32),
+                lanes=max_packed_lanes(csr, hbm_budget, cap),
+                n_chunks=1, bmax=1)
+        lanes = w * 32
+    W = lanes // 32
+    if n_chunks is None:
+        rem = hbm_budget - 7 * 4 * (Vp + 1) * W
+        # 4 live [Ec, W] uint32 buffers: gather out, scan out, pipeline slack
+        ec_cap = max(1, rem // (4 * 4 * W))
+        n_chunks = 1
+        while (Ep // n_chunks > ec_cap and n_chunks < 256
+               and Ep % (n_chunks * 2) == 0
+               and (Ep // (n_chunks * 2)) % 128 == 0):
+            n_chunks *= 2
+    if n_chunks == 1:
+        return PackedWavePlan(rel=jnp.zeros((1, 1), jnp.int32),
+                              slot=jnp.zeros((1,), jnp.int32),
+                              lanes=lanes, n_chunks=1, bmax=1)
+    K = n_chunks
+    Ec = Ep // K
+    in_off = np.asarray(csr.in_offsets).astype(np.int64)   # [Vp + 1]
+    deg_in = in_off[1:] - in_off[:-1]
+    has = deg_in > 0
+    last = in_off[1:] - 1
+    chunk_of = np.where(has, last // Ec, K)
+    order = np.argsort(chunk_of, kind="stable")
+    counts = np.bincount(chunk_of[has], minlength=K)[:K]
+    bmax = max(int(counts.max()), 1) if counts.size else 1
+    rel = np.zeros((K, bmax), np.int32)
+    slot = np.full(Vp, K * bmax, np.int32)
+    pos = 0
+    for k in range(K):
+        c = int(counts[k])
+        grp = order[pos:pos + c]
+        rel[k, :c] = (last[grp] - k * Ec).astype(np.int32)
+        slot[grp] = k * bmax + np.arange(c, dtype=np.int32)
+        pos += c
+    return PackedWavePlan(rel=jnp.asarray(rel), slot=jnp.asarray(slot),
+                          lanes=lanes, n_chunks=K, bmax=bmax)
+
+
+def msbfs_lengths_packed_planned(csr: DeviceCSR, plan: PackedWavePlan,
+                                 src: jnp.ndarray, dst: jnp.ndarray,
+                                 active: jnp.ndarray, max_iters: int,
+                                 use_pallas: bool = False
+                                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Packed MS-BFS following a PackedWavePlan: single-dispatch kernels
+    when the wave fits (n_chunks == 1), chunked streaming expansion
+    otherwise."""
+    if plan.n_chunks == 1:
+        return _msbfs_lengths_packed(csr, src, dst, active, max_iters,
+                                     use_pallas)
+    return _msbfs_lengths_packed_chunked(csr, plan, src, dst, active,
+                                         max_iters, use_pallas)
+
+
+@functools.partial(jax.jit, static_argnames=("max_iters", "use_pallas"))
+def _msbfs_lengths_packed_chunked(csr: DeviceCSR, plan: PackedWavePlan,
+                                  src: jnp.ndarray, dst: jnp.ndarray,
+                                  active: jnp.ndarray, max_iters: int,
+                                  use_pallas: bool
+                                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Edge-major packed MS-BFS with the expansion streamed in n_chunks
+    edge super-chunks (see PackedWavePlan). Per super-chunk: gather
+    [Ec, W] frontier rows, segmented OR-scan with a carry threaded across
+    chunks (the open segment at a chunk boundary), then pull each
+    chunk-final vertex's row into the compact buffer; ``slot`` expands the
+    compact buffer back to [Vp, W] with one static gather."""
+    Vp = csr.vpad
+    Ep = csr.epad
+    L = src.shape[0]
+    W = L // 32
+    assert L == plan.lanes and L % (32 * 128) == 0, (L, plan.lanes)
+    K = plan.n_chunks
+    Ec = Ep // K
+    bmax = plan.bmax
+    lanes = jnp.arange(L)
+    word_of_lane = lanes // 32
+    bit_of_lane = (jnp.uint32(1) << (lanes % 32).astype(jnp.uint32))
+    deg = out_degrees(csr).astype(jnp.float32)       # [Vp]
+
+    trivial = active & (src == dst)
+    searching = active & (src != dst)
+    frontier = jnp.zeros((Vp + 1, W), dtype=jnp.uint32)
+    frontier = frontier.at[src, word_of_lane].add(
+        jnp.where(searching, bit_of_lane, jnp.uint32(0)))
+    seen = frontier
+    result = jnp.where(trivial, 0, -1).astype(jnp.int32)
+
+    heads, _, _ = _in_segments(csr)
+
+    chunk_cap = max(128, (2048 * 128) // W)
+    scan_chunk = 1
+    while scan_chunk * 2 <= min(Ec, chunk_cap) and Ec % (scan_chunk * 2) == 0:
+        scan_chunk *= 2
+
+    def pack_lane_mask(cond):
+        bits = cond.reshape(W, 32).astype(jnp.uint32)
+        return (bits << jnp.arange(32, dtype=jnp.uint32)[None, :]).sum(
+            axis=1, dtype=jnp.uint32)
+
+    def seg_or(a, b):
+        af, av = a
+        bf, bv = b
+        return af | bf, jnp.where(bf, bv, av | bv)
+
+    def expand(frontier):
+        def chunk_step(k, state):
+            compact, carry = state
+            off = k * Ec
+            idx = jax.lax.dynamic_slice(csr.in_src, (off,), (Ec,))
+            hds = jax.lax.dynamic_slice(heads, (off,), (Ec,))
+            g = jnp.take(frontier, idx, axis=0)          # [Ec, W]
+            if use_pallas:
+                from ..kernels.segscan_pallas import seg_or_scan_packed_carry
+                scanned, carry = seg_or_scan_packed_carry(
+                    g, hds, carry, chunk=scan_chunk)
+            else:
+                g0 = g[0] | jnp.where(hds[0], jnp.uint32(0), carry[0])
+                g = jax.lax.dynamic_update_slice(g, g0[None, :], (0, 0))
+                _, scanned = jax.lax.associative_scan(
+                    seg_or, (hds.astype(jnp.int32).reshape(-1, 1), g),
+                    axis=0)
+                carry = scanned[-1:]
+            rel = jax.lax.dynamic_index_in_dim(plan.rel, k, 0,
+                                               keepdims=False)   # [bmax]
+            vals = jnp.take(scanned, rel, axis=0)        # [bmax, W]
+            compact = jax.lax.dynamic_update_slice(compact, vals,
+                                                   (k * bmax, 0))
+            return compact, carry
+
+        compact0 = jnp.zeros((K * bmax + 1, W), jnp.uint32)
+        carry0 = jnp.zeros((1, W), jnp.uint32)
+        compact, _ = jax.lax.fori_loop(0, K, chunk_step, (compact0, carry0))
+        return jnp.take(compact, plan.slot, axis=0)      # [Vp, W]
+
+    def cond(state):
+        it, frontier, seen, result = state
+        return (it <= max_iters) & (frontier != 0).any()
+
+    def body(state):
+        it, frontier, seen, result = state
+        ext = expand(frontier)
+        nxt = jnp.concatenate(
+            [ext, jnp.zeros((1, W), jnp.uint32)], axis=0) & ~seen
+        seen = seen | nxt
+        found = ((nxt[dst, word_of_lane] & bit_of_lane) != 0) \
+            & (result < 0) & searching
+        result = jnp.where(found, it, result)
+        nxt = nxt & pack_lane_mask(result < 0)[None, :]
+        return it + 1, nxt, seen, result
+
+    _, _, seen, result = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), frontier, seen, result))
+
+    per_bit = []
+    seen_v = seen[:Vp]                                   # [Vp, W]
+    for b in range(32):
+        bits = ((seen_v >> jnp.uint32(b)) & jnp.uint32(1)).astype(jnp.float32)
+        per_bit.append(deg @ bits)                       # [W]
+    traversed = jnp.stack(per_bit, axis=1).reshape(L)    # [W,32]->[L]
     return result, traversed
 
 

@@ -46,13 +46,21 @@ def main():
           f"device={jax.devices()[0]}", file=sys.stderr)
 
     def time_gather(name, table, idx, nbytes):
+        n_rows = int(table.shape[0])
+
         @jax.jit
         def run(t):
             def body(i, acc):
-                g = jnp.take(t, idx, axis=0)
+                # rotate the indices by the loop counter and consume every
+                # gathered row: a loop-invariant gather gets hoisted out of
+                # the fori_loop and a single-row reduce lets the simplifier
+                # fold the gather to one row (both produced >HBM-peak
+                # readings in earlier probe revisions)
+                g = jnp.take(t, (idx + i) % n_rows, axis=0)
                 if jnp.issubdtype(t.dtype, jnp.floating):
-                    return acc + g[0]
-                return acc ^ g[0]
+                    return acc + g.sum(axis=0)
+                return acc ^ jax.lax.reduce(
+                    g, jnp.uint32(0), jax.lax.bitwise_xor, (0,))
             return jax.lax.fori_loop(
                 0, reps, body, jnp.zeros(t.shape[1:], t.dtype))
         out = run(table)
@@ -75,11 +83,38 @@ def main():
     nbytes = Ep * (W * 4 * 2 + 4)
     time_gather(f"sorted   W={W:3d}", table, in_src_sorted, nbytes)
     time_gather(f"tiny-tbl W={W:3d}", table[:4096], in_src % 4096, nbytes)
-    # wide elements: same bytes, quarter the element count
-    tf32 = jax.lax.bitcast_convert_type(
-        table.reshape(Vp + 1, W // 4, 4), jnp.float32)
-    # pack 4 uint32 into lanes of a second-minor dim so rows stay 512B
-    time_gather("f32x4    W=128", tf32, in_src, nbytes)
+    # window locality inside the FULL-SIZE table: indices confined to a 2MB
+    # row window in the middle — distinguishes "row caching helps" from
+    # "XLA placed the small operand in VMEM"
+    time_gather(f"window   W={W:3d}", table, in_src % 4096 + 196608, nbytes)
+
+    # very wide rows at reduced index count (the chunked-expansion design:
+    # only [C, W] stays live, so W can grow past the full-buffer HBM fit) —
+    # does bytes/s keep climbing as rows reach 2-8 KB?
+    for W in (512, 1024, 2048):
+        n_idx = Ep // (W // 128)
+        idx = in_src[:n_idx]
+        table = jnp.asarray(rng.integers(
+            0, 1 << 32, size=(Vp + 1, W), dtype=np.uint32))
+        nbytes = n_idx * (W * 4 * 2 + 4)
+
+        @jax.jit
+        def run(t):
+            def body(i, acc):
+                g = jnp.take(t, (idx + i) % (Vp + 1), axis=0)
+                return acc ^ jax.lax.reduce(
+                    g, jnp.uint32(0), jax.lax.bitwise_xor, (0,))
+            return jax.lax.fori_loop(
+                0, reps, body, jnp.zeros(t.shape[1:], t.dtype))
+        out = run(table)
+        np.asarray(out.reshape(-1)[:1])
+        t0 = time.time()
+        out = run(table)
+        np.asarray(out.reshape(-1)[:1])
+        dt = (time.time() - t0) / reps
+        print(f"wide     W={W:4d} ({n_idx / 1e6:.1f}M idx): {dt * 1e3:6.2f} ms"
+              f"  ({nbytes / dt / 1e9:5.0f} GB/s  {n_idx / dt / 1e6:5.0f}"
+              f" Midx/s)")
 
 
 if __name__ == "__main__":

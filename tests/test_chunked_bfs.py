@@ -1,0 +1,123 @@
+"""Chunked wide-wave packed MS-BFS (ops/msbfs_jax.py PackedWavePlan) vs the
+host oracle, and the carry-threaded Pallas segscan vs the XLA scan."""
+
+import numpy as np
+import pytest
+
+
+def _graph(seed, v, e):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, v, size=e).astype(np.int64)
+    dst = rng.integers(0, v, size=e).astype(np.int64)
+    return src, dst
+
+
+@pytest.mark.parametrize("seed,v,e,n_chunks", [
+    (3, 70, 260, 2), (4, 33, 700, 4), (5, 200, 1500, 8)])
+def test_chunked_matches_host_oracle(seed, v, e, n_chunks):
+    import jax.numpy as jnp
+
+    from duckpgq_tpu.ops import msbfs as host_msbfs
+    from duckpgq_tpu.ops.csr import build_csr
+    from duckpgq_tpu.ops.csr_jax import build_device_csr
+    from duckpgq_tpu.ops.msbfs_jax import (msbfs_lengths_packed_planned,
+                                           plan_packed_wave)
+
+    src, dst = _graph(seed, v, e)
+    dcsr = build_device_csr(v, src, dst)
+    assert dcsr.epad % n_chunks == 0
+    plan = plan_packed_wave(dcsr, lanes=4096, n_chunks=n_chunks)
+    assert plan.n_chunks == n_chunks
+    rng = np.random.default_rng(seed + 100)
+    L = 4096
+    qs = rng.integers(0, v, size=L).astype(np.int32)
+    qd = rng.integers(0, v, size=L).astype(np.int32)
+    got, traversed = msbfs_lengths_packed_planned(
+        dcsr, plan, jnp.asarray(qs), jnp.asarray(qd),
+        jnp.ones(L, bool), v)
+    csr = build_csr(v, src, dst, np.arange(e, dtype=np.int64))
+    want, valid = host_msbfs.iterative_length(
+        csr, qs.astype(np.int64), qd.astype(np.int64))
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.where(valid, want, -1))
+    assert float(np.asarray(traversed).sum()) > 0
+
+
+def test_chunked_matches_single_dispatch():
+    """Same wave, n_chunks 1 vs 4: identical lengths and traversed counts."""
+    import jax.numpy as jnp
+
+    from duckpgq_tpu.ops.csr_jax import build_device_csr
+    from duckpgq_tpu.ops.msbfs_jax import (msbfs_lengths_packed_planned,
+                                           plan_packed_wave)
+
+    src, dst = _graph(7, 120, 900)
+    dcsr = build_device_csr(120, src, dst)
+    rng = np.random.default_rng(8)
+    L = 4096
+    qs = jnp.asarray(rng.integers(0, 120, size=L).astype(np.int32))
+    qd = jnp.asarray(rng.integers(0, 120, size=L).astype(np.int32))
+    act = jnp.ones(L, bool)
+    p1 = plan_packed_wave(dcsr, lanes=L, n_chunks=1)
+    p4 = plan_packed_wave(dcsr, lanes=L, n_chunks=4)
+    r1, t1 = msbfs_lengths_packed_planned(dcsr, p1, qs, qd, act, 120)
+    r4, t4 = msbfs_lengths_packed_planned(dcsr, p4, qs, qd, act, 120)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r4))
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t4))
+
+
+def test_chunked_pallas_scan_path():
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from duckpgq_tpu.ops import msbfs as host_msbfs
+    from duckpgq_tpu.ops.csr import build_csr
+    from duckpgq_tpu.ops.csr_jax import build_device_csr
+    from duckpgq_tpu.ops.msbfs_jax import (msbfs_lengths_packed_planned,
+                                           plan_packed_wave)
+
+    src, dst = _graph(11, 64, 500)
+    dcsr = build_device_csr(64, src, dst)
+    plan = plan_packed_wave(dcsr, lanes=4096, n_chunks=2)
+    rng = np.random.default_rng(12)
+    L = 4096
+    qs = rng.integers(0, 64, size=L).astype(np.int32)
+    qd = rng.integers(0, 64, size=L).astype(np.int32)
+    with pltpu.force_tpu_interpret_mode():
+        got, _ = msbfs_lengths_packed_planned(
+            dcsr, plan, jnp.asarray(qs), jnp.asarray(qd),
+            jnp.ones(L, bool), 64, use_pallas=True)
+    csr = build_csr(64, src, dst, np.arange(500, dtype=np.int64))
+    want, valid = host_msbfs.iterative_length(
+        csr, qs.astype(np.int64), qd.astype(np.int64))
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.where(valid, want, -1))
+
+
+@pytest.mark.parametrize("seed,E,W,chunk,splits", [
+    (0, 1024, 128, 256, 2), (1, 2048, 128, 128, 4)])
+def test_seg_or_scan_carry_matches_unsplit(seed, E, W, chunk, splits):
+    """Scanning in `splits` pieces with the carry threaded through equals
+    one unsplit scan."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from duckpgq_tpu.kernels.segscan_pallas import (seg_or_scan_packed,
+                                                    seg_or_scan_packed_carry)
+
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 1 << 32, size=(E, W), dtype=np.uint32)
+    heads = rng.random(E) < 0.03
+    heads[0] = True
+    with pltpu.force_tpu_interpret_mode():
+        want = np.asarray(seg_or_scan_packed(
+            jnp.asarray(vals), jnp.asarray(heads), chunk=chunk))
+        got = np.zeros_like(vals)
+        carry = jnp.zeros((1, W), jnp.uint32)
+        Ec = E // splits
+        for k in range(splits):
+            piece, carry = seg_or_scan_packed_carry(
+                jnp.asarray(vals[k * Ec:(k + 1) * Ec]),
+                jnp.asarray(heads[k * Ec:(k + 1) * Ec]), carry, chunk=chunk)
+            got[k * Ec:(k + 1) * Ec] = np.asarray(piece)
+    np.testing.assert_array_equal(got, want)
