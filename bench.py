@@ -18,10 +18,8 @@ import numpy as np
 
 
 def main():
-    # scale 18 (262k V, 4.2M E) is the largest graph whose 8192-lane packed
-    # working set fits a 16 GB chip; smaller scales run wider waves and
-    # higher GTEPS (BASELINE.md sweep) but the headline stays on the
-    # largest-graph config
+    # scale 18 (262k V, 4.2M E): the headline config (BASELINE.md sweep
+    # covers 16-21; the chunked planner keeps >25 GTEPS through RMAT-20)
     scale = int(os.environ.get("BENCH_SCALE", "18"))
     edge_factor = int(os.environ.get("BENCH_EDGE_FACTOR", "16"))
     # "auto": plan_packed_wave picks the widest HBM-feasible wave. The

@@ -23,7 +23,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .csr_jax import DeviceCSR, out_degrees
+from .csr_jax import DeviceCSR, out_degrees, round_up
 from .segscan import (has_segment, last_positions, segment_heads,
                       segment_min_sorted, segment_or_sorted,
                       segment_or_sorted_rows, segment_reduce_sorted,
@@ -371,20 +371,46 @@ def plan_packed_wave(csr: DeviceCSR, lanes: Optional[int] = None,
 
     Vp, Ep = csr.vpad, csr.epad
     if cap is None:
-        cap = int(os.environ.get("DUCKPGQ_MAX_LANES", "32768"))
+        cap = int(os.environ.get("DUCKPGQ_MAX_LANES", "65536"))
     if hbm_budget is None:
-        hbm_budget = 12 << 30
+        # v5e 16 GB: the largest verified-fit waves put the usable limit
+        # near 15 GB (BASELINE.md sweep: scale-20 W=640 K=256 runs)
+        hbm_budget = 14 << 30
         try:
             stats = jax.devices()[0].memory_stats()
             if stats and stats.get("bytes_limit"):
                 hbm_budget = int(stats["bytes_limit"] * 3) // 4
         except Exception:
             pass
+
+    def pick_chunks(W):
+        """Smallest feasible n_chunks for width W, or None. Live set
+        (calibrated against the verified-fit sweep in BASELINE.md —
+        scale-18 W=2304, scale-19 W=1024, scale-20 W=640, scale-21 W=256
+        all run on a 16 GB chip): ~3.5 resident [Vp, W] uint32 buffers
+        (frontier/seen in-place + nxt + compact) plus 4 [Ec, W] chunk
+        buffers (gather out, scan out, pipeline copies)."""
+        rem = hbm_budget - 14 * (Vp + 1) * W
+        ec_cap = rem // (4 * 4 * W)
+        if ec_cap < 2048:
+            return None
+        k = 1
+        while (Ep // k > ec_cap and k < 256
+               and Ep % (k * 2) == 0
+               and (Ep // (k * 2)) % 128 == 0):
+            k *= 2
+        return k if Ep // k <= ec_cap else None
+
     if lanes is None:
-        # resident vertex state: frontier/seen/ext/compact + loop
-        # double-buffering — budget ~7 [Vp, W] uint32 buffers at 55%
-        w = (int(0.55 * hbm_budget) // (7 * 4 * (Vp + 1))) // 128 * 128
-        w = max(min(w, cap // 32), 0)
+        # width target ~4 [Vp, W] buffers of budget, nearest 128 words;
+        # beyond W=2048 the gather's bytes/idx gain has flattened
+        # (scripts/gather_probe.py), so the 65536-lane cap is also the
+        # measured point of diminishing returns
+        w0 = (hbm_budget // (16 * (Vp + 1)) + 64) // 128 * 128
+        w0 = max(min(w0, cap // 32), 0)
+        w = w0
+        while w >= 128 and pick_chunks(w) is None:
+            w -= 128
         if w < 128:
             # graph too large for a wide wave: single-chunk narrow path
             return PackedWavePlan(
@@ -395,14 +421,7 @@ def plan_packed_wave(csr: DeviceCSR, lanes: Optional[int] = None,
         lanes = w * 32
     W = lanes // 32
     if n_chunks is None:
-        rem = hbm_budget - 7 * 4 * (Vp + 1) * W
-        # 4 live [Ec, W] uint32 buffers: gather out, scan out, pipeline slack
-        ec_cap = max(1, rem // (4 * 4 * W))
-        n_chunks = 1
-        while (Ep // n_chunks > ec_cap and n_chunks < 256
-               and Ep % (n_chunks * 2) == 0
-               and (Ep // (n_chunks * 2)) % 128 == 0):
-            n_chunks *= 2
+        n_chunks = pick_chunks(W) or 256
     if n_chunks == 1:
         return PackedWavePlan(rel=jnp.zeros((1, 1), jnp.int32),
                               slot=jnp.zeros((1,), jnp.int32),
@@ -583,12 +602,35 @@ def max_packed_lanes(csr: DeviceCSR, hbm_budget: Optional[int] = None,
     return lanes
 
 
+def _cached_wave_plan(csr: DeviceCSR, lanes: Optional[int] = None
+                      ) -> PackedWavePlan:
+    """Per-CSR memo of chunked wave plans (the slot tables cost one host
+    pass over in_offsets; queries arrive in many batches per CSR)."""
+    cache = csr.__dict__.setdefault("_wave_plans", {})
+    if lanes not in cache:
+        cache[lanes] = plan_packed_wave(csr, lanes=lanes)
+    return cache[lanes]
+
+
 def msbfs_lengths_batched(csr: DeviceCSR, src, dst, lanes: int = 64):
     """Batch arbitrary query counts into fixed-width lane groups (keeps one
     compiled kernel per (graph bucket, lanes)). Uses the bit-packed kernel
     when lanes is a multiple of 32; the wave is auto-narrowed when the
-    packed working set would not fit HBM (see max_packed_lanes)."""
+    packed working set would not fit HBM (see max_packed_lanes). Large
+    query batches ride the chunked wide-wave plan (plan_packed_wave): the
+    per-lane cost of the latency-bound frontier gather keeps falling as
+    the wave widens."""
     import numpy as np
+    # wide waves only pay off where the frontier gather is latency-bound
+    # (HBM); on the CPU test backend they just inflate the working set
+    accel = jax.devices()[0].platform != "cpu"
+    if lanes % 32 == 0 and len(src) >= 4096 and accel:
+        auto = _cached_wave_plan(csr)
+        if auto.lanes >= 4096:
+            want = min(auto.lanes, round_up(len(src), 4096))
+            plan = auto if want == auto.lanes \
+                else _cached_wave_plan(csr, lanes=want)
+            return _msbfs_batched_planned(csr, plan, src, dst)
     if lanes % 32 == 0:
         lanes = min(lanes, max_packed_lanes(csr))
     n = len(src)
@@ -607,6 +649,32 @@ def msbfs_lengths_batched(csr: DeviceCSR, src, dst, lanes: int = 64):
         res, trav = kernel(csr, jnp.asarray(chunk_s),
                            jnp.asarray(chunk_d),
                            jnp.asarray(chunk_a), max_iters)
+        out[start:start + m] = np.asarray(res)[:m]
+        total_traversed += int(np.asarray(trav)[:m].sum())
+    return out, total_traversed
+
+
+def _msbfs_batched_planned(csr: DeviceCSR, plan: PackedWavePlan, src, dst):
+    import os
+
+    import numpy as np
+    use_pallas = os.environ.get("DUCKPGQ_SCAN_IMPL", "xla") == "pallas"
+    n = len(src)
+    L = plan.lanes
+    out = np.full(n, -1, dtype=np.int64)
+    total_traversed = 0
+    max_iters = max(csr.vcount, 1)
+    for start in range(0, n, L):
+        m = min(L, n - start)
+        chunk_s = np.zeros(L, dtype=np.int32)
+        chunk_d = np.zeros(L, dtype=np.int32)
+        chunk_a = np.zeros(L, dtype=bool)
+        chunk_s[:m] = src[start:start + m]
+        chunk_d[:m] = dst[start:start + m]
+        chunk_a[:m] = True
+        res, trav = msbfs_lengths_packed_planned(
+            csr, plan, jnp.asarray(chunk_s), jnp.asarray(chunk_d),
+            jnp.asarray(chunk_a), max_iters, use_pallas)
         out[start:start + m] = np.asarray(res)[:m]
         total_traversed += int(np.asarray(trav)[:m].sum())
     return out, total_traversed

@@ -94,6 +94,25 @@ def test_chunked_pallas_scan_path():
                                   np.where(valid, want, -1))
 
 
+def test_batched_planned_matches_narrow_waves():
+    """The wide planned batching path (used on accelerators for >=4096-query
+    batches) returns the same lengths/traversed as narrow fixed waves."""
+    from duckpgq_tpu.ops import msbfs_jax as dev
+    from duckpgq_tpu.ops.csr_jax import build_device_csr
+
+    src, dst = _graph(21, 150, 1100)
+    dcsr = build_device_csr(150, src, dst)
+    rng = np.random.default_rng(22)
+    n = 5000
+    qs = rng.integers(0, 150, size=n).astype(np.int64)
+    qd = rng.integers(0, 150, size=n).astype(np.int64)
+    plan = dev.plan_packed_wave(dcsr, lanes=4096, n_chunks=2)
+    got, trav_p = dev._msbfs_batched_planned(dcsr, plan, qs, qd)
+    want, trav_n = dev.msbfs_lengths_batched(dcsr, qs, qd, lanes=512)
+    np.testing.assert_array_equal(got, want)
+    assert trav_p == trav_n
+
+
 @pytest.mark.parametrize("seed,E,W,chunk,splits", [
     (0, 1024, 128, 256, 2), (1, 2048, 128, 128, 4)])
 def test_seg_or_scan_carry_matches_unsplit(seed, E, W, chunk, splits):
