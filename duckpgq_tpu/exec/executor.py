@@ -1,8 +1,9 @@
 """Statement executor: SELECT pipeline, DML/DDL, set ops, CTEs, joins.
 
 Pipeline per SELECT node: FROM -> WHERE -> aggregate -> HAVING -> project ->
-DISTINCT -> ORDER/LIMIT, all whole-column vectorized (numpy host mirror of the
-TPU relational ops in duckpgq_tpu.ops.rel; identical algorithms and ordering).
+DISTINCT -> ORDER/LIMIT, all whole-column vectorized. Joins dispatch across
+three backends with identical ordering (exec/join.py): numpy, native C++
+lookup-table probe, and the TPU kernels in duckpgq_tpu.ops.rel.
 """
 
 from __future__ import annotations

@@ -1,9 +1,11 @@
 """Vectorized join machinery.
 
-Equi-joins run as factorize + sort + searchsorted (the numpy mirror of the
-radix-hash join the TPU path implements in duckpgq_tpu.ops.rel — same
-algorithm, same output order: probe-side order preserved, build matches in
-build-row order, which keeps results deterministic).
+Equi-joins run as factorize + sort + searchsorted. Three backends, all
+producing the same output order (probe-side order preserved, build matches
+in build-row order — deterministic results): the numpy path below, a native
+C++ lookup-table probe for dense keys (native/graphrt.cpp), and the TPU
+path in duckpgq_tpu.ops.rel (device sort + searchsorted + gather expansion)
+used on accelerator backends for large inputs or when DUCKPGQ_DEVICE_REL=1.
 NULL keys never match (SQL semantics).
 """
 
@@ -81,6 +83,25 @@ def factorize_keys(left_cols: List[Vector], right_cols: List[Vector]
     return lcode, rcode, lvalid, rvalid
 
 
+def _use_device_rel(n_rows: int) -> bool:
+    """Route this join to the device backend? Forced by DUCKPGQ_DEVICE_REL
+    (1/0); by default only on non-CPU backends for joins big enough to
+    amortize host<->device transfers."""
+    import os
+    flag = os.environ.get("DUCKPGQ_DEVICE_REL")
+    if flag == "1":
+        return True
+    if flag == "0":
+        return False
+    if n_rows < (1 << 22):
+        return False
+    try:
+        import jax
+        return jax.devices()[0].platform != "cpu"
+    except Exception:
+        return False
+
+
 def equi_join_pairs(lcode: np.ndarray, rcode: np.ndarray,
                     lvalid: Optional[np.ndarray] = None,
                     rvalid: Optional[np.ndarray] = None
@@ -88,6 +109,13 @@ def equi_join_pairs(lcode: np.ndarray, rcode: np.ndarray,
     """All matching (left_idx, right_idx) pairs, ordered by left index then
     right index (probe order preserved; build matches in build-row order).
     NULL keys (valid masks False) never match."""
+    # device path: accelerator backends for large joins (opt-in/out via
+    # DUCKPGQ_DEVICE_REL); same ordering contract as below
+    if _use_device_rel(len(lcode) + len(rcode)):
+        from ..ops.rel import device_equi_join
+        out = device_equi_join(lcode, rcode, lvalid, rvalid)
+        if out is not None:
+            return out
     # dense-key native path: one C++ lookup-table probe instead of
     # sort + searchsorted + repeat expansion (native/graphrt.cpp gr_lut_*)
     if len(rcode) and len(lcode) >= 4096:

@@ -1,8 +1,9 @@
 """Aggregate function implementations over group ids.
 
 Each aggregate maps (argument vectors, group ids, group count) -> one Vector of
-length n_groups. Grouped reductions are segment ops (np.*.at on host; the TPU
-relational path uses jax.ops.segment_sum equivalents in duckpgq_tpu.ops.rel).
+length n_groups. Grouped reductions are segment ops: np.*.at on host (exact,
+the SQL default), with a device group-by (sorted segmented scan, no scatter)
+in duckpgq_tpu.ops.rel.device_group_sums for large device-resident pipelines.
 """
 
 from __future__ import annotations
