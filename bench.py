@@ -68,6 +68,7 @@ def main():
 
     max_iters = int(os.environ.get("BENCH_MAX_ITERS", "16"))
     if kernel == "pallas":
+        lanes = 8192 if lanes_env == "auto" else int(lanes_env)
         _bench_pallas(v, src, dst, lanes, batches, max_iters, rng)
         return
     t0 = time.time()
@@ -82,25 +83,26 @@ def main():
                                            plan_packed_wave)
     chunks_env = os.environ.get("BENCH_CHUNKS")
     plan = None
-    if lanes_env == "auto":
+    if kernel == "packed" and lanes_env == "auto":
         plan = plan_packed_wave(
             csr, n_chunks=int(chunks_env) if chunks_env else None)
         lanes = plan.lanes
-    else:
+    elif kernel == "packed" and int(lanes_env) % 4096 == 0:
         lanes = int(lanes_env)
-        if lanes % 4096 == 0:
-            plan = plan_packed_wave(
-                csr, lanes=lanes,
-                n_chunks=int(chunks_env) if chunks_env else None)
-        else:
-            # narrow non-em wave: auto-fit to the single-dispatch limit
-            fit = max_packed_lanes(csr)
-            if lanes > fit:
-                total = lanes * batches
-                lanes = fit
-                batches = max(1, total // lanes)
-                print(f"# lanes narrowed to {lanes} x {batches} batches "
-                      f"(HBM fit)", file=sys.stderr)
+        plan = plan_packed_wave(
+            csr, lanes=lanes,
+            n_chunks=int(chunks_env) if chunks_env else None)
+        lanes = plan.lanes  # narrow fallback when the wide wave can't fit
+    else:
+        # narrow / non-packed wave: fit to the single-dispatch limit
+        lanes = 8192 if lanes_env == "auto" else int(lanes_env)
+        fit = max_packed_lanes(csr)
+        if lanes > fit:
+            total = lanes * batches
+            lanes = fit
+            batches = max(1, total // lanes)
+            print(f"# lanes narrowed to {lanes} x {batches} batches "
+                  f"(HBM fit)", file=sys.stderr)
     if plan is not None:
         print(f"# wave plan: {plan.lanes} lanes (W={plan.lanes // 32}), "
               f"{plan.n_chunks} chunks (bmax={plan.bmax})", file=sys.stderr)

@@ -222,16 +222,19 @@ class PallasBFS:
 
     def __init__(self, packed: PackedCSR, lanes: int = 128):
         assert lanes % 32 == 0
-        if packed.n_tiles * packed.T > (1 << 17):
-            # Mosaic's dynamic_gather cannot source across vregs at these
-            # frontier widths ("Multiple source vregs along gather
-            # dimension"); the packed XLA-gather + Pallas-segscan kernel
-            # (ops/msbfs_jax.msbfs_lengths_packed) is also faster at every
-            # scale measured — use it instead
+        import jax
+        if packed.T > 128 and jax.devices()[0].platform != "cpu":
+            # Mosaic's dynamic_gather sources a single vreg along the
+            # gather dimension ("Multiple source vregs along gather
+            # dimension"), so the in-kernel frontier gather only lowers for
+            # tiles <= 128 lanes — i.e. toy graphs. This kernel remains as
+            # the in-kernel-gather experiment; the production path is the
+            # chunked packed kernel (ops/msbfs_jax.msbfs_lengths_packed*),
+            # which is faster at every scale measured anyway.
             raise NotImplementedError(
-                "PallasBFS supports frontiers up to 128Ki vertices; use "
-                "msbfs_lengths_packed (the default bench kernel) for "
-                "larger graphs")
+                "PallasBFS's in-kernel gather lowers only for tile widths "
+                "<= 128 (Mosaic single-vreg gather); use "
+                "msbfs_lengths_packed (the default bench kernel) instead")
         self.packed = packed
         self.lanes = lanes
         self.W = lanes // 32

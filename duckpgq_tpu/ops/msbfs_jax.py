@@ -47,6 +47,47 @@ def _out_segments(csr: DeviceCSR):
             has_segment(csr.offsets))
 
 
+def _pack_words(cond: jnp.ndarray, W: int) -> jnp.ndarray:
+    """bool [32*W] -> uint32 [W]: bit l%32 of word l//32 = cond[l] (shared
+    by every packed kernel's finished-lane masking)."""
+    bits = cond.reshape(W, 32).astype(jnp.uint32)
+    return (bits << jnp.arange(32, dtype=jnp.uint32)[None, :]).sum(
+        axis=1, dtype=jnp.uint32)
+
+
+def _seg_or_pair(a, b):
+    """Associative segmented-OR combiner over (head-flag, value) pairs."""
+    af, av = a
+    bf, bv = b
+    return af | bf, jnp.where(bf, bv, av | bv)
+
+
+def _wave_state(src, dst, active):
+    """Per-wave lane bookkeeping shared by the packed kernels: word/bit of
+    each lane, trivial (src==dst) results, and the searching mask."""
+    L = src.shape[0]
+    lanes = jnp.arange(L)
+    word_of_lane = lanes // 32
+    bit_of_lane = (jnp.uint32(1) << (lanes % 32).astype(jnp.uint32))
+    trivial = active & (src == dst)
+    searching = active & (src != dst)
+    result = jnp.where(trivial, 0, -1).astype(jnp.int32)
+    return word_of_lane, bit_of_lane, searching, result
+
+
+def _packed_traversed(seen_v: jnp.ndarray, deg: jnp.ndarray, L: int,
+                      edge_major: bool) -> jnp.ndarray:
+    """graph500 TEPS accounting: per lane, every out-edge of every visited
+    vertex counts once. Unpacks the seen bitplanes (32 matvecs). seen_v is
+    [Vp, W] when edge_major else [W, Vp]."""
+    per_bit = []
+    for b in range(32):
+        bits = ((seen_v >> jnp.uint32(b)) & jnp.uint32(1)).astype(
+            jnp.float32)
+        per_bit.append(deg @ bits if edge_major else bits @ deg)   # [W]
+    return jnp.stack(per_bit, axis=1).reshape(L)
+
+
 # ---------------------------------------------------------------------------
 # multi-source BFS lengths
 # ---------------------------------------------------------------------------
@@ -175,27 +216,17 @@ def _msbfs_lengths_packed_impl(csr: DeviceCSR, src: jnp.ndarray,
     L = src.shape[0]
     assert L % 32 == 0, "packed kernel needs lanes % 32 == 0"
     W = L // 32
-    lanes = jnp.arange(L)
-    word_of_lane = lanes // 32
-    bit_of_lane = (jnp.uint32(1) << (lanes % 32).astype(jnp.uint32))
+    word_of_lane, bit_of_lane, searching, result = _wave_state(
+        src, dst, active)
     deg = out_degrees(csr).astype(jnp.float32)       # [Vp]
 
-    trivial = active & (src == dst)
-    searching = active & (src != dst)
     frontier = jnp.zeros((W, Vp + 1), dtype=jnp.uint32)
     frontier = frontier.at[word_of_lane, src].add(
         jnp.where(searching, bit_of_lane, jnp.uint32(0)))
     seen = frontier
-    result = jnp.where(trivial, 0, -1).astype(jnp.int32)
 
     # static per-CSR segment structure of the dst-sorted in-edge view
     heads, last_pos, has_in = _in_segments(csr)
-
-    def pack_lane_mask(cond):
-        """bool [L] -> uint32 [W] with bit l%32 of word l//32 = cond[l]."""
-        bits = cond.reshape(W, 32).astype(jnp.uint32)
-        return (bits << jnp.arange(32, dtype=jnp.uint32)[None, :]).sum(
-            axis=1, dtype=jnp.uint32)
 
     def cond(state):
         it, frontier, seen, result = state
@@ -225,20 +256,13 @@ def _msbfs_lengths_packed_impl(csr: DeviceCSR, src: jnp.ndarray,
         found = ((nxt[word_of_lane, dst] & bit_of_lane) != 0) \
             & (result < 0) & searching
         result = jnp.where(found, it, result)
-        nxt = nxt & pack_lane_mask(result < 0)[:, None]
+        nxt = nxt & _pack_words(result < 0, W)[:, None]
         return it + 1, nxt, seen, result
 
     _, _, seen, result = jax.lax.while_loop(
         cond, body, (jnp.int32(1), frontier, seen, result))
 
-    # graph500 TEPS accounting: every out-edge of every visited vertex
-    # counts once per lane; unpack seen bit-plane by bit-plane (32 matvecs)
-    per_bit = []
-    seen_v = seen[:, :Vp]                                     # [W, Vp]
-    for b in range(32):
-        bits = ((seen_v >> jnp.uint32(b)) & jnp.uint32(1)).astype(jnp.float32)
-        per_bit.append(bits @ deg)                            # [W]
-    traversed = jnp.stack(per_bit, axis=1).reshape(L)         # [W,32]->[L]
+    traversed = _packed_traversed(seen[:, :Vp], deg, L, edge_major=False)
     return result, traversed
 
 
@@ -253,25 +277,16 @@ def _msbfs_lengths_packed_em(csr: DeviceCSR, src: jnp.ndarray,
     Vp = csr.vpad
     L = src.shape[0]
     W = L // 32
-    lanes = jnp.arange(L)
-    word_of_lane = lanes // 32
-    bit_of_lane = (jnp.uint32(1) << (lanes % 32).astype(jnp.uint32))
+    word_of_lane, bit_of_lane, searching, result = _wave_state(
+        src, dst, active)
     deg = out_degrees(csr).astype(jnp.float32)       # [Vp]
 
-    trivial = active & (src == dst)
-    searching = active & (src != dst)
     frontier = jnp.zeros((Vp + 1, W), dtype=jnp.uint32)
     frontier = frontier.at[src, word_of_lane].add(
         jnp.where(searching, bit_of_lane, jnp.uint32(0)))
     seen = frontier
-    result = jnp.where(trivial, 0, -1).astype(jnp.int32)
 
     heads, last_pos, has_in = _in_segments(csr)
-
-    def pack_lane_mask(cond):
-        bits = cond.reshape(W, 32).astype(jnp.uint32)
-        return (bits << jnp.arange(32, dtype=jnp.uint32)[None, :]).sum(
-            axis=1, dtype=jnp.uint32)
 
     def cond(state):
         it, frontier, seen, result = state
@@ -286,11 +301,6 @@ def _msbfs_lengths_packed_em(csr: DeviceCSR, src: jnp.ndarray,
     while scan_chunk * 2 <= min(Ep, chunk_cap) and Ep % (scan_chunk * 2) == 0:
         scan_chunk *= 2
 
-    def seg_or(a, b):
-        af, av = a
-        bf, bv = b
-        return af | bf, jnp.where(bf, bv, av | bv)
-
     def body(state):
         it, frontier, seen, result = state
         gathered = jnp.take(frontier, csr.in_src, axis=0)    # [Ep, W]
@@ -299,7 +309,7 @@ def _msbfs_lengths_packed_em(csr: DeviceCSR, src: jnp.ndarray,
             scanned = seg_or_scan_packed(gathered, heads, chunk=scan_chunk)
         else:
             _, scanned = jax.lax.associative_scan(
-                seg_or, (heads.reshape(-1, 1), gathered), axis=0)
+                _seg_or_pair, (heads.reshape(-1, 1), gathered), axis=0)
         ext = jnp.where(has_in[:, None], scanned[last_pos],
                         jnp.uint32(0))                       # [Vp, W]
         nxt = jnp.concatenate(
@@ -308,18 +318,13 @@ def _msbfs_lengths_packed_em(csr: DeviceCSR, src: jnp.ndarray,
         found = ((nxt[dst, word_of_lane] & bit_of_lane) != 0) \
             & (result < 0) & searching
         result = jnp.where(found, it, result)
-        nxt = nxt & pack_lane_mask(result < 0)[None, :]
+        nxt = nxt & _pack_words(result < 0, W)[None, :]
         return it + 1, nxt, seen, result
 
     _, _, seen, result = jax.lax.while_loop(
         cond, body, (jnp.int32(1), frontier, seen, result))
 
-    per_bit = []
-    seen_v = seen[:Vp]                                       # [Vp, W]
-    for b in range(32):
-        bits = ((seen_v >> jnp.uint32(b)) & jnp.uint32(1)).astype(jnp.float32)
-        per_bit.append(deg @ bits)                           # [W]
-    traversed = jnp.stack(per_bit, axis=1).reshape(L)        # [W,32]->[L]
+    traversed = _packed_traversed(seen[:Vp], deg, L, edge_major=True)
     return result, traversed
 
 
@@ -401,6 +406,14 @@ def plan_packed_wave(csr: DeviceCSR, lanes: Optional[int] = None,
             k *= 2
         return k if Ep // k <= ec_cap else None
 
+    def narrow_fallback():
+        """Graph too large for this wave width: single-dispatch narrow
+        plan sized by the old two-[Ep, W]-buffer limit."""
+        return PackedWavePlan(rel=jnp.zeros((1, 1), jnp.int32),
+                              slot=jnp.zeros((1,), jnp.int32),
+                              lanes=max_packed_lanes(csr, hbm_budget, cap),
+                              n_chunks=1, bmax=1)
+
     if lanes is None:
         # width target ~4 [Vp, W] buffers of budget, nearest 128 words;
         # beyond W=2048 the gather's bytes/idx gain has flattened
@@ -412,16 +425,19 @@ def plan_packed_wave(csr: DeviceCSR, lanes: Optional[int] = None,
         while w >= 128 and pick_chunks(w) is None:
             w -= 128
         if w < 128:
-            # graph too large for a wide wave: single-chunk narrow path
-            return PackedWavePlan(
-                rel=jnp.zeros((1, 1), jnp.int32),
-                slot=jnp.zeros((1,), jnp.int32),
-                lanes=max_packed_lanes(csr, hbm_budget, cap),
-                n_chunks=1, bmax=1)
+            return narrow_fallback()
         lanes = w * 32
     W = lanes // 32
     if n_chunks is None:
-        n_chunks = pick_chunks(W) or 256
+        n_chunks = pick_chunks(W)
+        if n_chunks is None:
+            # requested width is HBM-infeasible even at max chunking
+            return narrow_fallback()
+    if Ep % n_chunks != 0:
+        raise ValueError(
+            f"n_chunks={n_chunks} must divide the padded edge count "
+            f"{Ep} (the chunked expansion and its extraction tables "
+            f"cover edges exactly)")
     if n_chunks == 1:
         return PackedWavePlan(rel=jnp.zeros((1, 1), jnp.int32),
                               slot=jnp.zeros((1,), jnp.int32),
@@ -484,18 +500,14 @@ def _msbfs_lengths_packed_chunked(csr: DeviceCSR, plan: PackedWavePlan,
     K = plan.n_chunks
     Ec = Ep // K
     bmax = plan.bmax
-    lanes = jnp.arange(L)
-    word_of_lane = lanes // 32
-    bit_of_lane = (jnp.uint32(1) << (lanes % 32).astype(jnp.uint32))
+    word_of_lane, bit_of_lane, searching, result = _wave_state(
+        src, dst, active)
     deg = out_degrees(csr).astype(jnp.float32)       # [Vp]
 
-    trivial = active & (src == dst)
-    searching = active & (src != dst)
     frontier = jnp.zeros((Vp + 1, W), dtype=jnp.uint32)
     frontier = frontier.at[src, word_of_lane].add(
         jnp.where(searching, bit_of_lane, jnp.uint32(0)))
     seen = frontier
-    result = jnp.where(trivial, 0, -1).astype(jnp.int32)
 
     heads, _, _ = _in_segments(csr)
 
@@ -503,16 +515,6 @@ def _msbfs_lengths_packed_chunked(csr: DeviceCSR, plan: PackedWavePlan,
     scan_chunk = 1
     while scan_chunk * 2 <= min(Ec, chunk_cap) and Ec % (scan_chunk * 2) == 0:
         scan_chunk *= 2
-
-    def pack_lane_mask(cond):
-        bits = cond.reshape(W, 32).astype(jnp.uint32)
-        return (bits << jnp.arange(32, dtype=jnp.uint32)[None, :]).sum(
-            axis=1, dtype=jnp.uint32)
-
-    def seg_or(a, b):
-        af, av = a
-        bf, bv = b
-        return af | bf, jnp.where(bf, bv, av | bv)
 
     def expand(frontier):
         def chunk_step(k, state):
@@ -529,7 +531,7 @@ def _msbfs_lengths_packed_chunked(csr: DeviceCSR, plan: PackedWavePlan,
                 g0 = g[0] | jnp.where(hds[0], jnp.uint32(0), carry[0])
                 g = jax.lax.dynamic_update_slice(g, g0[None, :], (0, 0))
                 _, scanned = jax.lax.associative_scan(
-                    seg_or, (hds.astype(jnp.int32).reshape(-1, 1), g),
+                    _seg_or_pair, (hds.astype(jnp.int32).reshape(-1, 1), g),
                     axis=0)
                 carry = scanned[-1:]
             rel = jax.lax.dynamic_index_in_dim(plan.rel, k, 0,
@@ -557,18 +559,13 @@ def _msbfs_lengths_packed_chunked(csr: DeviceCSR, plan: PackedWavePlan,
         found = ((nxt[dst, word_of_lane] & bit_of_lane) != 0) \
             & (result < 0) & searching
         result = jnp.where(found, it, result)
-        nxt = nxt & pack_lane_mask(result < 0)[None, :]
+        nxt = nxt & _pack_words(result < 0, W)[None, :]
         return it + 1, nxt, seen, result
 
     _, _, seen, result = jax.lax.while_loop(
         cond, body, (jnp.int32(1), frontier, seen, result))
 
-    per_bit = []
-    seen_v = seen[:Vp]                                   # [Vp, W]
-    for b in range(32):
-        bits = ((seen_v >> jnp.uint32(b)) & jnp.uint32(1)).astype(jnp.float32)
-        per_bit.append(deg @ bits)                       # [W]
-    traversed = jnp.stack(per_bit, axis=1).reshape(L)    # [W,32]->[L]
+    traversed = _packed_traversed(seen[:Vp], deg, L, edge_major=True)
     return result, traversed
 
 
@@ -633,37 +630,19 @@ def msbfs_lengths_batched(csr: DeviceCSR, src, dst, lanes: int = 64):
             return _msbfs_batched_planned(csr, plan, src, dst)
     if lanes % 32 == 0:
         lanes = min(lanes, max_packed_lanes(csr))
-    n = len(src)
-    out = np.full(n, -1, dtype=np.int64)
-    total_traversed = 0
     max_iters = max(csr.vcount, 1)
     kernel = msbfs_lengths_packed if lanes % 32 == 0 else msbfs_lengths
-    for start in range(0, n, lanes):
-        chunk_s = np.full(lanes, 0, dtype=np.int32)
-        chunk_d = np.full(lanes, 0, dtype=np.int32)
-        chunk_a = np.zeros(lanes, dtype=bool)
-        m = min(lanes, n - start)
-        chunk_s[:m] = src[start:start + m]
-        chunk_d[:m] = dst[start:start + m]
-        chunk_a[:m] = True
-        res, trav = kernel(csr, jnp.asarray(chunk_s),
-                           jnp.asarray(chunk_d),
-                           jnp.asarray(chunk_a), max_iters)
-        out[start:start + m] = np.asarray(res)[:m]
-        total_traversed += int(np.asarray(trav)[:m].sum())
-    return out, total_traversed
+    return _batched_waves(
+        lambda s, d, a: kernel(csr, s, d, a, max_iters), lanes, src, dst)
 
 
-def _msbfs_batched_planned(csr: DeviceCSR, plan: PackedWavePlan, src, dst):
-    import os
-
+def _batched_waves(run_wave, L: int, src, dst):
+    """Pad a query stream into L-wide waves and collect results (shared by
+    the narrow and planned batched paths)."""
     import numpy as np
-    use_pallas = os.environ.get("DUCKPGQ_SCAN_IMPL", "xla") == "pallas"
     n = len(src)
-    L = plan.lanes
     out = np.full(n, -1, dtype=np.int64)
     total_traversed = 0
-    max_iters = max(csr.vcount, 1)
     for start in range(0, n, L):
         m = min(L, n - start)
         chunk_s = np.zeros(L, dtype=np.int32)
@@ -672,12 +651,21 @@ def _msbfs_batched_planned(csr: DeviceCSR, plan: PackedWavePlan, src, dst):
         chunk_s[:m] = src[start:start + m]
         chunk_d[:m] = dst[start:start + m]
         chunk_a[:m] = True
-        res, trav = msbfs_lengths_packed_planned(
-            csr, plan, jnp.asarray(chunk_s), jnp.asarray(chunk_d),
-            jnp.asarray(chunk_a), max_iters, use_pallas)
+        res, trav = run_wave(jnp.asarray(chunk_s), jnp.asarray(chunk_d),
+                             jnp.asarray(chunk_a))
         out[start:start + m] = np.asarray(res)[:m]
         total_traversed += int(np.asarray(trav)[:m].sum())
     return out, total_traversed
+
+
+def _msbfs_batched_planned(csr: DeviceCSR, plan: PackedWavePlan, src, dst):
+    import os
+    use_pallas = os.environ.get("DUCKPGQ_SCAN_IMPL", "xla") == "pallas"
+    max_iters = max(csr.vcount, 1)
+    return _batched_waves(
+        lambda s, d, a: msbfs_lengths_packed_planned(
+            csr, plan, s, d, a, max_iters, use_pallas),
+        plan.lanes, src, dst)
 
 
 # ---------------------------------------------------------------------------

@@ -49,9 +49,11 @@ def _join_count(lcode: jnp.ndarray, rcode: jnp.ndarray):
     lo = jnp.searchsorted(rs, lcode, side="left")
     hi = jnp.searchsorted(rs, lcode, side="right")
     cnt = (hi - lo).astype(jnp.int32)
+    # offsets/total stay int32: the host wrapper recomputes the exact total
+    # from cnt in int64 and rejects >= 2^31 outputs before any expansion,
+    # so no prefix here can wrap when the result is actually used
     offs = jnp.cumsum(cnt) - cnt                      # exclusive
-    total = offs[-1] + cnt[-1] if cnt.shape[0] else jnp.int32(0)
-    return order, lo.astype(jnp.int32), offs, total
+    return order, lo.astype(jnp.int32), offs, cnt
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
@@ -81,16 +83,22 @@ def device_equi_join(lcode: np.ndarray, rcode: np.ndarray,
     rmin = int(rcode.min()) if len(rcode) else 0
     if min(lmin, rmin) < 0 or max(lmax, rmax) >= np.iinfo(np.int32).max:
         return None
-    lc = lcode.astype(np.int32)
-    rc = rcode.astype(np.int32)
+    # pad both sides to shape buckets with the (non-matching) NULL
+    # sentinels so differently-sized joins reuse compiled kernels
+    lc = np.full(pad_bucket(len(lcode)), _L_NULL, dtype=np.int32)
+    rc = np.full(pad_bucket(len(rcode)), _R_NULL, dtype=np.int32)
+    lc[:len(lcode)] = lcode.astype(np.int32)
+    rc[:len(rcode)] = rcode.astype(np.int32)
     if lvalid is not None and not lvalid.all():
-        lc = np.where(lvalid, lc, _L_NULL)
+        lc[:len(lcode)] = np.where(lvalid, lc[:len(lcode)], _L_NULL)
     if rvalid is not None and not rvalid.all():
-        rc = np.where(rvalid, rc, _R_NULL)
-    order, lo, offs, total = _join_count(jnp.asarray(lc), jnp.asarray(rc))
-    n = int(total)
+        rc[:len(rcode)] = np.where(rvalid, rc[:len(rcode)], _R_NULL)
+    order, lo, offs, cnt = _join_count(jnp.asarray(lc), jnp.asarray(rc))
+    n = int(np.asarray(cnt).astype(np.int64).sum())   # exact, host-side
     if n == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
+    if n >= np.iinfo(np.int32).max:
+        return None  # int32 offsets would wrap; host path handles it
     cap = pad_bucket(n)
     li, ri = _join_expand(order, lo, offs, cap)
     return (np.asarray(li[:n]).astype(np.int64),
@@ -126,12 +134,19 @@ def device_group_sums(codes: np.ndarray, values: np.ndarray
                       ) -> Optional[Tuple[np.ndarray, np.ndarray,
                                           np.ndarray]]:
     """Group-by-sum on device: returns (group_codes, sums, group_sizes)
-    ordered by code ascending. None when codes don't fit int32."""
+    ordered by code ascending. None when codes don't fit int32 or integer
+    sums could overflow the device's int32 accumulator (float inputs
+    accumulate in float32 — callers needing exact/wider sums use the host
+    path, which the SQL executor does for final aggregates)."""
     if len(codes) == 0:
         return (np.empty(0, np.int64), np.empty(0, values.dtype),
                 np.empty(0, np.int64))
     if int(codes.min()) < 0 or int(codes.max()) >= np.iinfo(np.int32).max:
         return None
+    if values.dtype.kind in "iu":
+        vmax = int(np.abs(values).max()) if len(values) else 0
+        if vmax * max(len(values), 1) >= np.iinfo(np.int32).max:
+            return None  # a group total could wrap int32
     cap = pad_bucket(len(codes))
     # pad with the max code so pads join the last group's tail; their
     # padded values are 0 so sums are unaffected, and sizes subtract pads
@@ -164,9 +179,12 @@ def _filter_indices(mask: jnp.ndarray, cap: int):
 
 def device_filter_indices(mask: np.ndarray) -> np.ndarray:
     """Selected row positions of a boolean mask (ascending), computed on
-    device without scatter (sort-based compaction)."""
+    device without scatter (sort-based compaction). Input is padded to a
+    shape bucket so repeated calls share compiled kernels."""
     if len(mask) == 0:
         return np.empty(0, np.int64)
-    idx, total = _filter_indices(jnp.asarray(mask), len(mask))
+    m = np.zeros(pad_bucket(len(mask)), dtype=bool)
+    m[:len(mask)] = mask
+    idx, total = _filter_indices(jnp.asarray(m), len(m))
     n = int(total)
     return np.asarray(idx[:n]).astype(np.int64)

@@ -94,6 +94,32 @@ def test_chunked_pallas_scan_path():
                                   np.where(valid, want, -1))
 
 
+def test_plan_rejects_non_dividing_chunks():
+    from duckpgq_tpu.ops.csr_jax import build_device_csr
+    from duckpgq_tpu.ops.msbfs_jax import plan_packed_wave
+
+    src, dst = _graph(31, 50, 200)
+    dcsr = build_device_csr(50, src, dst)
+    assert dcsr.epad % 3 != 0
+    with pytest.raises(ValueError):
+        plan_packed_wave(dcsr, lanes=4096, n_chunks=3)
+
+
+def test_plan_infeasible_width_falls_back_narrow():
+    """An explicit wave width whose resident vertex state alone exceeds the
+    budget must degrade to the single-dispatch narrow plan, not a bogus
+    256-chunk wide plan."""
+    from duckpgq_tpu.ops.csr_jax import build_device_csr
+    from duckpgq_tpu.ops.msbfs_jax import plan_packed_wave
+
+    src, dst = _graph(32, 300, 2000)
+    dcsr = build_device_csr(300, src, dst)
+    tiny_budget = 2 << 20  # 2 MB: no wide wave fits
+    plan = plan_packed_wave(dcsr, lanes=8192, hbm_budget=tiny_budget)
+    assert plan.n_chunks == 1
+    assert plan.lanes < 8192
+
+
 def test_batched_planned_matches_narrow_waves():
     """The wide planned batching path (used on accelerators for >=4096-query
     batches) returns the same lengths/traversed as narrow fixed waves."""
