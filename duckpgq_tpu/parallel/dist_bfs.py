@@ -495,6 +495,183 @@ def make_dist_bfs(mesh: Mesh, sharded: ShardedCSR, lanes: int,
     return run
 
 
+def make_dist_bfs_packed_overlap(mesh: Mesh, sharded: ShardedCSR,
+                                 lanes: int, max_iters: int):
+    """Bit-packed distributed BFS with exchange/compute overlap (BASELINE
+    config 5; SURVEY.md §7.3 item 5): each shard's local vertex range is
+    split in half, the first half's new-frontier ``all_gather`` is issued
+    before the second half expands, and XLA's async collectives overlap
+    that exchange with the second half's gather+scan compute. Results are
+    identical to make_dist_bfs_packed (verified by tests/test_parallel).
+
+    The halves are static per-shard edge prefixes (edges are local-dst
+    sorted), each padded to the max half-size across shards, so the split
+    costs no extra passes — only the reconstruction reshape."""
+    import os
+    use_pallas = os.environ.get("DUCKPGQ_SCAN_IMPL", "xla") == "pallas"
+    nx = sharded.n_shards
+    Vs = sharded.v_shard
+    assert Vs % 2 == 0, Vs
+    Vh = Vs // 2
+    Vtot = sharded.v_padded
+    axis = mesh.axis_names[0]
+    assert lanes % 32 == 0
+    W = lanes // 32
+
+    # host-side split: per shard, A = edges with local dst < Vh (a prefix,
+    # since shard edges are dst-sorted), B = the rest; pad per half
+    halves = {"A": [], "B": []}
+    for s in range(nx):
+        cut = int(np.searchsorted(sharded.in_dst_local[s], Vh, side="left"))
+        n_valid = int(sharded.edge_valid[s].sum())
+        cut = min(cut, n_valid)
+        halves["A"].append((sharded.in_src[s][:cut],
+                            sharded.in_dst_local[s][:cut]))
+        halves["B"].append((sharded.in_src[s][cut:n_valid],
+                            sharded.in_dst_local[s][cut:n_valid] - Vh))
+
+    def pad_half(parts):
+        emax = round_up(max(max(len(a) for a, _ in parts), 1), 8)
+        isrc = np.full((nx, emax), Vtot, dtype=np.int32)   # pad row
+        idst = np.full((nx, emax), Vh - 1, dtype=np.int32)
+        valid = np.zeros((nx, emax), dtype=bool)
+        for s, (a, d) in enumerate(parts):
+            isrc[s, :len(a)] = a
+            idst[s, :len(a)] = d
+            valid[s, :len(a)] = True
+        shard = NamedSharding(mesh, P(axis, None))
+        return (jax.device_put(jnp.asarray(isrc), shard),
+                jax.device_put(jnp.asarray(idst), shard),
+                jax.device_put(jnp.asarray(valid), shard))
+
+    blocks = {k: pad_half(v) for k, v in halves.items()}
+
+    deg = np.zeros(Vtot + 1, dtype=np.float32)
+    np.add.at(deg, sharded.in_src.reshape(-1)[
+        sharded.edge_valid.reshape(-1)], 1.0)
+    deg_global = jnp.asarray(deg[:Vtot])
+
+    def scan_chunk_for(n):
+        c = 1
+        while c * 2 <= min(n, 2048) and n % (c * 2) == 0:
+            c *= 2
+        return c
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                  P(axis, None), P(axis, None), P(axis, None),
+                  P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+    def bfs(a_src, a_dst, a_val, b_src, b_dst, b_val, src, dst, active):
+        L = src.shape[0]
+        lanes_idx = jnp.arange(L)
+        word_of_lane = lanes_idx // 32
+        bit_of_lane = (jnp.uint32(1) <<
+                       (lanes_idx % 32).astype(jnp.uint32))
+
+        trivial = active & (src == dst)
+        searching = active & (src != dst)
+        result = jnp.where(trivial, 0, -1).astype(jnp.int32)
+
+        frontier_g = jnp.zeros((W, Vtot + 1), dtype=jnp.uint32)
+        frontier_g = frontier_g.at[word_of_lane, src].add(
+            jnp.where(searching, bit_of_lane, jnp.uint32(0)))
+        frontier_g = frontier_g[:, :Vtot]
+        shard_id = jax.lax.axis_index(axis)
+        col0 = shard_id * Vs
+        seen_l = jax.lax.dynamic_slice_in_dim(frontier_g, col0, Vs, axis=1)
+
+        def seg_meta(in_dst_l, valid_l):
+            heads = jnp.concatenate(
+                [jnp.ones(1, jnp.bool_), in_dst_l[1:] != in_dst_l[:-1]])
+            slot_ids = jnp.arange(in_dst_l.shape[0], dtype=jnp.int32)
+            last_pos = jax.ops.segment_max(
+                slot_ids, in_dst_l, num_segments=Vh,
+                indices_are_sorted=True)
+            has_in = jax.ops.segment_max(
+                valid_l.astype(jnp.int32), in_dst_l, num_segments=Vh,
+                indices_are_sorted=True) > 0
+            return heads, last_pos, has_in
+
+        metas = {}
+        for key, (isrc, idst, ival) in (("A", (a_src, a_dst, a_val)),
+                                        ("B", (b_src, b_dst, b_val))):
+            metas[key] = (isrc[0], idst[0], ival[0],
+                          *seg_meta(idst[0], ival[0]))
+
+        def seg_or(x, y):
+            xf, xv = x
+            yf, yv = y
+            return xf | yf, jnp.where(yf, yv, xv | yv)
+
+        def expand(meta, frontier_g, seen_half):
+            in_src_l, in_dst_l, valid_l, heads, last_pos, has_in = meta
+            gathered = jnp.where(
+                valid_l[None, :],
+                frontier_g.at[:, in_src_l].get(mode="fill", fill_value=0),
+                jnp.uint32(0))                        # [W, Eh]
+            if use_pallas:
+                from ..kernels.segscan_pallas import seg_or_scan_rows
+                scanned = seg_or_scan_rows(
+                    gathered, heads,
+                    chunk=scan_chunk_for(in_src_l.shape[0]))
+            else:
+                _, scanned = jax.lax.associative_scan(
+                    seg_or, (heads.reshape(1, -1), gathered), axis=1)
+            nxt = jnp.where(has_in[None, :],
+                            scanned[:, jnp.maximum(last_pos, 0)],
+                            jnp.uint32(0))            # [W, Vh]
+            return nxt & ~seen_half
+
+        def pack_lane_mask(cond):
+            bits = cond.reshape(W, 32).astype(jnp.uint32)
+            return (bits << jnp.arange(32, dtype=jnp.uint32)[None, :]).sum(
+                axis=1, dtype=jnp.uint32)
+
+        def cond(state):
+            it, frontier_g, seen_l, result = state
+            return (it <= max_iters) & (frontier_g != 0).any()
+
+        def body(state):
+            it, frontier_g, seen_l, result = state
+            # half A expands and its exchange is issued...
+            nxt_a = expand(metas["A"], frontier_g, seen_l[:, :Vh])
+            ag_a = jax.lax.all_gather(nxt_a, axis, axis=1, tiled=True)
+            # ...overlapping half B's expansion compute
+            nxt_b = expand(metas["B"], frontier_g, seen_l[:, Vh:])
+            ag_b = jax.lax.all_gather(nxt_b, axis, axis=1, tiled=True)
+            seen_l = seen_l | jnp.concatenate([nxt_a, nxt_b], axis=1)
+            # reconstruct [W, Vtot]: shard s's halves sit at columns
+            # [s*Vh,(s+1)*Vh) of each gather
+            frontier_g = jnp.concatenate(
+                [ag_a.reshape(W, nx, Vh), ag_b.reshape(W, nx, Vh)],
+                axis=2).reshape(W, Vtot)
+            found = ((frontier_g[word_of_lane, dst] & bit_of_lane) != 0) \
+                & (result < 0) & searching
+            result = jnp.where(found, it, result)
+            frontier_g = frontier_g & pack_lane_mask(result < 0)[:, None]
+            return it + 1, frontier_g, seen_l, result
+
+        _, _, seen_l, result = jax.lax.while_loop(
+            cond, body, (jnp.int32(1), frontier_g, seen_l, result))
+        seen_g = jax.lax.all_gather(seen_l, axis, axis=1, tiled=True)
+        per_bit = []
+        for b in range(32):
+            bits = ((seen_g >> jnp.uint32(b)) &
+                    jnp.uint32(1)).astype(jnp.float32)
+            per_bit.append(bits @ deg_global)
+        traversed = jnp.stack(per_bit, axis=1).reshape(L)
+        return result, traversed
+
+    @jax.jit
+    def run(src, dst, active):
+        return bfs(*blocks["A"], *blocks["B"], src, dst, active)
+
+    return run
+
+
 def dist_bfs_lengths(mesh: Mesh, sharded: ShardedCSR, src, dst,
                      lanes: int = 64, max_iters: int = 0):
     """Convenience batched driver over the distributed BFS (bit-packed

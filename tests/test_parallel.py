@@ -178,3 +178,34 @@ def test_dist_bfs_matches_host():
     want, valid = host_msbfs.iterative_length(csr, qs, qd)
     np.testing.assert_array_equal(got, np.where(valid, want, -1))
     assert traversed > 0
+
+
+def test_dist_bfs_overlap_matches_packed():
+    """Exchange/compute-overlap variant: identical lengths and traversed
+    counts to the plain packed distributed BFS (and the host oracle)."""
+    import jax.numpy as jnp
+
+    from duckpgq_tpu.parallel.dist_bfs import (make_dist_bfs_packed,
+                                               make_dist_bfs_packed_overlap)
+
+    rng = np.random.default_rng(77)
+    v, e = 130, 700
+    src = rng.integers(0, v, size=e).astype(np.int64)
+    dst = rng.integers(0, v, size=e).astype(np.int64)
+    mesh = make_mesh(8)
+    for balance in (False, True):
+        sharded = partition_csr(v, src, dst, 8, balance=balance)
+        L = 64
+        qs = sharded.map_queries(
+            rng.integers(0, v, size=L).astype(np.int32))
+        qd = sharded.map_queries(
+            rng.integers(0, v, size=L).astype(np.int32))
+        active = np.ones(L, dtype=bool)
+        base = make_dist_bfs_packed(mesh, sharded, L, v + 1)
+        over = make_dist_bfs_packed_overlap(mesh, sharded, L, v + 1)
+        want, wtrav = base(jnp.asarray(qs), jnp.asarray(qd),
+                           jnp.asarray(active))
+        got, gtrav = over(jnp.asarray(qs), jnp.asarray(qd),
+                          jnp.asarray(active))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        np.testing.assert_allclose(np.asarray(gtrav), np.asarray(wtrav))
