@@ -145,6 +145,72 @@ def _scan_kernel_carry(vals_ref, heads_ref, cin_ref, out_ref, cout_ref,
     cout_ref[0, :] = v[C - 1, :]
 
 
+def _scan_rows_kernel_carry(vals_ref, heads_ref, cin_ref, out_ref, cout_ref,
+                            carry_ref, *, C: int):
+    """Lane-major twin of _scan_kernel_carry: values [W, C] scanned along
+    lanes with an explicit carry-in column and carry-out output."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        carry_ref[:, 0] = cin_ref[:, 0]
+
+    v = vals_ref[:]                            # [W, C] uint32
+    f = heads_ref[:]                           # [1, C] int32
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    s = 1
+    while s < C:
+        v_s = pltpu.roll(v, s, axis=1)
+        f_s = pltpu.roll(f, s, axis=1)
+        wrap = col < s
+        v_s = jnp.where(wrap, jnp.uint32(0), v_s)
+        f_s = jnp.where(wrap, 0, f_s)
+        v = jnp.where(f != 0, v, v | v_s)
+        f = f | f_s
+        s *= 2
+    open_prefix = f == 0
+    v = jnp.where(open_prefix, v | carry_ref[:, 0][:, None], v)
+    out_ref[:] = v
+    carry_ref[:, 0] = v[:, C - 1]
+    cout_ref[:, 0] = v[:, C - 1]
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def seg_or_scan_rows_carry(values: jnp.ndarray, heads: jnp.ndarray,
+                           carry_in: jnp.ndarray, chunk: int = 512):
+    """Lane-major segmented OR-scan of ``values`` [W, E] along axis 1 with
+    the leading open segment primed by ``carry_in`` [W, 1]. Returns
+    (scanned [W, E], carry_out [W, 1])."""
+    W, E = values.shape
+    assert E % chunk == 0, (E, chunk)
+    n_chunks = E // chunk
+    heads_i = heads.astype(jnp.int32).reshape(1, E)
+    grid_spec = pl.GridSpec(
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((W, chunk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((W, chunk), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((W, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((W, 1), jnp.uint32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_scan_rows_kernel_carry, C=chunk),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((W, E), jnp.uint32),
+                   jax.ShapeDtypeStruct((W, 1), jnp.uint32)],
+    )(values, heads_i, carry_in)
+
+
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def seg_or_scan_packed_carry(values: jnp.ndarray, heads: jnp.ndarray,
                              carry_in: jnp.ndarray, chunk: int = 512):

@@ -121,7 +121,7 @@ def partition_csr(vcount: int, src: np.ndarray, dst: np.ndarray,
 
 
 def make_dist_bfs_packed(mesh: Mesh, sharded: ShardedCSR, lanes: int,
-                         max_iters: int):
+                         max_iters: int, n_chunks: int = 1):
     """Bit-packed distributed BFS: the replicated frontier is uint32
     [W, Vtot] (W = lanes/32), cutting the per-iteration all_gather exchange
     and frontier memory 8x vs the bool variant — the enabler for RMAT-26
@@ -143,23 +143,41 @@ def make_dist_bfs_packed(mesh: Mesh, sharded: ShardedCSR, lanes: int,
     assert lanes % 32 == 0
     W = lanes // 32
 
+    # n_chunks > 1 streams each shard's expansion in edge super-chunks so
+    # only [W, Es/K] stays live per device (the single-chip chunked-wave
+    # design of ops/msbfs_jax applied per shard — the enabler for
+    # RMAT-26-class shards whose full [W, Es] working set exceeds HBM).
+    # Re-pad the shard edge lists so chunks split evenly.
+    src_np, dst_np, val_np = (sharded.in_src, sharded.in_dst_local,
+                              sharded.edge_valid)
+    if n_chunks > 1:
+        es_pad = round_up(src_np.shape[1], n_chunks * 128)
+        if es_pad != src_np.shape[1]:
+            def repad(a, fill):
+                out = np.full((nx, es_pad), fill, dtype=a.dtype)
+                out[:, :a.shape[1]] = a
+                return out
+            src_np = repad(src_np, np.int32(nx * Vs))
+            dst_np = repad(dst_np, np.int32(Vs - 1))
+            val_np = repad(val_np, False)
+
     in_src = jax.device_put(
-        jnp.asarray(sharded.in_src), NamedSharding(mesh, P(axis, None)))
+        jnp.asarray(src_np), NamedSharding(mesh, P(axis, None)))
     in_dst = jax.device_put(
-        jnp.asarray(sharded.in_dst_local),
-        NamedSharding(mesh, P(axis, None)))
+        jnp.asarray(dst_np), NamedSharding(mesh, P(axis, None)))
     edge_valid = jax.device_put(
-        jnp.asarray(sharded.edge_valid),
-        NamedSharding(mesh, P(axis, None)))
+        jnp.asarray(val_np), NamedSharding(mesh, P(axis, None)))
 
     deg = np.zeros(Vtot + 1, dtype=np.float32)
     np.add.at(deg, sharded.in_src.reshape(-1)[
         sharded.edge_valid.reshape(-1)], 1.0)
     deg_global = jnp.asarray(deg[:Vtot])
 
-    Es = sharded.in_src.shape[1]
+    Es = src_np.shape[1]
+    assert Es % n_chunks == 0, (Es, n_chunks)
+    Ec = Es // n_chunks
     scan_chunk = 1
-    while scan_chunk * 2 <= min(Es, 2048) and Es % (scan_chunk * 2) == 0:
+    while scan_chunk * 2 <= min(Ec, 2048) and Ec % (scan_chunk * 2) == 0:
         scan_chunk *= 2
 
     @functools.partial(
@@ -216,8 +234,7 @@ def make_dist_bfs_packed(mesh: Mesh, sharded: ShardedCSR, lanes: int,
             it, frontier_g, seen_l, result = state
             return (it <= max_iters) & (frontier_g != 0).any()
 
-        def body(state):
-            it, frontier_g, seen_l, result = state
+        def expand_full(frontier_g):
             gathered = jnp.where(
                 valid_l[None, :],
                 frontier_g.at[:, in_src_l].get(mode="fill", fill_value=0),
@@ -229,10 +246,49 @@ def make_dist_bfs_packed(mesh: Mesh, sharded: ShardedCSR, lanes: int,
             else:
                 _, scanned = jax.lax.associative_scan(
                     seg_or, (heads.reshape(1, -1), gathered), axis=1)
-            nxt_l = jnp.where(has_in[None, :],
-                              scanned[:, jnp.maximum(last_pos, 0)],
-                              jnp.uint32(0))                 # [W, Vs]
-            nxt_l = nxt_l & ~seen_l
+            return jnp.where(has_in[None, :],
+                             scanned[:, jnp.maximum(last_pos, 0)],
+                             jnp.uint32(0))                  # [W, Vs]
+
+        def expand_chunked(frontier_g):
+            def step(k, st):
+                nxt, carry = st
+                off = k * Ec
+                idx = jax.lax.dynamic_slice(in_src_l, (off,), (Ec,))
+                val = jax.lax.dynamic_slice(valid_l, (off,), (Ec,))
+                hds = jax.lax.dynamic_slice(heads, (off,), (Ec,))
+                g = jnp.where(
+                    val[None, :],
+                    frontier_g.at[:, idx].get(mode="fill", fill_value=0),
+                    jnp.uint32(0))                           # [W, Ec]
+                if use_pallas:
+                    from ..kernels.segscan_pallas import \
+                        seg_or_scan_rows_carry
+                    scanned, carry = seg_or_scan_rows_carry(
+                        g, hds, carry, chunk=scan_chunk)
+                else:
+                    g0 = g[:, 0] | jnp.where(hds[0], jnp.uint32(0),
+                                             carry[:, 0])
+                    g = jax.lax.dynamic_update_slice(g, g0[:, None], (0, 0))
+                    _, scanned = jax.lax.associative_scan(
+                        seg_or, (hds.reshape(1, -1), g), axis=1)
+                    carry = scanned[:, -1:]
+                rel = last_pos - off
+                ok = (rel >= 0) & (rel < Ec) & has_in
+                vals = scanned[:, jnp.clip(rel, 0, Ec - 1)]
+                nxt = jnp.where(ok[None, :], vals, nxt)
+                return nxt, carry
+
+            nxt0 = jnp.zeros((W, Vs), jnp.uint32)
+            carry0 = jnp.zeros((W, 1), jnp.uint32)
+            nxt, _ = jax.lax.fori_loop(0, n_chunks, step, (nxt0, carry0))
+            return nxt
+
+        expand = expand_full if n_chunks == 1 else expand_chunked
+
+        def body(state):
+            it, frontier_g, seen_l, result = state
+            nxt_l = expand(frontier_g) & ~seen_l
             seen_l = seen_l | nxt_l
             # frontier OR-exchange over ICI
             frontier_g = jax.lax.all_gather(

@@ -140,6 +140,35 @@ def test_batched_planned_matches_narrow_waves():
 
 
 @pytest.mark.parametrize("seed,E,W,chunk,splits", [
+    (5, 1024, 8, 256, 2), (6, 2048, 4, 128, 4)])
+def test_seg_or_scan_rows_carry_matches_unsplit(seed, E, W, chunk, splits):
+    """Lane-major carry variant: split scans with the carry threaded equal
+    one unsplit lane-major scan."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from duckpgq_tpu.kernels.segscan_pallas import (seg_or_scan_rows,
+                                                    seg_or_scan_rows_carry)
+
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 1 << 32, size=(W, E), dtype=np.uint32)
+    heads = rng.random(E) < 0.03
+    heads[0] = True
+    with pltpu.force_tpu_interpret_mode():
+        want = np.asarray(seg_or_scan_rows(
+            jnp.asarray(vals), jnp.asarray(heads), chunk=chunk))
+        got = np.zeros_like(vals)
+        carry = jnp.zeros((W, 1), jnp.uint32)
+        Ec = E // splits
+        for k in range(splits):
+            piece, carry = seg_or_scan_rows_carry(
+                jnp.asarray(vals[:, k * Ec:(k + 1) * Ec]),
+                jnp.asarray(heads[k * Ec:(k + 1) * Ec]), carry, chunk=chunk)
+            got[:, k * Ec:(k + 1) * Ec] = np.asarray(piece)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("seed,E,W,chunk,splits", [
     (0, 1024, 128, 256, 2), (1, 2048, 128, 128, 4)])
 def test_seg_or_scan_carry_matches_unsplit(seed, E, W, chunk, splits):
     """Scanning in `splits` pieces with the carry threaded through equals

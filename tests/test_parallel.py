@@ -209,3 +209,29 @@ def test_dist_bfs_overlap_matches_packed():
                           jnp.asarray(active))
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
         np.testing.assert_allclose(np.asarray(gtrav), np.asarray(wtrav))
+
+
+def test_dist_bfs_chunked_matches_unchunked():
+    """Per-shard chunked expansion (edge super-chunks with carry) returns
+    identical results to the single-dispatch distributed BFS."""
+    import jax.numpy as jnp
+
+    from duckpgq_tpu.parallel.dist_bfs import make_dist_bfs_packed
+
+    rng = np.random.default_rng(91)
+    v, e = 150, 900
+    src = rng.integers(0, v, size=e).astype(np.int64)
+    dst = rng.integers(0, v, size=e).astype(np.int64)
+    mesh = make_mesh(4)
+    sharded = partition_csr(v, src, dst, 4, balance=True)
+    L = 64
+    qs = sharded.map_queries(rng.integers(0, v, size=L).astype(np.int32))
+    qd = sharded.map_queries(rng.integers(0, v, size=L).astype(np.int32))
+    active = np.ones(L, dtype=bool)
+    base = make_dist_bfs_packed(mesh, sharded, L, v + 1)
+    chunked = make_dist_bfs_packed(mesh, sharded, L, v + 1, n_chunks=4)
+    want, wtrav = base(jnp.asarray(qs), jnp.asarray(qd), jnp.asarray(active))
+    got, gtrav = chunked(jnp.asarray(qs), jnp.asarray(qd),
+                         jnp.asarray(active))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_allclose(np.asarray(gtrav), np.asarray(wtrav))
