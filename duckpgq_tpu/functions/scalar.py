@@ -114,6 +114,19 @@ def _require_numeric(args, name):
                 f"'{name}({', '.join(str(x.type) for x in args)})'")
 
 
+def _sqlnull_arith(args, typ: LogicalType) -> "Vector | None":
+    """NULL-literal operands (SQLNULL-typed vectors hold Python None, so
+    numpy casts would throw): the SQL result is all-NULL of the resolved
+    type."""
+    if not any(x.type.id == TypeId.SQLNULL for x in args):
+        return None
+    n = len(args[0])
+    if typ.id == TypeId.SQLNULL or typ.numpy_dtype() is object:
+        return Vector.constant(None, SQLNULL, n)
+    return Vector(typ, np.zeros(n, dtype=typ.numpy_dtype()),
+                  np.zeros(n, dtype=bool))
+
+
 # ---------------------------------------------------------------------------
 # arithmetic
 # ---------------------------------------------------------------------------
@@ -124,6 +137,9 @@ def fn_add(args):
     a, b = args
     _require_numeric(args, "+")
     typ = _arith_type(a, b)
+    null = _sqlnull_arith(args, typ)
+    if null is not None:
+        return null
     with np.errstate(over="ignore", invalid="ignore"):
         out = a.data.astype(typ.numpy_dtype()) + b.data.astype(typ.numpy_dtype())
     return Vector(typ, out, _common_validity(args))
@@ -133,10 +149,17 @@ def fn_add(args):
 def fn_sub(args):
     if len(args) == 1:
         a = args[0]
+        _require_numeric(args, "-")
+        null = _sqlnull_arith(args, a.type)
+        if null is not None:
+            return null
         return Vector(a.type, -a.data, a.validity.copy())
     a, b = args
     _require_numeric(args, "-")
     typ = _arith_type(a, b)
+    null = _sqlnull_arith(args, typ)
+    if null is not None:
+        return null
     with np.errstate(over="ignore", invalid="ignore"):
         out = a.data.astype(typ.numpy_dtype()) - b.data.astype(typ.numpy_dtype())
     return Vector(typ, out, _common_validity(args))
@@ -151,6 +174,9 @@ def fn_mul(args):
     a, b = args
     _require_numeric(args, "*")
     typ = _arith_type(a, b)
+    null = _sqlnull_arith(args, typ)
+    if null is not None:
+        return null
     with np.errstate(over="ignore", invalid="ignore"):
         out = a.data.astype(typ.numpy_dtype()) * b.data.astype(typ.numpy_dtype())
     return Vector(typ, out, _common_validity(args))
@@ -160,6 +186,10 @@ def fn_mul(args):
 @register("divide")
 def fn_div(args):
     a, b = args
+    _require_numeric(args, "/")
+    null = _sqlnull_arith(args, DOUBLE)
+    if null is not None:
+        return null
     validity = _common_validity(args)
     den = b.data.astype(np.float64)
     num = a.data.astype(np.float64)
@@ -172,7 +202,11 @@ def fn_div(args):
 @register("//")
 def fn_intdiv(args):
     a, b = args
+    _require_numeric(args, "//")
     typ = _arith_type(a, b)
+    null = _sqlnull_arith(args, typ)
+    if null is not None:
+        return null
     validity = _common_validity(args)
     den = b.data.copy()
     zero = den == 0
@@ -191,7 +225,11 @@ def fn_intdiv(args):
 @register("mod")
 def fn_mod(args):
     a, b = args
+    _require_numeric(args, "%")
     typ = _arith_type(a, b)
+    null = _sqlnull_arith(args, typ)
+    if null is not None:
+        return null
     validity = _common_validity(args)
     den = b.data.copy()
     zero = den == 0
@@ -203,6 +241,10 @@ def fn_mod(args):
 @register("abs")
 def fn_abs(args):
     a = args[0]
+    _require_numeric(args, "abs")
+    null = _sqlnull_arith(args, a.type)
+    if null is not None:
+        return null
     return Vector(a.type, np.abs(a.data), a.validity.copy())
 
 
@@ -210,6 +252,10 @@ def fn_abs(args):
 @register("pow")
 def fn_power(args):
     a, b = args
+    _require_numeric(args, "power")
+    null = _sqlnull_arith(args, DOUBLE)
+    if null is not None:
+        return null
     with np.errstate(over="ignore", invalid="ignore"):
         out = np.power(a.data.astype(np.float64), b.data.astype(np.float64))
     return Vector(DOUBLE, out, _common_validity(args))
@@ -709,13 +755,21 @@ def fn_list_contains(args):
 @register("array_extract")
 def fn_list_element(args):
     a, idx = args
+    if a.type.id not in (TypeId.LIST, TypeId.SQLNULL):
+        raise BinderException(
+            f"No function matches the given name and argument types "
+            f"'list_extract({a.type}, {idx.type})'")
     n = len(a)
     child = a.type.child if a.type.id == TypeId.LIST else SQLNULL
     out_vals = []
     for i in range(n):
         if a.validity[i] and idx.validity[i]:
-            lst = list(a.data[i])
-            j = int(idx.data[i])
+            lst = list(a.data[i]) if a.data[i] is not None else []
+            try:
+                j = int(idx.data[i])
+            except (OverflowError, ValueError):
+                out_vals.append(None)   # e.g. 1e999 index: out of range
+                continue
             j = j - 1 if j > 0 else len(lst) + j
             out_vals.append(lst[j] if 0 <= j < len(lst) else None)
         else:

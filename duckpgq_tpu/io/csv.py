@@ -36,6 +36,12 @@ def _sniff_type(values: List[str]):
 
 def read_csv(path: str, delimiter: str = ",", header: bool = True
              ) -> Tuple[List[str], List[Vector]]:
+    import os
+
+    from ..errors import IOException
+    if not os.path.isfile(path):
+        raise IOException(
+            f'No files found that match the pattern "{path}"')
     with open(path, newline="") as f:
         sample = f.read(8192)
         f.seek(0)

@@ -14,6 +14,12 @@ from ..storage.vector import Vector
 
 
 def read_parquet(path: str) -> Tuple[List[str], List[Vector]]:
+    import os
+
+    from ..errors import IOException
+    if not os.path.isfile(path):
+        raise IOException(
+            f'No files found that match the pattern "{path}"')
     from . import parquet_impl
     return parquet_impl.read_parquet(path)
 

@@ -1260,6 +1260,10 @@ class Parser:
         stmt.constraints = constraints
         if self.accept_kw("AS"):
             stmt.query = self.parse_select_statement()
+        elif any(c[1] is None for c in stmt.columns):
+            # names-only columns are only legal with CREATE TABLE ... AS
+            bad = next(c[0] for c in stmt.columns if c[1] is None)
+            self.error(f'column "{bad}" has no type')
         return stmt
 
     def parse_create_view(self, or_replace: bool) -> a.CreateViewStatement:
@@ -1833,6 +1837,8 @@ class Parser:
             else:
                 upper = lower
             self.expect_op("}")
+            if lower is None and upper is None:
+                self.error("quantifier {} requires at least one bound")
             lower = lower if lower is not None else 0
             if lower > upper:
                 from ..errors import ConstraintException
