@@ -178,7 +178,11 @@ class Connection:
         return None
 
     # ------------------------------------------------------------ execution
-    def execute(self, sql: str) -> QueryResult:
+    def execute(self, sql: str, parameters=None) -> QueryResult:
+        """Run SQL; ``?`` placeholders are bound positionally from
+        ``parameters`` (the DuckDB Python client convention)."""
+        if parameters is not None:
+            sql = _bind_parameters(sql, parameters)
         statements = parse_sql(sql)
         result = QueryResult([], [])
         for stmt in statements:
@@ -188,11 +192,18 @@ class Connection:
                 self.query_end()
         return result
 
+    def executemany(self, sql: str, parameter_sets) -> QueryResult:
+        result = QueryResult([], [])
+        for params in parameter_sets:
+            result = self.execute(sql, params)
+        return result
+
     def sql(self, query: str) -> QueryResult:
         return self.execute(query)
 
     def close(self):
         self.database.close()
+
 
     def query_end(self):
         """GC CSRs flagged for deletion (reference duckpgq_state.cpp:162-170)."""
@@ -211,3 +222,66 @@ class Connection:
         if info is None:
             raise InvalidException(f"Property graph {name} not found")
         return info
+
+
+def _sql_literal(v) -> str:
+    """Render a Python value as a SQL literal (parameter binding)."""
+    import datetime
+
+    import numpy as np
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool) or isinstance(v, np.bool_):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        return repr(float(v))
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return "'" + v.isoformat().replace("T", " ") + "'"
+    if isinstance(v, (list, tuple)):
+        return "list_value(" + ", ".join(_sql_literal(x) for x in v) + ")"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _bind_parameters(sql: str, parameters) -> str:
+    """Substitute ``?`` placeholders (outside quotes/comments) with escaped
+    literals, positionally."""
+    from .errors import InvalidInputException
+    params = list(parameters)
+    out = []
+    i, n, used = 0, len(sql), 0
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"'):
+            q = ch
+            out.append(ch)
+            i += 1
+            while i < n:
+                out.append(sql[i])
+                if sql[i] == q:
+                    i += 1
+                    break
+                i += 1
+            continue
+        if ch == "-" and sql[i:i + 2] == "--":
+            j = sql.find("\n", i)
+            j = n if j < 0 else j
+            out.append(sql[i:j])
+            i = j
+            continue
+        if ch == "?":
+            if used >= len(params):
+                raise InvalidInputException(
+                    f"Expected {used + 1} or more parameters, got "
+                    f"{len(params)}")
+            out.append(_sql_literal(params[used]))
+            used += 1
+            i += 1
+            continue
+        out.append(ch)
+        i += 1
+    if used != len(params):
+        raise InvalidInputException(
+            f"Expected {used} parameters, got {len(params)}")
+    return "".join(out)

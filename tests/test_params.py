@@ -1,0 +1,43 @@
+"""Positional parameter binding on the Python client API (? placeholders,
+the DuckDB Python convention)."""
+
+import pytest
+
+
+def _con():
+    import duckpgq_tpu
+    return duckpgq_tpu.connect()
+
+
+def test_execute_with_parameters():
+    con = _con()
+    con.execute("CREATE TABLE t(a BIGINT, b VARCHAR, c DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)",
+                    [(1, "x", 1.5), (2, "it's", None), (3, None, 2.0)])
+    assert con.execute("SELECT count(*) FROM t").fetchall() == [(3,)]
+    rows = con.execute("SELECT a, b FROM t WHERE a >= ? AND a <= ? "
+                       "ORDER BY a", [1, 2]).fetchall()
+    assert rows == [(1, "x"), (2, "it's")]
+    assert con.execute("SELECT c FROM t WHERE a = ?", [2]).fetchall() == \
+        [(None,)]
+
+
+def test_placeholders_in_strings_and_comments_untouched():
+    con = _con()
+    assert con.execute("SELECT '?' AS q, ? AS p -- trailing ? comment\n",
+                       [7]).fetchall() == [("?", 7)]
+
+
+def test_parameter_count_mismatch():
+    from duckpgq_tpu.errors import InvalidInputException
+    con = _con()
+    with pytest.raises(InvalidInputException):
+        con.execute("SELECT ?", [])
+    with pytest.raises(InvalidInputException):
+        con.execute("SELECT ?", [1, 2])
+
+
+def test_list_and_bool_parameters():
+    con = _con()
+    assert con.execute("SELECT ?[2], ?", [[10, 20, 30], True]
+                       ).fetchall() == [(20, True)]
