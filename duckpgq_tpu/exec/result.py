@@ -30,6 +30,36 @@ class QueryResult:
             return None
         return tuple(c.value(0) for c in self.columns)
 
+    def fetchnumpy(self):
+        """Column name -> numpy array (NULLs become NaN/None per dtype;
+        the DuckDB Python convention)."""
+        import numpy as np
+        out = {}
+        for name, c in zip(self.names, self.columns):
+            if c.type.numpy_dtype() is object or not c.validity.all():
+                out[name] = np.array([c.value(i) for i in range(len(c))],
+                                     dtype=object)
+            else:
+                out[name] = c.data.copy()
+        return out
+
+    def fetchdf(self):
+        """Result as a pandas DataFrame (duckdb .fetchdf()/.df())."""
+        import pandas as pd
+        return pd.DataFrame(self.fetchnumpy(), columns=list(self.names))
+
+    df = fetchdf
+
+    def arrow(self):
+        """Result as a pyarrow Table."""
+        import pyarrow as pa
+        cols, names = [], []
+        for name, c in zip(self.names, self.columns):
+            names.append(name)
+            cols.append(pa.array(
+                [c.value(i) for i in range(len(c))]))
+        return pa.table(cols, names=names)
+
     def rows_as_strings(self) -> List[List[str]]:
         """Rows rendered with the engine's text formatting (NULL for nulls)."""
         out = []

@@ -41,3 +41,19 @@ def test_list_and_bool_parameters():
     con = _con()
     assert con.execute("SELECT ?[2], ?", [[10, 20, 30], True]
                        ).fetchall() == [(20, True)]
+
+
+def test_result_conversions():
+    """fetchdf / fetchnumpy / arrow (the DuckDB Python result surface)."""
+    con = _con()
+    con.execute("CREATE TABLE t(a BIGINT, b VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    [(1, "x"), (2, None), (3, "z")])
+    res = con.execute("SELECT a, b FROM t ORDER BY a")
+    np_out = res.fetchnumpy()
+    assert list(np_out["a"]) == [1, 2, 3]
+    assert list(np_out["b"]) == ["x", None, "z"]
+    df = con.execute("SELECT a, b FROM t ORDER BY a").fetchdf()
+    assert df.shape == (3, 2) and df["a"].tolist() == [1, 2, 3]
+    tbl = con.execute("SELECT a FROM t ORDER BY a").arrow()
+    assert tbl.num_rows == 3 and tbl.column("a").to_pylist() == [1, 2, 3]
