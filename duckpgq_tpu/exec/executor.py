@@ -423,7 +423,45 @@ class Executor:
                 raise BinderException(
                     f"Aggregate Function with name {call.name} does not exist!")
             arg_vecs = [ev.evaluate(x) for x in call.args]
-            vec = impl(arg_vecs, gids, n_groups, call.distinct)
+            gids_c = gids
+            row_sel = None
+            if call.filter is not None:
+                fmask = ev.as_bool(ev.evaluate(call.filter))
+                row_sel = np.flatnonzero(fmask.data.astype(bool)
+                                         & fmask.validity)
+            if call.order_by:
+                # order rows so order-sensitive aggregates (string_agg,
+                # list, first/last) see them in ORDER BY order; stable via
+                # rank keys so DESC keeps ties in input order
+                perm = row_sel if row_sel is not None \
+                    else np.arange(n, dtype=np.int64)
+                for ob in reversed(call.order_by):
+                    kv = ev.evaluate(ob.expr)
+                    if kv.type.numpy_dtype() is object or \
+                            not kv.validity.all():
+                        vals = [kv.value(int(i)) for i in perm]
+                        order = sorted(range(len(vals)),
+                                       key=lambda j: (vals[j] is None,
+                                                      vals[j] if vals[j]
+                                                      is not None else 0))
+                        ranks = np.empty(len(vals), dtype=np.int64)
+                        r = -1
+                        prev = object()
+                        for pos, j in enumerate(order):
+                            if pos == 0 or vals[j] != prev:
+                                r += 1
+                                prev = vals[j]
+                            ranks[j] = r
+                    else:
+                        _, ranks = np.unique(kv.data[perm],
+                                             return_inverse=True)
+                    key = ranks if ob.ascending else -ranks
+                    perm = perm[np.argsort(key, kind="stable")]
+                row_sel = perm
+            if row_sel is not None:
+                arg_vecs = [v.take(row_sel) for v in arg_vecs]
+                gids_c = gids[row_sel]
+            vec = impl(arg_vecs, gids_c, n_groups, call.distinct)
             slot = len(new_cols)
             new_cols.append(vec)
             new_names.append(self.derive_name(call))

@@ -35,8 +35,12 @@ def fingerprint(e: a.Expression) -> str:
             fingerprint(x) for x in e.args) + ")"
     if isinstance(e, a.AggregateCall):
         d = "distinct " if e.distinct else ""
+        ob = "" if not e.order_by else " order:" + ",".join(
+            fingerprint(o.expr) + ("" if o.ascending else " desc")
+            for o in e.order_by)
+        fl = "" if e.filter is None else " filter:" + fingerprint(e.filter)
         return f"agg:{e.name.lower()}({d}" + ",".join(
-            fingerprint(x) for x in e.args) + ")"
+            fingerprint(x) for x in e.args) + f"){ob}{fl}"
     if isinstance(e, a.Comparison):
         return f"cmp:{e.op}({fingerprint(e.left)},{fingerprint(e.right)})"
     if isinstance(e, a.Conjunction):

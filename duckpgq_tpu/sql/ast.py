@@ -66,6 +66,10 @@ class AggregateCall(Expression):
     args: List[Expression] = field(default_factory=list)
     distinct: bool = False
     alias: Optional[str] = None
+    # ORDER BY inside the call (list/string_agg/first/last sensitivity)
+    order_by: List["OrderByNode"] = field(default_factory=list)
+    # FILTER (WHERE ...) clause
+    filter: Optional[Expression] = None
 
 
 @dataclass

@@ -13,7 +13,8 @@ from __future__ import annotations
 from typing import List, Optional, Tuple
 
 from .. import types as tt
-from ..errors import NotImplementedException, ParserException
+from ..errors import (BinderException, NotImplementedException,
+                      ParserException)
 from ..pgq import ast as past
 from . import ast as a
 from .lexer import T, Token, tokenize
@@ -1024,7 +1025,15 @@ class Parser:
             self.next()
             self.expect_op(")")
             if lname == "count":
-                return a.AggregateCall(name="count_star", args=[])
+                filt = None
+                if self.peek().is_kw("FILTER"):
+                    self.next()
+                    self.expect_op("(")
+                    self.expect_kw("WHERE")
+                    filt = self.parse_expression()
+                    self.expect_op(")")
+                return a.AggregateCall(name="count_star", args=[],
+                                       filter=filt)
             return a.FunctionCall(name=lname, args=[a.Star()])
         if not self.peek().is_op(")"):
             if self.accept_kw("DISTINCT"):
@@ -1043,11 +1052,21 @@ class Parser:
                     if not self.accept_op(","):
                         break
         self.expect_op(")")
+        filt = None
+        if self.peek().is_kw("FILTER"):
+            self.next()
+            self.expect_op("(")
+            self.expect_kw("WHERE")
+            filt = self.parse_expression()
+            self.expect_op(")")
         if self.peek().is_kw("OVER"):
             raise NotImplementedException("window functions are not supported yet")
         if lname in self._AGGREGATES:
-            agg = a.AggregateCall(name=lname, args=args, distinct=distinct)
-            return agg
+            return a.AggregateCall(name=lname, args=args, distinct=distinct,
+                                   order_by=order_by, filter=filt)
+        if filt is not None:
+            raise BinderException(
+                "FILTER is only supported for aggregate functions")
         fn = a.FunctionCall(name=lname, args=args, distinct=distinct,
                             order_by=order_by)
         return fn

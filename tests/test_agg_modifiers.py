@@ -1,0 +1,60 @@
+"""Aggregate modifiers: ORDER BY inside calls (order-sensitive aggregates)
+and FILTER (WHERE ...)."""
+
+import pytest
+
+
+def _con():
+    import duckpgq_tpu
+    con = duckpgq_tpu.connect()
+    con.execute("CREATE TABLE b(g BIGINT, x BIGINT, y VARCHAR)")
+    con.execute("INSERT INTO b VALUES (1,2,'two'),(1,3,'three'),"
+                "(1,3,'III'),(2,5,'five')")
+    return con
+
+
+def test_string_agg_order_by():
+    con = _con()
+    assert con.execute(
+        "SELECT string_agg(y, ',' ORDER BY y) FROM b WHERE g = 1"
+    ).fetchall() == [("III,three,two",)]
+    assert con.execute(
+        "SELECT string_agg(y, ',' ORDER BY x DESC, y) FROM b WHERE g = 1"
+    ).fetchall() == [("III,three,two",)]
+    assert con.execute(
+        "SELECT g, string_agg(y, '|' ORDER BY y DESC) FROM b "
+        "GROUP BY g ORDER BY g"
+    ).fetchall() == [(1, "two|three|III"), (2, "five")]
+
+
+def test_list_order_by():
+    con = _con()
+    assert con.execute(
+        "SELECT list(x ORDER BY x DESC) FROM b WHERE g = 1"
+    ).fetchall() == [([3, 3, 2],)]
+
+
+def test_filter_clause():
+    con = _con()
+    assert con.execute(
+        "SELECT sum(x) FILTER (WHERE x > 2) FROM b").fetchall() == [(11,)]
+    assert con.execute(
+        "SELECT count(*) FILTER (WHERE g = 1), count(*) FROM b"
+    ).fetchall() == [(3, 4)]
+    assert con.execute(
+        "SELECT g, count(*) FILTER (WHERE x = 3) FROM b "
+        "GROUP BY g ORDER BY g").fetchall() == [(1, 2), (2, 0)]
+
+
+def test_filter_on_scalar_function_rejected():
+    from duckpgq_tpu.errors import BinderException
+    con = _con()
+    with pytest.raises(BinderException):
+        con.execute("SELECT abs(x) FILTER (WHERE x > 1) FROM b")
+
+
+def test_distinct_aggregates_not_merged_with_filtered():
+    con = _con()
+    assert con.execute(
+        "SELECT sum(x), sum(x) FILTER (WHERE x = 3) FROM b"
+    ).fetchall() == [(13, 6)]
