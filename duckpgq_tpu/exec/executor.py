@@ -24,7 +24,7 @@ from ..types import (BIGINT, BOOLEAN, DOUBLE, INTEGER, LogicalType, STRUCT,
                      TypeId, VARCHAR, SQLNULL)
 from .cast import cast_vector
 from .expression import (Evaluator, OuterScope, collect_aggregates,
-                         fingerprint)
+                         collect_windows, fingerprint)
 from .join import cross_pairs, equi_join_pairs, factorize_keys
 from .relation import Binding, Relation
 from .result import QueryResult
@@ -275,6 +275,14 @@ class Executor:
                 mask = cond.data.astype(bool) & cond.validity
                 rel = rel.filter(mask)
 
+        # window functions (computed post-aggregate, pre-projection)
+        wins: List[a.WindowCall] = []
+        for e in node.select_list:
+            collect_windows(e, wins)
+        if wins:
+            rel, replacements = self.apply_windows(rel, outer, replacements,
+                                                   env, wins)
+
         # projection
         ev = Evaluator(self, rel, outer, replacements, env=env)
         out_names: List[str] = []
@@ -422,6 +430,10 @@ class Executor:
             if impl is None:
                 raise BinderException(
                     f"Aggregate Function with name {call.name} does not exist!")
+            if not call.args and call.name != "count_star":
+                raise BinderException(
+                    f"No function matches the given name and argument "
+                    f"types '{call.name}()'")
             arg_vecs = [ev.evaluate(x) for x in call.args]
             gids_c = gids
             row_sel = None
@@ -435,29 +447,8 @@ class Executor:
                 # rank keys so DESC keeps ties in input order
                 perm = row_sel if row_sel is not None \
                     else np.arange(n, dtype=np.int64)
-                for ob in reversed(call.order_by):
-                    kv = ev.evaluate(ob.expr)
-                    if kv.type.numpy_dtype() is object or \
-                            not kv.validity.all():
-                        vals = [kv.value(int(i)) for i in perm]
-                        order = sorted(range(len(vals)),
-                                       key=lambda j: (vals[j] is None,
-                                                      vals[j] if vals[j]
-                                                      is not None else 0))
-                        ranks = np.empty(len(vals), dtype=np.int64)
-                        r = -1
-                        prev = object()
-                        for pos, j in enumerate(order):
-                            if pos == 0 or vals[j] != prev:
-                                r += 1
-                                prev = vals[j]
-                            ranks[j] = r
-                    else:
-                        _, ranks = np.unique(kv.data[perm],
-                                             return_inverse=True)
-                    key = ranks if ob.ascending else -ranks
-                    perm = perm[np.argsort(key, kind="stable")]
-                row_sel = perm
+                row_sel, _ = self._order_permutation(ev, perm,
+                                                     call.order_by)
             if row_sel is not None:
                 arg_vecs = [v.take(row_sel) for v in arg_vecs]
                 gids_c = gids[row_sel]
@@ -473,6 +464,252 @@ class Executor:
         new_rel = new_rel.take(np.argsort(order_first, kind="stable")) \
             if n_groups > 1 else new_rel
         return new_rel, replacements
+
+    def _order_permutation(self, ev, perm: np.ndarray,
+                           order_by) -> Tuple[np.ndarray, List[np.ndarray]]:
+        """Stable multi-key sort of the rows ``perm`` by ``order_by``
+        (NULLS LAST; DESC via negated ranks so ties keep input order).
+        Returns (sorted perm, per-key SORTED-ORDER rank arrays — aligned
+        with the returned perm — for peer/tie detection)."""
+        key_ranks: List[np.ndarray] = []
+        for ob in reversed(order_by):
+            kv = ev.evaluate(ob.expr)
+            if kv.type.numpy_dtype() is object or not kv.validity.all():
+                vals = [kv.value(int(i)) for i in perm]
+                order = sorted(range(len(vals)),
+                               key=lambda j: (vals[j] is None,
+                                              vals[j] if vals[j]
+                                              is not None else 0))
+                ranks = np.empty(len(vals), dtype=np.int64)
+                r = -1
+                prev = object()
+                for pos, j in enumerate(order):
+                    if pos == 0 or vals[j] != prev:
+                        r += 1
+                        prev = vals[j]
+                    ranks[j] = r
+            else:
+                _, ranks = np.unique(kv.data[perm], return_inverse=True)
+            key = ranks if ob.ascending else -ranks
+            s = np.argsort(key, kind="stable")
+            perm = perm[s]
+            key_ranks = [kr[s] for kr in key_ranks]
+            key_ranks.insert(0, key[s])
+        return perm, key_ranks
+
+    def apply_windows(self, rel: Relation, outer, replacements, env,
+                      wins: List["a.WindowCall"]):
+        """Compute window functions over the (post-aggregate) relation and
+        append their columns; returns (new rel, replacements incl. window
+        fingerprints). Default frames: with ORDER BY, RANGE UNBOUNDED
+        PRECEDING..CURRENT ROW including peers; without, the whole
+        partition."""
+        ev = Evaluator(self, rel, outer, replacements, env=env)
+        n = rel.row_count
+        uniq: Dict[str, a.WindowCall] = {}
+        for call in wins:
+            uniq.setdefault(fingerprint(call), call)
+        new_cols: List[Vector] = list(rel.columns)
+        names: List[str] = []
+        repl = dict(replacements)
+        for fp, call in uniq.items():
+            vec = self._compute_window(ev, call, n)
+            repl[fp] = len(new_cols)
+            names.append(self.derive_name(call))
+            new_cols.append(vec)
+        binding = Binding("", names,
+                          list(range(len(rel.columns), len(new_cols))))
+        return Relation(new_cols, rel.bindings + [binding]), repl
+
+    def _compute_window(self, ev, call: "a.WindowCall", n: int) -> Vector:
+        from ..types import BIGINT, DOUBLE, SQLNULL
+        if not call.args and call.name not in (
+                "row_number", "rank", "dense_rank", "count_star"):
+            raise BinderException(
+                f"No function matches the given name and argument types "
+                f"'{call.name}()'")
+        if call.partition_by:
+            pvecs = [ev.evaluate(e) for e in call.partition_by]
+            pids, _, _ = self._factorize_groups(pvecs)
+        else:
+            pids = np.zeros(n, dtype=np.int64)
+        perm = np.arange(n, dtype=np.int64)
+        perm, key_ranks = self._order_permutation(ev, perm, call.order_by)
+        # partition-major, order-minor: stable sort by partition id last
+        s = np.argsort(pids[perm], kind="stable")
+        perm = perm[s]
+        key_ranks = [kr[s] for kr in key_ranks]
+        spids = pids[perm]
+        new_part = np.ones(n, dtype=bool)
+        if n:
+            new_part[1:] = spids[1:] != spids[:-1]
+        # peer boundaries: partition change or any order-key change
+        new_peer = new_part.copy()
+        for kr in key_ranks:
+            if n:
+                new_peer[1:] |= kr[1:] != kr[:-1]
+        pos = np.arange(n, dtype=np.int64)
+        part_start = np.maximum.accumulate(np.where(new_part, pos, 0))
+        peer_gid = np.cumsum(new_peer.astype(np.int64)) - 1 if n else \
+            np.zeros(0, np.int64)
+        # last row index of each peer group
+        if n:
+            peer_last = np.empty(max(int(peer_gid[-1]) + 1, 1) if n else 1,
+                                 dtype=np.int64)
+            peer_last[peer_gid] = pos            # last write wins
+        name = call.name
+        if name == "row_number":
+            vals = pos - part_start + 1
+            out = np.empty(n, dtype=np.int64)
+            out[perm] = vals
+            return Vector(BIGINT, out, np.ones(n, dtype=bool))
+        if name in ("rank", "dense_rank"):
+            if name == "rank":
+                vals = np.maximum.accumulate(
+                    np.where(new_peer, pos, 0)) - part_start + 1
+            else:
+                # dense: count of peer boundaries since partition start
+                pb = np.cumsum((new_peer & ~new_part).astype(np.int64))
+                base = np.maximum.accumulate(np.where(new_part, pb, 0))
+                vals = pb - base + 1
+            out = np.empty(n, dtype=np.int64)
+            out[perm] = vals
+            return Vector(BIGINT, out, np.ones(n, dtype=bool))
+        if name in ("lead", "lag"):
+            off = 1
+            if len(call.args) > 1:
+                off_v = ev.evaluate(call.args[1])
+                off = int(off_v.value(0)) if len(off_v) else 1
+            default = None
+            if len(call.args) > 2:
+                dv = ev.evaluate(call.args[2])
+                default = dv.value(0) if len(dv) else None
+            src = ev.evaluate(call.args[0])
+            step = off if name == "lead" else -off
+            tgt = pos + step
+            valid_t = (tgt >= 0) & (tgt < n) if n else np.zeros(0, bool)
+            tgt_c = np.clip(tgt, 0, max(n - 1, 0))
+            same_part = valid_t & (spids[tgt_c] == spids)
+            sorted_rows = perm[tgt_c]
+            out_vals = []
+            for i in range(n):
+                if same_part[i]:
+                    out_vals.append(src.value(int(sorted_rows[i])))
+                else:
+                    out_vals.append(default)
+            res = [None] * n
+            for i in range(n):
+                res[int(perm[i])] = out_vals[i]
+            return Vector.from_values(res, src.type)
+        # aggregate windows
+        if name == "count_star":
+            sv = np.ones(n, dtype=np.float64)
+            valid = np.ones(n, dtype=bool)
+            src_type = BIGINT
+        else:
+            src = ev.evaluate(call.args[0])
+            sv = np.where(src.validity,
+                          src.data if src.type.numpy_dtype() is not object
+                          else 0, 0).astype(np.float64) \
+                if src.type.numpy_dtype() is not object else None
+            valid = src.validity[perm]
+            src_type = src.type
+        if name in ("first_value", "last_value") or sv is None:
+            # value-picking windows (work for any type); default frames:
+            # first = partition first row; last = current peer-group last
+            # with ORDER BY, partition last without (the standard's
+            # notorious last_value default)
+            src = ev.evaluate(call.args[0])
+            if name == "first_value":
+                pick = part_start
+            elif call.order_by:
+                pick = peer_last[peer_gid]
+            else:
+                pgid = np.cumsum(new_part.astype(np.int64)) - 1
+                lp = np.empty(int(pgid[-1]) + 1 if n else 1, dtype=np.int64)
+                lp[pgid] = pos
+                pick = lp[pgid]
+            if name not in ("first_value", "last_value"):
+                raise BinderException(
+                    f"window aggregate {name} requires numeric input")
+            res = [None] * n
+            for i in range(n):
+                res[int(perm[i])] = src.value(int(perm[int(pick[i])]))
+            return Vector.from_values(res, src.type)
+        svs = sv[perm]
+        vf = valid.astype(np.float64)
+        if call.order_by:
+            # running (peer-inclusive) frame
+            csum = np.cumsum(svs * vf)
+            ccnt = np.cumsum(vf)
+            base_sum = np.where(new_part, csum - svs * vf, np.nan)
+            base_cnt = np.where(new_part, ccnt - vf, np.nan)
+            base_sum = self._ffill_nan(base_sum)
+            base_cnt = self._ffill_nan(base_cnt)
+            run_sum = csum - base_sum
+            run_cnt = ccnt - base_cnt
+            run_sum = run_sum[peer_last[peer_gid]]
+            run_cnt = run_cnt[peer_last[peer_gid]]
+            if name in ("min", "max"):
+                # per-partition running extrema with peer broadcast
+                vals = np.where(valid, svs,
+                                np.inf if name == "min" else -np.inf)
+                run = np.empty(n, dtype=np.float64)
+                acc = 0.0
+                for i in range(n):
+                    acc = vals[i] if new_part[i] else (
+                        min(acc, vals[i]) if name == "min"
+                        else max(acc, vals[i]))
+                    run[i] = acc
+                run = run[peer_last[peer_gid]]
+                run_sum = run
+        else:
+            # whole-partition frame
+            pgid = np.cumsum(new_part.astype(np.int64)) - 1 if n else \
+                np.zeros(0, np.int64)
+            nparts = int(pgid[-1]) + 1 if n else 0
+            tot = np.bincount(pgid, weights=svs * vf, minlength=nparts)
+            cnt = np.bincount(pgid, weights=vf, minlength=nparts)
+            if name == "min":
+                tot = np.full(nparts, np.inf)
+                np.minimum.at(tot, pgid[valid], svs[valid])
+            elif name == "max":
+                tot = np.full(nparts, -np.inf)
+                np.maximum.at(tot, pgid[valid], svs[valid])
+            run_sum = tot[pgid]
+            run_cnt = cnt[pgid]
+        if name in ("count", "count_star"):
+            out = np.zeros(n, dtype=np.int64)
+            out[perm] = run_cnt.astype(np.int64)
+            return Vector(BIGINT, out, np.ones(n, dtype=bool))
+        if name == "avg":
+            vals = np.where(run_cnt > 0, run_sum / np.maximum(run_cnt, 1),
+                            0.0)
+            out = np.zeros(n, dtype=np.float64)
+            out[perm] = vals
+            ov = np.zeros(n, dtype=bool)
+            ov[perm] = run_cnt > 0
+            return Vector(DOUBLE, out, ov)
+        # sum / min / max
+        out = np.zeros(n, dtype=np.float64)
+        out[perm] = run_sum
+        ov = np.zeros(n, dtype=bool)
+        ov[perm] = run_cnt > 0 if name == "sum" else np.isfinite(run_sum)
+        if src_type.is_numeric and src_type.is_integral:
+            return Vector(BIGINT, np.where(ov, out, 0).astype(np.int64), ov)
+        return Vector(DOUBLE, out, ov)
+
+    @staticmethod
+    def _ffill_nan(x: np.ndarray) -> np.ndarray:
+        """Forward-fill NaN with the last non-NaN value (0.0 before any)."""
+        if not len(x):
+            return x
+        x = x.copy()
+        if np.isnan(x[0]):
+            x[0] = 0.0
+        idx = np.where(~np.isnan(x), np.arange(len(x)), 0)
+        np.maximum.accumulate(idx, out=idx)
+        return x[idx]
 
     def _apply_sample(self, rel: Relation, spec: dict) -> Relation:
         n = rel.row_count

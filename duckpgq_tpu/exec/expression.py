@@ -41,6 +41,13 @@ def fingerprint(e: a.Expression) -> str:
         fl = "" if e.filter is None else " filter:" + fingerprint(e.filter)
         return f"agg:{e.name.lower()}({d}" + ",".join(
             fingerprint(x) for x in e.args) + f"){ob}{fl}"
+    if isinstance(e, a.WindowCall):
+        pb = ",".join(fingerprint(x) for x in e.partition_by)
+        ob = ",".join(fingerprint(o.expr) + ("" if o.ascending else " desc")
+                      for o in e.order_by)
+        return (f"win:{e.name.lower()}(" +
+                ",".join(fingerprint(x) for x in e.args) +
+                f") partition:{pb} order:{ob}")
     if isinstance(e, a.Comparison):
         return f"cmp:{e.op}({fingerprint(e.left)},{fingerprint(e.right)})"
     if isinstance(e, a.Conjunction):
@@ -96,11 +103,24 @@ def collect_aggregates(e: a.Expression, out: List[a.AggregateCall]):
         collect_aggregates(child, out)
 
 
+def collect_windows(e: a.Expression, out: List["a.WindowCall"]):
+    if e is None:
+        return
+    if isinstance(e, a.WindowCall):
+        out.append(e)
+        return  # no nested windows
+    for child in _children(e):
+        collect_windows(child, out)
+
+
 def _children(e: a.Expression):
     if isinstance(e, a.FunctionCall):
         return e.args
     if isinstance(e, a.AggregateCall):
         return e.args
+    if isinstance(e, a.WindowCall):
+        return (e.args + e.partition_by +
+                [ob.expr for ob in e.order_by])
     if isinstance(e, a.Comparison):
         return [e.left, e.right]
     if isinstance(e, a.Conjunction):
@@ -253,6 +273,10 @@ class Evaluator:
             raise BinderException(
                 f"aggregate function {e.name} used outside of an aggregation "
                 f"context")
+        if isinstance(e, a.WindowCall):
+            raise BinderException(
+                f"window function {e.name} is only allowed in the SELECT "
+                f"list")
         if isinstance(e, a.SubqueryExpr):
             return self.evaluate_subquery(e)
         if isinstance(e, a.StructExtract):

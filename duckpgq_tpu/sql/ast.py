@@ -61,6 +61,19 @@ class FunctionCall(Expression):
 
 
 @dataclass
+class WindowCall(Expression):
+    """fn(args) OVER (PARTITION BY ... ORDER BY ...) — default frames only
+    (with ORDER BY: RANGE UNBOUNDED PRECEDING..CURRENT ROW incl. peers;
+    without: the whole partition)."""
+
+    name: str = ""
+    args: List[Expression] = field(default_factory=list)
+    partition_by: List[Expression] = field(default_factory=list)
+    order_by: List["OrderByNode"] = field(default_factory=list)
+    alias: Optional[str] = None
+
+
+@dataclass
 class AggregateCall(Expression):
     name: str
     args: List[Expression] = field(default_factory=list)

@@ -1032,6 +1032,11 @@ class Parser:
                     self.expect_kw("WHERE")
                     filt = self.parse_expression()
                     self.expect_op(")")
+                if self.peek().is_kw("OVER"):
+                    if filt is not None:
+                        raise NotImplementedException(
+                            "FILTER on window functions is not supported")
+                    return self._parse_over("count_star", [])
                 return a.AggregateCall(name="count_star", args=[],
                                        filter=filt)
             return a.FunctionCall(name=lname, args=[a.Star()])
@@ -1060,8 +1065,13 @@ class Parser:
             filt = self.parse_expression()
             self.expect_op(")")
         if self.peek().is_kw("OVER"):
-            raise NotImplementedException("window functions are not supported yet")
+            if filt is not None:
+                raise NotImplementedException(
+                    "FILTER on window functions is not supported")
+            return self._parse_over(lname, args)
         if lname in self._AGGREGATES:
+            if lname == "count" and not args:
+                lname = "count_star"    # DuckDB: count() == count(*)
             return a.AggregateCall(name=lname, args=args, distinct=distinct,
                                    order_by=order_by, filter=filt)
         if filt is not None:
@@ -1070,6 +1080,46 @@ class Parser:
         fn = a.FunctionCall(name=lname, args=args, distinct=distinct,
                             order_by=order_by)
         return fn
+
+    _WINDOW_FUNCTIONS = {
+        "row_number", "rank", "dense_rank", "lead", "lag",
+        "first_value", "last_value",
+        "sum", "count", "count_star", "avg", "min", "max",
+    }
+
+    def _parse_over(self, lname: str, args: List[a.Expression]
+                    ) -> a.WindowCall:
+        self.expect_kw("OVER")
+        self.expect_op("(")
+        partition: List[a.Expression] = []
+        order_by: List[a.OrderByNode] = []
+        if self.accept_kw("PARTITION"):
+            self.expect_kw("BY")
+            partition.append(self.parse_expression())
+            while self.accept_op(","):
+                partition.append(self.parse_expression())
+        if self.accept_kw("ORDER"):
+            self.expect_kw("BY")
+            while True:
+                e = self.parse_expression()
+                asc = not self.accept_kw("DESC")
+                if asc:
+                    self.accept_kw("ASC")
+                order_by.append(a.OrderByNode(expr=e, ascending=asc))
+                if not self.accept_op(","):
+                    break
+        if self.peek().is_kw("ROWS", "RANGE", "GROUPS"):
+            raise NotImplementedException(
+                "explicit window frames are not supported yet (default "
+                "frames only)")
+        self.expect_op(")")
+        if lname == "count" and not args:
+            lname = "count_star"
+        if lname not in self._WINDOW_FUNCTIONS:
+            raise NotImplementedException(
+                f"window function {lname} is not supported")
+        return a.WindowCall(name=lname, args=args, partition_by=partition,
+                            order_by=order_by)
 
     def parse_case(self) -> a.Expression:
         self.expect_kw("CASE")
