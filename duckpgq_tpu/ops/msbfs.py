@@ -140,6 +140,25 @@ def iterative_length_bidirectional(csr: CSR, src: np.ndarray, dst: np.ndarray,
     validity = np.ones(n, dtype=bool)
     if src_valid is None:
         src_valid = np.ones(n, dtype=bool)
+
+    import os
+
+    # same SQL -> device bridge as iterative_length: large CSRs route to
+    # the packed bidirectional kernel (msbfs_jax.msbfs_lengths_bidirectional
+    # — the alternating-side semantics of the reference, device-side)
+    device_min = int(os.environ.get("DUCKPGQ_DEVICE_MIN_EDGES", "2000000"))
+    if csr.ecount >= device_min and n:
+        from . import msbfs_jax
+        from .csr_jax import from_host_csr
+        sel = np.flatnonzero(src_valid)
+        if len(sel):
+            lengths = msbfs_jax.msbfs_bidirectional_batched(
+                from_host_csr(csr), src[sel], dst[sel])
+            out[sel] = lengths
+            validity[sel] = lengths >= 0
+        validity[~src_valid] = False
+        return out, validity
+
     rsrc, rdst, _ = csr.reverse() if csr.ecount else \
         (np.empty(0, np.int64), np.empty(0, np.int64), None)
 

@@ -679,6 +679,95 @@ def msbfs_reachability(csr: DeviceCSR, src, dst, active, max_iters: int):
 
 
 # ---------------------------------------------------------------------------
+# bidirectional packed MS-BFS
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("max_iters",))
+def msbfs_lengths_bidirectional(csr: DeviceCSR, src: jnp.ndarray,
+                                dst: jnp.ndarray, active: jnp.ndarray,
+                                max_iters: int
+                                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Bidirectional bit-packed MS-BFS (reference
+    iterativelength_bidirectional.cpp:12-41,119-128): odd iterations expand
+    the source-side frontier, even iterations the destination-side one —
+    BOTH along forward edges (the reference builds no reverse CSR, so like
+    it this is exact only on symmetric/undirected CSRs) — and the reported
+    length is the iteration at which the two seen-sets first intersect
+    (InterSectFronteers, :34-41). Lane layout matches the lane-major packed
+    kernel: frontiers are ``uint32 [W, Vp+1]`` with 32 lanes per word.
+
+    Returns (lengths int32 [L] with -1 for unreached/inactive,
+    traversed float32 [L] — graph500-style credit over both seen-sets)."""
+    Vp = csr.vpad
+    L = src.shape[0]
+    assert L % 32 == 0, "packed kernel needs lanes % 32 == 0"
+    W = L // 32
+    word_of_lane, bit_of_lane, searching, result = _wave_state(
+        src, dst, active)
+    deg = out_degrees(csr).astype(jnp.float32)        # [Vp]
+    heads, last_pos, has_in = _in_segments(csr)
+    seed_bits = jnp.where(searching, bit_of_lane, jnp.uint32(0))
+
+    def mark(verts):
+        f = jnp.zeros((W, Vp + 1), dtype=jnp.uint32)
+        return f.at[word_of_lane, verts].add(seed_bits)
+
+    f_src = mark(src)
+    s_src = f_src
+    f_dst = mark(dst)
+    s_dst = f_dst
+
+    def expand(frontier, seen):
+        gathered = jnp.take(frontier, csr.in_src, axis=1)  # [W, Ep]
+        ext = segment_or_sorted_rows(gathered, heads, last_pos,
+                                     has_in)               # [W, Vp]
+        nxt = jnp.concatenate(
+            [ext, jnp.zeros((W, 1), jnp.uint32)], axis=1) & ~seen
+        return nxt, seen | nxt
+
+    def cond(state):
+        it, f_src, f_dst, _, _, _ = state
+        return (it <= max_iters) & ((f_src != 0).any() | (f_dst != 0).any())
+
+    def body(state):
+        it, f_src, f_dst, s_src, s_dst, result = state
+        f_src, s_src, f_dst, s_dst = jax.lax.cond(
+            (it % 2) == 1,
+            lambda fs, ss, fd, sd: (*expand(fs, ss), fd, sd),
+            lambda fs, ss, fd, sd: (fs, ss, *expand(fd, sd)),
+            f_src, s_src, f_dst, s_dst)
+        met_words = jax.lax.reduce(s_src & s_dst, jnp.uint32(0),
+                                   jax.lax.bitwise_or, (1,))   # [W]
+        found = ((met_words[word_of_lane] & bit_of_lane) != 0) \
+            & (result < 0) & searching
+        result = jnp.where(found, it, result)
+        live = _pack_words(result < 0, W)[:, None]
+        return it + 1, f_src & live, f_dst & live, s_src, s_dst, result
+
+    _, _, _, s_src, s_dst, result = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), f_src, f_dst, s_src, s_dst, result))
+
+    traversed = (
+        _packed_traversed(s_src[:, :Vp], deg, L, edge_major=False) +
+        _packed_traversed(s_dst[:, :Vp], deg, L, edge_major=False))
+    return result, traversed
+
+
+def msbfs_bidirectional_batched(csr: DeviceCSR, src, dst,
+                                lanes: int = 512) -> "np.ndarray":
+    """Batch arbitrary query counts through the bidirectional packed kernel
+    (SQL -> device bridge for ``iterativelengthbidirectional``). Four
+    [W, Vp+1] buffers stay live (two frontiers + two seen-sets) vs the
+    unidirectional kernel's two, so the wave is capped at half its fit."""
+    lanes = min(lanes, max(32, (max_packed_lanes(csr) // 2) & ~31))
+    max_iters = 2 * max(csr.vcount, 1) + 1
+    out, _ = _batched_waves(
+        lambda s, d, a: msbfs_lengths_bidirectional(csr, s, d, a, max_iters),
+        lanes, src, dst)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # multi-source Bellman-Ford (weighted shortest path lengths)
 # ---------------------------------------------------------------------------
 

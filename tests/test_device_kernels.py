@@ -103,6 +103,59 @@ def test_packed_bfs_edge_major_matches_host(seed):
     assert float(np.asarray(traversed)[~active].sum()) == 0
 
 
+@pytest.mark.parametrize("seed", [0, 4])
+@pytest.mark.parametrize("symmetric", [False, True])
+def test_packed_bidirectional_matches_host(seed, symmetric):
+    """Device bidirectional kernel reproduces the host mirror exactly —
+    including the reference's directed-CSR quirk (both sides expand forward
+    edges), so parity must hold on plain directed graphs too."""
+    import jax.numpy as jnp
+    from duckpgq_tpu.ops.csr_jax import from_host_csr
+    from duckpgq_tpu.ops.msbfs_jax import msbfs_lengths_bidirectional
+
+    rng = np.random.default_rng(seed)
+    v, e = 60, 210
+    src = rng.integers(0, v, size=e).astype(np.int64)
+    dst = rng.integers(0, v, size=e).astype(np.int64)
+    if symmetric:
+        src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+    g = Graph(v, src, dst)
+    L = 64
+    qs = rng.integers(0, v, size=L).astype(np.int32)
+    qd = rng.integers(0, v, size=L).astype(np.int32)
+    active = np.ones(L, dtype=bool)
+    active[-5:] = False
+    qs[3] = qd[3]  # trivial lane
+    dcsr = from_host_csr(g.host_csr)
+    got, traversed = msbfs_lengths_bidirectional(
+        dcsr, jnp.asarray(qs), jnp.asarray(qd), jnp.asarray(active),
+        2 * v + 1)
+    host_lengths, host_valid = host_msbfs.iterative_length_bidirectional(
+        g.host_csr, qs.astype(np.int64), qd.astype(np.int64))
+    expect = np.where(host_valid & active, host_lengths, -1)
+    np.testing.assert_array_equal(np.asarray(got), expect)
+    assert float(np.asarray(traversed)[active].sum()) > 0
+    assert float(np.asarray(traversed)[~active].sum()) == 0
+
+
+def test_bidirectional_sql_device_route(monkeypatch):
+    """iterativelengthbidirectional routes through the packed device kernel
+    when the CSR clears DUCKPGQ_DEVICE_MIN_EDGES."""
+    monkeypatch.setenv("DUCKPGQ_DEVICE_MIN_EDGES", "1")
+    rng = np.random.default_rng(11)
+    v, e = 40, 150
+    src = rng.integers(0, v, size=e).astype(np.int64)
+    dst = rng.integers(0, v, size=e).astype(np.int64)
+    csr = build_csr(v, src, dst, np.arange(e, dtype=np.int64))
+    qs = rng.integers(0, v, size=90).astype(np.int64)
+    qd = rng.integers(0, v, size=90).astype(np.int64)
+    got, got_valid = host_msbfs.iterative_length_bidirectional(csr, qs, qd)
+    monkeypatch.setenv("DUCKPGQ_DEVICE_MIN_EDGES", str(10**9))
+    want, want_valid = host_msbfs.iterative_length_bidirectional(csr, qs, qd)
+    np.testing.assert_array_equal(got_valid, want_valid)
+    np.testing.assert_array_equal(got[got_valid], want[want_valid])
+
+
 @pytest.mark.parametrize("seed", [0, 7])
 def test_device_shortest_paths_match_host(seed):
     from duckpgq_tpu.ops.csr_jax import from_host_csr
