@@ -72,7 +72,9 @@ def main():
         _bench_pallas(v, src, dst, lanes, batches, max_iters, rng)
         return
     t0 = time.time()
-    csr = build_device_csr(v, src, dst)
+    # lengths_only: ship the 2 edge arrays the BFS kernels read, not all 6
+    # — the put runs at tunnel link speed and dominates setup wall time
+    csr = build_device_csr(v, src, dst, lengths_only=True)
     np.asarray(csr.offsets[:2])  # hard sync through host transfer
     build_s = time.time() - t0
     print(f"# csr build: {build_s:.3f}s "

@@ -110,14 +110,24 @@ def build_device_csr(vcount: int, src: np.ndarray, dst: np.ndarray,
                      w: Optional[np.ndarray] = None,
                      vpad: Optional[int] = None,
                      epad: Optional[int] = None,
-                     host_build: bool = True) -> DeviceCSR:
+                     host_build: bool = True,
+                     lengths_only: bool = False) -> DeviceCSR:
     """Host arrays -> padded device CSR. Padding edges are (vpad -> vpad).
 
     By default the sort/prefix-sum pipeline runs on the host (numpy) and the
     finished arrays are device_put — the jitted variant (``host_build=False``)
     exists for data already resident on device, but XLA's sort/scatter
     compile on some backends costs minutes while the host build is O(E)
-    and compile-free."""
+    and compile-free.
+
+    ``lengths_only=True`` ships ONLY the arrays the BFS-lengths kernels
+    read (the dst-sorted in-edge view ``in_src``/``in_dst`` plus both
+    offset vectors) — a [2, epad] put instead of [6, epad], 3x less
+    transfer on tunneled devices where the put runs at link speed. The
+    unused fields (``e``/``edge_src``/``edge_ids``/``in_pos``) are aliased
+    to the in-view buffers so shapes (and ``epad``) stay correct; their
+    VALUES are wrong, so such a CSR must only feed the lengths kernels
+    (msbfs_lengths / packed / planned / bidirectional / reachability)."""
     e = len(src)
     vpad = vpad or pad_bucket(vcount + 1)
     epad = epad or pad_bucket(max(e, 1))
@@ -150,6 +160,19 @@ def build_device_csr(vcount: int, src: np.ndarray, dst: np.ndarray,
         in_counts = np.bincount(d, minlength=vpad + 1)
         in_offsets = np.zeros(vpad + 1, dtype=np.int32)
         np.cumsum(in_counts[:vpad], out=in_offsets[1:])
+        if lengths_only:
+            assert w_p is None, "lengths_only CSR carries no weights"
+            packed = np.stack([s[in_order], d[in_order]])       # [2, epad]
+            packed_dev = jnp.asarray(packed)
+            small_dev = jnp.asarray(np.stack([offsets, in_offsets]))
+            in_src_d, in_dst_d = packed_dev[0], packed_dev[1]
+            return DeviceCSR(
+                offsets=small_dev[0],
+                e=in_dst_d, edge_src=in_src_d,      # aliases (shape only)
+                edge_ids=in_src_d, in_pos=in_src_d,  # aliases (shape only)
+                in_src=in_src_d, in_dst=in_dst_d,
+                in_offsets=small_dev[1], w=None,
+                vcount=vcount, ecount=e)
         # ONE host->device transfer for all six [epad] arrays: per-transfer
         # latency dominates on tunneled/remote devices (an 8-byte sync read
         # can stall tens of seconds behind queued puts), and one put is also

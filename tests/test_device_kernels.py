@@ -103,6 +103,47 @@ def test_packed_bfs_edge_major_matches_host(seed):
     assert float(np.asarray(traversed)[~active].sum()) == 0
 
 
+def test_lengths_only_build_matches_full():
+    """The minimal-transfer CSR (bench.py setup path) gives identical BFS
+    lengths to the full build across the narrow, packed, and planned
+    kernels."""
+    import jax.numpy as jnp
+    from duckpgq_tpu.ops.csr_jax import build_device_csr
+    from duckpgq_tpu.ops.msbfs_jax import (msbfs_lengths,
+                                           msbfs_lengths_packed,
+                                           msbfs_lengths_packed_planned,
+                                           plan_packed_wave)
+
+    rng = np.random.default_rng(9)
+    v, e = 90, 400
+    src = rng.integers(0, v, size=e).astype(np.int64)
+    dst = rng.integers(0, v, size=e).astype(np.int64)
+    full = build_device_csr(v, src, dst)
+    mini = build_device_csr(v, src, dst, lengths_only=True)
+    for f in ("offsets", "in_src", "in_dst", "in_offsets"):
+        np.testing.assert_array_equal(np.asarray(getattr(full, f)),
+                                      np.asarray(getattr(mini, f)))
+    assert mini.epad == full.epad and mini.vpad == full.vpad
+    L = 64
+    qs = jnp.asarray(rng.integers(0, v, size=L).astype(np.int32))
+    qd = jnp.asarray(rng.integers(0, v, size=L).astype(np.int32))
+    active = jnp.ones(L, dtype=bool)
+    for kern in (lambda c: msbfs_lengths(c, qs, qd, active, v)[0],
+                 lambda c: msbfs_lengths_packed(c, qs, qd, active, v)[0]):
+        np.testing.assert_array_equal(np.asarray(kern(full)),
+                                      np.asarray(kern(mini)))
+    plan = plan_packed_wave(mini, lanes=4096)
+    got, _ = msbfs_lengths_packed_planned(
+        mini, plan, jnp.asarray(np.resize(np.asarray(qs), plan.lanes)),
+        jnp.asarray(np.resize(np.asarray(qd), plan.lanes)),
+        jnp.ones(plan.lanes, dtype=bool), v, False)
+    want, _ = msbfs_lengths_packed(
+        full, jnp.asarray(np.resize(np.asarray(qs), plan.lanes)),
+        jnp.asarray(np.resize(np.asarray(qd), plan.lanes)),
+        jnp.ones(plan.lanes, dtype=bool), v)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 @pytest.mark.parametrize("seed", [0, 4])
 @pytest.mark.parametrize("symmetric", [False, True])
 def test_packed_bidirectional_matches_host(seed, symmetric):
