@@ -162,16 +162,18 @@ def build_device_csr(vcount: int, src: np.ndarray, dst: np.ndarray,
         np.cumsum(in_counts[:vpad], out=in_offsets[1:])
         if lengths_only:
             assert w_p is None, "lengths_only CSR carries no weights"
-            packed = np.stack([s[in_order], d[in_order]])       # [2, epad]
-            packed_dev = jnp.asarray(packed)
-            small_dev = jnp.asarray(np.stack([offsets, in_offsets]))
-            in_src_d, in_dst_d = packed_dev[0], packed_dev[1]
+            # separate puts (no [2, epad] stack): a stacked transfer would
+            # need packed[k] slice executables — fresh compiles that can
+            # queue minutes behind the shared helper; plain puts compile
+            # nothing
+            in_src_d = jnp.asarray(np.ascontiguousarray(s[in_order]))
+            in_dst_d = jnp.asarray(np.ascontiguousarray(d[in_order]))
             return DeviceCSR(
-                offsets=small_dev[0],
+                offsets=jnp.asarray(offsets),
                 e=in_dst_d, edge_src=in_src_d,      # aliases (shape only)
                 edge_ids=in_src_d, in_pos=in_src_d,  # aliases (shape only)
                 in_src=in_src_d, in_dst=in_dst_d,
-                in_offsets=small_dev[1], w=None,
+                in_offsets=jnp.asarray(in_offsets), w=None,
                 vcount=vcount, ecount=e)
         # ONE host->device transfer for all six [epad] arrays: per-transfer
         # latency dominates on tunneled/remote devices (an 8-byte sync read
