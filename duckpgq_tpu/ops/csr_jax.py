@@ -41,19 +41,25 @@ def pad_bucket(n: int, minimum: int = 128) -> int:
 class DeviceCSR:
     """CSR on device. ``e``/``edge_src`` sorted by (src, insertion order);
     ``in_src``/``in_dst``/``in_pos`` are the in-edge view sorted by dst
-    (for pull-style frontier expansion with sorted segment ids)."""
+    (for pull-style frontier expansion with sorted segment ids).
 
-    offsets: jnp.ndarray      # int32 [Vp + 1]
-    e: jnp.ndarray            # int32 [Ep]   destination per out-edge
-    edge_src: jnp.ndarray     # int32 [Ep]   source per out-edge
-    edge_ids: jnp.ndarray     # int32 [Ep]
+    A ``lengths_only`` CSR (see build_device_csr) carries ONLY the in-edge
+    view: ``e``/``edge_src``/``edge_ids``/``in_pos`` are None so any kernel
+    that needs the forward view (shortest paths, weights, LCC) fails fast
+    instead of silently reading wrong values."""
+
+    offsets: jnp.ndarray                # int32 [Vp + 1]
+    e: Optional[jnp.ndarray]            # int32 [Ep]  dst per out-edge
+    edge_src: Optional[jnp.ndarray]     # int32 [Ep]  src per out-edge
+    edge_ids: Optional[jnp.ndarray]     # int32 [Ep]
     in_src: jnp.ndarray       # int32 [Ep]   source per in-edge (dst-sorted)
     in_dst: jnp.ndarray       # int32 [Ep]
-    in_pos: jnp.ndarray       # int32 [Ep]   position into e/edge_ids
+    in_pos: Optional[jnp.ndarray]  # int32 [Ep]  position into e/edge_ids
     in_offsets: jnp.ndarray   # int32 [Vp + 1]  offsets of the in-edge view
     w: Optional[jnp.ndarray]  # float32 [Ep] or None
     vcount: int               # real V (static)
     ecount: int               # real E (static)
+    lengths_only: bool = False
 
     @property
     def vpad(self) -> int:
@@ -61,13 +67,13 @@ class DeviceCSR:
 
     @property
     def epad(self) -> int:
-        return int(self.e.shape[0])
+        return int(self.in_dst.shape[0])
 
     def tree_flatten(self):
         children = (self.offsets, self.e, self.edge_src, self.edge_ids,
                     self.in_src, self.in_dst, self.in_pos, self.in_offsets,
                     self.w)
-        aux = (self.vcount, self.ecount)
+        aux = (self.vcount, self.ecount, self.lengths_only)
         return children, aux
 
     @classmethod
@@ -124,10 +130,10 @@ def build_device_csr(vcount: int, src: np.ndarray, dst: np.ndarray,
     read (the dst-sorted in-edge view ``in_src``/``in_dst`` plus both
     offset vectors) — a [2, epad] put instead of [6, epad], 3x less
     transfer on tunneled devices where the put runs at link speed. The
-    unused fields (``e``/``edge_src``/``edge_ids``/``in_pos``) are aliased
-    to the in-view buffers so shapes (and ``epad``) stay correct; their
-    VALUES are wrong, so such a CSR must only feed the lengths kernels
-    (msbfs_lengths / packed / planned / bidirectional / reachability)."""
+    unused fields (``e``/``edge_src``/``edge_ids``/``in_pos``) are None and
+    ``lengths_only`` is set, so such a CSR only feeds the lengths kernels
+    (msbfs_lengths / packed / planned / bidirectional / reachability) —
+    anything touching the forward view fails fast on the None fields."""
     e = len(src)
     vpad = vpad or pad_bucket(vcount + 1)
     epad = epad or pad_bucket(max(e, 1))
@@ -170,11 +176,10 @@ def build_device_csr(vcount: int, src: np.ndarray, dst: np.ndarray,
             in_dst_d = jnp.asarray(np.ascontiguousarray(d[in_order]))
             return DeviceCSR(
                 offsets=jnp.asarray(offsets),
-                e=in_dst_d, edge_src=in_src_d,      # aliases (shape only)
-                edge_ids=in_src_d, in_pos=in_src_d,  # aliases (shape only)
+                e=None, edge_src=None, edge_ids=None, in_pos=None,
                 in_src=in_src_d, in_dst=in_dst_d,
                 in_offsets=jnp.asarray(in_offsets), w=None,
-                vcount=vcount, ecount=e)
+                vcount=vcount, ecount=e, lengths_only=True)
         # ONE host->device transfer for all six [epad] arrays: per-transfer
         # latency dominates on tunneled/remote devices (an 8-byte sync read
         # can stall tens of seconds behind queued puts), and one put is also

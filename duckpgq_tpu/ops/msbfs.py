@@ -133,7 +133,12 @@ def iterative_length_bidirectional(csr: CSR, src: np.ndarray, dst: np.ndarray,
     """Bidirectional MS-BFS (reference iterativelength_bidirectional.cpp):
     alternates expanding the src-side and dst-side frontiers; length = total
     iterations when the frontiers' seen-sets intersect. Correct for
-    symmetric (undirected) CSRs, like the reference."""
+    symmetric (undirected) CSRs, like the reference.
+
+    Early-exit parity (reference :119-128): the wave stops as soon as one
+    alternation produces no new vertex in ANY lane; still-active lanes are
+    NULL even when the other side could keep expanding (visible on
+    directed CSRs where one endpoint has no out-edges)."""
     n = len(src)
     V = csr.vcount
     out = np.full(n, -1, dtype=np.int64)
@@ -185,14 +190,17 @@ def iterative_length_bidirectional(csr: CSR, src: np.ndarray, dst: np.ndarray,
                 break
             if it & 1:
                 f_src = _expand(f_src, s_src, rsrc, rdst)
+                changed = f_src.any()
             else:
                 f_dst = _expand(f_dst, s_dst, rsrc, rdst)
+                changed = f_dst.any()
+            if not changed:
+                # reference :119-128: one alternation with no new vertex in
+                # any lane ends the whole wave; active lanes become NULL
+                break
             meet = active & (s_src & s_dst).any(axis=0)
             out[lanes[meet]] = it
             active &= ~meet
-            # lanes where both frontiers died without meeting have no path
-            dead = active & ~(f_src.any(axis=0) | f_dst.any(axis=0))
-            active &= ~dead
         unfound = out[lanes] < 0
         validity[lanes[unfound]] = False
     validity[~src_valid] = False

@@ -570,14 +570,16 @@ def _msbfs_lengths_packed_chunked(csr: DeviceCSR, plan: PackedWavePlan,
 
 
 def max_packed_lanes(csr: DeviceCSR, hbm_budget: Optional[int] = None,
-                     cap: Optional[int] = None) -> int:
+                     cap: Optional[int] = None,
+                     vertex_buffers: int = 2) -> int:
     """Largest packed-wave lane count whose working set fits HBM.
 
     Per iteration the packed kernel materializes two [W, Ep] uint32 buffers
-    (gather output + scan output, W = lanes/32) plus the [W, Vp] frontier
-    pair; budget for ~3x [W, Ep] words to leave room for XLA temporaries.
-    RMAT-20 (Ep=16.8M) lands on 2048 lanes on a 16 GB chip — the measured
-    HBM-fit limit (BASELINE.md)."""
+    (gather output + scan output, W = lanes/32) plus ``vertex_buffers``
+    [W, Vp] uint32 vertex-state buffers (frontier+seen = 2 for the
+    unidirectional kernel, 4 for bidirectional); budget for ~3x [W, Ep]
+    words to leave room for XLA temporaries. RMAT-20 (Ep=16.8M) lands on
+    2048 lanes on a 16 GB chip — the measured HBM-fit limit (BASELINE.md)."""
     if cap is None:
         import os
         cap = int(os.environ.get("DUCKPGQ_MAX_LANES", "8192"))
@@ -591,7 +593,7 @@ def max_packed_lanes(csr: DeviceCSR, hbm_budget: Optional[int] = None,
             pass
     # two live [W, Ep] uint32 buffers per iteration (gather out + scan out;
     # measured: RMAT-20 runs 2048 lanes on 16 GB, so no extra slack factor)
-    per_word = 8 * csr.epad + 8 * (csr.vpad + 1)    # bytes per W
+    per_word = 8 * csr.epad + 4 * vertex_buffers * (csr.vpad + 1)
     w = max(1, hbm_budget // max(per_word, 1))
     lanes = 32
     while lanes * 2 <= min(w * 32, cap):
@@ -696,6 +698,14 @@ def msbfs_lengths_bidirectional(csr: DeviceCSR, src: jnp.ndarray,
     (InterSectFronteers, :34-41). Lane layout matches the lane-major packed
     kernel: frontiers are ``uint32 [W, Vp+1]`` with 32 lanes per word.
 
+    Early-exit parity (reference :119-128): the reference breaks the WHOLE
+    wave as soon as one alternation sets no new bit in any lane — on a
+    directed CSR where one side exhausts, still-active lanes report NULL
+    even though the other side could keep expanding. This kernel reproduces
+    that: found lanes are not masked out of the frontiers (the reference
+    keeps expanding them too, and they feed the global change flag), and
+    the loop stops when the just-expanded side produced nothing.
+
     Returns (lengths int32 [L] with -1 for unreached/inactive,
     traversed float32 [L] — graph500-style credit over both seen-sets)."""
     Vp = csr.vpad
@@ -726,26 +736,34 @@ def msbfs_lengths_bidirectional(csr: DeviceCSR, src: jnp.ndarray,
         return nxt, seen | nxt
 
     def cond(state):
-        it, f_src, f_dst, _, _, _ = state
-        return (it <= max_iters) & ((f_src != 0).any() | (f_dst != 0).any())
+        it, f_src, f_dst, _, _, result, changed = state
+        return (it <= max_iters) & changed \
+            & ((result < 0) & searching).any()
 
     def body(state):
-        it, f_src, f_dst, s_src, s_dst, result = state
-        f_src, s_src, f_dst, s_dst = jax.lax.cond(
-            (it % 2) == 1,
-            lambda fs, ss, fd, sd: (*expand(fs, ss), fd, sd),
-            lambda fs, ss, fd, sd: (fs, ss, *expand(fd, sd)),
+        it, f_src, f_dst, s_src, s_dst, result, _ = state
+
+        def expand_src(fs, ss, fd, sd):
+            nxt, ss2 = expand(fs, ss)
+            return nxt, ss2, fd, sd, (nxt != 0).any()
+
+        def expand_dst(fs, ss, fd, sd):
+            nxt, sd2 = expand(fd, sd)
+            return fs, ss, nxt, sd2, (nxt != 0).any()
+
+        f_src, s_src, f_dst, s_dst, changed = jax.lax.cond(
+            (it % 2) == 1, expand_src, expand_dst,
             f_src, s_src, f_dst, s_dst)
         met_words = jax.lax.reduce(s_src & s_dst, jnp.uint32(0),
                                    jax.lax.bitwise_or, (1,))   # [W]
-        found = ((met_words[word_of_lane] & bit_of_lane) != 0) \
+        found = changed & ((met_words[word_of_lane] & bit_of_lane) != 0) \
             & (result < 0) & searching
         result = jnp.where(found, it, result)
-        live = _pack_words(result < 0, W)[:, None]
-        return it + 1, f_src & live, f_dst & live, s_src, s_dst, result
+        return it + 1, f_src, f_dst, s_src, s_dst, result, changed
 
-    _, _, _, s_src, s_dst, result = jax.lax.while_loop(
-        cond, body, (jnp.int32(1), f_src, f_dst, s_src, s_dst, result))
+    _, _, _, s_src, s_dst, result, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(1), f_src, f_dst, s_src, s_dst, result, jnp.bool_(True)))
 
     traversed = (
         _packed_traversed(s_src[:, :Vp], deg, L, edge_major=False) +
@@ -758,8 +776,11 @@ def msbfs_bidirectional_batched(csr: DeviceCSR, src, dst,
     """Batch arbitrary query counts through the bidirectional packed kernel
     (SQL -> device bridge for ``iterativelengthbidirectional``). Four
     [W, Vp+1] buffers stay live (two frontiers + two seen-sets) vs the
-    unidirectional kernel's two, so the wave is capped at half its fit."""
-    lanes = min(lanes, max(32, (max_packed_lanes(csr) // 2) & ~31))
+    unidirectional kernel's two; max_packed_lanes models that directly via
+    vertex_buffers=4. Waves default to the reference's 512-lane width so
+    the wave-global early-exit (see msbfs_lengths_bidirectional) groups
+    queries the same way."""
+    lanes = min(lanes, max_packed_lanes(csr, vertex_buffers=4))
     max_iters = 2 * max(csr.vcount, 1) + 1
     out, _ = _batched_waves(
         lambda s, d, a: msbfs_lengths_bidirectional(csr, s, d, a, max_iters),

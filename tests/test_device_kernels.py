@@ -179,6 +179,34 @@ def test_packed_bidirectional_matches_host(seed, symmetric):
     assert float(np.asarray(traversed)[~active].sum()) == 0
 
 
+def test_bidirectional_directed_early_exit():
+    """Reference iterativelength_bidirectional.cpp:119-128 breaks the whole
+    wave once one alternation produces no new vertex: on 0->1->2 the query
+    (0, 2) is NULL because the dst side (vertex 2, no out-edges) exhausts
+    at iteration 2 even though the src side would meet it at iteration 3.
+    Both the host mirror and the device kernel reproduce that."""
+    import jax.numpy as jnp
+    from duckpgq_tpu.ops.csr_jax import from_host_csr
+    from duckpgq_tpu.ops.msbfs_jax import msbfs_lengths_bidirectional
+
+    csr = build_csr(3, np.array([0, 1], dtype=np.int64),
+                    np.array([1, 2], dtype=np.int64),
+                    np.arange(2, dtype=np.int64))
+    qs = np.array([0], dtype=np.int64)
+    qd = np.array([2], dtype=np.int64)
+    lengths, valid = host_msbfs.iterative_length_bidirectional(csr, qs, qd)
+    assert not valid[0]
+
+    L = 32
+    s = np.zeros(L, dtype=np.int32)
+    d = np.zeros(L, dtype=np.int32)
+    a = np.zeros(L, dtype=bool)
+    s[0], d[0], a[0] = 0, 2, True
+    got, _ = msbfs_lengths_bidirectional(
+        from_host_csr(csr), jnp.asarray(s), jnp.asarray(d), jnp.asarray(a), 7)
+    assert int(np.asarray(got)[0]) == -1
+
+
 def test_bidirectional_sql_device_route(monkeypatch):
     """iterativelengthbidirectional routes through the packed device kernel
     when the CSR clears DUCKPGQ_DEVICE_MIN_EDGES."""
