@@ -176,6 +176,24 @@ def equi_join_pairs(lcode: np.ndarray, rcode: np.ndarray,
 
 
 def cross_pairs(ln: int, rn: int) -> Tuple[np.ndarray, np.ndarray]:
-    li = np.repeat(np.arange(ln, dtype=np.int64), rn)
-    ri = np.tile(np.arange(rn, dtype=np.int64), ln)
-    return li, ri
+    """Cross product in the reference host engine's physical order
+    (asserted by multiple_graph_table.test's ordered expectations):
+    the optimizer materializes the SMALLER input as the RHS (ties keep the
+    second input on the right), then streams the LHS through it in
+    2048-row chunks — for each LHS chunk, each RHS row is paired with the
+    whole chunk, so the streamed side varies fastest within a chunk."""
+    if ln == 0 or rn == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    swapped = rn > ln                 # build side = smaller input
+    lhs_n, rhs_n = (rn, ln) if swapped else (ln, rn)
+    CH = 2048
+    lhs_parts, rhs_parts = [], []
+    for start in range(0, lhs_n, CH):
+        m = min(CH, lhs_n - start)
+        lhs_parts.append(np.tile(np.arange(start, start + m,
+                                           dtype=np.int64), rhs_n))
+        rhs_parts.append(np.repeat(np.arange(rhs_n, dtype=np.int64), m))
+    lhs_i = np.concatenate(lhs_parts)
+    rhs_i = np.concatenate(rhs_parts)
+    return (rhs_i, lhs_i) if swapped else (lhs_i, rhs_i)

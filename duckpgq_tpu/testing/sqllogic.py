@@ -7,10 +7,12 @@ Supports the directives that corpus uses: ``statement ok/error [conN]``,
 comments, and inline expected results (including error-substring matching,
 DuckDB-style).
 
-Comparison policy: rows compare as multisets when the query has no ORDER BY
-(physical row order is an engine artifact, not part of the spec); ordered
-compare otherwise. Floating-point columns compare with 1e-6 relative
-tolerance (the engine's float formatting differs from DuckDB at the last ulp).
+Comparison policy: ORDERED comparison everywhere except explicit
+``rowsort``/``valuesort`` directives — the corpus expectations encode the
+reference's physical row order and this engine reproduces it (the
+determinism contract also ties the numpy / native / device backends to one
+row order). Floating-point columns compare with 1e-6 relative tolerance
+(the engine's float formatting differs from DuckDB at the last ulp).
 """
 
 from __future__ import annotations
@@ -72,6 +74,28 @@ class TestFileResult:
 
 
 KNOWN_EXTENSIONS = {"duckpgq", "parquet", "json", "icu"}
+
+# The corpus compares STRICTLY ORDERED except for these four queries, whose
+# expected row order encodes host-engine internals that SQL semantics do not
+# determine (verified case by case; everything else — 59/62 files fully —
+# passes ordered). Key: (path suffix, 1-based line of the query directive).
+ORDER_UNDETERMINED = {
+    # Organisation is populated via `SELECT .. UNION SELECT ..`; the
+    # expected MATCH order follows DuckDB's hash-DISTINCT bucket layout of
+    # that union (CWI before EY despite later insertion), which has no
+    # SQL-level definition.
+    ("pattern_matching/inheritance_support.test", 109):
+        "row order follows DuckDB hash-UNION layout of Organisation",
+    ("pattern_matching/inheritance_support.test", 124):
+        "row order follows DuckDB hash-UNION layout of Organisation",
+    # ORDER BY with ties between equally-shortest paths: the tie order is
+    # DuckDB's sort-input (join pipeline) order, not a property of ANY
+    # SHORTEST semantics.
+    ("path_finding/complex_matching.test", 55):
+        "ORDER BY tie order among equal-length shortest paths",
+    ("snb/snb_inheritance.test", 141):
+        "ORDER BY tie order among joined reply rows",
+}
 
 
 def parse_test_file(path: str) -> List[Record]:
@@ -195,6 +219,7 @@ class SQLLogicRunner:
         self.base_path = base_path
 
     def run_file(self, path: str) -> TestFileResult:
+        self._current_path = path
         result = TestFileResult(path)
         records = parse_test_file(path)
         db = Database()
@@ -295,55 +320,20 @@ class SQLLogicRunner:
                 f"row count mismatch: expected {len(expected_rows)}, "
                 f"got {len(actual_rows)}\nfirst rows: "
                 f"{actual_rows[:5]} vs expected {expected_rows[:5]}")
-        has_order_by = bool(re.search(r"\border\s+by\b", rec.sql,
-                                      re.IGNORECASE))
-        if rec.sort_mode == "rowsort":
+        relaxed = any(self._current_path.endswith(suffix)
+                      and rec.line == line
+                      for suffix, line in ORDER_UNDETERMINED)
+        if rec.sort_mode == "rowsort" or relaxed:
             expected_rows = sorted(expected_rows)
             actual_sorted = sorted(actual_rows)
             pairs = list(zip(expected_rows, actual_sorted))
-        elif has_order_by:
-            pairs = list(zip(expected_rows, actual_rows))
-            ordered_ok = all(
-                len(e) == len(x) and all(_values_equal(a_, b_)
-                                         for a_, b_ in zip(e, x))
-                for e, x in pairs)
-            if not ordered_ok:
-                # ORDER BY ties may break differently; accept a multiset
-                # match (values verified, tie order engine-specific)
-                remaining = list(actual_rows)
-                for erow in expected_rows:
-                    hit = None
-                    for j, arow in enumerate(remaining):
-                        if len(arow) == len(erow) and all(
-                                _values_equal(e, x)
-                                for e, x in zip(erow, arow)):
-                            hit = j
-                            break
-                    if hit is None:
-                        return RecordResult(
-                            rec, "fail",
-                            f"expected row {erow} not found in result "
-                            f"(remaining: {remaining[:5]}...)")
-                    remaining.pop(hit)
-                return RecordResult(rec, "pass")
         else:
-            # multiset comparison: greedy matching with tolerance
-            remaining = list(actual_rows)
-            for erow in expected_rows:
-                hit = None
-                for j, arow in enumerate(remaining):
-                    if len(arow) == len(erow) and all(
-                            _values_equal(e, x)
-                            for e, x in zip(erow, arow)):
-                        hit = j
-                        break
-                if hit is None:
-                    return RecordResult(
-                        rec, "fail",
-                        f"expected row {erow} not found in result "
-                        f"(remaining: {remaining[:5]}...)")
-                remaining.pop(hit)
-            return RecordResult(rec, "pass")
+            # nosort = ordered compare (sqllogictest semantics): the
+            # expectations encode the reference's physical row order, which
+            # is part of the behavioral spec here — all engine backends
+            # must produce it (CLAUDE.md determinism invariant). The only
+            # allowed slack is the float ulp tolerance in _values_equal.
+            pairs = list(zip(expected_rows, actual_rows))
         for erow, arow in pairs:
             if len(erow) != len(arow) or not all(
                     _values_equal(e, x) for e, x in zip(erow, arow)):

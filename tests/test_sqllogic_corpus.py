@@ -25,9 +25,7 @@ def _corpus_files():
     return [os.path.relpath(f, root) for f in files]
 
 
-@requires_reference
-@pytest.mark.parametrize("relpath", _corpus_files())
-def test_corpus_file(relpath):
+def _run_one(relpath):
     if relpath in KNOWN_UNSUPPORTED:
         pytest.skip(KNOWN_UNSUPPORTED[relpath])
     runner = SQLLogicRunner(base_path=REFERENCE_ROOT)
@@ -38,3 +36,19 @@ def test_corpus_file(relpath):
     failures = result.failures
     assert not failures, "\n".join(
         f"line {r.record.line}: {r.message}" for r in failures)
+
+
+@requires_reference
+@pytest.mark.parametrize("relpath", _corpus_files())
+def test_corpus_file(relpath):
+    _run_one(relpath)
+
+
+@requires_reference
+@pytest.mark.parametrize("relpath", _corpus_files())
+def test_corpus_file_device_rel(relpath, monkeypatch):
+    """Whole corpus again with MATCH-binding joins forced through the
+    device relational backend (ops/rel.py) — row ORDER must be identical
+    to the host backends (strict ordered comparison enforces it)."""
+    monkeypatch.setenv("DUCKPGQ_DEVICE_REL", "1")
+    _run_one(relpath)
