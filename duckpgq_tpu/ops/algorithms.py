@@ -18,16 +18,33 @@ live in duckpgq_tpu.models.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .csr import CSR
+
+
+def _device_min_edges() -> int:
+    """SQL -> device bridge threshold shared by every whole-graph kernel
+    (same knob as the path kernels in ops/msbfs.py). CSRs at or above this
+    edge count route to the TPU device kernels; DUCKPGQ_DEVICE_MIN_EDGES=0
+    forces the device path (the force-device corpus run uses that)."""
+    return int(os.environ.get("DUCKPGQ_DEVICE_MIN_EDGES", "2000000"))
 
 
 def pagerank(csr: CSR, damping: float = 0.85, threshold: float = 1e-6
              ) -> np.ndarray:
     """Returns rank array over vsize entries (callers index by rowid).
 
-    Dispatches to the native runtime (native/graphrt.cpp) when built."""
+    Dispatches to the TPU device kernel for large CSRs (float64 power
+    iteration with the reference's V+2 quirk — msbfs_jax.pagerank_reference)
+    and to the native runtime (native/graphrt.cpp) otherwise."""
+    if csr.ecount >= _device_min_edges():
+        from .csr_jax import from_host_csr
+        from .msbfs_jax import pagerank_reference
+        return pagerank_reference(from_host_csr(csr), csr.vsize,
+                                  damping, threshold)
     from .. import native_rt
     if native_rt.available():
         out = native_rt.pagerank(csr.vcount, csr.vsize, csr.v, csr.e,
@@ -56,9 +73,49 @@ def pagerank(csr: CSR, damping: float = 0.85, threshold: float = 1e-6
             return rank
 
 
+def _replay_forest_links(csr: CSR, positions: np.ndarray) -> np.ndarray:
+    """Replay Link(src, dst) over the given CSR positions ascending —
+    exactly the reference's successful-link sequence — and resolve roots.
+    O(|positions| * alpha) host work over <= V-1 spanning edges."""
+    n = csr.vsize - 1
+    forest = np.arange(n, dtype=np.int64)
+
+    def find(node: int) -> int:
+        while True:
+            parent = forest[node]
+            if parent == node:
+                return node
+            forest[node] = forest[parent]
+            node = parent
+
+    src_of = csr.src_of_edge
+    e = csr.e
+    for p in positions:
+        ra = find(int(src_of[p]))
+        rb = find(int(e[p]))
+        if ra != rb:
+            forest[ra] = rb
+    # resolve every vertex to its root (vectorized pointer jumping)
+    while True:
+        nxt = forest[forest]
+        if np.array_equal(nxt, forest):
+            return forest
+        forest = nxt
+
+
 def weakly_connected_component(csr: CSR) -> np.ndarray:
     """Union-find with the reference's exact linking order; returns the root
-    per vertex for vertices [0, vsize-1)."""
+    per vertex for vertices [0, vsize-1).
+
+    Large CSRs route to the device: Boruvka over edge-position weights
+    (msbfs_jax.wcc_msf_device) finds the reference's successful-link edge
+    set on the TPU — the O(E) part — and the <= V-1 forest links are
+    replayed on the host to reproduce the exact order-dependent root ids."""
+    if csr.ecount >= _device_min_edges():
+        from .csr_jax import from_host_csr
+        from .msbfs_jax import wcc_msf_device
+        mask = np.asarray(wcc_msf_device(from_host_csr(csr)))[:csr.ecount]
+        return _replay_forest_links(csr, np.flatnonzero(mask))
     from .. import native_rt
     if native_rt.available():
         out = native_rt.wcc(csr.vcount, csr.vsize - 1, csr.v, csr.e)
@@ -93,7 +150,15 @@ def weakly_connected_component(csr: CSR) -> np.ndarray:
 def local_clustering_coefficient(csr: CSR) -> np.ndarray:
     """lcc[v] = (# directed links among neighbors of v) / (d*(d-1)).
     Works on whichever CSR it is given (the SQL layer hands it the
-    deduplicated undirected CSR, mirroring the reference's table function)."""
+    deduplicated undirected CSR, mirroring the reference's table function).
+
+    Large CSRs route to the blocked device kernel (msbfs_jax.lcc_device);
+    wedge counts are small integers so its float32 output is bit-identical
+    to the reference's float32 column."""
+    if csr.ecount >= _device_min_edges():
+        from .csr_jax import from_host_csr
+        from .msbfs_jax import lcc_device
+        return np.asarray(lcc_device(from_host_csr(csr)))
     from .. import native_rt
     if native_rt.available():
         out = native_rt.lcc(csr.vcount, csr.v, csr.e)

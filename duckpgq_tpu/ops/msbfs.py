@@ -224,6 +224,24 @@ def shortest_path(csr: CSR, src: np.ndarray, dst: np.ndarray,
     if src_valid is None:
         src_valid = np.ones(n, dtype=bool)
 
+    import os
+
+    # SQL -> device bridge (same threshold as iterative_length): device
+    # BFS with parent tracking (msbfs_jax.msbfs_parents preserves the
+    # reference's lowest-CSR-position parent tie-break) + host backtrack
+    device_min = int(os.environ.get("DUCKPGQ_DEVICE_MIN_EDGES", "2000000"))
+    if csr.ecount >= device_min and n:
+        from . import msbfs_jax
+        from .csr_jax import from_host_csr
+        sel = np.flatnonzero(src_valid)
+        if len(sel):
+            sel_paths, sel_valid = msbfs_jax.shortest_paths_device(
+                from_host_csr(csr), src[sel], dst[sel])
+            for k, q in enumerate(sel):
+                paths[q] = sel_paths[k]
+                validity[q] = bool(sel_valid[k])
+        return paths, validity
+
     from .. import native_rt
     if native_rt.available() and n and V * 512 * 4 <= (1 << 30):
         sel = np.flatnonzero(src_valid)
@@ -326,6 +344,31 @@ def cheapest_path_length(csr: CSR, src: np.ndarray, dst: np.ndarray,
     INF = np.inf if is_double else np.iinfo(np.int64).max // 2
     out = np.full(n, INF, dtype=dtype)
     validity = np.ones(n, dtype=bool)
+
+    import os
+
+    # SQL -> device bridge: the dense-relaxation kernel runs in float32,
+    # which is exact for integer weights while |cost| < 2^24; larger
+    # integer domains stay on the exact host/native path
+    device_min = int(os.environ.get("DUCKPGQ_DEVICE_MIN_EDGES", "2000000"))
+    if csr.ecount >= device_min and n:
+        wa = np.asarray(w)
+        f32_exact = is_double or len(wa) == 0 or \
+            float(np.abs(wa).max()) * max(V, 1) < float(2 ** 24)
+        if f32_exact:
+            from . import msbfs_jax
+            from .csr_jax import from_host_csr
+            out = np.zeros(n, dtype=dtype)
+            validity = np.zeros(n, dtype=bool)
+            sel = np.flatnonzero(src_valid)
+            if len(sel):
+                costs = msbfs_jax.bellman_ford_batched(
+                    from_host_csr(csr), src[sel], dst[sel])
+                reached = np.isfinite(costs)
+                vals = costs if is_double else np.rint(costs)
+                out[sel] = np.where(reached, vals, 0).astype(dtype)
+                validity[sel] = reached
+            return out, validity, is_double
 
     from .. import native_rt
     if native_rt.available() and n:

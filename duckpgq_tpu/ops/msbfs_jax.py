@@ -993,13 +993,16 @@ def shortest_paths_device(csr: DeviceCSR, src, dst, lanes: int = 64):
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("block",))
-def lcc_device(csr: DeviceCSR, block: int = 128) -> jnp.ndarray:
+def lcc_device(csr: DeviceCSR, block: int = 64) -> jnp.ndarray:
     """lcc[v] = directed neighbor-neighbor links / (d*(d-1)) over the given
     (deduplicated, symmetrized) CSR. Blocked dense formulation: process
     vertices in blocks of ``block``; each block materializes its neighbor
     bitmap [block, Vp] and counts wedge closures with one masked matmul —
-    MXU work instead of per-vertex loops."""
+    MXU work instead of per-vertex loops. Counts are small integers, so
+    the float32 arithmetic matches the reference's float32 output exactly.
+    Default block=64 divides every pad_bucket size (>=128: 2^k or 3*2^k)."""
     Vp = csr.vpad
+    assert Vp % block == 0, (Vp, block)
     deg = out_degrees(csr).astype(jnp.float32)                # [Vp]
     # neighbor incidence: nbr[b, v] = 1 if v adjacent to vertex b0+b
     n_blocks = Vp // block
@@ -1070,3 +1073,185 @@ def wcc_label_propagation(csr: DeviceCSR, max_iters: int = 64) -> jnp.ndarray:
     _, labels, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), labels, jnp.bool_(True)))
     return labels[:V]
+
+
+# ---------------------------------------------------------------------------
+# reference-exact PageRank: float64 with the reference's padded-array quirk
+# (pagerank.cpp:31-78 iterates over vsize = V+2 entries; the two phantom
+# vertices are dangling and leak into the denominator and the dangling mass)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("vsize",))
+def _pagerank_reference_jit(csr: DeviceCSR, vsize: int, damping, threshold):
+    Vp = csr.vpad
+    V = csr.vcount
+    n_phantom = vsize - V
+    deg = out_degrees(csr).astype(jnp.float64)                # [Vp]
+    real = jnp.arange(Vp) < V
+    has_out = (deg > 0) & real
+    rank = jnp.where(real, 1.0 / vsize, 0.0)
+    phantom = jnp.float64(1.0 / vsize)
+    heads, last_pos, has_in = _in_segments(csr)
+    safe_src = jnp.minimum(csr.in_src, Vp - 1)
+    real_edge = (jnp.arange(csr.epad) < csr.ecount) & (csr.in_src < Vp)
+
+    def cond(state):
+        _, _, delta = state
+        return delta >= threshold
+
+    def body(state):
+        rank, phantom, _ = state
+        contrib = jnp.where(real_edge & has_out[safe_src],
+                            rank[safe_src] / jnp.maximum(deg[safe_src], 1.0),
+                            0.0)
+        acc = segment_sum_sorted(contrib, heads, last_pos, has_in)  # [Vp]
+        dangling = jnp.where(real & ~has_out, rank, 0.0).sum() \
+            + n_phantom * phantom
+        corr = dangling / vsize
+        new = jnp.where(real,
+                        (1.0 - damping) / vsize + damping * (acc + corr),
+                        0.0)
+        new_phantom = (1.0 - damping) / vsize + damping * corr
+        delta = jnp.maximum(jnp.abs(new - rank).max(),
+                            jnp.abs(new_phantom - phantom))
+        return new, new_phantom, delta
+
+    rank, phantom, _ = jax.lax.while_loop(
+        cond, body, (rank, phantom, jnp.float64(jnp.inf)))
+    return rank, phantom
+
+
+def pagerank_reference(csr: DeviceCSR, vsize: int, damping: float = 0.85,
+                       threshold: float = 1e-6):
+    """SQL-facing device PageRank, bit-compatible with the reference's
+    float64 power iteration including the vsize = V+2 denominator quirk
+    (pagerank.cpp:31-78; host mirror ops/algorithms.py). Runs under a
+    scoped x64 context so the rest of the engine stays in 32-bit dtypes.
+    Returns a float64 numpy array over vsize entries (the phantom vertices
+    share one rank value, placed in the tail)."""
+    import numpy as np
+    with jax.enable_x64(True):
+        rank, phantom = _pagerank_reference_jit(
+            csr, vsize, jnp.float64(damping), jnp.float64(threshold))
+        out = np.empty(vsize, dtype=np.float64)
+        out[:csr.vcount] = np.asarray(rank)[:csr.vcount]
+        out[csr.vcount:] = float(phantom)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# WCC with reference-exact component ids: device Boruvka finds the earliest
+# spanning forest (= the reference union-find's successful-link set), host
+# replays the <=V-1 forest links in CSR order to reproduce the exact roots
+# (weakly_connected_component.cpp:14-34,66-91 — ids depend on link order)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def wcc_msf_device(csr: DeviceCSR) -> jnp.ndarray:
+    """Boruvka minimum-spanning-forest over the forward edge view with
+    edge weight = CSR position (all distinct). With those weights the MSF
+    equals the set of edges on which the reference's sequential union-find
+    performs a successful Link() when scanning positions ascending (Kruskal
+    = Boruvka on distinct weights), treating each directed copy as a
+    parallel edge — so this works for directed, multi-, and self-loop CSRs
+    exactly like the reference's scan.
+
+    Scatter-free: per-round per-component minima via lax.sort +
+    searchsorted; hooking + pointer-jumping label contraction. Returns a
+    bool [Ep] mask of chosen positions (ascending replay of those links
+    reproduces the reference forest bit-for-bit)."""
+    Vp = csr.vpad
+    Ep = csr.epad
+    esrc = csr.edge_src
+    edst = csr.e
+    pos = jnp.arange(Ep, dtype=jnp.int32)
+    classes = jnp.arange(Vp, dtype=jnp.int32)
+    real = (pos < csr.ecount) & (esrc < Vp) & (edst < Vp)
+    BIGK = jnp.int32(Vp)          # label sentinel (real labels < Vp)
+    BIGP = jnp.int32(Ep + 1)      # position sentinel
+    safe_u = jnp.minimum(esrc, Vp - 1)
+    safe_v = jnp.minimum(edst, Vp - 1)
+
+    def cond(state):
+        it, _, _, changed = state
+        return changed & (it < 64)          # rounds <= log2(V) + slack
+
+    def body(state):
+        it, labels, msf, _ = state
+        lu = jnp.where(real, labels[safe_u], BIGK)
+        lv = jnp.where(real, labels[safe_v], BIGK)
+        cross = real & (lu != lv)
+        # per-class min position over ALL incident copies (either side):
+        # sort (class, position) pairs, then the first entry of each run is
+        # the class minimum; dense lookup via binary search (no scatter)
+        keys = jnp.concatenate([jnp.where(cross, lu, BIGK),
+                                jnp.where(cross, lv, BIGK)])
+        vals = jnp.concatenate([pos, pos])
+        sk, sv = jax.lax.sort((keys, vals), num_keys=2)
+        first = jnp.searchsorted(sk, classes).astype(jnp.int32)
+        safe_first = jnp.minimum(first, 2 * Ep - 1)
+        has_choice = sk[safe_first] == classes
+        choice = jnp.where(has_choice, sv[safe_first], BIGP)    # [Vp]
+        # an edge copy is a forest link iff it IS some class's minimum
+        chosen = cross & ((choice[jnp.minimum(lu, Vp - 1)] == pos) |
+                          (choice[jnp.minimum(lv, Vp - 1)] == pos))
+        msf = msf | chosen
+        # hook each choosing class onto the other endpoint's class
+        q = jnp.minimum(choice, Ep - 1)
+        other = jnp.where(has_choice,
+                          jnp.where(real[q], lu[q] + lv[q] - classes,
+                                    classes),
+                          classes)
+        parent = other
+        # Boruvka hooking cycles are only 2-cycles (distinct weights);
+        # keep the smaller label as the root
+        pp = parent[jnp.minimum(parent, Vp - 1)]
+        parent = jnp.where((pp == classes) & (classes < parent),
+                           classes, parent)
+
+        def jcond(s):
+            p, ch = s
+            return ch
+
+        def jbody(s):
+            p, _ = s
+            p2 = p[p]
+            return p2, (p2 != p).any()
+
+        parent, _ = jax.lax.while_loop(jcond, jbody,
+                                       (parent, jnp.bool_(True)))
+        labels = parent[labels]
+        return it + 1, labels, msf, cross.any()
+
+    _, _, msf, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), classes,
+                     jnp.zeros(Ep, dtype=jnp.bool_), jnp.bool_(True)))
+    return msf
+
+
+# ---------------------------------------------------------------------------
+# batched Bellman-Ford (SQL -> device bridge for cheapest_path_length)
+# ---------------------------------------------------------------------------
+
+def bellman_ford_batched(csr: DeviceCSR, src, dst, lanes: int = 256):
+    """Batch arbitrary query counts through the dense-relaxation kernel.
+    Returns float32 costs (inf = unreached). Lane width follows the
+    reference's Bellman-Ford ladder cap of 256
+    (cheapest_path_length.cpp:101-135); the [Vp, L] float32 distance matrix
+    plus the [Ep, L] relaxation candidates set the per-wave footprint."""
+    import numpy as np
+    n = len(src)
+    out = np.full(n, np.inf, dtype=np.float32)
+    max_iters = max(csr.vcount + 1, 1)
+    for start in range(0, n, lanes):
+        m = min(lanes, n - start)
+        s = np.zeros(lanes, dtype=np.int32)
+        d = np.zeros(lanes, dtype=np.int32)
+        a = np.zeros(lanes, dtype=bool)
+        s[:m] = src[start:start + m]
+        d[:m] = dst[start:start + m]
+        a[:m] = True
+        costs = bellman_ford(csr, jnp.asarray(s), jnp.asarray(d),
+                             jnp.asarray(a), max_iters)
+        out[start:start + m] = np.asarray(costs)[:m]
+    return out

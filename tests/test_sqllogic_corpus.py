@@ -45,6 +45,21 @@ def test_corpus_file(relpath):
 
 
 @requires_reference
+@pytest.mark.parametrize("relpath", [
+    f for f in _corpus_files()
+    if f.replace("\\", "/").startswith(("scalar/", "path_finding/"))])
+def test_corpus_file_force_device_kernels(relpath, monkeypatch):
+    """scalar/* + path_finding/* with every graph kernel forced through the
+    TPU device path (DUCKPGQ_DEVICE_MIN_EDGES=0): iterativelength (+2,
+    bidirectional), shortestpath, reachability, cheapest_path_length,
+    pagerank, weakly_connected_component, local_clustering_coefficient —
+    the full reference scalar surface (scalar.hpp:7-20) — must be
+    bit-identical to the host backends."""
+    monkeypatch.setenv("DUCKPGQ_DEVICE_MIN_EDGES", "0")
+    _run_one(relpath)
+
+
+@requires_reference
 @pytest.mark.parametrize("relpath", _corpus_files())
 def test_corpus_file_device_rel(relpath, monkeypatch):
     """Whole corpus again with MATCH-binding joins forced through the
