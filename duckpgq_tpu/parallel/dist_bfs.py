@@ -752,3 +752,262 @@ def dist_bfs_lengths(mesh: Mesh, sharded: ShardedCSR, src, dst,
         out[start:start + m] = np.asarray(res)[:m]
         traversed_total += float(np.asarray(trav)[:m].sum())
     return out, traversed_total
+
+
+# ---------------------------------------------------------------------------
+# partitioned-frontier distributed BFS (VERDICT r1 item 3): per-shard peak
+# frontier memory O(W * V / N) instead of the replicated O(W * V)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class GroupedShardedCSR:
+    """Per-shard in-edges grouped by SOURCE owner for the ring exchange:
+    shard s's edges with src owned by shard t sit in group t, sorted by
+    local destination. Source ids are stored LOCAL to the owner's range so
+    the expansion gathers straight from the [W, Vs] ring block.
+
+    in_src_local: int32 [nx, nx, Eg]   src id within owner's range
+    in_dst_local: int32 [nx, nx, Eg]   dst id within this shard's range
+    edge_valid:   bool  [nx, nx, Eg]
+    """
+
+    in_src_local: np.ndarray
+    in_dst_local: np.ndarray
+    edge_valid: np.ndarray
+    n_shards: int
+    v_shard: int
+    vcount: int
+    ecount: int
+    perm: Optional[np.ndarray] = None
+
+    @property
+    def v_padded(self) -> int:
+        return self.n_shards * self.v_shard
+
+    def map_queries(self, q: np.ndarray) -> np.ndarray:
+        return q if self.perm is None else self.perm[q]
+
+
+def partition_csr_grouped(vcount: int, src: np.ndarray, dst: np.ndarray,
+                          n_shards: int,
+                          balance: bool = True) -> GroupedShardedCSR:
+    """Partition edges by destination owner AND group each shard's edges by
+    source owner (the unit the ring exchange processes). ``balance=True``
+    applies the same hub-relabeling as partition_csr, which also evens the
+    per-(shard, group) edge counts so the common group padding stays tight
+    on power-law graphs."""
+    v_shard = round_up(max((vcount + n_shards - 1) // n_shards, 8), 8)
+    perm = None
+    if balance:
+        indeg = np.bincount(dst, minlength=vcount)
+        order = np.argsort(-indeg, kind="stable")
+        ranks = np.empty(vcount, dtype=np.int64)
+        ranks[order] = np.arange(vcount)
+        perm = (ranks % n_shards) * v_shard + ranks // n_shards
+        src = perm[src]
+        dst = perm[dst]
+    dst_owner = dst // v_shard
+    src_owner = src // v_shard
+    groups = {}
+    eg_max = 1
+    for s in range(n_shards):
+        for t in range(n_shards):
+            mask = (dst_owner == s) & (src_owner == t)
+            es = (src[mask] - t * v_shard).astype(np.int32)
+            ed = (dst[mask] - s * v_shard).astype(np.int32)
+            order2 = np.argsort(ed, kind="stable")
+            groups[s, t] = (es[order2], ed[order2])
+            eg_max = max(eg_max, len(es))
+    eg_pad = round_up(eg_max, 8)
+    in_src = np.full((n_shards, n_shards, eg_pad), v_shard - 1,
+                     dtype=np.int32)
+    in_dst = np.full((n_shards, n_shards, eg_pad), v_shard - 1,
+                     dtype=np.int32)
+    valid = np.zeros((n_shards, n_shards, eg_pad), dtype=bool)
+    for (s, t), (es, ed) in groups.items():
+        in_src[s, t, :len(es)] = es
+        in_dst[s, t, :len(es)] = ed
+        valid[s, t, :len(es)] = True
+    return GroupedShardedCSR(in_src_local=in_src, in_dst_local=in_dst,
+                             edge_valid=valid, n_shards=n_shards,
+                             v_shard=v_shard, vcount=vcount,
+                             ecount=len(src), perm=perm)
+
+
+def make_dist_bfs_partitioned(mesh: Mesh, grouped: GroupedShardedCSR,
+                              lanes: int, max_iters: int):
+    """Bit-packed distributed BFS with a PARTITIONED frontier.
+
+    Unlike make_dist_bfs_packed (which all_gathers the new frontier into a
+    replicated [W, Vtot] buffer on every chip — O(W*V) per-chip memory),
+    every frontier buffer here is [W, Vs]: each iteration runs an N-step
+    ring over the mesh axis (``ppermute`` to the ring neighbor), and at
+    step k a shard expands only its edge group whose sources belong to the
+    block currently in hand. Exchange volume per iteration is the same as
+    the all_gather (every block visits every shard — unavoidable in a pull
+    model where any shard may neighbor any source), but per-shard peak
+    frontier memory drops from O(W*V) to O(W*V/N + W*Eg) — the gate to
+    RMAT-26-class graphs (BASELINE config 5). The ppermute is issued
+    before the block's expansion so XLA overlaps the ring hop with
+    compute.
+
+    Termination/result flags are tiny [L] psum collectives: the shard that
+    owns a query's dst reports the hit.
+
+    Returns fn(src[L], dst[L], active[L]) -> (lengths[L] int32,
+    traversed[L] float32)."""
+    import os
+    use_pallas = os.environ.get("DUCKPGQ_SCAN_IMPL", "xla") == "pallas"
+    nx = grouped.n_shards
+    Vs = grouped.v_shard
+    axis = mesh.axis_names[0]
+    assert lanes % 32 == 0
+    W = lanes // 32
+    Eg = grouped.in_src_local.shape[2]
+    scan_chunk = 1
+    while scan_chunk * 2 <= min(Eg, 2048) and Eg % (scan_chunk * 2) == 0:
+        scan_chunk *= 2
+
+    shard4 = NamedSharding(mesh, P(axis, None, None))
+    in_src = jax.device_put(jnp.asarray(grouped.in_src_local), shard4)
+    in_dst = jax.device_put(jnp.asarray(grouped.in_dst_local), shard4)
+    edge_valid = jax.device_put(jnp.asarray(grouped.edge_valid), shard4)
+
+    # per-shard out-degrees of OWNED vertices (TEPS accounting, sharded)
+    deg = np.zeros((nx, Vs), dtype=np.float32)
+    src_flat = grouped.in_src_local.reshape(nx, -1)
+    own_flat = np.broadcast_to(
+        np.arange(nx, dtype=np.int32)[None, :, None],
+        grouped.in_src_local.shape).reshape(nx, -1)
+    val_flat = grouped.edge_valid.reshape(nx, -1)
+    np.add.at(deg, (own_flat[val_flat], src_flat[val_flat]), 1.0)
+    deg_shard = jax.device_put(jnp.asarray(deg),
+                               NamedSharding(mesh, P(axis, None)))
+
+    ring_perm = [(i, (i - 1) % nx) for i in range(nx)]
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None, None),
+                  P(axis, None, None), P(axis, None), P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+    def bfs(src_blk, dst_blk, val_blk, deg_blk, src, dst, active):
+        isrc = src_blk[0]                # [nx, Eg] local-to-owner src ids
+        idst = dst_blk[0]                # [nx, Eg] local dst ids (sorted)
+        ival = val_blk[0]                # [nx, Eg]
+        deg_l = deg_blk[0]               # [Vs]
+        L = src.shape[0]
+        lanes_idx = jnp.arange(L)
+        word_of_lane = lanes_idx // 32
+        bit_of_lane = (jnp.uint32(1) << (lanes_idx % 32).astype(jnp.uint32))
+        shard_id = jax.lax.axis_index(axis)
+
+        trivial = active & (src == dst)
+        searching = active & (src != dst)
+        result = jnp.where(trivial, 0, -1).astype(jnp.int32)
+
+        # seed MY block: bits of searching lanes whose src I own
+        src_owner = src // Vs
+        src_local = jnp.where(src_owner == shard_id, src % Vs, Vs)
+        seed = jnp.zeros((W, Vs + 1), dtype=jnp.uint32)
+        seed = seed.at[word_of_lane, src_local].add(
+            jnp.where(searching, bit_of_lane, jnp.uint32(0)))[:, :Vs]
+        seen_l = seed
+
+        dst_owner = dst // Vs
+        dst_local = jnp.where(dst_owner == shard_id, dst % Vs, 0)
+        dst_mine = dst_owner == shard_id
+
+        # segment metadata per group (static shapes; computed once)
+        slot_ids = jnp.arange(Eg, dtype=jnp.int32)
+        heads_g = jnp.concatenate(
+            [jnp.ones((nx, 1), jnp.bool_), idst[:, 1:] != idst[:, :-1]],
+            axis=1)                                           # [nx, Eg]
+        last_pos_g = jax.vmap(lambda d: jax.ops.segment_max(
+            slot_ids, d, num_segments=Vs, indices_are_sorted=True))(idst)
+        has_in_g = jax.vmap(lambda d, v: jax.ops.segment_max(
+            v.astype(jnp.int32), d, num_segments=Vs,
+            indices_are_sorted=True) > 0)(idst, ival)
+
+        def seg_or(x, y):
+            xf, xv = x
+            yf, yv = y
+            return xf | yf, jnp.where(yf, yv, xv | yv)
+
+        def expand_group(owner, blk):
+            """OR-contributions of edges whose sources sit in ``blk``
+            (the [W, Vs] frontier block of shard ``owner``)."""
+            g_src = jax.lax.dynamic_index_in_dim(isrc, owner, 0, False)
+            g_val = jax.lax.dynamic_index_in_dim(ival, owner, 0, False)
+            g_heads = jax.lax.dynamic_index_in_dim(heads_g, owner, 0, False)
+            g_last = jax.lax.dynamic_index_in_dim(last_pos_g, owner, 0,
+                                                  False)
+            g_has = jax.lax.dynamic_index_in_dim(has_in_g, owner, 0, False)
+            gathered = jnp.where(
+                g_val[None, :],
+                blk.at[:, g_src].get(mode="fill", fill_value=0),
+                jnp.uint32(0))                                # [W, Eg]
+            if use_pallas:
+                from ..kernels.segscan_pallas import seg_or_scan_rows
+                scanned = seg_or_scan_rows(gathered, g_heads,
+                                           chunk=scan_chunk)
+            else:
+                _, scanned = jax.lax.associative_scan(
+                    seg_or, (g_heads.reshape(1, -1), gathered), axis=1)
+            return jnp.where(g_has[None, :],
+                             scanned[:, jnp.maximum(g_last, 0)],
+                             jnp.uint32(0))                   # [W, Vs]
+
+        def pack_lane_mask(c):
+            bits = c.reshape(W, 32).astype(jnp.uint32)
+            return (bits << jnp.arange(32, dtype=jnp.uint32)[None, :]).sum(
+                axis=1, dtype=jnp.uint32)
+
+        def cond(state):
+            it, cur, seen_l, result, alive = state
+            return (it <= max_iters) & alive
+
+        def body(state):
+            it, cur, seen_l, result, _ = state
+
+            def ring_step(k, st):
+                acc, blk = st
+                # issue the ring hop first so XLA overlaps it with the
+                # expansion of the block in hand
+                nxt_blk = jax.lax.ppermute(blk, axis, ring_perm)
+                owner = jax.lax.rem(shard_id + k, nx)
+                acc = acc | expand_group(owner, blk)
+                return acc, nxt_blk
+
+            acc0 = jnp.zeros((W, Vs), jnp.uint32)
+            acc, _ = jax.lax.fori_loop(0, nx, ring_step, (acc0, cur))
+            nxt = acc & ~seen_l
+            seen_l = seen_l | nxt
+            # result flags: the dst owner reports the hit (tiny psum)
+            bit = (nxt[word_of_lane, dst_local] & bit_of_lane) != 0
+            hit = jax.lax.psum((dst_mine & bit).astype(jnp.int32), axis) > 0
+            found = hit & (result < 0) & searching
+            result = jnp.where(found, it, result)
+            nxt = nxt & pack_lane_mask(result < 0)[:, None]
+            alive = jax.lax.psum((nxt != 0).any().astype(jnp.int32),
+                                 axis) > 0
+            return it + 1, nxt, seen_l, result, alive
+
+        _, _, seen_l, result, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(1), seed, seen_l, result,
+                         jnp.bool_(True)))
+        per_bit = []
+        for b in range(32):
+            bits = ((seen_l >> jnp.uint32(b)) &
+                    jnp.uint32(1)).astype(jnp.float32)        # [W, Vs]
+            per_bit.append(bits @ deg_l)                      # [W]
+        traversed = jax.lax.psum(
+            jnp.stack(per_bit, axis=1).reshape(L), axis)
+        return result, traversed
+
+    @jax.jit
+    def run(src, dst, active):
+        return bfs(in_src, in_dst, edge_valid, deg_shard, src, dst, active)
+
+    return run

@@ -235,3 +235,81 @@ def test_dist_bfs_chunked_matches_unchunked():
                          jnp.asarray(active))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
     np.testing.assert_allclose(np.asarray(gtrav), np.asarray(wtrav))
+
+
+def test_dist_bfs_partitioned_matches_packed():
+    """Partitioned-frontier ring BFS == replicated-frontier BFS == host, on
+    directed graphs with hub relabeling."""
+    import jax.numpy as jnp
+
+    from duckpgq_tpu.parallel.dist_bfs import (make_dist_bfs_packed,
+                                               make_dist_bfs_partitioned,
+                                               partition_csr_grouped)
+
+    rng = np.random.default_rng(77)
+    v, e = 112, 500
+    src = rng.integers(0, v, size=e).astype(np.int64)
+    dst = rng.integers(0, v, size=e).astype(np.int64)
+    mesh = make_mesh(8)
+    grouped = partition_csr_grouped(v, src, dst, 8, balance=True)
+    L = 64
+    qs0 = rng.integers(0, v, size=L).astype(np.int32)
+    qd0 = rng.integers(0, v, size=L).astype(np.int32)
+    qs0[5] = qd0[5]  # trivial lane
+    qs = grouped.map_queries(qs0.astype(np.int64)).astype(np.int32)
+    qd = grouped.map_queries(qd0.astype(np.int64)).astype(np.int32)
+    active = np.ones(L, dtype=bool)
+    active[-3:] = False
+    fn = make_dist_bfs_partitioned(mesh, grouped, L, v + 1)
+    got, trav = fn(jnp.asarray(qs), jnp.asarray(qd), jnp.asarray(active))
+    got = np.asarray(got)
+
+    csr = build_csr(v, src, dst, np.arange(e, dtype=np.int64))
+    want, valid = host_msbfs.iterative_length(
+        csr, qs0.astype(np.int64), qd0.astype(np.int64))
+    want = np.where(valid & active, want, -1)
+    np.testing.assert_array_equal(got, want)
+
+    # TEPS accounting agrees with the replicated-frontier kernel
+    sharded = partition_csr(v, src, dst, 8, balance=True)
+    fn2 = make_dist_bfs_packed(mesh, sharded, L, v + 1)
+    qs2 = sharded.map_queries(qs0.astype(np.int64)).astype(np.int32)
+    qd2 = sharded.map_queries(qd0.astype(np.int64)).astype(np.int32)
+    got2, trav2 = fn2(jnp.asarray(qs2), jnp.asarray(qd2),
+                      jnp.asarray(active))
+    np.testing.assert_array_equal(got, np.asarray(got2))
+    np.testing.assert_allclose(np.asarray(trav), np.asarray(trav2))
+
+
+def test_dist_bfs_partitioned_memory_scales():
+    """The partitioned kernel's per-shard buffers are O(W*V/N): no [W, Vtot]
+    tensor appears anywhere in its HLO, while the replicated kernel
+    materializes one. Checked against the compiled modules' buffer shapes
+    (virtual CPU mesh compiles expose the same allocation structure)."""
+    import jax.numpy as jnp
+
+    from duckpgq_tpu.parallel.dist_bfs import (make_dist_bfs_packed,
+                                               make_dist_bfs_partitioned,
+                                               partition_csr_grouped)
+
+    rng = np.random.default_rng(3)
+    v, e = 1024, 4096
+    src = rng.integers(0, v, size=e).astype(np.int64)
+    dst = rng.integers(0, v, size=e).astype(np.int64)
+    mesh = make_mesh(8)
+    grouped = partition_csr_grouped(v, src, dst, 8, balance=True)
+    L = 256
+    W = L // 32
+    Vs = grouped.v_shard
+    Vtot = grouped.v_padded
+    fn = make_dist_bfs_partitioned(mesh, grouped, L, 8)
+    s = jnp.zeros(L, jnp.int32)
+    d = jnp.ones(L, jnp.int32)
+    a = jnp.ones(L, bool)
+    text = jax.jit(fn).lower(s, d, a).compile().as_text()
+    # the replicated frontier would be u32[W, Vtot]; the partitioned kernel
+    # must never materialize it (only [W, Vs] blocks)
+    assert f"u32[{W},{Vtot}]" not in text.replace(" ", ""), \
+        "partitioned BFS materialized a full-frontier buffer"
+    got, _ = fn(s, d, a)
+    assert np.asarray(got).shape == (L,)
