@@ -34,6 +34,25 @@ except ImportError:  # older jax
 from ..ops.csr_jax import round_up
 
 
+def _mesh_axis(mesh: Mesh):
+    """The partition axis spec: a single name for 1-D meshes, the tuple of
+    names for hierarchical (host x chip) meshes — vertex shards span the
+    flattened axes, host-major (axis_index over the tuple)."""
+    names = mesh.axis_names
+    return names if len(names) > 1 else names[0]
+
+
+def _gather_tiled(x, axis, dim):
+    """all_gather that understands hierarchical (tuple) axes: the innermost
+    axis (ICI) gathers first, so the outer (DCN) hop carries one combined
+    block per host instead of per chip."""
+    if isinstance(axis, tuple):
+        for a in reversed(axis):
+            x = jax.lax.all_gather(x, a, axis=dim, tiled=True)
+        return x
+    return jax.lax.all_gather(x, axis, axis=dim, tiled=True)
+
+
 @dataclass
 class ShardedCSR:
     """Host-side container of per-shard edge partitions.
@@ -139,7 +158,7 @@ def make_dist_bfs_packed(mesh: Mesh, sharded: ShardedCSR, lanes: int,
     nx = sharded.n_shards
     Vs = sharded.v_shard
     Vtot = sharded.v_padded
-    axis = mesh.axis_names[0]
+    axis = _mesh_axis(mesh)
     assert lanes % 32 == 0
     W = lanes // 32
 
@@ -290,9 +309,9 @@ def make_dist_bfs_packed(mesh: Mesh, sharded: ShardedCSR, lanes: int,
             it, frontier_g, seen_l, result = state
             nxt_l = expand(frontier_g) & ~seen_l
             seen_l = seen_l | nxt_l
-            # frontier OR-exchange over ICI
-            frontier_g = jax.lax.all_gather(
-                nxt_l, axis, axis=1, tiled=True)             # [W, Vtot]
+            # frontier OR-exchange: ICI within a host, then DCN between
+            # hosts on hierarchical meshes (_gather_tiled)
+            frontier_g = _gather_tiled(nxt_l, axis, 1)       # [W, Vtot]
             found = ((frontier_g[word_of_lane, dst] & bit_of_lane) != 0) \
                 & (result < 0) & searching
             result = jnp.where(found, it, result)
@@ -301,7 +320,7 @@ def make_dist_bfs_packed(mesh: Mesh, sharded: ShardedCSR, lanes: int,
 
         _, _, seen_l, result = jax.lax.while_loop(
             cond, body, (jnp.int32(1), frontier_g, seen_l, result))
-        seen_g = jax.lax.all_gather(seen_l, axis, axis=1, tiled=True)
+        seen_g = _gather_tiled(seen_l, axis, 1)
         per_bit = []
         for b in range(32):
             bits = ((seen_g >> jnp.uint32(b)) &
@@ -310,9 +329,12 @@ def make_dist_bfs_packed(mesh: Mesh, sharded: ShardedCSR, lanes: int,
         traversed = jnp.stack(per_bit, axis=1).reshape(L)
         return result, traversed
 
-    @jax.jit
+    # NB: sharded arrays are passed as ARGUMENTS, not closed over — jit
+    # closures over multi-process global arrays are rejected by jax
+    run_jit = jax.jit(bfs)
+
     def run(src, dst, active):
-        return bfs(in_src, in_dst, edge_valid, src, dst, active)
+        return run_jit(in_src, in_dst, edge_valid, src, dst, active)
 
     return run
 

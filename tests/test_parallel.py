@@ -313,3 +313,44 @@ def test_dist_bfs_partitioned_memory_scales():
         "partitioned BFS materialized a full-frontier buffer"
     got, _ = fn(s, d, a)
     assert np.asarray(got).shape == (L,)
+
+
+def test_dist_bfs_hierarchical_mesh_matches_host():
+    """host x chip (2x4) mesh: the hierarchical two-stage exchange (ICI
+    gather within a host row, then across hosts) gives the same results as
+    the flat mesh and the host mirror."""
+    import jax.numpy as jnp
+
+    from duckpgq_tpu.parallel.dist_bfs import make_dist_bfs_packed
+    from duckpgq_tpu.parallel.mesh import make_mesh_2d
+
+    rng = np.random.default_rng(13)
+    v, e = 96, 400
+    src = rng.integers(0, v, size=e).astype(np.int64)
+    dst = rng.integers(0, v, size=e).astype(np.int64)
+    mesh = make_mesh_2d(2, 4)
+    sharded = partition_csr(v, src, dst, 8, balance=True)
+    L = 64
+    qs0 = rng.integers(0, v, size=L).astype(np.int64)
+    qd0 = rng.integers(0, v, size=L).astype(np.int64)
+    qs = sharded.map_queries(qs0).astype(np.int32)
+    qd = sharded.map_queries(qd0).astype(np.int32)
+    fn = make_dist_bfs_packed(mesh, sharded, L, v + 1)
+    got = np.asarray(fn(jnp.asarray(qs), jnp.asarray(qd),
+                        jnp.ones(L, dtype=bool))[0])
+    csr = build_csr(v, src, dst, np.arange(e, dtype=np.int64))
+    want, valid = host_msbfs.iterative_length(csr, qs0, qd0)
+    np.testing.assert_array_equal(got, np.where(valid, want, -1))
+
+
+def test_dryrun_multihost_two_processes():
+    """The full multi-process path: 2 jax.distributed processes over Gloo
+    form the 2-host x 4-chip mesh and the BFS cross-check passes."""
+    import subprocess
+    import sys
+    out = subprocess.run(
+        [sys.executable, "scripts/dryrun_multihost.py"],
+        capture_output=True, text=True, timeout=280,
+        env={**__import__("os").environ, "DUCKPGQ_MH_PORT": "49821"})
+    assert out.returncode == 0 and "MULTIHOST_OK" in out.stdout, \
+        out.stderr[-2000:]
