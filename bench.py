@@ -72,10 +72,12 @@ def main():
         _bench_pallas(v, src, dst, lanes, batches, max_iters, rng)
         return
     t0 = time.time()
-    # lengths_only: ship the 2 edge arrays the BFS kernels read, not all 6
-    # — the put runs at tunnel link speed and dominates setup wall time
+    # lengths_only: ship the 2 edge arrays the BFS kernels read, not all 6.
+    # Sync via block_until_ready ONLY: any compiled op or D2H pull here
+    # stalls minutes behind the shared compile helper / ~0.1 MB/s pull path
     csr = build_device_csr(v, src, dst, lengths_only=True)
-    np.asarray(csr.offsets[:2])  # hard sync through host transfer
+    csr.in_dst.block_until_ready()
+    csr.in_src.block_until_ready()
     build_s = time.time() - t0
     print(f"# csr build: {build_s:.3f}s "
           f"({e / max(build_s, 1e-9) / 1e6:.1f} Medges/s)", file=sys.stderr)

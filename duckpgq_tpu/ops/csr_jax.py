@@ -174,12 +174,16 @@ def build_device_csr(vcount: int, src: np.ndarray, dst: np.ndarray,
             # nothing
             in_src_d = jnp.asarray(np.ascontiguousarray(s[in_order]))
             in_dst_d = jnp.asarray(np.ascontiguousarray(d[in_order]))
-            return DeviceCSR(
+            out = DeviceCSR(
                 offsets=jnp.asarray(offsets),
                 e=None, edge_src=None, edge_ids=None, in_pos=None,
                 in_src=in_src_d, in_dst=in_dst_d,
                 in_offsets=jnp.asarray(in_offsets), w=None,
                 vcount=vcount, ecount=e, lengths_only=True)
+            # host copy for planners: D2H pulls run at ~0.1 MB/s on
+            # tunneled devices, so wave planning must never read back
+            out.__dict__["_host_in_offsets"] = in_offsets
+            return out
         # ONE host->device transfer for all six [epad] arrays: per-transfer
         # latency dominates on tunneled/remote devices (an 8-byte sync read
         # can stall tens of seconds behind queued puts), and one put is also
@@ -189,7 +193,7 @@ def build_device_csr(vcount: int, src: np.ndarray, dst: np.ndarray,
         packed_dev = jnp.asarray(packed)
         small = np.stack([offsets, in_offsets])                 # [2, vpad+1]
         small_dev = jnp.asarray(small)
-        return DeviceCSR(
+        out = DeviceCSR(
             offsets=small_dev[0],
             e=packed_dev[1], edge_src=packed_dev[0],
             edge_ids=packed_dev[2],
@@ -199,6 +203,8 @@ def build_device_csr(vcount: int, src: np.ndarray, dst: np.ndarray,
             in_offsets=small_dev[1],
             w=jnp.asarray(w_p[order]) if w_p is not None else None,
             vcount=vcount, ecount=e)
+        out.__dict__["_host_in_offsets"] = in_offsets
+        return out
 
     built = _build_device_csr(jnp.asarray(src_p), jnp.asarray(dst_p),
                               jnp.asarray(eid_p),

@@ -444,7 +444,11 @@ def plan_packed_wave(csr: DeviceCSR, lanes: Optional[int] = None,
                               lanes=lanes, n_chunks=1, bmax=1)
     K = n_chunks
     Ec = Ep // K
-    in_off = np.asarray(csr.in_offsets).astype(np.int64)   # [Vp + 1]
+    # prefer the host copy stashed by build_device_csr: a D2H read of
+    # in_offsets costs ~12 s at the tunnel's ~0.1 MB/s pull rate
+    host_off = getattr(csr, "_host_in_offsets", None)
+    in_off = (np.asarray(host_off) if host_off is not None
+              else np.asarray(csr.in_offsets)).astype(np.int64)  # [Vp + 1]
     deg_in = in_off[1:] - in_off[:-1]
     has = deg_in > 0
     last = in_off[1:] - 1

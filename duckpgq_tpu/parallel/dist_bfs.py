@@ -79,6 +79,13 @@ class ShardedCSR:
     def map_queries(self, q: np.ndarray) -> np.ndarray:
         return q if self.perm is None else self.perm[q]
 
+    def unmap_values(self, vals: np.ndarray) -> np.ndarray:
+        """Per-vertex results in PARTITION space [v_padded] -> original
+        vertex order [vcount] (identity slice when unbalanced)."""
+        vals = np.asarray(vals)
+        return vals[:self.vcount] if self.perm is None \
+            else vals[self.perm[:self.vcount]]
+
 
 def partition_csr(vcount: int, src: np.ndarray, dst: np.ndarray,
                   n_shards: int,

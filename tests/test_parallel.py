@@ -354,3 +354,25 @@ def test_dryrun_multihost_two_processes():
         env={**__import__("os").environ, "DUCKPGQ_MH_PORT": "49821"})
     assert out.returncode == 0 and "MULTIHOST_OK" in out.stdout, \
         out.stderr[-2000:]
+
+
+def test_dist_lcc_matches_host():
+    """Distributed LCC == host kernel (float32 bit-exact) on the dedup
+    undirected CSR, with and without hub balancing."""
+    import duckpgq_tpu.ops.algorithms as algs
+    from duckpgq_tpu.parallel.dist_algorithms import make_dist_lcc
+
+    rng = np.random.default_rng(29)
+    v, e = 96, 380
+    a = rng.integers(0, v, size=e)
+    b = rng.integers(0, v, size=e)
+    pairs = np.unique(np.stack([np.concatenate([a, b]),
+                                np.concatenate([b, a])], axis=1), axis=0)
+    src, dst = pairs[:, 0].astype(np.int64), pairs[:, 1].astype(np.int64)
+    csr = build_csr(v, src, dst, np.arange(len(src), dtype=np.int64))
+    want = algs.local_clustering_coefficient(csr)
+    mesh = make_mesh(8)
+    for balance in (False, True):
+        sharded = partition_csr(v, src, dst, 8, balance=balance)
+        got = sharded.unmap_values(make_dist_lcc(mesh, sharded)())
+        np.testing.assert_array_equal(got, want)
