@@ -55,51 +55,71 @@ def main():
     print(f"# graph: RMAT scale={scale} V={v} E={len(src)} lanes={lanes} "
           f"device={jax.devices()[0].platform}", file=sys.stderr)
 
+    from duckpgq_tpu.parallel.dist_bfs import (make_dist_bfs_partitioned,
+                                               partition_csr_grouped)
+
+    impls = os.environ.get("BENCH_DIST_IMPL", "packed,partitioned").split(",")
     results = {}
     base_lengths = None
-    for n in (1, 2, 4, 8):
-        if n > len(jax.devices()):
-            break
-        mesh = make_mesh(n)
-        sharded = partition_csr(v, src, dst, n, balance=True)
-        fn = make_dist_bfs_packed(mesh, sharded, lanes, max_iters)
-        mqs = jnp.asarray(sharded.map_queries(qs))
-        mqd = jnp.asarray(sharded.map_queries(qd))
-        lengths, trav = fn(mqs, mqd, active)
-        lengths = np.asarray(lengths)             # warm + sync
-        total_trav = float(np.asarray(trav).sum())
-        if base_lengths is None:
-            base_lengths = lengths
-        else:
-            np.testing.assert_array_equal(lengths, base_lengths)
-        times = []
-        for _ in range(runs):
-            t0 = time.time()
-            out, _ = fn(mqs, mqd, active)
-            np.asarray(out)
-            times.append(time.time() - t0)
-        t = sorted(times)[len(times) // 2]
-        # per-iteration all_gather: every shard contributes its [W, Vs]
-        # uint32 new-frontier block
-        exch = sharded.v_padded * (lanes // 32) * 4
-        results[n] = t
-        print(json.dumps({
-            "metric": f"dist_bfs_{n}dev",
-            "value": round(total_trav / t / 1e9, 3), "unit": "GTEPS",
-            "detail": {"seconds": round(t, 4),
-                       "exchange_bytes_per_iter": exch,
-                       "v_shard": sharded.v_shard}}))
+    for impl in impls:
+        for n in (1, 2, 4, 8):
+            if n > len(jax.devices()):
+                break
+            mesh = make_mesh(n)
+            if impl == "partitioned":
+                grouped = partition_csr_grouped(v, src, dst, n, balance=True)
+                fn = make_dist_bfs_partitioned(mesh, grouped, lanes,
+                                               max_iters)
+                mapper = grouped
+                # ring kernel buffers: cur/acc/seen [W, Vs] + the [W, Eg]
+                # group gather — O(V/N) per shard
+                W = lanes // 32
+                mem = (3 * grouped.v_shard +
+                       2 * grouped.in_src_local.shape[2]) * W * 4
+                exch = grouped.v_shard * W * 4 * (n - 1)  # ring hops/iter
+            else:
+                sharded = partition_csr(v, src, dst, n, balance=True)
+                fn = make_dist_bfs_packed(mesh, sharded, lanes, max_iters)
+                mapper = sharded
+                W = lanes // 32
+                mem = (sharded.v_padded + 2 * sharded.v_shard +
+                       2 * sharded.in_src.shape[1]) * W * 4
+                exch = sharded.v_padded * W * 4
+            mqs = jnp.asarray(mapper.map_queries(qs))
+            mqd = jnp.asarray(mapper.map_queries(qd))
+            lengths, trav = fn(mqs, mqd, active)
+            lengths = np.asarray(lengths)             # warm + sync
+            total_trav = float(np.asarray(trav).sum())
+            if base_lengths is None:
+                base_lengths = lengths
+            else:
+                np.testing.assert_array_equal(lengths, base_lengths)
+            times = []
+            for _ in range(runs):
+                t0 = time.time()
+                out, _ = fn(mqs, mqd, active)
+                np.asarray(out)
+                times.append(time.time() - t0)
+            t = sorted(times)[len(times) // 2]
+            results[impl, n] = t
+            print(json.dumps({
+                "metric": f"dist_bfs_{impl}_{n}dev",
+                "value": round(total_trav / t / 1e9, 3), "unit": "GTEPS",
+                "detail": {"seconds": round(t, 4),
+                           "exchange_bytes_per_iter": exch,
+                           "frontier_bytes_per_shard": mem}}))
 
-    if 1 in results:
-        for n in (2, 4, 8):
-            if n in results:
-                eff = results[1] / results[n]
-                print(json.dumps({
-                    "metric": f"strong_scaling_efficiency_{n}dev",
-                    "value": round(eff, 3), "unit": "t1/tN",
-                    "detail": {"note": "virtual CPU mesh: devices share "
-                               "host cores; 1.0 = distribution layer adds "
-                               "no overhead"}}))
+    for impl in impls:
+        if (impl, 1) in results:
+            for n in (2, 4, 8):
+                if (impl, n) in results:
+                    eff = results[impl, 1] / results[impl, n]
+                    print(json.dumps({
+                        "metric": f"strong_scaling_efficiency_{impl}_{n}dev",
+                        "value": round(eff, 3), "unit": "t1/tN",
+                        "detail": {"note": "virtual CPU mesh: devices share "
+                                   "host cores; 1.0 = distribution layer "
+                                   "adds no overhead"}}))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,91 @@
+"""Weighted shortest-path (multi-source Bellman-Ford) throughput at RMAT
+scale — the BASELINE config-3 "weighted shortest-path join" headline the
+round-1 VERDICT flagged as missing.
+
+Runs the device dense-relaxation kernel (ops/msbfs_jax.bellman_ford — the
+SQL path behind cheapest_path_length) on an RMAT graph with uniform random
+float32 weights, depth-bounded like the BFS headline (SQL/PGQ quantifier
+workloads are depth-bounded). Accounting: every iteration relaxes all E
+in-edges for every active lane, so throughput = E * iters * L / t
+edge-relaxations per second (GRPS).
+
+Prints one JSON line per measured config on stdout.
+
+Env: BENCH_SCALE (default 18), BENCH_LANES (256), BENCH_MAX_ITERS (16),
+BENCH_RUNS (3).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    cache_dir = os.environ.get("JAX_LOCAL_CACHE", "/root/repo/.jax_cache")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except (OSError, AttributeError):
+        pass
+    import jax.numpy as jnp
+
+    from duckpgq_tpu.ops.csr_jax import build_device_csr
+    from duckpgq_tpu.ops.msbfs_jax import bellman_ford
+    from duckpgq_tpu.utils.rmat import rmat_edges
+
+    scale = int(os.environ.get("BENCH_SCALE", "18"))
+    lanes = int(os.environ.get("BENCH_LANES", "256"))
+    max_iters = int(os.environ.get("BENCH_MAX_ITERS", "16"))
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
+
+    rng = np.random.default_rng(7)
+    src, dst = rmat_edges(scale, 16, seed=11)
+    v = 1 << scale
+    e = len(src)
+    w = rng.uniform(0.5, 9.5, size=e).astype(np.float32)
+    print(f"# graph: RMAT scale={scale} V={v} E={e} lanes={lanes} "
+          f"iters<={max_iters} device={jax.devices()[0]}", file=sys.stderr)
+
+    t0 = time.time()
+    csr = build_device_csr(v, src, dst, w=w)
+    csr.in_src.block_until_ready()
+    print(f"# csr build: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    qs = jnp.asarray(rng.integers(0, v, size=lanes).astype(np.int32))
+    qd = jnp.asarray(rng.integers(0, v, size=lanes).astype(np.int32))
+    active = jnp.ones(lanes, dtype=bool)
+
+    t0 = time.time()
+    costs = bellman_ford(csr, qs, qd, active, max_iters)
+    costs_np = np.asarray(costs)
+    print(f"# warmup (compile): {time.time() - t0:.1f}s", file=sys.stderr)
+    reached = float(np.isfinite(costs_np).mean())
+
+    times = []
+    for _ in range(runs):
+        t0 = time.time()
+        np.asarray(bellman_ford(csr, qs, qd, active, max_iters))
+        times.append(time.time() - t0)
+    t = sorted(times)[len(times) // 2]
+    relax = e * max_iters * lanes
+    print(f"# runs: {['%.3f' % x for x in times]}s; reached {reached:.2f}",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": f"bellman_ford_grps_s{scale}",
+        "value": round(relax / t / 1e9, 3),
+        "unit": "G edge-relaxations/s",
+        "detail": {"seconds": round(t, 4), "lanes": lanes,
+                   "iters": max_iters, "reached_frac": round(reached, 3)}}))
+
+
+if __name__ == "__main__":
+    main()
