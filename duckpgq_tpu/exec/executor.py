@@ -30,6 +30,24 @@ from .relation import Binding, Relation
 from .result import QueryResult
 
 
+def _ast_references_table(obj, name: str, _depth: int = 0) -> bool:
+    """Does this AST subtree contain an unqualified table reference to
+    ``name``? (drives recursive-CTE detection)."""
+    if _depth > 200 or obj is None or isinstance(
+            obj, (str, bytes, int, float, bool, np.ndarray)):
+        return False
+    if isinstance(obj, a.BaseTableRef):
+        if obj.schema is None and obj.table.lower() == name:
+            return True
+    if isinstance(obj, (list, tuple)):
+        return any(_ast_references_table(x, name, _depth + 1) for x in obj)
+    fields = getattr(obj, "__dataclass_fields__", None)
+    if fields is None:
+        return False
+    return any(_ast_references_table(getattr(obj, f), name, _depth + 1)
+               for f in fields)
+
+
 class CTEEnv:
     """Lexically scoped CTE environment."""
 
@@ -249,6 +267,84 @@ class Executor:
         for j, lc in enumerate(lcols):
             cols.append(Vector.from_values([r[j] for r in rows], lc.type))
         return QueryResult(left.names, cols)
+
+    # ------------------------------------------------------ recursive CTE
+    def _execute_recursive_cte(self, key: str, cte: a.CTE,
+                               env: "CTEEnv") -> QueryResult:
+        """WITH RECURSIVE r AS (<base> UNION [ALL] <recursive>) — standard
+        semi-naive iteration: evaluate the base once, then repeatedly
+        evaluate the recursive part with r bound to the PREVIOUS
+        iteration's new rows, accumulating until no new rows appear
+        (UNION dedups globally; UNION ALL appends)."""
+        node = cte.query.node
+        if not isinstance(node, a.SetOpNode) or \
+                node.op not in ("UNION", "UNION_ALL"):
+            raise BinderException(
+                f"Recursive CTE {cte.name} must be of the form "
+                "<base query> UNION [ALL] <recursive query>")
+        if _ast_references_table(node.left, key):
+            raise BinderException(
+                f"Recursive CTE {cte.name}: the non-recursive (left) part "
+                "may not reference the CTE itself")
+        dedup = node.op == "UNION"
+        base = self.execute_select(node.left, None, env)
+        names = list(base.names)
+        types = [c.type for c in base.columns]
+
+        def rows_of(res):
+            n = len(res.columns[0]) if res.columns else 0
+            return [tuple(c.value(i) for c in res.columns)
+                    for i in range(n)]
+
+        def result_from(rows):
+            cols = [Vector.from_values([r[j] for r in rows], types[j])
+                    for j in range(len(types))]
+            return QueryResult(names, cols)
+
+        seen = set()
+        if dedup:
+            working = []
+            for row in rows_of(base):
+                if row not in seen:
+                    seen.add(row)
+                    working.append(row)
+        else:
+            working = rows_of(base)
+        acc = list(working)
+        max_iters = int(self.connection.settings.get(
+            "max_recursive_cte_iterations", 10_000_000))
+        it = 0
+        while working:
+            it += 1
+            if it > max_iters:
+                raise InvalidInputException(
+                    f"Recursive CTE {cte.name} exceeded "
+                    f"{max_iters} iterations")
+            env.cache[key] = result_from(working)
+            nxt = self.execute_select(node.right, None, env)
+            if len(nxt.columns) != len(types):
+                raise BinderException(
+                    "Set operations can only apply to expressions with "
+                    "the same number of result columns")
+            cols = []
+            for c, t in zip(nxt.columns, types):
+                if c.type.id != t.id and t.id != TypeId.SQLNULL:
+                    c = cast_vector(c, t)
+                cols.append(c)
+            rows = rows_of(QueryResult(names, cols))
+            if dedup:
+                fresh = []
+                for row in rows:
+                    if row not in seen:
+                        seen.add(row)
+                        fresh.append(row)
+            else:
+                fresh = rows
+            acc.extend(fresh)
+            working = fresh
+        final = result_from(acc)
+        env.cache[key] = final
+        return final
 
     # --------------------------------------------------------- SELECT node
     def execute_select_node(self, node: a.SelectNode, outer, env
@@ -1075,7 +1171,13 @@ class Executor:
                         cte_env._in_progress = set()
                     cte_env._in_progress.add(key)
                     try:
-                        cached = self.execute_select(cte.query, None, cte_env)
+                        if cte.recursive and _ast_references_table(
+                                cte.query, key):
+                            cached = self._execute_recursive_cte(
+                                key, cte, cte_env)
+                        else:
+                            cached = self.execute_select(cte.query, None,
+                                                         cte_env)
                     finally:
                         cte_env._in_progress.discard(key)
                     cte_env.cache[key] = cached

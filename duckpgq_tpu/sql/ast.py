@@ -293,6 +293,7 @@ class CTE:
     query: "SelectStatement" = None
     column_aliases: Tuple[str, ...] = ()
     materialized: Optional[bool] = None
+    recursive: bool = False      # WITH RECURSIVE clause marker
 
 
 class QueryNode:

@@ -244,7 +244,7 @@ class Parser:
     def parse_select_statement(self) -> a.SelectStatement:
         ctes: List[a.CTE] = []
         if self.accept_kw("WITH"):
-            self.accept_kw("RECURSIVE")
+            recursive = self.accept_kw("RECURSIVE")
             while True:
                 name = self.expect_ident()
                 col_aliases: Tuple[str, ...] = ()
@@ -266,7 +266,8 @@ class Parser:
                 self.expect_op(")")
                 ctes.append(a.CTE(name=name, query=query,
                                   column_aliases=col_aliases,
-                                  materialized=materialized))
+                                  materialized=materialized,
+                                  recursive=recursive))
                 if not self.accept_op(","):
                     break
         stmt = self.parse_set_op_tree()

@@ -27,8 +27,13 @@ from duckpgq_tpu.storage.vector import Vector
 from duckpgq_tpu.types import BIGINT, VARCHAR
 from duckpgq_tpu.utils.rmat import rmat_edges
 
-N_PERSON = int(os.environ.get("BENCH_PERSONS", str(10620)))
-N_KNOWS = int(os.environ.get("BENCH_KNOWS", str(180000)))
+# BENCH_SF picks LDBC-like scale: 1 -> ~10.6k persons / 180k knows,
+# 10 -> ~73k persons / 1.9M knows (SF10-equivalent row counts)
+_SF = os.environ.get("BENCH_SF", "1")
+_SF_DEFAULTS = {"1": (10620, 180000), "10": (73000, 1900000)}
+_P_DEF, _K_DEF = _SF_DEFAULTS.get(_SF, _SF_DEFAULTS["1"])
+N_PERSON = int(os.environ.get("BENCH_PERSONS", str(_P_DEF)))
+N_KNOWS = int(os.environ.get("BENCH_KNOWS", str(_K_DEF)))
 
 
 def main():
@@ -100,16 +105,43 @@ def main():
       WHERE a.id <> c.id AND a.id < {hop_src}
       COLUMNS (a.id AS aid, c.id AS cid)) t
     """
-    t0 = time.time()
-    rows = con.execute(q_2hop).fetchall()
-    hop_s = time.time() - t0
-    print(f"# 2-hop MATCH: {rows[0][0]} bindings in {hop_s:.2f}s",
-          file=sys.stderr)
-    print(json.dumps({
-        "metric": "snb_scaled_2hop_bindings_per_s",
-        "value": round(rows[0][0] / hop_s, 1), "unit": "rows/s",
-        "detail": {"bindings": int(rows[0][0]),
-                   "seconds": round(hop_s, 3)}}))
+    hop3_src = person_ids[max(N_PERSON // 100, 1)]
+    q_3hop = f"""
+    SELECT count(*) FROM GRAPH_TABLE (snb
+      MATCH (a:Person)-[k1:Knows]->(b:Person)-[k2:Knows]->(c:Person)
+                      -[k3:Knows]->(d:Person)
+      WHERE a.id < {hop3_src}
+      COLUMNS (a.id AS aid, d.id AS did)) t
+    """
+    # MATCH-binding throughput: the same query on the host relational
+    # backend and forced through the device joins (ops/rel.py) — the
+    # "SNB pattern-query rows/s" north-star comparison
+    backends = os.environ.get("BENCH_REL_BACKENDS", "host,device").split(",")
+    prev = os.environ.get("DUCKPGQ_DEVICE_REL")
+    counts = {}
+    for hops, q in (("2hop", q_2hop), ("3hop", q_3hop)):
+        for backend in backends:
+            os.environ["DUCKPGQ_DEVICE_REL"] = \
+                "1" if backend == "device" else "0"
+            t0 = time.time()
+            rows = con.execute(q).fetchall()
+            hop_s = time.time() - t0
+            n_bind = int(rows[0][0])
+            if hops in counts:
+                assert counts[hops] == n_bind, (backend, counts[hops],
+                                                n_bind)
+            counts[hops] = n_bind
+            print(f"# {hops} MATCH [{backend}]: {n_bind} bindings in "
+                  f"{hop_s:.2f}s", file=sys.stderr)
+            print(json.dumps({
+                "metric": f"snb_scaled_{hops}_bindings_per_s_{backend}",
+                "value": round(n_bind / hop_s, 1), "unit": "rows/s",
+                "detail": {"bindings": n_bind, "sf": _SF,
+                           "seconds": round(hop_s, 3)}}))
+    if prev is None:
+        os.environ.pop("DUCKPGQ_DEVICE_REL", None)
+    else:
+        os.environ["DUCKPGQ_DEVICE_REL"] = prev
 
 
 if __name__ == "__main__":

@@ -160,3 +160,36 @@ def test_device_trace_captures(tmp_path):
         found.extend(f for f in files if f.endswith((".pb", ".json.gz",
                                                      ".trace.json.gz")))
     assert found, "no profiler artifacts written"
+
+
+def test_recursive_cte_semantics():
+    """WITH RECURSIVE: semi-naive iteration, UNION dedup terminates cycles,
+    UNION ALL appends, base-part self-reference is a binder error."""
+    import duckpgq_tpu
+    import pytest
+    from duckpgq_tpu.errors import BinderException
+
+    con = duckpgq_tpu.connect()
+    assert con.execute(
+        "WITH RECURSIVE r(n) AS (SELECT 1 UNION ALL SELECT n+1 FROM r "
+        "WHERE n<5) SELECT * FROM r ORDER BY n").fetchall() == \
+        [(1,), (2,), (3,), (4,), (5,)]
+    # fibonacci (multi-column working table)
+    assert con.execute(
+        "WITH RECURSIVE f(a, b) AS (SELECT 0, 1 UNION ALL SELECT b, a+b "
+        "FROM f WHERE b < 50) SELECT max(b) FROM f").fetchall() == [(55,)]
+    # transitive closure over a cyclic graph: UNION dedup must terminate
+    con.execute("CREATE TABLE e_rc(s BIGINT, d BIGINT)")
+    con.execute("INSERT INTO e_rc VALUES (1,2),(2,3),(3,1),(3,4)")
+    assert con.execute(
+        "WITH RECURSIVE reach(v) AS (SELECT 1 UNION SELECT e_rc.d "
+        "FROM reach JOIN e_rc ON e_rc.s = reach.v) "
+        "SELECT * FROM reach ORDER BY v").fetchall() == \
+        [(1,), (2,), (3,), (4,)]
+    # plain CTE under WITH RECURSIVE is unaffected
+    assert con.execute(
+        "WITH RECURSIVE q AS (SELECT 42 AS x) SELECT * FROM q"
+    ).fetchall() == [(42,)]
+    with pytest.raises(BinderException):
+        con.execute("WITH RECURSIVE r(n) AS (SELECT n FROM r UNION ALL "
+                    "SELECT 1) SELECT * FROM r").fetchall()

@@ -59,14 +59,17 @@ SUPPORTED = [
     ("full-outer-join", "SELECT * FROM t FULL OUTER JOIN t t2 ON t.a = t2.a"),
     ("group-by-all", "SELECT b, count(*) FROM t GROUP BY ALL"),
     ("star-exclude", "SELECT * EXCLUDE (b) FROM t"),
+    ("recursive-cte",
+     "WITH RECURSIVE r(n) AS (SELECT 1 UNION ALL SELECT n+1 FROM r "
+     "WHERE n<3) SELECT * FROM r"),
+    ("recursive-cte-union-dedup",
+     "WITH RECURSIVE r(n) AS (SELECT 1 UNION SELECT 1 + (n % 3) FROM r) "
+     "SELECT * FROM r"),
 ]
 
 # Constructs of DuckDB's vendored grammar that are OUT OF SCOPE here; each
 # must fail with a clean engine error. Revisit deliberately.
 UNSUPPORTED = [
-    ("recursive-cte",
-     "WITH RECURSIVE r(n) AS (SELECT 1 UNION ALL SELECT n+1 FROM r "
-     "WHERE n<3) SELECT * FROM r"),
     ("lateral-join", "SELECT * FROM t, LATERAL (SELECT t.a + 1) s(x)"),
     ("grouping-sets",
      "SELECT b, count(*) FROM t GROUP BY GROUPING SETS ((b), ())"),
