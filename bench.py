@@ -53,32 +53,47 @@ def main():
     except (OSError, AttributeError):
         pass
 
-    from duckpgq_tpu.ops.csr_jax import build_device_csr
+    from duckpgq_tpu.ops.csr_jax import (build_device_csr,
+                                         build_lengths_csr_on_device)
     from duckpgq_tpu.ops.msbfs_jax import (msbfs_lengths,
                                            msbfs_lengths_packed,
                                            msbfs_lengths_packed_multi)
-    from duckpgq_tpu.utils.rmat import rmat_edges
+    from duckpgq_tpu.utils.rmat import rmat_edges, rmat_edges_device
 
+    # graph source: "device" generates the RMAT edges AND builds the CSR on
+    # the accelerator (graph500 allows generation + construction on the
+    # compute side). The environment's host<->device tunnel moves bulk data
+    # at ~0.1 MB/s, so shipping a host edge list costs 5-8 MINUTES at
+    # scale 18 while the device path costs seconds; "host" remains for
+    # exactness cross-checks (tests run both on CPU and compare).
+    accel = jax.devices()[0].platform != "cpu"
+    graph_src = os.environ.get("BENCH_GRAPH", "device" if accel else "host")
     rng = np.random.default_rng(7)
-    src, dst = rmat_edges(scale, edge_factor, seed=11)
     v = 1 << scale
-    e = len(src)
-    print(f"# graph: RMAT scale={scale} V={v} E={e} kernel={kernel} "
-          f"device={jax.devices()[0]}", file=sys.stderr)
-
     max_iters = int(os.environ.get("BENCH_MAX_ITERS", "16"))
     if kernel == "pallas":
+        src, dst = rmat_edges(scale, edge_factor, seed=11)
         lanes = 8192 if lanes_env == "auto" else int(lanes_env)
         _bench_pallas(v, src, dst, lanes, batches, max_iters, rng)
         return
     t0 = time.time()
-    # lengths_only: ship the 2 edge arrays the BFS kernels read, not all 6.
-    # Sync via block_until_ready ONLY: any compiled op or D2H pull here
-    # stalls minutes behind the shared compile helper / ~0.1 MB/s pull path
-    csr = build_device_csr(v, src, dst, lengths_only=True)
-    csr.in_dst.block_until_ready()
-    csr.in_src.block_until_ready()
+    if graph_src == "device":
+        src_d, dst_d = rmat_edges_device(scale, edge_factor, seed=11)
+        e = int(src_d.shape[0])
+        csr = build_lengths_csr_on_device(v, src_d, dst_d)
+    else:
+        src, dst = rmat_edges(scale, edge_factor, seed=11)
+        e = len(src)
+        # lengths_only: ship the 2 edge arrays the BFS kernels read. Sync
+        # via block_until_ready ONLY: any compiled op or D2H pull here
+        # stalls behind the shared compile helper / slow pull path
+        csr = build_device_csr(v, src, dst, lengths_only=True)
+        csr.in_dst.block_until_ready()
+        csr.in_src.block_until_ready()
     build_s = time.time() - t0
+    print(f"# graph: RMAT scale={scale} V={v} E={e} kernel={kernel} "
+          f"graph_src={graph_src} device={jax.devices()[0]}",
+          file=sys.stderr)
     print(f"# csr build: {build_s:.3f}s "
           f"({e / max(build_s, 1e-9) / 1e6:.1f} Medges/s)", file=sys.stderr)
 

@@ -387,8 +387,14 @@ class Executor:
         unnest_slots: List[int] = []
         for e in node.select_list:
             if isinstance(e, a.Star):
+                repl = {nm.lower(): ex for ex, nm in e.replace}
                 for b_alias, name, col in self.expand_star(rel, e):
                     out_names.append(name)
+                    if name.lower() in repl:
+                        # SELECT * REPLACE (expr AS name)
+                        out_cols.append(ev.evaluate(repl[name.lower()]))
+                        out_fps.append(f"col:{name.lower()}")
+                        continue
                     out_cols.append(col)
                     out_fps.append(f"col:{b_alias.lower()}.{name.lower()}"
                                    if b_alias else f"col:{name.lower()}")
@@ -899,10 +905,33 @@ class Executor:
     def apply_order(self, result: QueryResult, order_ctx,
                     order_by: List[a.OrderByNode], outer) -> QueryResult:
         n = result.row_count
-        key_vecs: List[Vector] = []
-        for ob in order_by:
-            vec = self._bind_order_expr(ob.expr, result, order_ctx, outer)
-            key_vecs.append(vec)
+        # ORDER BY ALL: every output column, left to right (DuckDB)
+        if any(ob.order_all for ob in order_by):
+            expanded: List[a.OrderByNode] = []
+            for ob in order_by:
+                if ob.order_all:
+                    expanded.extend(
+                        a.OrderByNode(expr=None, ascending=ob.ascending,
+                                      nulls_first=ob.nulls_first,
+                                      order_all=True)
+                        for _ in result.columns)
+                else:
+                    expanded.append(ob)
+            key_vecs = []
+            col_i = 0
+            for ob in expanded:
+                if ob.order_all:
+                    key_vecs.append(result.columns[col_i])
+                    col_i += 1
+                else:
+                    key_vecs.append(self._bind_order_expr(
+                        ob.expr, result, order_ctx, outer))
+            order_by = expanded
+        else:
+            key_vecs = []
+            for ob in order_by:
+                key_vecs.append(self._bind_order_expr(
+                    ob.expr, result, order_ctx, outer))
         # lexsort: last key is primary
         sort_cols = []
         for ob, vec in zip(order_by, key_vecs):

@@ -232,3 +232,42 @@ def from_host_csr(csr, vpad: Optional[int] = None,
 
 def out_degrees(csr: DeviceCSR) -> jnp.ndarray:
     return csr.offsets[1:] - csr.offsets[:-1]
+
+
+@functools.partial(jax.jit, static_argnames=("vpad", "epad", "ecount"))
+def _build_lengths_csr_on_device(src, dst, vpad: int, epad: int,
+                                 ecount: int):
+    pad_fill = jnp.full(epad - ecount, vpad, dtype=jnp.int32)
+    src_p = jnp.concatenate([src.astype(jnp.int32), pad_fill])
+    dst_p = jnp.concatenate([dst.astype(jnp.int32), pad_fill])
+    d_sorted, s_by_d = jax.lax.sort((dst_p, src_p), num_keys=1)
+    ids = jnp.arange(vpad + 1, dtype=jnp.int32)
+    in_offsets = jnp.searchsorted(d_sorted, ids).astype(jnp.int32)
+    s_sorted = jax.lax.sort(src_p)
+    offsets = jnp.searchsorted(s_sorted, ids).astype(jnp.int32)
+    return offsets, in_offsets, s_by_d, d_sorted
+
+
+def build_lengths_csr_on_device(vcount: int, src, dst,
+                                vpad: Optional[int] = None,
+                                epad: Optional[int] = None) -> DeviceCSR:
+    """Lengths-only CSR built entirely ON DEVICE from device-resident edge
+    arrays (e.g. rmat_edges_device output): sort by destination for the
+    in-edge view, searchsorted offsets — no host round trip except the
+    small in_offsets pull for the wave planner. The result is
+    layout-compatible with build_device_csr(lengths_only=True) (tests
+    cross-check both given identical edges). BFS-lengths kernels only;
+    forward-view fields are None (fail fast)."""
+    import numpy as np
+    e = int(src.shape[0])
+    vpad = vpad or pad_bucket(vcount + 1)
+    epad = epad or pad_bucket(max(e, 1))
+    offsets, in_offsets, in_src, in_dst = _build_lengths_csr_on_device(
+        src, dst, vpad, epad, e)
+    out = DeviceCSR(
+        offsets=offsets, e=None, edge_src=None, edge_ids=None, in_pos=None,
+        in_src=in_src, in_dst=in_dst, in_offsets=in_offsets, w=None,
+        vcount=vcount, ecount=e, lengths_only=True)
+    # one small pull (~4(vpad+1) bytes) so plan_packed_wave stays host-side
+    out.__dict__["_host_in_offsets"] = np.asarray(in_offsets)
+    return out

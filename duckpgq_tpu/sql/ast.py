@@ -44,9 +44,11 @@ class ColumnRef(Expression):
 @dataclass
 class Star(Expression):
     # SELECT *, or a.* ; relation restricts to one binding; exclude list for
-    # EXCLUDE(...)
+    # EXCLUDE(...); replace maps output columns to substitute expressions
+    # for REPLACE (expr AS name, ...)
     relation: Optional[str] = None
     exclude: Tuple[str, ...] = ()
+    replace: Tuple[Tuple["Expression", str], ...] = ()
     alias: Optional[str] = None
 
 
@@ -285,6 +287,7 @@ class OrderByNode:
     expr: Expression
     ascending: bool = True
     nulls_first: Optional[bool] = None  # None = type default (DuckDB: NULLS LAST for ASC)
+    order_all: bool = False             # ORDER BY ALL (every output column)
 
 
 @dataclass

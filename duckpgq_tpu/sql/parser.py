@@ -434,6 +434,21 @@ class Parser:
     def parse_result_modifiers(self, stmt: a.SelectStatement):
         if self.accept_kw("ORDER"):
             self.expect_kw("BY")
+            if self.peek().is_kw("ALL") and not (
+                    self.peek(1).is_op(".") or self.peek(1).is_op("(")):
+                self.next()
+                asc = True
+                if self.accept_kw("DESC"):
+                    asc = False
+                elif self.accept_kw("ASC"):
+                    asc = True
+                stmt.order_by.append(a.OrderByNode(
+                    expr=None, ascending=asc, order_all=True))
+                if self.accept_kw("LIMIT"):
+                    stmt.limit = self.parse_expression()
+                if self.accept_kw("OFFSET"):
+                    stmt.offset = self.parse_expression()
+                return
             while True:
                 e = self.parse_expression()
                 asc = True
@@ -1007,14 +1022,27 @@ class Parser:
         return a.ColumnRef(parts=tuple(parts))
 
     def _parse_star_modifiers(self, star: a.Star) -> a.Star:
-        if self.accept_kw("EXCLUDE"):
-            self.expect_op("(")
-            cols = [self.expect_ident()]
-            while self.accept_op(","):
-                cols.append(self.expect_ident())
-            self.expect_op(")")
-            star.exclude = tuple(cols)
-        return star
+        while True:
+            if self.accept_kw("EXCLUDE"):
+                self.expect_op("(")
+                cols = [self.expect_ident()]
+                while self.accept_op(","):
+                    cols.append(self.expect_ident())
+                self.expect_op(")")
+                star.exclude = tuple(cols)
+            elif self.accept_kw("REPLACE"):
+                self.expect_op("(")
+                repls = []
+                while True:
+                    e = self.parse_expression()
+                    self.expect_kw("AS")
+                    repls.append((e, self.expect_ident()))
+                    if not self.accept_op(","):
+                        break
+                self.expect_op(")")
+                star.replace = tuple(repls)
+            else:
+                return star
 
     def parse_function_call(self, name: str) -> a.Expression:
         lname = name.lower()
@@ -1101,6 +1129,21 @@ class Parser:
                 partition.append(self.parse_expression())
         if self.accept_kw("ORDER"):
             self.expect_kw("BY")
+            if self.peek().is_kw("ALL") and not (
+                    self.peek(1).is_op(".") or self.peek(1).is_op("(")):
+                self.next()
+                asc = True
+                if self.accept_kw("DESC"):
+                    asc = False
+                elif self.accept_kw("ASC"):
+                    asc = True
+                stmt.order_by.append(a.OrderByNode(
+                    expr=None, ascending=asc, order_all=True))
+                if self.accept_kw("LIMIT"):
+                    stmt.limit = self.parse_expression()
+                if self.accept_kw("OFFSET"):
+                    stmt.offset = self.parse_expression()
+                return
             while True:
                 e = self.parse_expression()
                 asc = not self.accept_kw("DESC")

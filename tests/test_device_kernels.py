@@ -309,3 +309,60 @@ def test_shortest_paths_api():
     for i in range(3):
         if validity[i]:
             assert len(paths[i]) == 2 * max(lengths[i], 0) + 1
+
+
+def test_device_built_csr_matches_host_build():
+    """build_lengths_csr_on_device (device sort + searchsorted, the bench's
+    zero-transfer path) produces the same offsets and the same BFS results
+    as the host-built lengths_only CSR given identical edges."""
+    import jax.numpy as jnp
+    from duckpgq_tpu.ops.csr_jax import (build_device_csr,
+                                         build_lengths_csr_on_device)
+    from duckpgq_tpu.ops.msbfs_jax import msbfs_lengths_packed
+
+    rng = np.random.default_rng(23)
+    v, e = 300, 1400
+    src = rng.integers(0, v, size=e).astype(np.int64)
+    dst = rng.integers(0, v, size=e).astype(np.int64)
+    host_csr = build_device_csr(v, src, dst, lengths_only=True)
+    dev_csr = build_lengths_csr_on_device(
+        v, jnp.asarray(src.astype(np.int32)),
+        jnp.asarray(dst.astype(np.int32)))
+    np.testing.assert_array_equal(np.asarray(dev_csr.offsets),
+                                  np.asarray(host_csr.offsets))
+    np.testing.assert_array_equal(np.asarray(dev_csr.in_offsets),
+                                  np.asarray(host_csr.in_offsets))
+    # same (dst, src) multiset per segment (device sort need not be stable)
+    a = np.lexsort((np.asarray(dev_csr.in_src), np.asarray(dev_csr.in_dst)))
+    b = np.lexsort((np.asarray(host_csr.in_src),
+                    np.asarray(host_csr.in_dst)))
+    np.testing.assert_array_equal(np.asarray(dev_csr.in_src)[a],
+                                  np.asarray(host_csr.in_src)[b])
+    np.testing.assert_array_equal(np.asarray(dev_csr.in_dst)[a],
+                                  np.asarray(host_csr.in_dst)[b])
+    L = 64
+    qs = jnp.asarray(rng.integers(0, v, size=L).astype(np.int32))
+    qd = jnp.asarray(rng.integers(0, v, size=L).astype(np.int32))
+    act = jnp.ones(L, dtype=bool)
+    got, _ = msbfs_lengths_packed(dev_csr, qs, qd, act, v)
+    want, _ = msbfs_lengths_packed(host_csr, qs, qd, act, v)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_rmat_device_distribution():
+    """Device RMAT generator: same marginal distribution family as the host
+    generator (power-law out-degrees, full vertex range, E = V * factor)."""
+    from duckpgq_tpu.utils.rmat import rmat_edges, rmat_edges_device
+
+    scale, factor = 10, 8
+    v = 1 << scale
+    sd, dd = rmat_edges_device(scale, factor, seed=3)
+    sd, dd = np.asarray(sd), np.asarray(dd)
+    assert sd.shape == (v * factor,) and dd.shape == (v * factor,)
+    assert sd.min() >= 0 and sd.max() < v and dd.min() >= 0 and dd.max() < v
+    sh, _ = rmat_edges(scale, factor, seed=3)
+    # heavy-tail check: top-1% vertices own a similar edge share
+    def top_share(arr):
+        deg = np.bincount(arr, minlength=v)
+        return np.sort(deg)[-v // 100:].sum() / len(arr)
+    assert abs(top_share(sd) - top_share(sh)) < 0.1

@@ -65,6 +65,8 @@ SUPPORTED = [
     ("recursive-cte-union-dedup",
      "WITH RECURSIVE r(n) AS (SELECT 1 UNION SELECT 1 + (n % 3) FROM r) "
      "SELECT * FROM r"),
+    ("order-by-all", "SELECT * FROM t ORDER BY ALL"),
+    ("star-replace", "SELECT * REPLACE (a + 1 AS a) FROM t"),
 ]
 
 # Constructs of DuckDB's vendored grammar that are OUT OF SCOPE here; each
@@ -82,7 +84,6 @@ UNSUPPORTED = [
     ("list-comprehension", "SELECT [x * 2 FOR x IN [1, 2, 3]]"),
     ("lambda-arrow", "SELECT list_transform([1,2,3], x -> x + 1)"),
     ("asof-join", "SELECT * FROM t ASOF JOIN t t2 ON t.a >= t2.a"),
-    ("star-replace", "SELECT * REPLACE (a + 1 AS a) FROM t"),
     ("columns-regex", "SELECT COLUMNS('[ab]') FROM t"),
     ("prepare-statement", "PREPARE s AS SELECT $1"),
     ("at-time-zone",
