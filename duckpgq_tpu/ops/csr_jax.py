@@ -271,3 +271,43 @@ def build_lengths_csr_on_device(vcount: int, src, dst,
     # one small pull (~4(vpad+1) bytes) so plan_packed_wave stays host-side
     out.__dict__["_host_in_offsets"] = np.asarray(in_offsets)
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("vpad", "epad", "ecount"))
+def _build_weighted_bf_csr_on_device(src, dst, w, vpad: int, epad: int,
+                                     ecount: int):
+    pad_fill = jnp.full(epad - ecount, vpad, dtype=jnp.int32)
+    src_p = jnp.concatenate([src.astype(jnp.int32), pad_fill])
+    dst_p = jnp.concatenate([dst.astype(jnp.int32), pad_fill])
+    w_p = jnp.concatenate([w.astype(jnp.float32),
+                           jnp.zeros(epad - ecount, jnp.float32)])
+    d_sorted, s_by_d, w_by_d = jax.lax.sort((dst_p, src_p, w_p), num_keys=1)
+    ids = jnp.arange(vpad + 1, dtype=jnp.int32)
+    in_offsets = jnp.searchsorted(d_sorted, ids).astype(jnp.int32)
+    s_sorted = jax.lax.sort(src_p)
+    offsets = jnp.searchsorted(s_sorted, ids).astype(jnp.int32)
+    return offsets, in_offsets, s_by_d, d_sorted, w_by_d
+
+
+def build_weighted_bf_csr_on_device(vcount: int, src, dst, w,
+                                    vpad: Optional[int] = None,
+                                    epad: Optional[int] = None) -> DeviceCSR:
+    """Weighted CSR for the Bellman-Ford kernel, built entirely on device
+    from device-resident (src, dst, w) arrays. The weight array is stored
+    already in in-edge-view order with ``in_pos`` = identity, so
+    ``w[in_pos]`` (what bellman_ford reads) is exactly the dst-sorted
+    weights — no forward-view arrays are shipped or kept (None, fail-fast
+    like lengths_only)."""
+    import numpy as np
+    e = int(src.shape[0])
+    vpad = vpad or pad_bucket(vcount + 1)
+    epad = epad or pad_bucket(max(e, 1))
+    offsets, in_offsets, in_src, in_dst, in_w = \
+        _build_weighted_bf_csr_on_device(src, dst, w, vpad, epad, e)
+    out = DeviceCSR(
+        offsets=offsets, e=None, edge_src=None, edge_ids=None,
+        in_pos=jnp.arange(epad, dtype=jnp.int32),
+        in_src=in_src, in_dst=in_dst, in_offsets=in_offsets, w=in_w,
+        vcount=vcount, ecount=e, lengths_only=True)
+    out.__dict__["_host_in_offsets"] = np.asarray(in_offsets)
+    return out

@@ -38,9 +38,10 @@ def main():
         pass
     import jax.numpy as jnp
 
-    from duckpgq_tpu.ops.csr_jax import build_device_csr
+    from duckpgq_tpu.ops.csr_jax import (build_device_csr,
+                                         build_weighted_bf_csr_on_device)
     from duckpgq_tpu.ops.msbfs_jax import bellman_ford
-    from duckpgq_tpu.utils.rmat import rmat_edges
+    from duckpgq_tpu.utils.rmat import rmat_edges, rmat_edges_device
 
     scale = int(os.environ.get("BENCH_SCALE", "18"))
     lanes = int(os.environ.get("BENCH_LANES", "256"))
@@ -48,16 +49,27 @@ def main():
     runs = int(os.environ.get("BENCH_RUNS", "3"))
 
     rng = np.random.default_rng(7)
-    src, dst = rmat_edges(scale, 16, seed=11)
     v = 1 << scale
-    e = len(src)
-    w = rng.uniform(0.5, 9.5, size=e).astype(np.float32)
-    print(f"# graph: RMAT scale={scale} V={v} E={e} lanes={lanes} "
-          f"iters<={max_iters} device={jax.devices()[0]}", file=sys.stderr)
-
+    accel = jax.devices()[0].platform != "cpu"
+    graph_src = os.environ.get("BENCH_GRAPH", "device" if accel else "host")
     t0 = time.time()
-    csr = build_device_csr(v, src, dst, w=w)
+    if graph_src == "device":
+        # generate edges AND weights on device (the tunneled link moves
+        # bulk data at ~0.1 MB/s; see bench.py)
+        src_d, dst_d = rmat_edges_device(scale, 16, seed=11)
+        e = int(src_d.shape[0])
+        w_d = jax.jit(lambda k: jax.random.uniform(
+            k, (e,), minval=0.5, maxval=9.5))(jax.random.PRNGKey(99))
+        csr = build_weighted_bf_csr_on_device(v, src_d, dst_d, w_d)
+    else:
+        src, dst = rmat_edges(scale, 16, seed=11)
+        e = len(src)
+        w = rng.uniform(0.5, 9.5, size=e).astype(np.float32)
+        csr = build_device_csr(v, src, dst, w=w)
     csr.in_src.block_until_ready()
+    print(f"# graph: RMAT scale={scale} V={v} E={e} lanes={lanes} "
+          f"iters<={max_iters} graph_src={graph_src} "
+          f"device={jax.devices()[0]}", file=sys.stderr)
     print(f"# csr build: {time.time() - t0:.1f}s", file=sys.stderr)
 
     qs = jnp.asarray(rng.integers(0, v, size=lanes).astype(np.int32))

@@ -366,3 +366,29 @@ def test_rmat_device_distribution():
         deg = np.bincount(arr, minlength=v)
         return np.sort(deg)[-v // 100:].sum() / len(arr)
     assert abs(top_share(sd) - top_share(sh)) < 0.1
+
+
+def test_weighted_bf_device_build_matches_host_build():
+    """build_weighted_bf_csr_on_device: bellman_ford results identical to
+    the full host-built weighted CSR on the same edges."""
+    import jax.numpy as jnp
+    from duckpgq_tpu.ops.csr_jax import (build_device_csr,
+                                         build_weighted_bf_csr_on_device)
+    from duckpgq_tpu.ops.msbfs_jax import bellman_ford
+
+    rng = np.random.default_rng(31)
+    v, e = 120, 520
+    src = rng.integers(0, v, size=e).astype(np.int64)
+    dst = rng.integers(0, v, size=e).astype(np.int64)
+    w = rng.uniform(0.5, 4.5, size=e).astype(np.float32)
+    full = build_device_csr(v, src, dst, w=w)
+    dev = build_weighted_bf_csr_on_device(
+        v, jnp.asarray(src.astype(np.int32)),
+        jnp.asarray(dst.astype(np.int32)), jnp.asarray(w))
+    L = 64
+    qs = jnp.asarray(rng.integers(0, v, size=L).astype(np.int32))
+    qd = jnp.asarray(rng.integers(0, v, size=L).astype(np.int32))
+    act = jnp.ones(L, dtype=bool)
+    got = np.asarray(bellman_ford(dev, qs, qd, act, v + 1))
+    want = np.asarray(bellman_ford(full, qs, qd, act, v + 1))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
