@@ -37,9 +37,23 @@ N_KNOWS = int(os.environ.get("BENCH_KNOWS", str(_K_DEF)))
 
 
 def main():
+    # the relational device backend is exercised on whatever backend JAX
+    # has; on this machine force CPU BEFORE first device use (the axon TPU
+    # plugin overrides JAX_PLATFORMS=cpu) unless the user asks for TPU —
+    # join columns/results ship per query, which the ~0.1 MB/s tunnel
+    # would turn into a transfer benchmark
+    if os.environ.get("BENCH_REL_DEVICE", "cpu") == "cpu":
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass
     rng = np.random.default_rng(42)
     scale = int(np.ceil(np.log2(N_PERSON)))
-    src, dst = rmat_edges(scale, max(N_KNOWS // (1 << scale), 1), seed=7)
+    # oversample 4x: the keep-filter (ids < N_PERSON, no self loops) drops
+    # a large skew-dependent fraction when N_PERSON < 2**scale
+    src, dst = rmat_edges(scale, max(4 * N_KNOWS // (1 << scale), 1),
+                          seed=7)
     keep = (src < N_PERSON) & (dst < N_PERSON) & (src != dst)
     src, dst = src[keep][:N_KNOWS], dst[keep][:N_KNOWS]
     person_ids = np.arange(N_PERSON, dtype=np.int64) * 10 + 933  # SNB-ish ids
@@ -97,15 +111,18 @@ def main():
                    "reached": int(rows[0][0]),
                    "seconds": round(path_s, 3)}}))
 
+    # source filters keep binding counts tractable as SF scales the edge
+    # count (bindings grow ~cubically in degree for 3 hops)
+    div2, div3 = (40, 2000) if _SF == "10" else (10, 100)
     hop_src = int(os.environ.get("BENCH_2HOP_MAXID",
-                                 str(person_ids[max(N_PERSON // 10, 1)])))
+                                 str(person_ids[max(N_PERSON // div2, 1)])))
     q_2hop = f"""
     SELECT count(*) FROM GRAPH_TABLE (snb
       MATCH (a:Person)-[k1:Knows]->(b:Person)-[k2:Knows]->(c:Person)
       WHERE a.id <> c.id AND a.id < {hop_src}
       COLUMNS (a.id AS aid, c.id AS cid)) t
     """
-    hop3_src = person_ids[max(N_PERSON // 100, 1)]
+    hop3_src = person_ids[max(N_PERSON // div3, 1)]
     q_3hop = f"""
     SELECT count(*) FROM GRAPH_TABLE (snb
       MATCH (a:Person)-[k1:Knows]->(b:Person)-[k2:Knows]->(c:Person)
