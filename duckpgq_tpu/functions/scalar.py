@@ -131,11 +131,39 @@ def _sqlnull_arith(args, typ: LogicalType) -> "Vector | None":
 # arithmetic
 # ---------------------------------------------------------------------------
 
+def _int_like(t) -> bool:
+    return t.is_numeric and t.numpy_dtype() is not object and \
+        np.issubdtype(t.numpy_dtype(), np.integer)
+
+
+def _date_arith(a: Vector, b: Vector, op: str) -> "Vector | None":
+    """DuckDB date arithmetic: DATE +/- integer -> DATE (days);
+    DATE - DATE -> BIGINT day difference."""
+    from ..types import DATE
+    ta, tb = a.type.id, b.type.id
+    if op in ("+", "-") and ta == TypeId.DATE and _int_like(b.type):
+        days = b.data.astype(np.int64)
+        out = a.data.astype(np.int64) + (days if op == "+" else -days)
+        return Vector(DATE, out.astype(np.int32),
+                      a.validity & b.validity)
+    if op == "+" and tb == TypeId.DATE and _int_like(a.type):
+        out = b.data.astype(np.int64) + a.data.astype(np.int64)
+        return Vector(DATE, out.astype(np.int32),
+                      a.validity & b.validity)
+    if op == "-" and ta == TypeId.DATE and tb == TypeId.DATE:
+        out = a.data.astype(np.int64) - b.data.astype(np.int64)
+        return Vector(BIGINT, out, a.validity & b.validity)
+    return None
+
+
 @register("+")
 @register("add")
 def fn_add(args):
     a, b = args
     _require_numeric(args, "+")
+    dated = _date_arith(a, b, "+")
+    if dated is not None:
+        return dated
     typ = _arith_type(a, b)
     null = _sqlnull_arith(args, typ)
     if null is not None:
@@ -156,6 +184,9 @@ def fn_sub(args):
         return Vector(a.type, -a.data, a.validity.copy())
     a, b = args
     _require_numeric(args, "-")
+    dated = _date_arith(a, b, "-")
+    if dated is not None:
+        return dated
     typ = _arith_type(a, b)
     null = _sqlnull_arith(args, typ)
     if null is not None:

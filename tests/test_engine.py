@@ -193,3 +193,17 @@ def test_recursive_cte_semantics():
     with pytest.raises(BinderException):
         con.execute("WITH RECURSIVE r(n) AS (SELECT n FROM r UNION ALL "
                     "SELECT 1) SELECT * FROM r").fetchall()
+
+
+def test_date_arithmetic():
+    """DuckDB date arithmetic: DATE +/- integer days, DATE - DATE."""
+    import duckpgq_tpu
+    con = duckpgq_tpu.connect()
+    assert con.execute("SELECT (DATE '2020-01-01' + 31)::VARCHAR"
+                       ).fetchall() == [("2020-02-01",)]
+    assert con.execute("SELECT (DATE '2020-03-01' - 1)::VARCHAR"
+                       ).fetchall() == [("2020-02-29",)]
+    assert con.execute("SELECT (7 + DATE '1999-12-31')::VARCHAR"
+                       ).fetchall() == [("2000-01-07",)]
+    assert con.execute("SELECT DATE '2020-03-01' - DATE '2020-02-01'"
+                       ).fetchall() == [(29,)]
