@@ -548,8 +548,20 @@ class Evaluator:
         return Vector(typ, data, np.ones(n, dtype=bool))
 
     # ------------------------------------------------------------ functions
+    _LAMBDA_FUNCS = {"list_transform": "transform", "list_apply": "transform",
+                     "array_transform": "transform", "apply": "transform",
+                     "list_filter": "filter", "array_filter": "filter",
+                     "filter": "filter"}
+
     def evaluate_function(self, e: a.FunctionCall) -> Vector:
         name = e.name.lower()
+        if any(isinstance(x, a.Lambda) for x in e.args):
+            mode = self._LAMBDA_FUNCS.get(name)
+            if mode is None:
+                raise BinderException(
+                    f"lambda expressions are not supported by "
+                    f"function {name}")
+            return self._evaluate_list_lambda(e, mode)
         # unnest and star-arg functions unsupported here
         args = [self.evaluate(x) for x in e.args if not isinstance(x, a.Star)]
         fn = get_function(name)
@@ -560,6 +572,66 @@ class Evaluator:
             # supply row count to zero-arg functions (e.g. random())
             args = [Vector(BIGINT, np.zeros(self.n, dtype=np.int64))]
         return fn(args, self.executor.connection) if fn.needs_ctx else fn(args)
+
+    def _evaluate_list_lambda(self, e: a.FunctionCall, mode: str) -> Vector:
+        """list_transform / list_filter with a one-parameter lambda:
+        flatten every row's elements into one vector, evaluate the body
+        ONCE over a child relation (param column + the outer row's columns
+        repeated per element, so correlated bodies like `x -> x + a`
+        work; the param shadows same-named outer columns), then regroup."""
+        from ..types import LIST
+        from .relation import Binding, Relation
+        lam = next(x for x in e.args if isinstance(x, a.Lambda))
+        if len(lam.params) != 1:
+            raise BinderException(
+                f"{e.name} expects a one-parameter lambda")
+        list_args = [x for x in e.args if not isinstance(x, a.Lambda)]
+        if len(list_args) != 1:
+            raise BinderException(
+                f"{e.name} expects (list, lambda) arguments")
+        lv = self.evaluate(list_args[0])
+        n = len(lv)
+        rows = [list(lv.data[i]) if lv.validity[i] and
+                lv.data[i] is not None else None for i in range(n)]
+        counts = np.array([len(r) if r is not None else 0 for r in rows],
+                          dtype=np.int64)
+        flat = [el for r in rows if r is not None for el in r]
+        child_t = getattr(lv.type, "child", None) or SQLNULL
+        pcol = Vector.from_values(flat, child_t)
+        rep = np.repeat(np.arange(n), counts)
+        base = self.rel.take(rep)
+        param = lam.params[0].lower()
+        bindings = []
+        for b in base.bindings:
+            kept = [(nm, idx, h) for nm, idx, h in
+                    zip(b.names, b.indices, b.hidden)
+                    if nm.lower() != param]       # param shadows
+            bindings.append(Binding(b.alias, [x[0] for x in kept],
+                                    [x[1] for x in kept],
+                                    [x[2] for x in kept]))
+        cols = list(base.columns) + [pcol]
+        bindings.append(Binding(lam.params[0], [lam.params[0]],
+                                [len(cols) - 1]))
+        ev2 = Evaluator(self.executor, Relation(cols, bindings),
+                        self.outer, env=self.env)
+        body = ev2.evaluate(lam.body)
+        out = np.empty(n, dtype=object)
+        validity = lv.validity.copy()
+        pos = 0
+        for i in range(n):
+            if rows[i] is None:
+                continue
+            c = len(rows[i])
+            if mode == "transform":
+                out[i] = [None if not body.validity[pos + j]
+                          else body.value(pos + j) for j in range(c)]
+            else:
+                out[i] = [rows[i][j] for j in range(c)
+                          if body.validity[pos + j] and
+                          bool(body.data[pos + j])]
+            pos += c
+        elem_t = body.type if mode == "transform" else child_t
+        return Vector(LIST(elem_t), out, validity)
 
     # ------------------------------------------------------------ subqueries
     def evaluate_subquery(self, e: a.SubqueryExpr) -> Vector:

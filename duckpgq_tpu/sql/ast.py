@@ -210,6 +210,15 @@ class Positional(Expression):
     alias: Optional[str] = None
 
 
+@dataclass
+class Lambda(Expression):
+    """x -> expr / (a, b) -> expr — valid only as a list-function argument
+    (list_transform/list_filter and aliases), like DuckDB."""
+    params: Tuple[str, ...] = ()
+    body: Expression = None
+    alias: Optional[str] = None
+
+
 # ---------------------------------------------------------------------------
 # Table references
 # ---------------------------------------------------------------------------

@@ -927,6 +927,21 @@ class Parser:
             vals: List[a.Expression] = []
             if not self.peek().is_op("]"):
                 vals.append(self.parse_expression())
+                if self.accept_kw("FOR"):
+                    # list comprehension [expr FOR x IN lst [IF cond]]
+                    # desugars to list_transform(list_filter(...), x -> e)
+                    param = self.expect_ident()
+                    self.expect_kw("IN")
+                    src = self.parse_expression()
+                    if self.accept_kw("IF"):
+                        cond = self.parse_expression()
+                        src = a.FunctionCall(
+                            name="list_filter",
+                            args=[src, a.Lambda(params=(param,), body=cond)])
+                    self.expect_op("]")
+                    return a.FunctionCall(
+                        name="list_transform",
+                        args=[src, a.Lambda(params=(param,), body=vals[0])])
                 while self.accept_op(","):
                     vals.append(self.parse_expression())
             self.expect_op("]")
@@ -1044,6 +1059,43 @@ class Parser:
             else:
                 return star
 
+    def _arrow_at(self, i: int) -> bool:
+        """Adjacent '-' '>' at lookahead offset i (the lexer never fuses
+        '->'; adjacency by byte offset distinguishes it from `x < -1`)."""
+        t1, t2 = self.peek(i), self.peek(i + 1)
+        return t1.is_op("-") and t2.is_op(">") and t1.end == t2.start
+
+    def _parse_lambda_or_expression(self) -> a.Expression:
+        """Function-argument position: lambda `x -> expr` or
+        `(a, b) -> expr` (DuckDB grammar), else a plain expression."""
+        if self.peek().kind == T.IDENT and self._arrow_at(1):
+            param = self.expect_ident()
+            self.next()
+            self.next()
+            return a.Lambda(params=(param,), body=self.parse_expression())
+        if self.peek().is_op("("):
+            i = 1
+            params = []
+            while self.peek(i).kind == T.IDENT:
+                params.append(self.peek(i).text)
+                i += 1
+                if self.peek(i).is_op(","):
+                    i += 1
+                    continue
+                break
+            if params and self.peek(i).is_op(")") and self._arrow_at(i + 1):
+                self.next()                       # (
+                for k, _ in enumerate(params):
+                    self.expect_ident()
+                    if k < len(params) - 1:
+                        self.expect_op(",")
+                self.expect_op(")")
+                self.next()
+                self.next()
+                return a.Lambda(params=tuple(params),
+                                body=self.parse_expression())
+        return self.parse_expression()
+
     def parse_function_call(self, name: str) -> a.Expression:
         lname = name.lower()
         self.expect_op("(")
@@ -1072,9 +1124,9 @@ class Parser:
         if not self.peek().is_op(")"):
             if self.accept_kw("DISTINCT"):
                 distinct = True
-            args.append(self.parse_expression())
+            args.append(self._parse_lambda_or_expression())
             while self.accept_op(","):
-                args.append(self.parse_expression())
+                args.append(self._parse_lambda_or_expression())
             if self.accept_kw("ORDER"):
                 self.expect_kw("BY")
                 while True:

@@ -113,7 +113,7 @@ def main():
 
     # source filters keep binding counts tractable as SF scales the edge
     # count (bindings grow ~cubically in degree for 3 hops)
-    div2, div3 = (40, 2000) if _SF == "10" else (10, 100)
+    div2, div3 = (40, 36500) if _SF == "10" else (10, 100)
     hop_src = int(os.environ.get("BENCH_2HOP_MAXID",
                                  str(person_ids[max(N_PERSON // div2, 1)])))
     q_2hop = f"""

@@ -207,3 +207,23 @@ def test_date_arithmetic():
                        ).fetchall() == [("2000-01-07",)]
     assert con.execute("SELECT DATE '2020-03-01' - DATE '2020-02-01'"
                        ).fetchall() == [(29,)]
+
+
+def test_lambda_list_functions():
+    """x -> expr lambdas in list_transform/list_filter (+ aliases),
+    correlated with outer columns, param shadowing, comprehensions."""
+    import duckpgq_tpu
+    con = duckpgq_tpu.connect()
+    assert con.execute("SELECT list_transform([1,2,3], x -> x + 1)"
+                       ).fetchall() == [([2, 3, 4],)]
+    assert con.execute("SELECT list_filter([1,2,3,4], x -> x % 2 = 0)"
+                       ).fetchall() == [([2, 4],)]
+    assert con.execute("SELECT [x FOR x IN [1,2,3,4,5] IF x > 2]"
+                       ).fetchall() == [([3, 4, 5],)]
+    con.execute("CREATE TABLE t_lam(a BIGINT, l BIGINT[])")
+    con.execute("INSERT INTO t_lam VALUES (10, [1,2]), (20, [3]), (30, NULL)")
+    assert con.execute("SELECT list_transform(l, x -> x + a) FROM t_lam"
+                       ).fetchall() == [([11, 12],), ([23],), (None,)]
+    # the lambda parameter shadows a same-named outer column
+    assert con.execute("SELECT list_transform(l, a -> a * 2) FROM t_lam"
+                       ).fetchall() == [([2, 4],), ([6],), (None,)]

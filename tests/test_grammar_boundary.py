@@ -67,6 +67,10 @@ SUPPORTED = [
      "SELECT * FROM r"),
     ("order-by-all", "SELECT * FROM t ORDER BY ALL"),
     ("star-replace", "SELECT * REPLACE (a + 1 AS a) FROM t"),
+    ("lambda-arrow", "SELECT list_transform([1,2,3], x -> x + 1)"),
+    ("lambda-filter", "SELECT list_filter([1,2,3,4], x -> x % 2 = 0)"),
+    ("list-comprehension", "SELECT [x * 2 FOR x IN [1, 2, 3] IF x > 1]"),
+    ("date-arithmetic", "SELECT DATE '2020-01-01' + 31"),
 ]
 
 # Constructs of DuckDB's vendored grammar that are OUT OF SCOPE here; each
@@ -81,8 +85,6 @@ UNSUPPORTED = [
     ("unpivot",
      "UNPIVOT (SELECT 1 AS p, 2 AS q) ON p, q INTO NAME k VALUE v"),
     ("interval-literal", "SELECT INTERVAL 1 DAY"),
-    ("list-comprehension", "SELECT [x * 2 FOR x IN [1, 2, 3]]"),
-    ("lambda-arrow", "SELECT list_transform([1,2,3], x -> x + 1)"),
     ("asof-join", "SELECT * FROM t ASOF JOIN t t2 ON t.a >= t2.a"),
     ("columns-regex", "SELECT COLUMNS('[ab]') FROM t"),
     ("prepare-statement", "PREPARE s AS SELECT $1"),
