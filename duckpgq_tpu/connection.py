@@ -141,6 +141,8 @@ class Connection:
         self.csr_to_delete: set = set()
         # cached per-query algorithm state (pagerank ranks, wcc forest)
         self.algo_state: Dict[tuple, object] = {}
+        # prepared statements: name -> SQL text with $N / ? placeholders
+        self.prepared: Dict[str, str] = {}
 
     # ------------------------------------------------------------- catalogs
     @property
@@ -183,6 +185,9 @@ class Connection:
         ``parameters`` (the DuckDB Python client convention)."""
         if parameters is not None:
             sql = _bind_parameters(sql, parameters)
+        handled = self._prepared_statement_dispatch(sql)
+        if handled is not None:
+            return handled
         statements = parse_sql(sql)
         result = QueryResult([], [])
         for stmt in statements:
@@ -191,6 +196,39 @@ class Connection:
             finally:
                 self.query_end()
         return result
+
+    def _prepared_statement_dispatch(self, sql: str):
+        """PREPARE name AS <stmt> / EXECUTE name(args) / DEALLOCATE name —
+        DuckDB-style prepared statements, per connection. Returns None when
+        ``sql`` is not one of these statements."""
+        import re
+        from .errors import BinderException, InvalidInputException
+        s = sql.strip().rstrip(";").strip()
+        m = re.match(r"(?is)^PREPARE\s+([A-Za-z_][\w]*)\s+AS\s+(.+)$", s)
+        if m:
+            self.prepared[m.group(1).lower()] = m.group(2)
+            return QueryResult([], [])
+        m = re.match(r"(?is)^EXECUTE\s+([A-Za-z_][\w]*)\s*(\((.*)\))?\s*$",
+                     s)
+        if m:
+            name = m.group(1).lower()
+            body = self.prepared.get(name)
+            if body is None:
+                raise BinderException(
+                    f"Prepared statement \"{m.group(1)}\" does not exist")
+            args = _split_top_level(m.group(3) or "")
+            bound = _substitute_placeholders(body, args)
+            return self.execute(bound)
+        m = re.match(r"(?is)^DEALLOCATE\s+(?:PREPARE\s+)?([A-Za-z_][\w]*)$",
+                     s)
+        if m:
+            name = m.group(1).lower()
+            if name not in self.prepared:
+                raise BinderException(
+                    f"Prepared statement \"{m.group(1)}\" does not exist")
+            del self.prepared[name]
+            return QueryResult([], [])
+        return None
 
     def executemany(self, sql: str, parameter_sets) -> QueryResult:
         result = QueryResult([], [])
@@ -284,4 +322,101 @@ def _bind_parameters(sql: str, parameters) -> str:
     if used != len(params):
         raise InvalidInputException(
             f"Expected {used} parameters, got {len(params)}")
+    return "".join(out)
+
+
+def _split_top_level(text: str):
+    """Split EXECUTE argument text on top-level commas (strings and nesting
+    respected)."""
+    out, depth, cur, i, n = [], 0, [], 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            cur.append(ch)
+            i += 1
+            while i < n:
+                cur.append(text[i])
+                if text[i] == "'":
+                    if i + 1 < n and text[i + 1] == "'":
+                        cur.append(text[i + 1])
+                        i += 2
+                        continue
+                    i += 1
+                    break
+                i += 1
+            continue
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+            i += 1
+            continue
+        cur.append(ch)
+        i += 1
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def _substitute_placeholders(sql: str, args):
+    """Replace $N (numbered) and ? (positional) placeholders outside
+    strings/comments with the given SQL argument texts."""
+    from .errors import BinderException
+    out = []
+    i, n, used = 0, len(sql), 0
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
+            out.append(sql[i:j])
+            i = j
+            continue
+        if ch == '"':
+            j = i + 1
+            while j < n and sql[j] != '"':
+                j += 1
+            out.append(sql[i:j + 1])
+            i = j + 1
+            continue
+        if ch == "-" and i + 1 < n and sql[i + 1] == "-":
+            j = sql.find("\n", i)
+            j = n if j < 0 else j
+            out.append(sql[i:j])
+            i = j
+            continue
+        if ch == "$" and i + 1 < n and sql[i + 1].isdigit():
+            j = i + 1
+            while j < n and sql[j].isdigit():
+                j += 1
+            k = int(sql[i + 1:j])
+            if not 1 <= k <= len(args):
+                raise BinderException(
+                    f"Prepared statement needs {k} parameters, "
+                    f"{len(args)} given")
+            out.append(f"({args[k - 1]})")
+            i = j
+            continue
+        if ch == "?":
+            if used >= len(args):
+                raise BinderException(
+                    f"Prepared statement needs more than {len(args)} "
+                    "parameters")
+            out.append(f"({args[used]})")
+            used += 1
+            i += 1
+            continue
+        out.append(ch)
+        i += 1
     return "".join(out)

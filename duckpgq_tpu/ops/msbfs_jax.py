@@ -425,7 +425,17 @@ def plan_packed_wave(csr: DeviceCSR, lanes: Optional[int] = None,
         while w >= 128 and pick_chunks(w) is None:
             w -= 128
         if w < 128:
-            return narrow_fallback()
+            # huge-V graphs (RMAT-23+): the resident [Vp, W] state rejects
+            # every 128-multiple width, but narrower chunked waves still
+            # beat the tiny single-dispatch fallback several-fold (the
+            # frontier gather is latency-bound, so per-lane cost keeps
+            # dropping with width)
+            for w_try in (96, 64, 48, 32, 16, 8):
+                if pick_chunks(w_try) is not None:
+                    w = w_try
+                    break
+            else:
+                return narrow_fallback()
         lanes = w * 32
     W = lanes // 32
     if n_chunks is None:

@@ -71,6 +71,8 @@ SUPPORTED = [
     ("lambda-filter", "SELECT list_filter([1,2,3,4], x -> x % 2 = 0)"),
     ("list-comprehension", "SELECT [x * 2 FOR x IN [1, 2, 3] IF x > 1]"),
     ("date-arithmetic", "SELECT DATE '2020-01-01' + 31"),
+    ("prepare-execute",
+     "PREPARE gbtest AS SELECT a FROM t WHERE a = $1; EXECUTE gbtest(2)"),
 ]
 
 # Constructs of DuckDB's vendored grammar that are OUT OF SCOPE here; each
@@ -87,7 +89,6 @@ UNSUPPORTED = [
     ("interval-literal", "SELECT INTERVAL 1 DAY"),
     ("asof-join", "SELECT * FROM t ASOF JOIN t t2 ON t.a >= t2.a"),
     ("columns-regex", "SELECT COLUMNS('[ab]') FROM t"),
-    ("prepare-statement", "PREPARE s AS SELECT $1"),
     ("at-time-zone",
      "SELECT TIMESTAMP '2020-01-01 00:00:00' AT TIME ZONE 'UTC'"),
 ]

@@ -57,3 +57,25 @@ def test_result_conversions():
     assert df.shape == (3, 2) and df["a"].tolist() == [1, 2, 3]
     tbl = con.execute("SELECT a FROM t ORDER BY a").arrow()
     assert tbl.num_rows == 3 and tbl.column("a").to_pylist() == [1, 2, 3]
+
+
+def test_prepare_execute_deallocate():
+    """DuckDB-style prepared statements: PREPARE name AS ... with $N or ?
+    placeholders, EXECUTE name(args), DEALLOCATE."""
+    from duckpgq_tpu.errors import BinderException
+    con = _con()
+    con.execute("CREATE TABLE t(a BIGINT, b VARCHAR)")
+    con.execute("INSERT INTO t VALUES (1,'x'),(2,'y'),(3,'z')")
+    con.execute("PREPARE q1 AS SELECT b FROM t WHERE a = $1")
+    assert con.execute("EXECUTE q1(2)").fetchall() == [("y",)]
+    assert con.execute("EXECUTE q1(1 + 2)").fetchall() == [("z",)]
+    con.execute("PREPARE q2 AS SELECT count(*) FROM t WHERE a >= ? AND b <> ?")
+    assert con.execute("EXECUTE q2(1, 'y')").fetchall() == [(2,)]
+    # $N may repeat; strings with commas survive the arg split
+    con.execute("PREPARE q3 AS SELECT $1 + $1 WHERE $2 = 'a,b'")
+    assert con.execute("EXECUTE q3(4, 'a,b')").fetchall() == [(8,)]
+    con.execute("DEALLOCATE q1")
+    with pytest.raises(BinderException):
+        con.execute("EXECUTE q1(1)")
+    with pytest.raises(BinderException):
+        con.execute("DEALLOCATE q1")
