@@ -510,7 +510,10 @@ def _msbfs_lengths_packed_chunked(csr: DeviceCSR, plan: PackedWavePlan,
     Ep = csr.epad
     L = src.shape[0]
     W = L // 32
-    assert L == plan.lanes and L % (32 * 128) == 0, (L, plan.lanes)
+    # W >= 128 tiles vregs exactly; narrower W pads the vreg lane axis but
+    # still beats the tiny single-dispatch fallback on huge-V graphs
+    # (RMAT-23+) where the resident [Vp, W] state caps the width
+    assert L == plan.lanes and L % 32 == 0, (L, plan.lanes)
     K = plan.n_chunks
     Ec = Ep // K
     bmax = plan.bmax

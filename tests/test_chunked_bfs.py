@@ -195,3 +195,34 @@ def test_seg_or_scan_carry_matches_unsplit(seed, E, W, chunk, splits):
                 jnp.asarray(heads[k * Ec:(k + 1) * Ec]), carry, chunk=chunk)
             got[k * Ec:(k + 1) * Ec] = np.asarray(piece)
     np.testing.assert_array_equal(got, want)
+
+
+def test_chunked_narrow_wave_matches_host():
+    """Chunked plans with W < 128 (the RMAT-23+ fallback widths where the
+    resident [Vp, W] state caps the wave) produce exact results."""
+    import jax.numpy as jnp
+    from duckpgq_tpu.ops.csr_jax import build_device_csr
+    from duckpgq_tpu.ops.msbfs_jax import (PackedWavePlan,
+                                           msbfs_lengths_packed_planned,
+                                           plan_packed_wave)
+
+    rng = np.random.default_rng(99)
+    v, e = 200, 1024
+    src = rng.integers(0, v, size=e).astype(np.int64)
+    dst = rng.integers(0, v, size=e).astype(np.int64)
+    dcsr = build_device_csr(v, src, dst)
+    lanes = 64 * 32                                   # W = 64
+    plan = plan_packed_wave(dcsr, lanes=lanes, n_chunks=4)
+    assert plan.lanes == lanes and plan.n_chunks == 4
+    qs = rng.integers(0, v, size=lanes).astype(np.int32)
+    qd = rng.integers(0, v, size=lanes).astype(np.int32)
+    got, _ = msbfs_lengths_packed_planned(
+        dcsr, plan, jnp.asarray(qs), jnp.asarray(qd),
+        jnp.ones(lanes, dtype=bool), v, False)
+    from duckpgq_tpu.ops import msbfs as host_msbfs
+    from duckpgq_tpu.ops.csr import build_csr
+    csr = build_csr(v, src, dst, np.arange(e, dtype=np.int64))
+    want, valid = host_msbfs.iterative_length(
+        csr, qs.astype(np.int64), qd.astype(np.int64))
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.where(valid, want, -1))
