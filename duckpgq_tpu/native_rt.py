@@ -88,6 +88,8 @@ def _load():
     lib.gr_lut_join_total.restype = _i64
     lib.gr_lut_join_fill.argtypes = [_i64p, _i64, ctypes.c_void_p, _i64p,
                                      _i64p, _i64, _i64, _i64p, _i64p]
+    lib.gr_gather_bytes.argtypes = [ctypes.c_void_p, _i64, _i64p, _i64,
+                                    ctypes.c_void_p]
     lib.gr_version.restype = _i64
     _lib = lib
     return _lib
@@ -220,3 +222,20 @@ def lut_join_pairs(lcode: np.ndarray, lvalid: Optional[np.ndarray],
     lib.gr_lut_join_fill(lcode, len(lcode), lvp, offsets, order, lo, span,
                          li, ri)
     return li, ri
+
+
+def gather(base: np.ndarray, idx: np.ndarray) -> Optional[np.ndarray]:
+    """Parallel out[i] = base[idx[i]] for fixed-size dtypes (the
+    late-materialization hot path). Returns None when native is
+    unavailable or the dtype is object (caller falls back to numpy)."""
+    lib = _load()
+    if lib is None or base.dtype == object or not base.flags.c_contiguous:
+        return None
+    elem = base.dtype.itemsize
+    idx = _c64(idx)
+    out = np.empty(len(idx), dtype=base.dtype)
+    lib.gr_gather_bytes(base.ctypes.data_as(ctypes.c_void_p),
+                        ctypes.c_int64(elem),
+                        idx, ctypes.c_int64(len(idx)),
+                        out.ctypes.data_as(ctypes.c_void_p))
+    return out

@@ -135,6 +135,19 @@ class Vector:
         return f"Vector({self.type}, n={len(self)})"
 
 
+def _gather(base: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """out[i] = base[idx[i]] — the late-materialization hot path. Large
+    fixed-size gathers go through the multithreaded native runtime
+    (native/graphrt.cpp gr_gather_bytes: memory-bandwidth bound, threads
+    scale it near-linearly); small or object-dtype gathers use numpy."""
+    if len(idx) >= (1 << 18) and base.dtype != object:
+        from .. import native_rt
+        out = native_rt.gather(np.ascontiguousarray(base), idx)
+        if out is not None:
+            return out
+    return base[idx]
+
+
 class SelChain:
     """Deferred row-selector composition: a chain of index arrays applied in
     sequence. ``resolve()`` flattens the chain to one index array and caches
@@ -154,7 +167,7 @@ class SelChain:
             if self.parent is None:
                 self._resolved = self.idx
             else:
-                self._resolved = self.parent.resolve()[self.idx]
+                self._resolved = _gather(self.parent.resolve(), self.idx)
         return self._resolved
 
     def __len__(self) -> int:
@@ -186,8 +199,8 @@ class LazyVector(Vector):
     def _materialize(self):
         if self._mat is None:
             sel = self._sel.resolve()
-            d = self._base.data[sel]
-            v = self._base.validity[sel]
+            d = _gather(self._base.data, sel)
+            v = _gather(self._base.validity, sel)
             if self._nullmask is not None:
                 v = v & ~self._nullmask
             self._mat = (d, v)

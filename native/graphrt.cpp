@@ -25,6 +25,28 @@ namespace {
 
 constexpr int kLaneWords = 8;   // 512 lanes / 64 bits (reference LANE_LIMIT)
 
+// Chunked parallel-for over [0, n): F(begin, end) per chunk. Thread count
+// bounded by hardware_concurrency (the engine is the only tenant of these
+// calls; chunks are >= grain so small inputs stay single-threaded).
+template <typename F>
+void parallel_chunks(int64_t n, int64_t grain, F f) {
+  size_t hw = std::thread::hardware_concurrency();
+  int64_t n_threads = std::min<int64_t>(std::max<size_t>(hw, 1),
+                                        std::max<int64_t>(n / grain, 1));
+  if (n_threads <= 1) {
+    f(0, n);
+    return;
+  }
+  int64_t chunk = (n + n_threads - 1) / n_threads;
+  std::vector<std::thread> workers;
+  for (int64_t t = 0; t < n_threads; ++t) {
+    int64_t b = t * chunk, e = std::min(n, b + chunk);
+    if (b >= e) break;
+    workers.emplace_back([=] { f(b, e); });
+  }
+  for (auto& w : workers) w.join();
+}
+
 inline bool row_any(const uint64_t* row) {
   uint64_t acc = 0;
   for (int w = 0; w < kLaneWords; ++w) acc |= row[w];
@@ -538,32 +560,107 @@ void gr_lut_bucket_build(const int64_t* rcode, int64_t rn,
 int64_t gr_lut_join_total(const int64_t* lcode, int64_t ln,
                           const uint8_t* lvalid, const int64_t* offsets,
                           int64_t lo, int64_t span) {
+  std::vector<int64_t> partial;
   int64_t total = 0;
-  for (int64_t l = 0; l < ln; ++l) {
-    if (lvalid && !lvalid[l]) continue;
-    int64_t k = lcode[l] - lo;
-    if (k < 0 || k >= span) continue;
-    total += offsets[k + 1] - offsets[k];
-  }
+  // two-level: parallel partial sums over fixed chunks
+  int64_t chunk = 1 << 20;
+  int64_t n_chunks = (ln + chunk - 1) / chunk;
+  partial.assign(std::max<int64_t>(n_chunks, 1), 0);
+  parallel_chunks(n_chunks, 1, [&](int64_t cb, int64_t ce) {
+    for (int64_t c = cb; c < ce; ++c) {
+      int64_t b = c * chunk, e = std::min(ln, b + chunk), t = 0;
+      for (int64_t l = b; l < e; ++l) {
+        if (lvalid && !lvalid[l]) continue;
+        int64_t k = lcode[l] - lo;
+        if (k < 0 || k >= span) continue;
+        t += offsets[k + 1] - offsets[k];
+      }
+      partial[c] = t;
+    }
+  });
+  for (int64_t c = 0; c < n_chunks; ++c) total += partial[c];
   return total;
 }
 
 void gr_lut_join_fill(const int64_t* lcode, int64_t ln, const uint8_t* lvalid,
                       const int64_t* offsets, const int64_t* order,
                       int64_t lo, int64_t span, int64_t* li, int64_t* ri) {
-  int64_t n = 0;
-  for (int64_t l = 0; l < ln; ++l) {
-    if (lvalid && !lvalid[l]) continue;
-    int64_t k = lcode[l] - lo;
-    if (k < 0 || k >= span) continue;
-    for (int64_t p = offsets[k]; p < offsets[k + 1]; ++p) {
-      li[n] = l;
-      ri[n] = order[p];
-      ++n;
+  // deterministic parallel fill: per-chunk output counts, exclusive prefix,
+  // then each chunk writes its own range (probe order preserved)
+  int64_t chunk = 1 << 20;
+  int64_t n_chunks = (ln + chunk - 1) / chunk;
+  std::vector<int64_t> starts(n_chunks + 1, 0);
+  parallel_chunks(n_chunks, 1, [&](int64_t cb, int64_t ce) {
+    for (int64_t c = cb; c < ce; ++c) {
+      int64_t b = c * chunk, e = std::min(ln, b + chunk), t = 0;
+      for (int64_t l = b; l < e; ++l) {
+        if (lvalid && !lvalid[l]) continue;
+        int64_t k = lcode[l] - lo;
+        if (k < 0 || k >= span) continue;
+        t += offsets[k + 1] - offsets[k];
+      }
+      starts[c + 1] = t;
     }
-  }
+  });
+  for (int64_t c = 0; c < n_chunks; ++c) starts[c + 1] += starts[c];
+  parallel_chunks(n_chunks, 1, [&](int64_t cb, int64_t ce) {
+    for (int64_t c = cb; c < ce; ++c) {
+      int64_t b = c * chunk, e = std::min(ln, b + chunk);
+      int64_t n = starts[c];
+      for (int64_t l = b; l < e; ++l) {
+        if (lvalid && !lvalid[l]) continue;
+        int64_t k = lcode[l] - lo;
+        if (k < 0 || k >= span) continue;
+        for (int64_t p = offsets[k]; p < offsets[k + 1]; ++p) {
+          li[n] = l;
+          ri[n] = order[p];
+          ++n;
+        }
+      }
+    }
+  });
 }
 
-int64_t gr_version() { return 2; }
+// ---------------------------------------------------------------------------
+// Parallel gather (late-materialization hot path: LazyVector/SelChain
+// resolve + materialize do out[i] = base[idx[i]] over up-to-~100M rows —
+// memory-bandwidth bound, so threads scale it near-linearly).
+// elem: element size in bytes (8 for int64/float64, 4, 2, 1 for bool/u8).
+// ---------------------------------------------------------------------------
+void gr_gather_bytes(const char* base, int64_t elem, const int64_t* idx,
+                     int64_t n, char* out) {
+  parallel_chunks(n, 1 << 18, [&](int64_t b, int64_t e) {
+    switch (elem) {
+      case 8: {
+        const int64_t* s = reinterpret_cast<const int64_t*>(base);
+        int64_t* d = reinterpret_cast<int64_t*>(out);
+        for (int64_t i = b; i < e; ++i) d[i] = s[idx[i]];
+        break;
+      }
+      case 4: {
+        const int32_t* s = reinterpret_cast<const int32_t*>(base);
+        int32_t* d = reinterpret_cast<int32_t*>(out);
+        for (int64_t i = b; i < e; ++i) d[i] = s[idx[i]];
+        break;
+      }
+      case 2: {
+        const int16_t* s = reinterpret_cast<const int16_t*>(base);
+        int16_t* d = reinterpret_cast<int16_t*>(out);
+        for (int64_t i = b; i < e; ++i) d[i] = s[idx[i]];
+        break;
+      }
+      case 1: {
+        for (int64_t i = b; i < e; ++i) out[i] = base[idx[i]];
+        break;
+      }
+      default: {
+        for (int64_t i = b; i < e; ++i)
+          std::memcpy(out + i * elem, base + idx[i] * elem, elem);
+      }
+    }
+  });
+}
+
+int64_t gr_version() { return 3; }
 
 }  // extern "C"
