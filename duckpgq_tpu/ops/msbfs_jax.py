@@ -296,7 +296,12 @@ def _msbfs_lengths_packed_em(csr: DeviceCSR, src: jnp.ndarray,
     # chunk * W bounded by the measured-good 2048x128 VMEM block budget
     # (a [chunk, W] uint32 block is double-buffered in+out by the pipeline;
     # 2048x256 blows the 16 MB scoped-VMEM limit)
-    chunk_cap = max(128, (2048 * 128) // W)
+    # VMEM-block cap by PADDED width: blocks tile to (8,128) vregs, so a
+    # (chunk, W) block occupies chunk * max(W, 128) lanes — at W < 128 the
+    # padding (and the (chunk, 1) heads block, also padded to 128 lanes)
+    # doubled the footprint and the Mosaic scan ran out of scoped VMEM at
+    # RMAT-23's W=64 wave
+    chunk_cap = max(128, (2048 * 128) // max(W, 128))
     scan_chunk = 1
     while scan_chunk * 2 <= min(Ep, chunk_cap) and Ep % (scan_chunk * 2) == 0:
         scan_chunk *= 2
@@ -528,7 +533,12 @@ def _msbfs_lengths_packed_chunked(csr: DeviceCSR, plan: PackedWavePlan,
 
     heads, _, _ = _in_segments(csr)
 
-    chunk_cap = max(128, (2048 * 128) // W)
+    # VMEM-block cap by PADDED width: blocks tile to (8,128) vregs, so a
+    # (chunk, W) block occupies chunk * max(W, 128) lanes — at W < 128 the
+    # padding (and the (chunk, 1) heads block, also padded to 128 lanes)
+    # doubled the footprint and the Mosaic scan ran out of scoped VMEM at
+    # RMAT-23's W=64 wave
+    chunk_cap = max(128, (2048 * 128) // max(W, 128))
     scan_chunk = 1
     while scan_chunk * 2 <= min(Ec, chunk_cap) and Ec % (scan_chunk * 2) == 0:
         scan_chunk *= 2
