@@ -199,36 +199,51 @@ class Connection:
 
     def _prepared_statement_dispatch(self, sql: str):
         """PREPARE name AS <stmt> / EXECUTE name(args) / DEALLOCATE name —
-        DuckDB-style prepared statements, per connection. Returns None when
-        ``sql`` is not one of these statements."""
+        DuckDB-style prepared statements, per connection. Statement-aware:
+        the input is split on top-level semicolons first, so a PREPARE body
+        ends at the statement boundary and prepared-family statements mix
+        with ordinary ones in one batch. Returns None when no statement in
+        ``sql`` is prepared-family (the normal path re-parses the whole
+        text once)."""
         import re
-        from .errors import BinderException, InvalidInputException
-        s = sql.strip().rstrip(";").strip()
-        m = re.match(r"(?is)^PREPARE\s+([A-Za-z_][\w]*)\s+AS\s+(.+)$", s)
-        if m:
-            self.prepared[m.group(1).lower()] = m.group(2)
-            return QueryResult([], [])
-        m = re.match(r"(?is)^EXECUTE\s+([A-Za-z_][\w]*)\s*(\((.*)\))?\s*$",
-                     s)
-        if m:
-            name = m.group(1).lower()
-            body = self.prepared.get(name)
-            if body is None:
-                raise BinderException(
-                    f"Prepared statement \"{m.group(1)}\" does not exist")
-            args = _split_top_level(m.group(3) or "")
-            bound = _substitute_placeholders(body, args)
-            return self.execute(bound)
-        m = re.match(r"(?is)^DEALLOCATE\s+(?:PREPARE\s+)?([A-Za-z_][\w]*)$",
-                     s)
-        if m:
-            name = m.group(1).lower()
-            if name not in self.prepared:
-                raise BinderException(
-                    f"Prepared statement \"{m.group(1)}\" does not exist")
-            del self.prepared[name]
-            return QueryResult([], [])
-        return None
+        from .errors import BinderException
+        pieces = [p for p in _split_statements(sql) if p.strip()]
+        pat_prepare = r"(?is)^\s*PREPARE\s+([A-Za-z_][\w]*)\s+AS\s+(.+)$"
+        pat_execute = r"(?is)^\s*EXECUTE\s+([A-Za-z_][\w]*)\s*(\((.*)\))?\s*$"
+        pat_dealloc = r"(?is)^\s*DEALLOCATE\s+(?:PREPARE\s+)?([A-Za-z_][\w]*)\s*$"
+        if not any(re.match(pat_prepare, p) or re.match(pat_execute, p)
+                   or re.match(pat_dealloc, p) for p in pieces):
+            return None
+        result = QueryResult([], [])
+        for piece in pieces:
+            m = re.match(pat_prepare, piece)
+            if m:
+                self.prepared[m.group(1).lower()] = m.group(2)
+                result = QueryResult([], [])
+                continue
+            m = re.match(pat_execute, piece)
+            if m:
+                name = m.group(1).lower()
+                body = self.prepared.get(name)
+                if body is None:
+                    raise BinderException(
+                        f"Prepared statement \"{m.group(1)}\" does not "
+                        "exist")
+                args = _split_top_level(m.group(3) or "")
+                result = self.execute(_substitute_placeholders(body, args))
+                continue
+            m = re.match(pat_dealloc, piece)
+            if m:
+                name = m.group(1).lower()
+                if name not in self.prepared:
+                    raise BinderException(
+                        f"Prepared statement \"{m.group(1)}\" does not "
+                        "exist")
+                del self.prepared[name]
+                result = QueryResult([], [])
+                continue
+            result = self.execute(piece)
+        return result
 
     def executemany(self, sql: str, parameter_sets) -> QueryResult:
         result = QueryResult([], [])
@@ -323,6 +338,51 @@ def _bind_parameters(sql: str, parameters) -> str:
         raise InvalidInputException(
             f"Expected {used} parameters, got {len(params)}")
     return "".join(out)
+
+
+def _split_statements(sql: str):
+    """Split a SQL batch on top-level semicolons (strings, quoted
+    identifiers, and -- comments respected)."""
+    out, cur, i, n = [], [], 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
+            cur.append(sql[i:j])
+            i = j
+            continue
+        if ch == '"':
+            j = i + 1
+            while j < n and sql[j] != '"':
+                j += 1
+            cur.append(sql[i:j + 1])
+            i = j + 1
+            continue
+        if ch == "-" and i + 1 < n and sql[i + 1] == "-":
+            j = sql.find("\n", i)
+            j = n if j < 0 else j
+            cur.append(sql[i:j])
+            i = j
+            continue
+        if ch == ";":
+            out.append("".join(cur))
+            cur = []
+            i += 1
+            continue
+        cur.append(ch)
+        i += 1
+    tail = "".join(cur)
+    if tail.strip():
+        out.append(tail)
+    return out
 
 
 def _split_top_level(text: str):

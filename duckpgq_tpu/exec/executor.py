@@ -388,16 +388,22 @@ class Executor:
         for e in node.select_list:
             if isinstance(e, a.Star):
                 repl = {nm.lower(): ex for ex, nm in e.replace}
+                unused = set(repl)
                 for b_alias, name, col in self.expand_star(rel, e):
                     out_names.append(name)
                     if name.lower() in repl:
                         # SELECT * REPLACE (expr AS name)
                         out_cols.append(ev.evaluate(repl[name.lower()]))
                         out_fps.append(f"col:{name.lower()}")
+                        unused.discard(name.lower())
                         continue
                     out_cols.append(col)
                     out_fps.append(f"col:{b_alias.lower()}.{name.lower()}"
                                    if b_alias else f"col:{name.lower()}")
+                if unused:
+                    raise BinderException(
+                        f'Column "{sorted(unused)[0]}" in REPLACE clause '
+                        "not found in table")
             elif isinstance(e, a.FunctionCall) and \
                     e.name.lower() == "unnest" and len(e.args) == 1:
                 # top-level UNNEST: expand rows after projection

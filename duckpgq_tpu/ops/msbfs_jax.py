@@ -393,14 +393,14 @@ def plan_packed_wave(csr: DeviceCSR, lanes: Optional[int] = None,
         except Exception:
             pass
 
-    def pick_chunks(W):
+    def pick_chunks(W, budget=None):
         """Smallest feasible n_chunks for width W, or None. Live set
         (calibrated against the verified-fit sweep in BASELINE.md —
         scale-18 W=2304, scale-19 W=1024, scale-20 W=640, scale-21 W=256
         all run on a 16 GB chip): ~3.5 resident [Vp, W] uint32 buffers
         (frontier/seen in-place + nxt + compact) plus 4 [Ec, W] chunk
         buffers (gather out, scan out, pipeline copies)."""
-        rem = hbm_budget - 14 * (Vp + 1) * W
+        rem = (budget or hbm_budget) - 14 * (Vp + 1) * W
         ec_cap = rem // (4 * 4 * W)
         if ec_cap < 2048:
             return None
@@ -434,10 +434,15 @@ def plan_packed_wave(csr: DeviceCSR, lanes: Optional[int] = None,
             # every 128-multiple width, but narrower chunked waves still
             # beat the tiny single-dispatch fallback several-fold (the
             # frontier gather is latency-bound, so per-lane cost keeps
-            # dropping with width)
+            # dropping with width). The margin-of-fit is thinner when the
+            # resident state IS most of HBM, so budget these at 4/5 (the
+            # W=64 scale-23 plan modeled 13.4 GB and OOMed on XLA temps)
             for w_try in (96, 64, 48, 32, 16, 8):
-                if pick_chunks(w_try) is not None:
+                k_try = pick_chunks(w_try, hbm_budget * 4 // 5)
+                if k_try is not None:
                     w = w_try
+                    if n_chunks is None:
+                        n_chunks = k_try   # keep the reduced-budget pick
                     break
             else:
                 return narrow_fallback()

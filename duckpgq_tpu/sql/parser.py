@@ -434,23 +434,12 @@ class Parser:
     def parse_result_modifiers(self, stmt: a.SelectStatement):
         if self.accept_kw("ORDER"):
             self.expect_kw("BY")
-            if self.peek().is_kw("ALL") and not (
-                    self.peek(1).is_op(".") or self.peek(1).is_op("(")):
+            order_all = self.peek().is_kw("ALL") and not (
+                self.peek(1).is_op(".") or self.peek(1).is_op("("))
+            if order_all:
                 self.next()
-                asc = True
-                if self.accept_kw("DESC"):
-                    asc = False
-                elif self.accept_kw("ASC"):
-                    asc = True
-                stmt.order_by.append(a.OrderByNode(
-                    expr=None, ascending=asc, order_all=True))
-                if self.accept_kw("LIMIT"):
-                    stmt.limit = self.parse_expression()
-                if self.accept_kw("OFFSET"):
-                    stmt.offset = self.parse_expression()
-                return
             while True:
-                e = self.parse_expression()
+                e = None if order_all else self.parse_expression()
                 asc = True
                 if self.accept_kw("DESC"):
                     asc = False
@@ -462,8 +451,9 @@ class Parser:
                     if nulls_first is False:
                         self.expect_kw("LAST")
                 stmt.order_by.append(a.OrderByNode(
-                    expr=e, ascending=asc, nulls_first=nulls_first))
-                if not self.accept_op(","):
+                    expr=e, ascending=asc, nulls_first=nulls_first,
+                    order_all=order_all))
+                if order_all or not self.accept_op(","):
                     break
         if self.accept_kw("LIMIT"):
             stmt.limit = self.parse_expression()
@@ -1181,21 +1171,6 @@ class Parser:
                 partition.append(self.parse_expression())
         if self.accept_kw("ORDER"):
             self.expect_kw("BY")
-            if self.peek().is_kw("ALL") and not (
-                    self.peek(1).is_op(".") or self.peek(1).is_op("(")):
-                self.next()
-                asc = True
-                if self.accept_kw("DESC"):
-                    asc = False
-                elif self.accept_kw("ASC"):
-                    asc = True
-                stmt.order_by.append(a.OrderByNode(
-                    expr=None, ascending=asc, order_all=True))
-                if self.accept_kw("LIMIT"):
-                    stmt.limit = self.parse_expression()
-                if self.accept_kw("OFFSET"):
-                    stmt.offset = self.parse_expression()
-                return
             while True:
                 e = self.parse_expression()
                 asc = not self.accept_kw("DESC")
