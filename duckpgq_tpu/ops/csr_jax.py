@@ -117,7 +117,8 @@ def build_device_csr(vcount: int, src: np.ndarray, dst: np.ndarray,
                      vpad: Optional[int] = None,
                      epad: Optional[int] = None,
                      host_build: bool = True,
-                     lengths_only: bool = False) -> DeviceCSR:
+                     lengths_only: bool = False,
+                     keep_w_dtype: bool = False) -> DeviceCSR:
     """Host arrays -> padded device CSR. Padding edges are (vpad -> vpad).
 
     By default the sort/prefix-sum pipeline runs on the host (numpy) and the
@@ -150,8 +151,14 @@ def build_device_csr(vcount: int, src: np.ndarray, dst: np.ndarray,
     eid_p = pad_edges_np(edge_ids, -1)
     w_p = None
     if w is not None:
-        wf = np.zeros(epad, dtype=np.float32)
-        wf[:e] = w.astype(np.float32)
+        # weights default to float32 (device perf path); keep_w_dtype keeps
+        # float64 weights exact for the DOUBLE Bellman-Ford bridge (run
+        # under scoped x64 — the reference computes doubles in double)
+        wdt = np.float64 if (keep_w_dtype and
+                             np.dtype(w.dtype) == np.float64) \
+            else np.float32
+        wf = np.zeros(epad, dtype=wdt)
+        wf[:e] = w.astype(wdt)
         w_p = wf
 
     if host_build:
@@ -219,7 +226,8 @@ def build_device_csr(vcount: int, src: np.ndarray, dst: np.ndarray,
 
 
 def from_host_csr(csr, vpad: Optional[int] = None,
-                  epad: Optional[int] = None) -> DeviceCSR:
+                  epad: Optional[int] = None,
+                  keep_w_dtype: bool = False) -> DeviceCSR:
     """Lift a host ops.csr.CSR (the SQL engine's structure) onto the device."""
     w = None
     if csr.w is not None:
@@ -227,7 +235,8 @@ def from_host_csr(csr, vpad: Optional[int] = None,
     elif csr.w_double is not None:
         w = csr.w_double
     return build_device_csr(csr.vcount, csr.src_of_edge, csr.e,
-                            csr.edge_ids, w, vpad=vpad, epad=epad)
+                            csr.edge_ids, w, vpad=vpad, epad=epad,
+                            keep_w_dtype=keep_w_dtype)
 
 
 def out_degrees(csr: DeviceCSR) -> jnp.ndarray:

@@ -347,23 +347,33 @@ def cheapest_path_length(csr: CSR, src: np.ndarray, dst: np.ndarray,
 
     import os
 
-    # SQL -> device bridge: the dense-relaxation kernel runs in float32,
-    # which is exact for integer weights while |cost| < 2^24; larger
-    # integer domains stay on the exact host/native path
+    # SQL -> device bridge. DOUBLE weights run the device relaxation in
+    # float64 under a scoped x64 context (the reference computes doubles
+    # in double — f32 would drift in the low-order digits); integer
+    # weights use the f32 kernel only inside its exact window (|cost| <
+    # 2^24), larger integer domains stay on the exact host/native path.
     device_min = int(os.environ.get("DUCKPGQ_DEVICE_MIN_EDGES", "2000000"))
     if csr.ecount >= device_min and n:
         wa = np.asarray(w)
-        f32_exact = is_double or len(wa) == 0 or \
-            float(np.abs(wa).max()) * max(V, 1) < float(2 ** 24)
-        if f32_exact:
+        f32_exact = (not is_double) and (len(wa) == 0 or
+            float(np.abs(wa).max()) * max(V, 1) < float(2 ** 24))
+        if is_double or f32_exact:
+            import jax
+
             from . import msbfs_jax
             from .csr_jax import from_host_csr
             out = np.zeros(n, dtype=dtype)
             validity = np.zeros(n, dtype=bool)
             sel = np.flatnonzero(src_valid)
             if len(sel):
-                costs = msbfs_jax.bellman_ford_batched(
-                    from_host_csr(csr), src[sel], dst[sel])
+                if is_double:
+                    with jax.enable_x64(True):
+                        costs = msbfs_jax.bellman_ford_batched(
+                            from_host_csr(csr, keep_w_dtype=True),
+                            src[sel], dst[sel])
+                else:
+                    costs = msbfs_jax.bellman_ford_batched(
+                        from_host_csr(csr), src[sel], dst[sel])
                 reached = np.isfinite(costs)
                 vals = costs if is_double else np.rint(costs)
                 out[sel] = np.where(reached, vals, 0).astype(dtype)

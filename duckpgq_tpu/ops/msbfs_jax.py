@@ -435,10 +435,11 @@ def plan_packed_wave(csr: DeviceCSR, lanes: Optional[int] = None,
             # beat the tiny single-dispatch fallback several-fold (the
             # frontier gather is latency-bound, so per-lane cost keeps
             # dropping with width). The margin-of-fit is thinner when the
-            # resident state IS most of HBM, so budget these at 4/5 (the
-            # W=64 scale-23 plan modeled 13.4 GB and OOMed on XLA temps)
+            # resident state IS most of HBM, so budget these at 3/5:
+            # measured at scale 23, the W=64 plan's real peak exceeded the
+            # model by ~30% (two HBM OOMs on HLO temps) while W=48 fits
             for w_try in (96, 64, 48, 32, 16, 8):
-                k_try = pick_chunks(w_try, hbm_budget * 4 // 5)
+                k_try = pick_chunks(w_try, hbm_budget * 3 // 5)
                 if k_try is not None:
                     w = w_try
                     if n_chunks is None:
@@ -828,16 +829,21 @@ def msbfs_bidirectional_batched(csr: DeviceCSR, src, dst,
 def bellman_ford(csr: DeviceCSR, src: jnp.ndarray, dst: jnp.ndarray,
                  active: jnp.ndarray, max_iters: int) -> jnp.ndarray:
     """Dense [Vp, L] distance relaxation (reference cheapest_path_length.cpp
-    as a segment-min product). Returns costs (inf = unreached)."""
+    as a segment-min product). Returns costs (inf = unreached). The dtype
+    follows the CSR weight dtype: float32 normally, float64 when the SQL
+    bridge keeps DOUBLE weights exact (keep_w_dtype under scoped x64 —
+    the reference computes doubles in double)."""
     Vp = csr.vpad
     L = src.shape[0]
     lanes = jnp.arange(L)
-    INF = jnp.float32(jnp.inf)
     w = csr.w if csr.w is not None else jnp.ones_like(csr.in_pos,
                                                       dtype=jnp.float32)
+    wdt = w.dtype
+    INF = jnp.asarray(jnp.inf, dtype=wdt)
     in_w = w[csr.in_pos]
-    dist = jnp.full((Vp + 1, L), INF, dtype=jnp.float32)
-    dist = dist.at[src, lanes].set(jnp.where(active, 0.0, INF))
+    dist = jnp.full((Vp + 1, L), INF, dtype=wdt)
+    dist = dist.at[src, lanes].set(
+        jnp.where(active, jnp.asarray(0.0, wdt), INF))
 
     def cond(state):
         it, dist, changed = state
@@ -849,8 +855,7 @@ def bellman_ford(csr: DeviceCSR, src: jnp.ndarray, dst: jnp.ndarray,
         it, dist, _ = state
         cand = dist[csr.in_src] + in_w[:, None]       # [Ep, L]
         relaxed = segment_min_sorted(cand, heads, last_pos, has_in, INF)
-        relaxed = jnp.concatenate([relaxed,
-                                   jnp.full((1, L), INF, jnp.float32)])
+        relaxed = jnp.concatenate([relaxed, jnp.full((1, L), INF, wdt)])
         new = jnp.minimum(dist, relaxed)
         changed = (new < dist).any()
         return it + 1, new, changed
@@ -1273,7 +1278,8 @@ def bellman_ford_batched(csr: DeviceCSR, src, dst, lanes: int = 256):
     plus the [Ep, L] relaxation candidates set the per-wave footprint."""
     import numpy as np
     n = len(src)
-    out = np.full(n, np.inf, dtype=np.float32)
+    wdt = np.dtype(csr.w.dtype) if csr.w is not None else np.float32
+    out = np.full(n, np.inf, dtype=wdt)
     max_iters = max(csr.vcount + 1, 1)
     for start in range(0, n, lanes):
         m = min(lanes, n - start)

@@ -106,8 +106,11 @@ def test_cheapest_path_device_matches_host(weights, monkeypatch):
     if weights == "int":
         np.testing.assert_array_equal(got, want)
     else:
+        # DOUBLE weights run the device relaxation in float64 under scoped
+        # x64 (reference computes doubles in double) — f64-tight agreement
+        assert got.dtype == np.float64
         np.testing.assert_allclose(got[got_valid], want[want_valid],
-                                   rtol=1e-5)
+                                   rtol=1e-12)
 
 
 def test_cheapest_path_big_int_weights_stay_exact(monkeypatch):

@@ -227,3 +227,37 @@ def test_lambda_list_functions():
     # the lambda parameter shadows a same-named outer column
     assert con.execute("SELECT list_transform(l, a -> a * 2) FROM t_lam"
                        ).fetchall() == [([2, 4],), ([6],), (None,)]
+
+
+def test_code_review_round2_regressions():
+    """Fixes from the round-2 code review: window ORDER BY with a column
+    named 'all', ORDER BY ALL NULLS modifiers, REPLACE unknown-column
+    error, multi-statement prepared batches."""
+    import duckpgq_tpu
+    import pytest
+    from duckpgq_tpu.errors import BinderException
+
+    con = duckpgq_tpu.connect()
+    con.execute('CREATE TABLE t(a BIGINT, "all" BIGINT)')
+    con.execute("INSERT INTO t VALUES (2, 1), (1, 2), (3, NULL)")
+    # a column literally named "all" in a window ORDER BY still parses
+    assert con.execute(
+        'SELECT row_number() OVER (ORDER BY "all") FROM t').fetchall() == \
+        [(1,), (2,), (3,)]
+    # ORDER BY ALL accepts NULLS FIRST/LAST like DuckDB
+    assert con.execute(
+        "SELECT a FROM (SELECT a FROM t) s ORDER BY ALL DESC NULLS LAST"
+    ).fetchall() == [(3,), (2,), (1,)]
+    # REPLACE with an unknown output column is a binder error
+    with pytest.raises(BinderException, match="REPLACE clause"):
+        con.execute("SELECT * REPLACE (a + 1 AS zzz) FROM t").fetchall()
+    # PREPARE in a multi-statement batch ends at the semicolon
+    con.execute("CREATE TABLE t2(x BIGINT)")
+    con.execute("PREPARE p2 AS SELECT 7; INSERT INTO t2 VALUES (5)")
+    assert con.execute("SELECT count(*) FROM t2").fetchall() == [(1,)]
+    assert con.execute("EXECUTE p2").fetchall() == [(7,)]
+    assert con.execute("SELECT count(*) FROM t2").fetchall() == [(1,)]
+    # two EXECUTEs in one batch
+    con.execute("PREPARE q AS SELECT $1")
+    assert con.execute("EXECUTE q(1); EXECUTE q(2)").fetchall() == [(2,)]
+    con.execute("DEALLOCATE p2; DEALLOCATE q")
