@@ -268,6 +268,48 @@ class Executor:
             cols.append(Vector.from_values([r[j] for r in rows], lc.type))
         return QueryResult(left.names, cols)
 
+    # ----------------------------------------------- GROUPING SETS family
+    def _execute_grouping_sets(self, node: a.SelectNode, outer, env
+                               ) -> QueryResult:
+        """GROUP BY GROUPING SETS / ROLLUP / CUBE: one aggregation per set,
+        results unioned; group expressions absent from a set surface as
+        NULL in that set's rows (SQL standard / DuckDB semantics)."""
+        import dataclasses
+
+        from .expression import fingerprint
+        all_fps = {fingerprint(g) for s in node.grouping_sets for g in s}
+        pieces: List[QueryResult] = []
+        for s in node.grouping_sets:
+            in_set = {fingerprint(g) for g in s}
+
+            def rewrite(e):
+                fp = fingerprint(e)
+                if fp in all_fps and fp not in in_set:
+                    c = a.Constant(value=None, type=SQLNULL,
+                                   alias=e.alias or self.derive_name(e))
+                    return c
+                return e
+
+            sub = dataclasses.replace(
+                node, select_list=[rewrite(e) for e in node.select_list],
+                groups=list(s), grouping_sets=None)
+            res, _ = self.execute_select_node(sub, outer, env)
+            pieces.append(res)
+        names = pieces[0].names
+        out_cols: List[Vector] = []
+        for j in range(len(names)):
+            target = next((p.columns[j].type for p in pieces
+                           if p.columns[j].type.id != TypeId.SQLNULL),
+                          SQLNULL)
+            casted = []
+            for p in pieces:
+                c = p.columns[j]
+                if c.type.id != target.id:
+                    c = cast_vector(c, target)
+                casted.append(c)
+            out_cols.append(Vector.concat(casted))
+        return QueryResult(names, out_cols)
+
     # ------------------------------------------------------ recursive CTE
     def _execute_recursive_cte(self, key: str, cte: a.CTE,
                                env: "CTEEnv") -> QueryResult:
@@ -349,6 +391,8 @@ class Executor:
     # --------------------------------------------------------- SELECT node
     def execute_select_node(self, node: a.SelectNode, outer, env
                             ) -> Tuple[QueryResult, Optional[dict]]:
+        if node.grouping_sets is not None:
+            return self._execute_grouping_sets(node, outer, env), None
         rel = self.execute_from_filtered(node.from_table, node.where, outer,
                                          env)
         if getattr(node, "sample", None):

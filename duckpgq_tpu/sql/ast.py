@@ -319,6 +319,9 @@ class SelectNode(QueryNode):
     where: Optional[Expression] = None
     groups: List[Expression] = field(default_factory=list)
     group_all: bool = False
+    # GROUP BY GROUPING SETS / ROLLUP / CUBE: list of grouping sets, each a
+    # list of group expressions (None = plain GROUP BY)
+    grouping_sets: Optional[List[List[Expression]]] = None
     having: Optional[Expression] = None
     qualify: Optional[Expression] = None
     distinct: bool = False

@@ -362,6 +362,30 @@ class Parser:
             self.expect_kw("BY")
             if self.accept_kw("ALL"):
                 node.group_all = True
+            elif self.peek().is_kw("GROUPING") and self.peek(1).is_kw("SETS"):
+                self.next()
+                self.next()
+                self.expect_op("(")
+                sets = [self._parse_grouping_set()]
+                while self.accept_op(","):
+                    sets.append(self._parse_grouping_set())
+                self.expect_op(")")
+                node.grouping_sets = sets
+            elif self.peek().is_kw("ROLLUP") and self.peek(1).is_op("("):
+                self.next()
+                exprs = self._parse_grouping_set()
+                # (e1..en), (e1..en-1), ..., ()
+                node.grouping_sets = [exprs[:k]
+                                      for k in range(len(exprs), -1, -1)]
+            elif self.peek().is_kw("CUBE") and self.peek(1).is_op("("):
+                self.next()
+                exprs = self._parse_grouping_set()
+                sets = []
+                for mask in range(1 << len(exprs)):
+                    sets.append([e for i, e in enumerate(exprs)
+                                 if mask & (1 << i)])
+                node.grouping_sets = sorted(
+                    sets, key=lambda s: -len(s))
             else:
                 node.groups.append(self.parse_expression())
                 while self.accept_op(","):
@@ -371,6 +395,18 @@ class Parser:
         if self.accept_kw("QUALIFY"):
             node.qualify = self.parse_expression()
         return node
+
+    def _parse_grouping_set(self) -> List[a.Expression]:
+        """One grouping set: ( e1, e2, ... ) or () or a bare expression."""
+        if self.accept_op("("):
+            exprs: List[a.Expression] = []
+            if not self.peek().is_op(")"):
+                exprs.append(self.parse_expression())
+                while self.accept_op(","):
+                    exprs.append(self.parse_expression())
+            self.expect_op(")")
+            return exprs
+        return [self.parse_expression()]
 
     def parse_sample_clause(self):
         """USING SAMPLE <n> [%|PERCENT|ROWS] [(method[, seed])] |

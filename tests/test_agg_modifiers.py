@@ -58,3 +58,31 @@ def test_distinct_aggregates_not_merged_with_filtered():
     assert con.execute(
         "SELECT sum(x), sum(x) FILTER (WHERE x = 3) FROM b"
     ).fetchall() == [(13, 6)]
+
+
+def test_grouping_sets_rollup_cube():
+    """GROUP BY GROUPING SETS / ROLLUP / CUBE: one aggregation per set,
+    unioned, with NULL for group columns absent from a set."""
+    import duckpgq_tpu
+    con = duckpgq_tpu.connect()
+    con.execute("CREATE TABLE gs(a VARCHAR, b VARCHAR, v BIGINT)")
+    con.execute("INSERT INTO gs VALUES ('x','p',1),('x','q',2),('y','p',4)")
+    assert con.execute(
+        "SELECT a, count(*) FROM gs GROUP BY GROUPING SETS ((a), ()) "
+        "ORDER BY ALL").fetchall() == [(None, 3), ("x", 2), ("y", 1)]
+    assert con.execute(
+        "SELECT a, b, sum(v) FROM gs GROUP BY ROLLUP (a, b) ORDER BY ALL"
+    ).fetchall() == [
+        (None, None, 7), ("x", None, 3), ("x", "p", 1), ("x", "q", 2),
+        ("y", None, 4), ("y", "p", 4)]
+    assert con.execute(
+        "SELECT a, b, sum(v) FROM gs GROUP BY CUBE (a, b) ORDER BY ALL"
+    ).fetchall() == [
+        (None, None, 7), (None, "p", 5), (None, "q", 2),
+        ("x", None, 3), ("x", "p", 1), ("x", "q", 2),
+        ("y", None, 4), ("y", "p", 4)]
+    # HAVING applies per set
+    assert con.execute(
+        "SELECT a, count(*) FROM gs GROUP BY GROUPING SETS ((a), ()) "
+        "HAVING count(*) > 1 ORDER BY ALL"
+    ).fetchall() == [(None, 3), ("x", 2)]

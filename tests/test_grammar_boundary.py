@@ -73,16 +73,16 @@ SUPPORTED = [
     ("date-arithmetic", "SELECT DATE '2020-01-01' + 31"),
     ("prepare-execute",
      "PREPARE gbtest AS SELECT a FROM t WHERE a = $1; EXECUTE gbtest(2)"),
+    ("grouping-sets",
+     "SELECT b, count(*) FROM t GROUP BY GROUPING SETS ((b), ())"),
+    ("rollup", "SELECT b, count(*) FROM t GROUP BY ROLLUP (b)"),
+    ("cube", "SELECT b, count(*) FROM t GROUP BY CUBE (b)"),
 ]
 
 # Constructs of DuckDB's vendored grammar that are OUT OF SCOPE here; each
 # must fail with a clean engine error. Revisit deliberately.
 UNSUPPORTED = [
     ("lateral-join", "SELECT * FROM t, LATERAL (SELECT t.a + 1) s(x)"),
-    ("grouping-sets",
-     "SELECT b, count(*) FROM t GROUP BY GROUPING SETS ((b), ())"),
-    ("rollup", "SELECT b, count(*) FROM t GROUP BY ROLLUP (b)"),
-    ("cube", "SELECT b, count(*) FROM t GROUP BY CUBE (b)"),
     ("pivot", "PIVOT t ON b USING sum(a)"),
     ("unpivot",
      "UNPIVOT (SELECT 1 AS p, 2 AS q) ON p, q INTO NAME k VALUE v"),
