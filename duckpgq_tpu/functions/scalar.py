@@ -153,6 +153,13 @@ def _date_arith(a: Vector, b: Vector, op: str) -> "Vector | None":
     if op == "-" and ta == TypeId.DATE and tb == TypeId.DATE:
         out = a.data.astype(np.int64) - b.data.astype(np.int64)
         return Vector(BIGINT, out, a.validity & b.validity)
+    if (a.type.is_temporal or b.type.is_temporal) and \
+            not (ta == TypeId.SQLNULL or tb == TypeId.SQLNULL):
+        # unsupported temporal combination (e.g. DATE + DOUBLE): clean
+        # binder error instead of a raw TypeError from the numeric lattice
+        raise BinderException(
+            f"No function matches the given name and argument types "
+            f"'{op}({a.type}, {b.type})'")
     return None
 
 

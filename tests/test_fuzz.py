@@ -18,6 +18,17 @@ SEED_STATEMENTS = [
     "WITH c AS (SELECT 1 AS one) SELECT * FROM c",
     "PRAGMA show_property_graphs",
     "SELECT list_value(1, 2)[1]",
+    # round-2 constructs: recursive CTEs, lambdas, comprehensions,
+    # grouping sets, prepared statements, star modifiers
+    "WITH RECURSIVE r(n) AS (SELECT 1 UNION ALL SELECT n+1 FROM r "
+    "WHERE n < 3) SELECT * FROM r",
+    "SELECT list_transform([1,2,3], x -> x + 1)",
+    "SELECT [x * 2 FOR x IN [1, 2, 3] IF x > 1]",
+    "SELECT a, count(*) FROM t GROUP BY GROUPING SETS ((a), ())",
+    "SELECT b, count(*) FROM t GROUP BY ROLLUP (b) ORDER BY ALL",
+    "PREPARE fz AS SELECT $1 + 1; EXECUTE fz(2); DEALLOCATE fz",
+    "SELECT * REPLACE (a + 1 AS a) FROM t",
+    "SELECT DATE '2020-01-01' + 31",
 ]
 
 
