@@ -497,7 +497,11 @@ def msbfs_lengths_packed_planned(csr: DeviceCSR, plan: PackedWavePlan,
                                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Packed MS-BFS following a PackedWavePlan: single-dispatch kernels
     when the wave fits (n_chunks == 1), chunked streaming expansion
-    otherwise."""
+    otherwise. Narrow waves (W < 128, the RMAT-23+ fallback) use the XLA
+    scan: the Pallas kernel's sub-vreg-width path crashed the TPU worker
+    at scale 23 (kernel fault) and is only exercised at W >= 128."""
+    if plan.lanes < 32 * 128:
+        use_pallas = False
     if plan.n_chunks == 1:
         return _msbfs_lengths_packed(csr, src, dst, active, max_iters,
                                      use_pallas)
