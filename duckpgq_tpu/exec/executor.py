@@ -1074,7 +1074,15 @@ class Executor:
                 rel = rel.filter(cond.data.astype(bool) & cond.validity)
             return rel
 
-        rels = [self.execute_from(item, outer, env) for item in items]
+        lateral_items = {j for j, item in enumerate(items)
+                         if isinstance(item, a.SubqueryRef) and item.lateral}
+        if 0 in lateral_items:
+            raise BinderException(
+                "LATERAL subquery must follow the table it references")
+        # lateral items execute per-row later; placeholder keeps indices
+        rels = [Relation([], []) if j in lateral_items
+                else self.execute_from(item, outer, env)
+                for j, item in enumerate(items)]
         conjuncts: List[a.Expression] = []
 
         def split(e):
@@ -1154,8 +1162,18 @@ class Executor:
                     next_item = new.pop()
                     break
             if next_item is None:
-                next_item = remaining_items[0]
+                # laterals join last (their rows depend on what precedes)
+                non_lateral = [j for j in remaining_items
+                               if j not in lateral_items]
+                next_item = non_lateral[0] if non_lateral else \
+                    remaining_items[0]
             remaining_items.remove(next_item)
+            if next_item in lateral_items:
+                joined = self._execute_lateral(joined, items[next_item],
+                                               outer, env)
+                joined_set.add(next_item)
+                apply_ready_filters()
+                continue
             right = rels[next_item]
             # gather all equi conjuncts between joined_set and next_item
             equi_pairs = []
@@ -1384,8 +1402,46 @@ class Executor:
         return Relation.from_columns(ref.alias or "values", names, cols)
 
     # ----------------------------------------------------------------- joins
+    def _execute_lateral(self, left: Relation, ref: a.SubqueryRef, outer,
+                         env) -> Relation:
+        """CROSS JOIN LATERAL: execute the subquery once per left row with
+        that row in scope (OuterScope chained over any existing outer);
+        rows pair with their producing left row. Row-at-a-time by design —
+        the correlated subquery is arbitrary."""
+        parts: List[Relation] = []
+        left_idx: List[np.ndarray] = []
+        plain = a.SubqueryRef(subquery=ref.subquery, alias=ref.alias,
+                              column_aliases=ref.column_aliases)
+        for i in range(left.row_count):
+            scope = OuterScope(left, i, outer)
+            r = self.execute_from(plain, scope, env)
+            parts.append(r)
+            left_idx.append(np.full(r.row_count, i, dtype=np.int64))
+        if not parts:
+            empty = self.execute_from(plain, outer, env)
+            return Relation.concat_horizontal(
+                left.take(np.empty(0, np.int64)),
+                empty.take(np.empty(0, np.int64)))
+        cols = [Vector.concat([p.columns[k] for p in parts])
+                for k in range(len(parts[0].columns))]
+        right = Relation(cols, parts[0].bindings)
+        li = np.concatenate(left_idx)
+        return Relation.concat_horizontal(left.take(li), right)
+
     def execute_join(self, ref: a.JoinRef, outer, env) -> Relation:
         left = self.execute_from(ref.left, outer, env)
+        if isinstance(ref.right, a.SubqueryRef) and ref.right.lateral:
+            joined = self._execute_lateral(left, ref.right, outer, env)
+            if ref.join_type in ("CROSS", "INNER"):
+                if ref.condition is not None:
+                    ev = Evaluator(self, joined, outer, env=env)
+                    cond = ev.as_bool(ev.evaluate(ref.condition))
+                    joined = joined.filter(
+                        cond.data.astype(bool) & cond.validity)
+                return joined
+            raise NotImplementedException(
+                f"{ref.join_type} JOIN LATERAL is not supported "
+                "(CROSS/INNER only)")
         right = self.execute_from(ref.right, outer, env)
         jt = ref.join_type
         if jt == "POSITIONAL":

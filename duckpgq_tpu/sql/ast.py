@@ -242,6 +242,7 @@ class SubqueryRef(TableRef):
     subquery: "SelectStatement" = None
     alias: Optional[str] = None
     column_aliases: Tuple[str, ...] = ()
+    lateral: bool = False     # LATERAL (subquery): sees earlier FROM items
 
 
 @dataclass

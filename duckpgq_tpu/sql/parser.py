@@ -576,6 +576,14 @@ class Parser:
 
     def parse_single_table_ref(self) -> a.TableRef:
         tok = self.peek()
+        if tok.is_kw("LATERAL") and self.peek(1).is_op("("):
+            self.next()
+            self.expect_op("(")
+            sub = self.parse_select_statement()
+            self.expect_op(")")
+            ref = a.SubqueryRef(subquery=sub, lateral=True)
+            self._parse_table_alias(ref)
+            return ref
         if tok.kind == T.STRING:
             # FROM 'file.parquet' / 'file.csv'
             self.next()

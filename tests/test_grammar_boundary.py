@@ -77,12 +77,14 @@ SUPPORTED = [
      "SELECT b, count(*) FROM t GROUP BY GROUPING SETS ((b), ())"),
     ("rollup", "SELECT b, count(*) FROM t GROUP BY ROLLUP (b)"),
     ("cube", "SELECT b, count(*) FROM t GROUP BY CUBE (b)"),
+    ("lateral-join", "SELECT * FROM t, LATERAL (SELECT t.a + 1) s(x)"),
+    ("cross-join-lateral",
+     "SELECT * FROM t CROSS JOIN LATERAL (SELECT t.a * 2 AS d) s"),
 ]
 
 # Constructs of DuckDB's vendored grammar that are OUT OF SCOPE here; each
 # must fail with a clean engine error. Revisit deliberately.
 UNSUPPORTED = [
-    ("lateral-join", "SELECT * FROM t, LATERAL (SELECT t.a + 1) s(x)"),
     ("pivot", "PIVOT t ON b USING sum(a)"),
     ("unpivot",
      "UNPIVOT (SELECT 1 AS p, 2 AS q) ON p, q INTO NAME k VALUE v"),

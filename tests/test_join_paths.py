@@ -149,3 +149,24 @@ def test_lazy_nullmask_outer_join_semantics():
     assert lazy.validity.tolist() == [True, False, True]
     taken = lazy.take(np.array([1, 2]))
     assert taken.validity.tolist() == [False, True]
+
+
+def test_lateral_join():
+    """LATERAL subqueries see earlier FROM items row-wise (comma and
+    CROSS JOIN syntax, correlated filters, WHERE on lateral outputs)."""
+    import duckpgq_tpu
+    con = duckpgq_tpu.connect()
+    con.execute("CREATE TABLE lt(a BIGINT)")
+    con.execute("INSERT INTO lt VALUES (1),(2),(3)")
+    assert con.execute(
+        "SELECT * FROM lt, LATERAL (SELECT lt.a * 10) s(x) ORDER BY a"
+    ).fetchall() == [(1, 10), (2, 20), (3, 30)]
+    # correlated filtering subquery: rows multiply/vanish per left row
+    assert con.execute(
+        "SELECT * FROM lt, LATERAL (SELECT u.a FROM lt u WHERE u.a < lt.a) "
+        "s(smaller) ORDER BY a, smaller").fetchall() == \
+        [(2, 1), (3, 1), (3, 2)]
+    # WHERE over lateral outputs
+    assert con.execute(
+        "SELECT * FROM lt, LATERAL (SELECT lt.a + 1) s(x) WHERE x > 2 "
+        "ORDER BY a").fetchall() == [(2, 3), (3, 4)]
