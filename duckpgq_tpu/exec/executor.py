@@ -1618,12 +1618,18 @@ class Executor:
     def expand_star(self, rel: Relation, star: a.Star):
         out = []
         exclude = {x.lower() for x in star.exclude}
+        rx = None
+        if star.name_regex is not None:
+            import re as _re
+            rx = _re.compile(star.name_regex)
         for b in rel.bindings:
             if star.relation is not None and \
                     b.alias.lower() != star.relation.lower():
                 continue
             for name, slot in b.visible():
                 if name.lower() in exclude:
+                    continue
+                if rx is not None and not rx.search(name):
                     continue
                 out.append((b.alias, name, rel.columns[slot]))
         if star.relation is not None and not out:

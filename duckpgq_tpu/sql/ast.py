@@ -49,6 +49,7 @@ class Star(Expression):
     relation: Optional[str] = None
     exclude: Tuple[str, ...] = ()
     replace: Tuple[Tuple["Expression", str], ...] = ()
+    name_regex: Optional[str] = None   # COLUMNS('regex') expansion
     alias: Optional[str] = None
 
 

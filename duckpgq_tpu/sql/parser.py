@@ -460,6 +460,14 @@ class Parser:
         return exprs
 
     def parse_aliased_expression(self) -> a.Expression:
+        # COLUMNS('regex') in a select list expands like a filtered star
+        if self.peek().is_kw("COLUMNS") and self.peek(1).is_op("(") and \
+                self.peek(2).kind == T.STRING and self.peek(3).is_op(")"):
+            self.next()
+            self.next()
+            rx = self.next().text
+            self.next()
+            return self._parse_star_modifiers(a.Star(name_regex=rx))
         expr = self.parse_expression()
         if self.accept_kw("AS"):
             expr.alias = self.expect_ident()

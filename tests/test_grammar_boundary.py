@@ -80,6 +80,7 @@ SUPPORTED = [
     ("lateral-join", "SELECT * FROM t, LATERAL (SELECT t.a + 1) s(x)"),
     ("cross-join-lateral",
      "SELECT * FROM t CROSS JOIN LATERAL (SELECT t.a * 2 AS d) s"),
+    ("columns-regex", "SELECT COLUMNS('[ab]') FROM t"),
 ]
 
 # Constructs of DuckDB's vendored grammar that are OUT OF SCOPE here; each
@@ -90,7 +91,6 @@ UNSUPPORTED = [
      "UNPIVOT (SELECT 1 AS p, 2 AS q) ON p, q INTO NAME k VALUE v"),
     ("interval-literal", "SELECT INTERVAL 1 DAY"),
     ("asof-join", "SELECT * FROM t ASOF JOIN t t2 ON t.a >= t2.a"),
-    ("columns-regex", "SELECT COLUMNS('[ab]') FROM t"),
     ("at-time-zone",
      "SELECT TIMESTAMP '2020-01-01 00:00:00' AT TIME ZONE 'UTC'"),
 ]
