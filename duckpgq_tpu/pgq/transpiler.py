@@ -793,9 +793,77 @@ class MatchTranspiler:
             prev_el, prev_sub = next_el, next_sub
             prev_table = next_table
 
+    def _length_only_fast_path(self, pattern: past.PathPattern,
+                               var: str) -> bool:
+        """True when the named path is consumed ONLY via path_length() on a
+        plain ANY SHORTEST WALK pattern — then lengths come straight from
+        iterativelength (the quantifier kernel) and the expensive
+        shortestpath parent-tracking CTE is skipped entirely. Optimization
+        beyond the reference (it always materializes the path list,
+        match.cpp:745-760); results are identical because the shortest walk
+        length IS the iterativelength value."""
+        if not pattern.shortest or pattern.all or pattern.topk:
+            return False
+        fns = set()
+        for col in self.m.column_list:
+            if isinstance(col, a.FunctionCall) and col.args and \
+                    isinstance(col.args[0], a.ColumnRef) and \
+                    len(col.args[0].parts) == 1 and \
+                    col.args[0].parts[0].lower() == var.lower() and \
+                    col.name.lower() in _PATH_FUNCTIONS:
+                fns.add(col.name.lower())
+        if fns != {"path_length"}:
+            return False
+        # every quantified segment must be plain WALK (non-WALK modes use
+        # existence search, where shortest length is not the answer)
+        for i in range(1, len(pattern.path_elements), 2):
+            _, sub = self._unwrap(pattern.path_elements[i])
+            if sub is not None and sub.upper > 1 and \
+                    self._effective_mode(sub) != 0:
+                return False
+        return True
+
+    def _build_path_length_expr(self, pattern: past.PathPattern
+                                ) -> a.Expression:
+        """Total hop count without path materialization: quantified
+        segments contribute add(__x.temp, iterativelength(...)), fixed
+        segments contribute 1."""
+        elements = pattern.path_elements
+        total: Optional[a.Expression] = None
+        prev_el, _ = self._unwrap(elements[0])
+        for i in range(1, len(elements), 2):
+            next_el, _ = self._unwrap(elements[i + 1])
+            edge_el, edge_sub = self._unwrap(elements[i])
+            if edge_sub is not None and edge_sub.upper > 1:
+                et = self._find_edge_table(edge_el)
+                self._ensure_cte1(edge_el, et, prev_el.variable_binding,
+                                  edge_el.variable_binding,
+                                  next_el.variable_binding)
+                count_sql = count_table_sql(
+                    et.source_pg_table, prev_el.variable_binding,
+                    et.source_pk[0])
+                seg: a.Expression = a.FunctionCall(name="add", args=[
+                    a.ColumnRef(parts=("__x", "temp")),
+                    a.FunctionCall(name="iterativelength", args=[
+                        a.Constant(0),
+                        a.SubqueryExpr(
+                            subquery=parse_one_select(count_sql),
+                            kind="SCALAR"),
+                        a.ColumnRef(parts=(prev_el.variable_binding,
+                                           "rowid")),
+                        a.ColumnRef(parts=(next_el.variable_binding,
+                                           "rowid"))])])
+            else:
+                seg = a.Constant(1)
+            total = seg if total is None else a.FunctionCall(
+                name="+", args=[total, seg], is_operator=True)
+            prev_el, _ = self._unwrap(elements[i + 1])
+        return total if total is not None else a.Constant(0)
+
     def _rewrite_path_columns(self, pattern: past.PathPattern):
         """CheckNamedSubpath equivalent (match.cpp:709-790)."""
         var = pattern.path_variable
+        self._length_only = self._length_only_fast_path(pattern, var)
         new_columns = []
         for col in self.m.column_list:
             rewritten = self._try_rewrite_path_fn(col, var, pattern)
@@ -813,6 +881,10 @@ class MatchTranspiler:
         if name not in _PATH_FUNCTIONS:
             return None
         alias = col.alias
+        if name == "path_length" and getattr(self, "_length_only", False):
+            out = self._build_path_length_expr(pattern)
+            out.alias = alias or f"path_length({var})"
+            return out
         path_expr = self._build_path_list_expr(pattern)
         if name == "element_id":
             out = path_expr

@@ -101,3 +101,38 @@ def test_fixed_two_hop_matches_oracle(seed):
     want = sorted((s1, d1, d2) for s1, d1 in edges for s2, d2 in edges
                   if d1 == s2)
     assert got == want
+
+
+def test_path_length_only_fast_path_matches_full():
+    """When COLUMNS uses only path_length(p), the transpiler skips the
+    shortestpath CTE and answers from iterativelength — results must be
+    identical to a query that also materializes element_id(p)."""
+    import numpy as np
+    import duckpgq_tpu
+    rng = np.random.default_rng(5)
+    v, e = 60, 240
+    src = rng.integers(0, v, size=e)
+    dst = rng.integers(0, v, size=e)
+    con = duckpgq_tpu.connect()
+    con.execute("CREATE TABLE n(id BIGINT)")
+    con.execute("INSERT INTO n SELECT range FROM range(60)")
+    con.execute("CREATE TABLE ed(s BIGINT, d BIGINT)")
+    for i in range(0, e, 80):
+        vals = ",".join(f"({a},{b})" for a, b in
+                        zip(src[i:i+80], dst[i:i+80]))
+        con.execute(f"INSERT INTO ed VALUES {vals}")
+    con.execute("""CREATE PROPERTY GRAPH g VERTEX TABLES (n LABEL v)
+      EDGE TABLES (ed SOURCE KEY (s) REFERENCES n (id)
+                      DESTINATION KEY (d) REFERENCES n (id) LABEL k)""")
+    fast = con.execute("""
+      SELECT * FROM GRAPH_TABLE (g
+        MATCH p = ANY SHORTEST (a:v)-[x:k]->{1,4}(b:v)
+        COLUMNS (a.id AS s, b.id AS d, path_length(p) AS len)) t
+      ORDER BY s, d""").fetchall()
+    full = con.execute("""
+      SELECT s, d, len FROM GRAPH_TABLE (g
+        MATCH p = ANY SHORTEST (a:v)-[x:k]->{1,4}(b:v)
+        COLUMNS (a.id AS s, b.id AS d, path_length(p) AS len,
+                 element_id(p) AS eid)) t
+      ORDER BY s, d""").fetchall()
+    assert fast == full and len(fast) > 0
