@@ -104,6 +104,9 @@ def cast_vector(vec: Vector, target: LogicalType, try_cast: bool = False
                     out[i] = _parse_timestamp(str(s)) // 1_000_000
                 elif target.id == TypeId.TIMESTAMP_NS:
                     out[i] = _parse_timestamp(str(s)) * 1000
+                elif target.id == TypeId.INTERVAL:
+                    from ..types import interval_from_string
+                    out[i] = interval_from_string(str(s))
                 else:
                     raise ConversionException(
                         f"Unimplemented cast VARCHAR -> {target}")

@@ -153,6 +153,28 @@ def _date_arith(a: Vector, b: Vector, op: str) -> "Vector | None":
     if op == "-" and ta == TypeId.DATE and tb == TypeId.DATE:
         out = a.data.astype(np.int64) - b.data.astype(np.int64)
         return Vector(BIGINT, out, a.validity & b.validity)
+    # DATE/TIMESTAMP +/- INTERVAL (and INTERVAL + temporal, commutative)
+    DAY_US = 86_400_000_000
+    from ..types import DATE as _DATE, INTERVAL as _INTERVAL, TIMESTAMP
+    for x, y, yop in (((a, b, op),) if tb == TypeId.INTERVAL else
+                      (((b, a, op),) if op == "+" and
+                       ta == TypeId.INTERVAL else ())):
+        tx = x.type.id
+        if tx in (TypeId.DATE, TypeId.TIMESTAMP):
+            base = x.data.astype(np.int64) * (DAY_US if tx == TypeId.DATE
+                                              else 1)
+            iv = y.data.astype(np.int64)
+            out = base + (iv if yop == "+" else -iv)
+            valid = a.validity & b.validity
+            if tx == TypeId.DATE and (out % DAY_US == 0).all():
+                return Vector(_DATE, (out // DAY_US).astype(np.int32),
+                              valid)
+            return Vector(TIMESTAMP, out, valid)
+        if tx == TypeId.INTERVAL:
+            out = x.data.astype(np.int64) + (
+                y.data.astype(np.int64) if yop == "+"
+                else -y.data.astype(np.int64))
+            return Vector(_INTERVAL, out, a.validity & b.validity)
     if (a.type.is_temporal or b.type.is_temporal) and \
             not (ta == TypeId.SQLNULL or tb == TypeId.SQLNULL):
         # unsupported temporal combination (e.g. DATE + DOUBLE): clean

@@ -1049,6 +1049,12 @@ class Parser:
                 lit = self.next().text
                 typ = tt.type_from_name(kw)
                 return a.Cast(child=a.Constant(lit, tt.VARCHAR), target=typ)
+            if kw == "INTERVAL" and self.peek(1).kind == T.NUMBER:
+                self.next()
+                qty = float(self.next().text)
+                unit = self.expect_ident()
+                return a.Constant(tt.interval_micros(qty, unit),
+                                  tt.INTERVAL)
             if kw == "DISTINCT" and self.peek(1).is_kw("FROM"):
                 self.error("unexpected DISTINCT")
 

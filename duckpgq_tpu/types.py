@@ -53,7 +53,7 @@ _INTEGRAL = {
 _FLOATING = {TypeId.FLOAT, TypeId.DOUBLE}
 _TEMPORAL = {
     TypeId.DATE, TypeId.TIME, TypeId.TIMESTAMP, TypeId.TIMESTAMP_MS,
-    TypeId.TIMESTAMP_NS, TypeId.TIMESTAMP_S,
+    TypeId.TIMESTAMP_NS, TypeId.TIMESTAMP_S, TypeId.INTERVAL,
 }
 
 _NUMPY_DTYPE = {
@@ -261,6 +261,22 @@ def value_to_string(value, typ: LogicalType) -> str:
     if t == TypeId.DATE:
         y, m, d = _civil_from_days(int(value))
         return f"{y:04d}-{m:02d}-{d:02d}"
+    if t == TypeId.INTERVAL:
+        micros = int(value)
+        days, rem = divmod(abs(micros), 86_400_000_000)
+        secs, frac = divmod(rem, 1_000_000)
+        hh, rest = divmod(secs, 3600)
+        mm, ss = divmod(rest, 60)
+        parts = []
+        if days:
+            parts.append(f"{days} day" + ("s" if days != 1 else ""))
+        if rem or not days:
+            tpart = f"{hh:02d}:{mm:02d}:{ss:02d}"
+            if frac:
+                tpart += ("." + f"{frac:06d}").rstrip("0")
+            parts.append(tpart)
+        out = " ".join(parts)
+        return "-" + out if micros < 0 else out
     if t in (TypeId.TIMESTAMP, TypeId.TIMESTAMP_MS, TypeId.TIMESTAMP_S,
              TypeId.TIMESTAMP_NS):
         micros = int(value)
@@ -291,3 +307,51 @@ def value_to_string(value, typ: LogicalType) -> str:
             parts.append(f"'{name}': {sv}")
         return "{" + ", ".join(parts) + "}"
     return str(value)
+
+
+_INTERVAL_UNIT_MICROS = {
+    "microsecond": 1,
+    "us": 1,
+    "millisecond": 1_000,
+    "ms": 1_000,
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 7 * 86_400_000_000,
+}
+
+
+def interval_micros(qty: float, unit: str) -> int:
+    """INTERVAL literal value in microseconds. Sub-month units are exact;
+    calendar units (MONTH/YEAR) need (months, days, micros) interval
+    representation and are rejected cleanly (documented boundary)."""
+    from .errors import NotImplementedException, ParserException
+    u = unit.lower()
+    if u.endswith("s") and u not in ("us", "ms"):
+        u = u[:-1]
+    if u in ("month", "quarter", "year", "decade", "century", "millennium"):
+        raise NotImplementedException(
+            "calendar INTERVAL units (MONTH/YEAR) are not supported")
+    m = _INTERVAL_UNIT_MICROS.get(u)
+    if m is None:
+        raise ParserException(f"unknown INTERVAL unit \"{unit}\"")
+    return int(round(qty * m))
+
+
+def interval_from_string(text: str) -> int:
+    """Parse "N unit [N unit ...]" interval text to microseconds."""
+    from .errors import ConversionException
+    parts = text.split()
+    if len(parts) < 2 or len(parts) % 2 != 0:
+        raise ConversionException(
+            f"Could not convert string \"{text}\" to INTERVAL")
+    total = 0
+    for i in range(0, len(parts), 2):
+        try:
+            qty = float(parts[i])
+        except ValueError:
+            raise ConversionException(
+                f"Could not convert string \"{text}\" to INTERVAL")
+        total += interval_micros(qty, parts[i + 1])
+    return total

@@ -261,3 +261,28 @@ def test_code_review_round2_regressions():
     con.execute("PREPARE q AS SELECT $1")
     assert con.execute("EXECUTE q(1); EXECUTE q(2)").fetchall() == [(2,)]
     con.execute("DEALLOCATE p2; DEALLOCATE q")
+
+
+def test_interval_literals_and_arithmetic():
+    """INTERVAL N UNIT literals (sub-month units, exact micros), string
+    intervals, temporal arithmetic, DuckDB-style rendering; calendar
+    units reject cleanly."""
+    import duckpgq_tpu
+    import pytest
+    from duckpgq_tpu.errors import NotImplementedException
+    con = duckpgq_tpu.connect()
+    q = lambda s: con.execute(s).fetchall()
+    assert q("SELECT (INTERVAL 1 DAY)::VARCHAR") == [("1 day",)]
+    assert q("SELECT (INTERVAL 90 MINUTE)::VARCHAR") == [("01:30:00",)]
+    assert q("SELECT (INTERVAL '1 day 2 hours')::VARCHAR") == \
+        [("1 day 02:00:00",)]
+    assert q("SELECT (DATE '2020-01-01' + INTERVAL 2 DAY)::VARCHAR") == \
+        [("2020-01-03",)]
+    assert q("SELECT (DATE '2020-01-01' + INTERVAL 2 HOUR)::VARCHAR") == \
+        [("2020-01-01 02:00:00",)]
+    assert q("SELECT (TIMESTAMP '2020-01-01 10:00:00' - "
+             "INTERVAL 30 MINUTE)::VARCHAR") == [("2020-01-01 09:30:00",)]
+    assert q("SELECT (INTERVAL 1 DAY + INTERVAL 3 HOUR)::VARCHAR") == \
+        [("1 day 03:00:00",)]
+    with pytest.raises(NotImplementedException):
+        q("SELECT INTERVAL 1 MONTH")

@@ -81,6 +81,9 @@ SUPPORTED = [
     ("cross-join-lateral",
      "SELECT * FROM t CROSS JOIN LATERAL (SELECT t.a * 2 AS d) s"),
     ("columns-regex", "SELECT COLUMNS('[ab]') FROM t"),
+    ("interval-literal", "SELECT INTERVAL 1 DAY"),
+    ("interval-arithmetic",
+     "SELECT DATE '2020-01-01' + INTERVAL 2 HOUR"),
 ]
 
 # Constructs of DuckDB's vendored grammar that are OUT OF SCOPE here; each
