@@ -92,7 +92,7 @@ UNSUPPORTED = [
     ("pivot", "PIVOT t ON b USING sum(a)"),
     ("unpivot",
      "UNPIVOT (SELECT 1 AS p, 2 AS q) ON p, q INTO NAME k VALUE v"),
-    ("interval-literal", "SELECT INTERVAL 1 DAY"),
+    ("interval-calendar-units", "SELECT INTERVAL 1 MONTH"),
     ("asof-join", "SELECT * FROM t ASOF JOIN t t2 ON t.a >= t2.a"),
     ("at-time-zone",
      "SELECT TIMESTAMP '2020-01-01 00:00:00' AT TIME ZONE 'UTC'"),
