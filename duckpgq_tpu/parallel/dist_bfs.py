@@ -864,7 +864,8 @@ def partition_csr_grouped(vcount: int, src: np.ndarray, dst: np.ndarray,
 
 
 def make_dist_bfs_partitioned(mesh: Mesh, grouped: GroupedShardedCSR,
-                              lanes: int, max_iters: int):
+                              lanes: int, max_iters: int,
+                              n_chunks: int = 1):
     """Bit-packed distributed BFS with a PARTITIONED frontier.
 
     Unlike make_dist_bfs_packed (which all_gathers the new frontier into a
@@ -883,6 +884,12 @@ def make_dist_bfs_partitioned(mesh: Mesh, grouped: GroupedShardedCSR,
     Termination/result flags are tiny [L] psum collectives: the shard that
     owns a query's dst reports the hit.
 
+    ``n_chunks > 1`` additionally streams each group's expansion in edge
+    sub-chunks (segmented-scan carry threaded across them), so only
+    [W, Eg/K] stays live — per-shard memory becomes
+    O(W*(V/N + Eg/(N*K))), the full streaming story for RMAT-26-class
+    shards.
+
     Returns fn(src[L], dst[L], active[L]) -> (lengths[L] int32,
     traversed[L] float32)."""
     import os
@@ -892,15 +899,31 @@ def make_dist_bfs_partitioned(mesh: Mesh, grouped: GroupedShardedCSR,
     axis = mesh.axis_names[0]
     assert lanes % 32 == 0
     W = lanes // 32
-    Eg = grouped.in_src_local.shape[2]
+
+    src_np = grouped.in_src_local
+    dst_np = grouped.in_dst_local
+    val_np = grouped.edge_valid
+    if n_chunks > 1:
+        eg_pad = round_up(src_np.shape[2], n_chunks * 128)
+        if eg_pad != src_np.shape[2]:
+            def repad(arr, fill):
+                out = np.full((nx, nx, eg_pad), fill, dtype=arr.dtype)
+                out[:, :, :arr.shape[2]] = arr
+                return out
+            src_np = repad(src_np, np.int32(Vs - 1))
+            dst_np = repad(dst_np, np.int32(Vs - 1))
+            val_np = repad(val_np, False)
+    Eg = src_np.shape[2]
+    assert Eg % n_chunks == 0, (Eg, n_chunks)
+    Egc = Eg // n_chunks
     scan_chunk = 1
-    while scan_chunk * 2 <= min(Eg, 2048) and Eg % (scan_chunk * 2) == 0:
+    while scan_chunk * 2 <= min(Egc, 2048) and Egc % (scan_chunk * 2) == 0:
         scan_chunk *= 2
 
     shard4 = NamedSharding(mesh, P(axis, None, None))
-    in_src = jax.device_put(jnp.asarray(grouped.in_src_local), shard4)
-    in_dst = jax.device_put(jnp.asarray(grouped.in_dst_local), shard4)
-    edge_valid = jax.device_put(jnp.asarray(grouped.edge_valid), shard4)
+    in_src = jax.device_put(jnp.asarray(src_np), shard4)
+    in_dst = jax.device_put(jnp.asarray(dst_np), shard4)
+    edge_valid = jax.device_put(jnp.asarray(val_np), shard4)
 
     # per-shard out-degrees of OWNED vertices (TEPS accounting, sharded)
     deg = np.zeros((nx, Vs), dtype=np.float32)
@@ -966,27 +989,63 @@ def make_dist_bfs_partitioned(mesh: Mesh, grouped: GroupedShardedCSR,
 
         def expand_group(owner, blk):
             """OR-contributions of edges whose sources sit in ``blk``
-            (the [W, Vs] frontier block of shard ``owner``)."""
+            (the [W, Vs] frontier block of shard ``owner``); with
+            n_chunks > 1 the group streams in [W, Egc] sub-chunks with
+            the open segment's OR carried across chunk boundaries."""
             g_src = jax.lax.dynamic_index_in_dim(isrc, owner, 0, False)
             g_val = jax.lax.dynamic_index_in_dim(ival, owner, 0, False)
             g_heads = jax.lax.dynamic_index_in_dim(heads_g, owner, 0, False)
             g_last = jax.lax.dynamic_index_in_dim(last_pos_g, owner, 0,
                                                   False)
             g_has = jax.lax.dynamic_index_in_dim(has_in_g, owner, 0, False)
-            gathered = jnp.where(
-                g_val[None, :],
-                blk.at[:, g_src].get(mode="fill", fill_value=0),
-                jnp.uint32(0))                                # [W, Eg]
-            if use_pallas:
-                from ..kernels.segscan_pallas import seg_or_scan_rows
-                scanned = seg_or_scan_rows(gathered, g_heads,
-                                           chunk=scan_chunk)
-            else:
-                _, scanned = jax.lax.associative_scan(
-                    seg_or, (g_heads.reshape(1, -1), gathered), axis=1)
-            return jnp.where(g_has[None, :],
-                             scanned[:, jnp.maximum(g_last, 0)],
-                             jnp.uint32(0))                   # [W, Vs]
+            if n_chunks == 1:
+                gathered = jnp.where(
+                    g_val[None, :],
+                    blk.at[:, g_src].get(mode="fill", fill_value=0),
+                    jnp.uint32(0))                            # [W, Eg]
+                if use_pallas:
+                    from ..kernels.segscan_pallas import seg_or_scan_rows
+                    scanned = seg_or_scan_rows(gathered, g_heads,
+                                               chunk=scan_chunk)
+                else:
+                    _, scanned = jax.lax.associative_scan(
+                        seg_or, (g_heads.reshape(1, -1), gathered), axis=1)
+                return jnp.where(g_has[None, :],
+                                 scanned[:, jnp.maximum(g_last, 0)],
+                                 jnp.uint32(0))               # [W, Vs]
+
+            def sub(kk, st):
+                nxt, carry = st
+                off = kk * Egc
+                idx = jax.lax.dynamic_slice(g_src, (off,), (Egc,))
+                val = jax.lax.dynamic_slice(g_val, (off,), (Egc,))
+                hds = jax.lax.dynamic_slice(g_heads, (off,), (Egc,))
+                g = jnp.where(
+                    val[None, :],
+                    blk.at[:, idx].get(mode="fill", fill_value=0),
+                    jnp.uint32(0))                            # [W, Egc]
+                if use_pallas:
+                    from ..kernels.segscan_pallas import                         seg_or_scan_rows_carry
+                    scanned, carry = seg_or_scan_rows_carry(
+                        g, hds, carry, chunk=scan_chunk)
+                else:
+                    g0 = g[:, 0] | jnp.where(hds[0], jnp.uint32(0),
+                                             carry[:, 0])
+                    g = jax.lax.dynamic_update_slice(g, g0[:, None],
+                                                     (0, 0))
+                    _, scanned = jax.lax.associative_scan(
+                        seg_or, (hds.reshape(1, -1), g), axis=1)
+                    carry = scanned[:, -1:]
+                rel = g_last - off
+                ok = (rel >= 0) & (rel < Egc) & g_has
+                vals = scanned[:, jnp.clip(rel, 0, Egc - 1)]
+                nxt = jnp.where(ok[None, :], vals, nxt)
+                return nxt, carry
+
+            nxt0 = jnp.zeros((W, Vs), jnp.uint32)
+            carry0 = jnp.zeros((W, 1), jnp.uint32)
+            nxt, _ = jax.lax.fori_loop(0, n_chunks, sub, (nxt0, carry0))
+            return nxt
 
         def pack_lane_mask(c):
             bits = c.reshape(W, 32).astype(jnp.uint32)

@@ -376,3 +376,31 @@ def test_dist_lcc_matches_host():
         sharded = partition_csr(v, src, dst, 8, balance=balance)
         got = sharded.unmap_values(make_dist_lcc(mesh, sharded)())
         np.testing.assert_array_equal(got, want)
+
+
+def test_dist_bfs_partitioned_chunked_matches_unchunked():
+    """Ring kernel with streamed per-group expansion (n_chunks>1) matches
+    the unchunked partitioned kernel exactly."""
+    import jax.numpy as jnp
+
+    from duckpgq_tpu.parallel.dist_bfs import (make_dist_bfs_partitioned,
+                                               partition_csr_grouped)
+
+    rng = np.random.default_rng(88)
+    v, e = 120, 700
+    src = rng.integers(0, v, size=e).astype(np.int64)
+    dst = rng.integers(0, v, size=e).astype(np.int64)
+    mesh = make_mesh(8)
+    grouped = partition_csr_grouped(v, src, dst, 8, balance=True)
+    L = 64
+    qs = grouped.map_queries(
+        rng.integers(0, v, size=L).astype(np.int64)).astype(np.int32)
+    qd = grouped.map_queries(
+        rng.integers(0, v, size=L).astype(np.int64)).astype(np.int32)
+    act = np.ones(L, dtype=bool)
+    base = make_dist_bfs_partitioned(mesh, grouped, L, v + 1)
+    chunked = make_dist_bfs_partitioned(mesh, grouped, L, v + 1, n_chunks=4)
+    r0, t0 = base(jnp.asarray(qs), jnp.asarray(qd), jnp.asarray(act))
+    r1, t1 = chunked(jnp.asarray(qs), jnp.asarray(qd), jnp.asarray(act))
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+    np.testing.assert_allclose(np.asarray(t0), np.asarray(t1))
