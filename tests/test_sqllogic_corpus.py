@@ -47,7 +47,8 @@ def test_corpus_file(relpath):
 @requires_reference
 @pytest.mark.parametrize("relpath", [
     f for f in _corpus_files()
-    if f.replace("\\", "/").startswith(("scalar/", "path_finding/"))])
+    if f.replace("\\", "/").startswith(("scalar/", "path_finding/",
+                                        "snb/"))])
 def test_corpus_file_force_device_kernels(relpath, monkeypatch):
     """scalar/* + path_finding/* with every graph kernel forced through the
     TPU device path (DUCKPGQ_DEVICE_MIN_EDGES=0): iterativelength (+2,
