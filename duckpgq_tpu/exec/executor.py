@@ -1428,6 +1428,91 @@ class Executor:
         li = np.concatenate(left_idx)
         return Relation.concat_horizontal(left.take(li), right)
 
+    def _execute_asof_join(self, left: Relation, right: Relation,
+                           ref: a.JoinRef, outer, env) -> Relation:
+        """ASOF [LEFT] JOIN (DuckDB semantics): for each left row, the
+        single right row with the greatest right-key satisfying the ONE
+        inequality condition (>=, >, <=, <), within the partition defined
+        by the equality conditions. Sort-based: right sorted by
+        (equi keys, time), one searchsorted per side."""
+        conjs: List[a.Expression] = []
+
+        def split(e):
+            if isinstance(e, a.Conjunction) and e.op == "AND":
+                for c in e.children:
+                    split(c)
+            else:
+                conjs.append(e)
+        if ref.condition is None:
+            raise BinderException("ASOF JOIN requires an ON condition")
+        split(ref.condition)
+        ineq = [c for c in conjs if isinstance(c, a.Comparison) and
+                c.op in (">=", ">", "<=", "<")]
+        equis = [c for c in conjs if isinstance(c, a.Comparison) and
+                 c.op == "="]
+        if len(ineq) != 1 or len(ineq) + len(equis) != len(conjs):
+            raise BinderException(
+                "ASOF JOIN requires exactly one inequality condition "
+                "(plus optional equality conditions)")
+        cmp = ineq[0]
+        lside = self._side_of(cmp.left, left, right)
+        rside = self._side_of(cmp.right, left, right)
+        op = cmp.op
+        if lside == "L" and rside == "R":
+            lt_e, rt_e = cmp.left, cmp.right
+        elif lside == "R" and rside == "L":
+            lt_e, rt_e = cmp.right, cmp.left
+            op = {">": "<", "<": ">", ">=": "<=", "<=": ">="}[op]
+        else:
+            raise BinderException(
+                "ASOF JOIN inequality must compare the two join sides")
+        lt = self._eval_side(lt_e, left, outer).data.astype(np.float64)
+        rt = self._eval_side(rt_e, right, outer).data.astype(np.float64)
+        # partition codes from the equality conditions
+        lkeys, rkeys = [], []
+        for c in equis:
+            cl = self._side_of(c.left, left, right)
+            a_e, b_e = (c.left, c.right) if cl == "L" else (c.right, c.left)
+            lkeys.append(self._eval_side(a_e, left, outer))
+            rkeys.append(self._eval_side(b_e, right, outer))
+        if lkeys:
+            lcode, rcode, _, _ = factorize_keys(lkeys, rkeys)
+        else:
+            lcode = np.zeros(left.row_count, dtype=np.int64)
+            rcode = np.zeros(right.row_count, dtype=np.int64)
+        # for <= / < flip the time axis so the match is always "greatest
+        # right time not exceeding the left bound"
+        if op in ("<=", "<"):
+            lt, rt = -lt, -rt
+            strict = op == "<"
+        else:
+            strict = op == ">"
+        order = np.lexsort((rt, rcode))
+        rs_code, rs_t = rcode[order], rt[order]
+        # partition bounds in the sorted right side
+        n_l = left.row_count
+        starts = np.searchsorted(rs_code, lcode, side="left")
+        ends = np.searchsorted(rs_code, lcode, side="right")
+        # position of the last right time <= lt (or < lt when strict)
+        side = "left" if strict else "right"
+        pos = np.array([
+            np.searchsorted(rs_t[starts[i]:ends[i]], lt[i], side=side)
+            for i in range(n_l)], dtype=np.int64) + starts - 1
+        matched = pos >= starts
+        li = np.flatnonzero(matched)
+        ri = order[pos[matched]]
+        if ref.join_type == "ASOF_LEFT":
+            miss = np.flatnonzero(~matched)
+            li = np.concatenate([li, miss])
+            null_mask = np.concatenate([
+                np.zeros(len(ri), dtype=bool), np.ones(len(miss), bool)])
+            ri = np.concatenate([ri, np.zeros(len(miss), dtype=np.int64)])
+            reorder = np.argsort(li, kind="stable")
+            return Relation.concat_horizontal(
+                left.take(li[reorder]),
+                right.take_with_nulls(ri[reorder], null_mask[reorder]))
+        return Relation.concat_horizontal(left.take(li), right.take(ri))
+
     def execute_join(self, ref: a.JoinRef, outer, env) -> Relation:
         left = self.execute_from(ref.left, outer, env)
         if isinstance(ref.right, a.SubqueryRef) and ref.right.lateral:
@@ -1444,6 +1529,8 @@ class Executor:
                 "(CROSS/INNER only)")
         right = self.execute_from(ref.right, outer, env)
         jt = ref.join_type
+        if jt in ("ASOF", "ASOF_LEFT"):
+            return self._execute_asof_join(left, right, ref, outer, env)
         if jt == "POSITIONAL":
             n = min(left.row_count, right.row_count)
             idx = np.arange(n)

@@ -529,7 +529,15 @@ class Parser:
                                  join_type="POSITIONAL")
                 continue
             join_type = None
-            if tok.is_kw("JOIN"):
+            if tok.is_kw("ASOF"):
+                self.next()
+                if self.accept_kw("LEFT"):
+                    self.accept_kw("OUTER")
+                    join_type = "ASOF_LEFT"
+                else:
+                    join_type = "ASOF"
+                self.expect_kw("JOIN")
+            elif tok.is_kw("JOIN"):
                 join_type = "INNER"
                 self.next()
             elif tok.is_kw("INNER"):

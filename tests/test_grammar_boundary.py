@@ -84,6 +84,7 @@ SUPPORTED = [
     ("interval-literal", "SELECT INTERVAL 1 DAY"),
     ("interval-arithmetic",
      "SELECT DATE '2020-01-01' + INTERVAL 2 HOUR"),
+    ("asof-join", "SELECT * FROM t ASOF JOIN t t2 ON t.a >= t2.a"),
 ]
 
 # Constructs of DuckDB's vendored grammar that are OUT OF SCOPE here; each
@@ -93,7 +94,6 @@ UNSUPPORTED = [
     ("unpivot",
      "UNPIVOT (SELECT 1 AS p, 2 AS q) ON p, q INTO NAME k VALUE v"),
     ("interval-calendar-units", "SELECT INTERVAL 1 MONTH"),
-    ("asof-join", "SELECT * FROM t ASOF JOIN t t2 ON t.a >= t2.a"),
     ("at-time-zone",
      "SELECT TIMESTAMP '2020-01-01 00:00:00' AT TIME ZONE 'UTC'"),
 ]

@@ -170,3 +170,29 @@ def test_lateral_join():
     assert con.execute(
         "SELECT * FROM lt, LATERAL (SELECT lt.a + 1) s(x) WHERE x > 2 "
         "ORDER BY a").fetchall() == [(2, 3), (3, 4)]
+
+
+def test_asof_join():
+    """ASOF [LEFT] JOIN: greatest right key satisfying the inequality,
+    per equality partition (DuckDB semantics), both directions."""
+    import duckpgq_tpu
+    con = duckpgq_tpu.connect()
+    con.execute("CREATE TABLE tr(sym VARCHAR, t BIGINT)")
+    con.execute("INSERT INTO tr VALUES ('A',1),('A',5),('B',3),('C',7)")
+    con.execute("CREATE TABLE qt(sym VARCHAR, t BIGINT)")
+    con.execute("INSERT INTO qt VALUES ('A',0),('A',4),('A',6),('B',2),"
+                "('B',10)")
+    assert con.execute(
+        "SELECT tr.sym, tr.t, qt.t FROM tr ASOF JOIN qt "
+        "ON tr.sym = qt.sym AND tr.t >= qt.t ORDER BY tr.sym, tr.t"
+    ).fetchall() == [("A", 1, 0), ("A", 5, 4), ("B", 3, 2)]
+    # LEFT keeps unmatched ('C' and any sym with no earlier quote)
+    assert con.execute(
+        "SELECT tr.sym, tr.t, qt.t FROM tr ASOF LEFT JOIN qt "
+        "ON tr.sym = qt.sym AND tr.t >= qt.t ORDER BY tr.sym, tr.t"
+    ).fetchall() == [("A", 1, 0), ("A", 5, 4), ("B", 3, 2), ("C", 7, None)]
+    # <= matches the smallest right key at-or-after
+    assert con.execute(
+        "SELECT tr.sym, tr.t, qt.t FROM tr ASOF JOIN qt "
+        "ON tr.sym = qt.sym AND tr.t <= qt.t ORDER BY tr.sym, tr.t"
+    ).fetchall() == [("A", 1, 4), ("A", 5, 6), ("B", 3, 10)]
