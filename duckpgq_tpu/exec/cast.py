@@ -133,7 +133,10 @@ def cast_vector(vec: Vector, target: LogicalType, try_cast: bool = False
             out = vec.data.astype(dtype)
         return Vector(target, out, vec.validity.copy())
 
-    # temporal conversions
+    # temporal conversions (INTERVAL is a span, not an instant: no casts
+    # to/from the instant types — clean error instead of a scale KeyError)
+    if TypeId.INTERVAL in (src.id, target.id):
+        raise ConversionException(f"Unimplemented cast {src} -> {target}")
     if src.is_temporal and target.is_temporal:
         scale = {TypeId.TIMESTAMP_S: 1_000_000, TypeId.TIMESTAMP_MS: 1000,
                  TypeId.TIMESTAMP: 1, TypeId.TIMESTAMP_NS: 0.001}

@@ -269,30 +269,60 @@ class Executor:
         return QueryResult(left.names, cols)
 
     # ----------------------------------------------- GROUPING SETS family
-    def _execute_grouping_sets(self, node: a.SelectNode, outer, env
-                               ) -> QueryResult:
+    def _execute_grouping_sets(self, node: a.SelectNode, outer, env):
         """GROUP BY GROUPING SETS / ROLLUP / CUBE: one aggregation per set,
         results unioned; group expressions absent from a set surface as
-        NULL in that set's rows (SQL standard / DuckDB semantics)."""
+        NULL in that set's rows — including inside larger select
+        expressions (recursive rewrite; aggregate arguments still see the
+        source rows). DISTINCT dedups across the union. Returns
+        (QueryResult, order_ctx) like execute_select_node."""
         import dataclasses
 
         from .expression import fingerprint
+        if node.distinct_on:
+            raise NotImplementedException(
+                "DISTINCT ON with GROUPING SETS is not supported")
         all_fps = {fingerprint(g) for s in node.grouping_sets for g in s}
+
+        def rewrite(obj, in_set, top=False):
+            if not isinstance(obj, a.Expression):
+                return obj
+            fp = fingerprint(obj)
+            if fp in all_fps and fp not in in_set:
+                alias = obj.alias or (self.derive_name(obj) if top else None)
+                return a.Constant(value=None, type=SQLNULL, alias=alias)
+            if isinstance(obj, (a.AggregateCall, a.SubqueryExpr)):
+                # aggregate args see source rows; subqueries own their scope
+                return obj
+            fields = getattr(obj, "__dataclass_fields__", None)
+            if fields is None:
+                return obj
+            changes = {}
+            for f in fields:
+                v = getattr(obj, f)
+                if isinstance(v, a.Expression):
+                    nv = rewrite(v, in_set)
+                    if nv is not v:
+                        changes[f] = nv
+                elif isinstance(v, list):
+                    nl = [rewrite(x, in_set) for x in v]
+                    if any(x is not y for x, y in zip(nl, v)):
+                        changes[f] = nl
+                elif isinstance(v, tuple):
+                    nt = tuple(rewrite(x, in_set) for x in v)
+                    if any(x is not y for x, y in zip(nt, v)):
+                        changes[f] = nt
+            return dataclasses.replace(obj, **changes) if changes else obj
+
         pieces: List[QueryResult] = []
         for s in node.grouping_sets:
             in_set = {fingerprint(g) for g in s}
-
-            def rewrite(e):
-                fp = fingerprint(e)
-                if fp in all_fps and fp not in in_set:
-                    c = a.Constant(value=None, type=SQLNULL,
-                                   alias=e.alias or self.derive_name(e))
-                    return c
-                return e
-
             sub = dataclasses.replace(
-                node, select_list=[rewrite(e) for e in node.select_list],
-                groups=list(s), grouping_sets=None)
+                node,
+                select_list=[rewrite(e, in_set, top=True)
+                             for e in node.select_list],
+                having=rewrite(node.having, in_set),
+                groups=list(s), grouping_sets=None, distinct=False)
             res, _ = self.execute_select_node(sub, outer, env)
             pieces.append(res)
         names = pieces[0].names
@@ -308,7 +338,16 @@ class Executor:
                     c = cast_vector(c, target)
                 casted.append(c)
             out_cols.append(Vector.concat(casted))
-        return QueryResult(names, out_cols)
+        result = QueryResult(names, out_cols)
+        if node.distinct:
+            result = self.apply_distinct(result, [], None, outer, None)
+        has_star = any(isinstance(e, a.Star) for e in node.select_list)
+        order_ctx = None if has_star else {
+            "rel": Relation([], []),
+            "replacements": {},
+            "fps": [fingerprint(e) for e in node.select_list],
+        }
+        return result, order_ctx
 
     # ------------------------------------------------------ recursive CTE
     def _execute_recursive_cte(self, key: str, cte: a.CTE,
@@ -392,7 +431,7 @@ class Executor:
     def execute_select_node(self, node: a.SelectNode, outer, env
                             ) -> Tuple[QueryResult, Optional[dict]]:
         if node.grouping_sets is not None:
-            return self._execute_grouping_sets(node, outer, env), None
+            return self._execute_grouping_sets(node, outer, env)
         rel = self.execute_from_filtered(node.from_table, node.where, outer,
                                          env)
         if getattr(node, "sample", None):
@@ -1418,7 +1457,14 @@ class Executor:
             parts.append(r)
             left_idx.append(np.full(r.row_count, i, dtype=np.int64))
         if not parts:
-            empty = self.execute_from(plain, outer, env)
+            # zero left rows: learn the subquery's output shape by binding
+            # it against a single all-NULL left row (correlated columns
+            # resolve; no real data flows), then keep zero rows
+            null_cols = [Vector.from_values([None], c.type)
+                         for c in left.columns]
+            probe_rel = Relation(null_cols, left.bindings)
+            empty = self.execute_from(
+                plain, OuterScope(probe_rel, 0, outer), env)
             return Relation.concat_horizontal(
                 left.take(np.empty(0, np.int64)),
                 empty.take(np.empty(0, np.int64)))
@@ -1466,9 +1512,14 @@ class Executor:
         else:
             raise BinderException(
                 "ASOF JOIN inequality must compare the two join sides")
-        lt = self._eval_side(lt_e, left, outer).data.astype(np.float64)
-        rt = self._eval_side(rt_e, right, outer).data.astype(np.float64)
-        # partition codes from the equality conditions
+        lt_vec = self._eval_side(lt_e, left, outer)
+        rt_vec = self._eval_side(rt_e, right, outer)
+        lt = lt_vec.data
+        rt = rt_vec.data
+        lvalid = lt_vec.validity.copy()
+        rvalid = rt_vec.validity.copy()
+        # partition codes from the equality conditions (NULL keys never
+        # match, like any SQL equality)
         lkeys, rkeys = [], []
         for c in equis:
             cl = self._side_of(c.left, left, right)
@@ -1476,31 +1527,48 @@ class Executor:
             lkeys.append(self._eval_side(a_e, left, outer))
             rkeys.append(self._eval_side(b_e, right, outer))
         if lkeys:
-            lcode, rcode, _, _ = factorize_keys(lkeys, rkeys)
+            lcode, rcode, lkv, rkv = factorize_keys(lkeys, rkeys)
+            lvalid &= lkv
+            rvalid &= rkv
         else:
             lcode = np.zeros(left.row_count, dtype=np.int64)
             rcode = np.zeros(right.row_count, dtype=np.int64)
         # for <= / < flip the time axis so the match is always "greatest
-        # right time not exceeding the left bound"
+        # right time not exceeding the left bound"; rank-encoding below
+        # keeps INTEGER keys exact (no float64 collapse above 2^53)
+        if np.issubdtype(lt.dtype, np.unsignedinteger):
+            lt = lt.astype(np.int64)
+        if np.issubdtype(rt.dtype, np.unsignedinteger):
+            rt = rt.astype(np.int64)
         if op in ("<=", "<"):
             lt, rt = -lt, -rt
             strict = op == "<"
         else:
             strict = op == ">"
-        order = np.lexsort((rt, rcode))
-        rs_code, rs_t = rcode[order], rt[order]
-        # partition bounds in the sorted right side
-        n_l = left.row_count
-        starts = np.searchsorted(rs_code, lcode, side="left")
-        ends = np.searchsorted(rs_code, lcode, side="right")
-        # position of the last right time <= lt (or < lt when strict)
+        # rank-encode times over the union of valid values, then combine
+        # (partition, time rank) into one sortable int64 key so one
+        # vectorized searchsorted answers every left row
+        uniq = np.unique(np.concatenate([
+            np.asarray(rt[rvalid]), np.asarray(lt[lvalid])])) \
+            if (rvalid.any() or lvalid.any()) else np.empty(0, rt.dtype)
+        U = np.int64(len(uniq) + 1)
+        lt_id = np.searchsorted(uniq, lt, side="left").astype(np.int64)
+        rt_id = np.searchsorted(uniq, rt, side="left").astype(np.int64)
+        rsel = np.flatnonzero(rvalid)
+        rs_key = rcode[rsel] * U + rt_id[rsel]
+        order_local = np.argsort(rs_key, kind="stable")
+        rs_key = rs_key[order_local]
+        order = rsel[order_local]
+        lquery = lcode * U + lt_id
         side = "left" if strict else "right"
-        pos = np.array([
-            np.searchsorted(rs_t[starts[i]:ends[i]], lt[i], side=side)
-            for i in range(n_l)], dtype=np.int64) + starts - 1
-        matched = pos >= starts
+        pos = np.searchsorted(rs_key, lquery, side=side) - 1
+        safe = np.clip(pos, 0, max(len(rs_key) - 1, 0))
+        matched = lvalid & (pos >= 0) & (len(rs_key) > 0)
+        if len(rs_key):
+            matched &= rs_key[safe] // U == lcode
         li = np.flatnonzero(matched)
-        ri = order[pos[matched]]
+        ri = order[pos[matched]] if len(rs_key) else \
+            np.empty(0, dtype=np.int64)
         if ref.join_type == "ASOF_LEFT":
             miss = np.flatnonzero(~matched)
             li = np.concatenate([li, miss])
@@ -1708,7 +1776,11 @@ class Executor:
         rx = None
         if star.name_regex is not None:
             import re as _re
-            rx = _re.compile(star.name_regex)
+            try:
+                rx = _re.compile(star.name_regex)
+            except _re.error as exc:
+                raise BinderException(
+                    f"Invalid regex in COLUMNS: {exc}")
         for b in rel.bindings:
             if star.relation is not None and \
                     b.alias.lower() != star.relation.lower():
@@ -1722,6 +1794,10 @@ class Executor:
         if star.relation is not None and not out:
             raise BinderException(
                 f'Referenced table "{star.relation}" not found!')
+        if rx is not None and not out:
+            raise BinderException(
+                f"No columns matched the regex \"{star.name_regex}\" "
+                "in the COLUMNS expression")
         return out
 
     @staticmethod

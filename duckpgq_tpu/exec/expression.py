@@ -351,6 +351,9 @@ class Evaluator:
         if rt.id == TypeId.VARCHAR and (lt.is_numeric or lt.is_temporal):
             return left, cast_vector(right, lt)
         if lt.is_temporal and rt.is_temporal:
+            if TypeId.INTERVAL in (lt.id, rt.id):
+                # a span and an instant are not comparable
+                raise ConversionException(f"cannot compare {lt} and {rt}")
             from ..types import TIMESTAMP
             return cast_vector(left, TIMESTAMP), cast_vector(right, TIMESTAMP)
         if lt.id == TypeId.BOOLEAN and rt.is_numeric:

@@ -166,9 +166,8 @@ def _date_arith(a: Vector, b: Vector, op: str) -> "Vector | None":
             iv = y.data.astype(np.int64)
             out = base + (iv if yop == "+" else -iv)
             valid = a.validity & b.validity
-            if tx == TypeId.DATE and (out % DAY_US == 0).all():
-                return Vector(_DATE, (out // DAY_US).astype(np.int32),
-                              valid)
+            # result type is STATIC (value-independent): instant +/- span
+            # is always TIMESTAMP (whole-day intervals render 00:00:00)
             return Vector(TIMESTAMP, out, valid)
         if tx == TypeId.INTERVAL:
             out = x.data.astype(np.int64) + (

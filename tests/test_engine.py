@@ -276,8 +276,9 @@ def test_interval_literals_and_arithmetic():
     assert q("SELECT (INTERVAL 90 MINUTE)::VARCHAR") == [("01:30:00",)]
     assert q("SELECT (INTERVAL '1 day 2 hours')::VARCHAR") == \
         [("1 day 02:00:00",)]
+    # instant +/- span is statically TIMESTAMP (value-independent type)
     assert q("SELECT (DATE '2020-01-01' + INTERVAL 2 DAY)::VARCHAR") == \
-        [("2020-01-03",)]
+        [("2020-01-03 00:00:00",)]
     assert q("SELECT (DATE '2020-01-01' + INTERVAL 2 HOUR)::VARCHAR") == \
         [("2020-01-01 02:00:00",)]
     assert q("SELECT (TIMESTAMP '2020-01-01 10:00:00' - "
