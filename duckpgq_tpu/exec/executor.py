@@ -21,7 +21,7 @@ from ..storage.catalog import View
 from ..storage.table import ColumnDefinition, DataTable
 from ..storage.vector import Vector
 from ..types import (BIGINT, BOOLEAN, DOUBLE, INTEGER, LogicalType, STRUCT,
-                     TypeId, VARCHAR, SQLNULL)
+                     TypeId, VARCHAR, SQLNULL, value_to_string)
 from .cast import cast_vector
 from .expression import (Evaluator, OuterScope, collect_aggregates,
                          collect_windows, fingerprint)
@@ -145,6 +145,10 @@ class Executor:
             return QueryResult([], [])
         if isinstance(stmt, a.TransactionStatement):
             return QueryResult([], [])
+        if isinstance(stmt, a.PivotStatement):
+            return self._execute_pivot(stmt)
+        if isinstance(stmt, a.UnpivotStatement):
+            return self._execute_unpivot(stmt)
         if isinstance(stmt, a.CheckpointStatement):
             self.connection.database.checkpoint()
             return QueryResult([], [])
@@ -267,6 +271,105 @@ class Executor:
         for j, lc in enumerate(lcols):
             cols.append(Vector.from_values([r[j] for r in rows], lc.type))
         return QueryResult(left.names, cols)
+
+    # ------------------------------------------------------ PIVOT/UNPIVOT
+    def _execute_pivot(self, stmt: a.PivotStatement) -> QueryResult:
+        """PIVOT source ON col [IN (...)] [USING aggs] [GROUP BY cols]:
+        rewrite to one aggregate column per distinct ON value
+        (agg(CASE WHEN col = v THEN arg END)); default USING is count(*),
+        default GROUP BY is every other column (DuckDB semantics)."""
+        rel = self.execute_from(stmt.source, None, None)
+        ev = Evaluator(self, rel, None)
+        on_vec = ev.evaluate(stmt.on)
+        if stmt.in_values is not None:
+            values = [self._const_scalar(v) for v in stmt.in_values]
+        else:
+            seen = set()
+            values = []
+            for i in range(len(on_vec)):
+                if not on_vec.validity[i]:
+                    continue
+                v = self._hashable(on_vec.value(i))
+                if v not in seen:
+                    seen.add(v)
+                    values.append(on_vec.value(i))
+            values.sort()
+        using = list(stmt.using)
+        if not using:
+            using = [a.AggregateCall(name="count_star", args=[])]
+        for u in using:
+            if not isinstance(u, a.AggregateCall):
+                raise BinderException(
+                    "PIVOT USING expects aggregate function expressions")
+        # default GROUP BY: every visible column except the ON column and
+        # columns the USING aggregates read
+        group_by = list(stmt.group_by)
+        if not group_by:
+            used = set()
+
+            def collect(e):
+                if isinstance(e, a.ColumnRef):
+                    used.add(e.parts[-1].lower())
+                fields = getattr(e, "__dataclass_fields__", None)
+                if fields:
+                    for f in fields:
+                        v = getattr(e, f)
+                        for x in (v if isinstance(v, (list, tuple))
+                                  else [v]):
+                            if isinstance(x, a.Expression):
+                                collect(x)
+            collect(stmt.on)
+            for u in using:
+                collect(u)
+            for b in rel.bindings:
+                for name, _ in b.visible():
+                    if name.lower() not in used:
+                        group_by.append(a.ColumnRef(parts=(name,)))
+        select_list: List[a.Expression] = list(group_by)
+        for v in values:
+            cond = a.Comparison(op="=", left=stmt.on,
+                                right=a.Constant(v, on_vec.type))
+            for u in using:
+                if u.name == "count_star" or not u.args:
+                    arg = a.Case(whens=[(cond, a.Constant(1))])
+                    agg = a.AggregateCall(name="count", args=[arg])
+                else:
+                    arg = a.Case(whens=[(cond, u.args[0])])
+                    agg = a.AggregateCall(name=u.name, args=[arg],
+                                          distinct=u.distinct)
+                vname = value_to_string(v, on_vec.type)
+                agg.alias = vname if len(using) == 1 else \
+                    f"{vname}_{u.alias or u.name}"
+                select_list.append(agg)
+        node = a.SelectNode(select_list=select_list,
+                            from_table=stmt.source, groups=list(group_by))
+        sel = a.SelectStatement(node=node, order_by=list(stmt.order_by),
+                                limit=stmt.limit, offset=stmt.offset)
+        return self.execute_select(sel)
+
+    def _execute_unpivot(self, stmt: a.UnpivotStatement) -> QueryResult:
+        """UNPIVOT source ON c1, ... INTO NAME n VALUE v: one output row
+        per (source row, ON column), NULL values excluded (DuckDB)."""
+        selects = []
+        for c in stmt.on:
+            name_e = a.Constant(stmt.name_col and c, None)
+            name_e.alias = stmt.name_col
+            val_e = a.ColumnRef(parts=(c,), alias=stmt.value_col)
+            node = a.SelectNode(
+                select_list=[a.Star(exclude=tuple(stmt.on)),
+                             name_e, val_e],
+                from_table=stmt.source,
+                where=a.IsNull(child=a.ColumnRef(parts=(c,)),
+                               negated=True))
+            selects.append(a.SelectStatement(node=node))
+        tree = selects[0]
+        for nxt in selects[1:]:
+            tree = a.SelectStatement(node=a.SetOpNode(
+                op="UNION_ALL", left=tree, right=nxt))
+        tree.order_by = list(stmt.order_by)
+        tree.limit = stmt.limit
+        tree.offset = stmt.offset
+        return self.execute_select(tree)
 
     # ----------------------------------------------- GROUPING SETS family
     def _execute_grouping_sets(self, node: a.SelectNode, outer, env):

@@ -512,3 +512,28 @@ class CreatePropertyGraphStatement(Statement):
 @dataclass
 class TransactionStatement(Statement):
     action: str = "BEGIN"  # BEGIN / COMMIT / ROLLBACK
+
+
+@dataclass
+class PivotStatement(Statement):
+    """PIVOT source ON col [IN (...)] [USING aggs] [GROUP BY cols]."""
+    source: TableRef = None
+    on: Expression = None
+    in_values: Optional[List[Expression]] = None
+    using: List[Expression] = field(default_factory=list)
+    group_by: List[Expression] = field(default_factory=list)
+    order_by: List[OrderByNode] = field(default_factory=list)
+    limit: Optional[Expression] = None
+    offset: Optional[Expression] = None
+
+
+@dataclass
+class UnpivotStatement(Statement):
+    """UNPIVOT source ON cols INTO NAME n VALUE v."""
+    source: TableRef = None
+    on: List[str] = field(default_factory=list)
+    name_col: str = ""
+    value_col: str = ""
+    order_by: List[OrderByNode] = field(default_factory=list)
+    limit: Optional[Expression] = None
+    offset: Optional[Expression] = None

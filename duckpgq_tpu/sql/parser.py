@@ -199,6 +199,10 @@ class Parser:
             self.next()
             analyze = bool(self.accept_kw("ANALYZE"))
             return a.ExplainStatement(child=self.parse_statement(), analyze=analyze)
+        if kw == "PIVOT":
+            return self.parse_pivot()
+        if kw == "UNPIVOT":
+            return self.parse_unpivot()
         if kw == "PRAGMA":
             return self.parse_pragma()
         if kw == "SET":
@@ -407,6 +411,48 @@ class Parser:
             self.expect_op(")")
             return exprs
         return [self.parse_expression()]
+
+    def parse_pivot(self) -> a.PivotStatement:
+        """PIVOT <source> ON <col> [IN (v1, ...)] [USING agg(...), ...]
+        [GROUP BY cols] — default USING is count(*)."""
+        self.expect_kw("PIVOT")
+        stmt = a.PivotStatement()
+        stmt.source = self.parse_single_table_ref()
+        self.expect_kw("ON")
+        stmt.on = self.parse_expression()
+        if isinstance(stmt.on, a.InList) and not stmt.on.negated:
+            # ON col IN (v1, ...) parses as an InList; unpack it into the
+            # pivot's explicit value list
+            stmt.in_values = list(stmt.on.values)
+            stmt.on = stmt.on.expr
+        if self.accept_kw("USING"):
+            stmt.using = [self.parse_aliased_expression()]
+            while self.accept_op(","):
+                stmt.using.append(self.parse_aliased_expression())
+        if self.accept_kw("GROUP"):
+            self.expect_kw("BY")
+            stmt.group_by = [self.parse_expression()]
+            while self.accept_op(","):
+                stmt.group_by.append(self.parse_expression())
+        self.parse_result_modifiers(stmt)     # trailing ORDER BY / LIMIT
+        return stmt
+
+    def parse_unpivot(self) -> a.UnpivotStatement:
+        """UNPIVOT <source> ON c1, c2, ... INTO NAME n VALUE v."""
+        self.expect_kw("UNPIVOT")
+        stmt = a.UnpivotStatement()
+        stmt.source = self.parse_single_table_ref()
+        self.expect_kw("ON")
+        stmt.on = [self.expect_ident()]
+        while self.accept_op(","):
+            stmt.on.append(self.expect_ident())
+        self.expect_kw("INTO")
+        self.expect_kw("NAME")
+        stmt.name_col = self.expect_ident()
+        self.expect_kw("VALUE")
+        stmt.value_col = self.expect_ident()
+        self.parse_result_modifiers(stmt)
+        return stmt
 
     def parse_sample_clause(self):
         """USING SAMPLE <n> [%|PERCENT|ROWS] [(method[, seed])] |

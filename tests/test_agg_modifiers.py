@@ -86,3 +86,28 @@ def test_grouping_sets_rollup_cube():
         "SELECT a, count(*) FROM gs GROUP BY GROUPING SETS ((a), ()) "
         "HAVING count(*) > 1 ORDER BY ALL"
     ).fetchall() == [(None, 3), ("x", 2)]
+
+
+def test_pivot_unpivot():
+    """PIVOT (default count, USING aggs, IN list, implicit/explicit GROUP
+    BY, multi-agg naming) and UNPIVOT (NULLs excluded)."""
+    import duckpgq_tpu
+    con = duckpgq_tpu.connect()
+    con.execute("CREATE TABLE pv(g VARCHAR, b VARCHAR, a BIGINT)")
+    con.execute("INSERT INTO pv VALUES ('r1','x',1),('r1','y',2),"
+                "('r2','x',3),('r2','x',4)")
+    assert con.execute("PIVOT pv ON b USING sum(a) ORDER BY g"
+                       ).fetchall() == [("r1", 1, 2), ("r2", 7, None)]
+    assert con.execute("PIVOT pv ON b GROUP BY g ORDER BY g"
+                       ).fetchall() == [("r1", 1, 1), ("r2", 2, 0)]
+    assert con.execute(
+        "PIVOT pv ON b IN ('x') USING sum(a) GROUP BY g ORDER BY g"
+    ).fetchall() == [("r1", 1), ("r2", 7)]
+    assert con.execute(
+        "PIVOT pv ON b USING sum(a) AS s, count(*) AS c GROUP BY g "
+        "ORDER BY g").fetchall() == \
+        [("r1", 1, 1, 2, 1), ("r2", 7, 2, None, 0)]
+    assert con.execute(
+        "UNPIVOT (SELECT 1 AS p, 2 AS q, NULL::BIGINT AS r) ON p, q, r "
+        "INTO NAME k VALUE v ORDER BY k").fetchall() == \
+        [("p", 1), ("q", 2)]

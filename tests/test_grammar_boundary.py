@@ -85,14 +85,14 @@ SUPPORTED = [
     ("interval-arithmetic",
      "SELECT DATE '2020-01-01' + INTERVAL 2 HOUR"),
     ("asof-join", "SELECT * FROM t ASOF JOIN t t2 ON t.a >= t2.a"),
+    ("pivot", "PIVOT t ON b USING sum(a)"),
+    ("unpivot",
+     "UNPIVOT (SELECT 1 AS p, 2 AS q) ON p, q INTO NAME k VALUE v"),
 ]
 
 # Constructs of DuckDB's vendored grammar that are OUT OF SCOPE here; each
 # must fail with a clean engine error. Revisit deliberately.
 UNSUPPORTED = [
-    ("pivot", "PIVOT t ON b USING sum(a)"),
-    ("unpivot",
-     "UNPIVOT (SELECT 1 AS p, 2 AS q) ON p, q INTO NAME k VALUE v"),
     ("interval-calendar-units", "SELECT INTERVAL 1 MONTH"),
     ("at-time-zone",
      "SELECT TIMESTAMP '2020-01-01 00:00:00' AT TIME ZONE 'UTC'"),
