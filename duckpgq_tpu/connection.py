@@ -19,6 +19,7 @@ from .exec.executor import Executor
 # the scalar function registry
 from .pgq import kernels_sql as _kernels_sql  # noqa: F401
 from .exec.result import QueryResult
+from .sql import ast as _ast
 from .sql.parser import parse_sql
 from .storage.catalog import Catalog
 
@@ -141,8 +142,9 @@ class Connection:
         self.csr_to_delete: set = set()
         # cached per-query algorithm state (pagerank ranks, wcc forest)
         self.algo_state: Dict[tuple, object] = {}
-        # prepared statements: name -> SQL text with $N / ? placeholders
-        self.prepared: Dict[str, str] = {}
+        # prepared statements: name -> parsed statement AST (validated at
+        # PREPARE; Parameter nodes bound to Constants at EXECUTE)
+        self.prepared: Dict[str, object] = {}
 
     # ------------------------------------------------------------- catalogs
     @property
@@ -218,7 +220,13 @@ class Connection:
         for piece in pieces:
             m = re.match(pat_prepare, piece)
             if m:
-                self.prepared[m.group(1).lower()] = m.group(2)
+                # parse ONCE at PREPARE so malformed bodies error here, not
+                # at EXECUTE (DuckDB validates at prepare; ADVICE r2)
+                stmts = parse_sql(m.group(2))
+                if len(stmts) != 1:
+                    raise BinderException(
+                        "PREPARE body must be a single statement")
+                self.prepared[m.group(1).lower()] = stmts[0]
                 result = QueryResult([], [])
                 continue
             m = re.match(pat_execute, piece)
@@ -230,7 +238,19 @@ class Connection:
                         f"Prepared statement \"{m.group(1)}\" does not "
                         "exist")
                 args = _split_top_level(m.group(3) or "")
-                result = self.execute(_substitute_placeholders(body, args))
+                # arguments bind as evaluated typed Constants, never as
+                # spliced text (so `1+1` binds the value 2 and strings
+                # cannot re-shape the statement)
+                binds = {}
+                if args:
+                    vals = self.execute("SELECT " + ", ".join(args))
+                    for i, col in enumerate(vals.columns, 1):
+                        binds[i] = _ast.Constant(col.value(0), col.type)
+                stmt = _bind_prepared(body, binds)
+                try:
+                    result = self.executor.execute_statement(stmt)
+                finally:
+                    self.query_end()
                 continue
             m = re.match(pat_dealloc, piece)
             if m:
@@ -422,61 +442,29 @@ def _split_top_level(text: str):
     return out
 
 
-def _substitute_placeholders(sql: str, args):
-    """Replace $N (numbered) and ? (positional) placeholders outside
-    strings/comments with the given SQL argument texts."""
-    from .errors import BinderException
-    out = []
-    i, n, used = 0, len(sql), 0
-    while i < n:
-        ch = sql[i]
-        if ch == "'":
-            j = i + 1
-            while j < n:
-                if sql[j] == "'":
-                    if j + 1 < n and sql[j + 1] == "'":
-                        j += 2
-                        continue
-                    j += 1
-                    break
-                j += 1
-            out.append(sql[i:j])
-            i = j
-            continue
-        if ch == '"':
-            j = i + 1
-            while j < n and sql[j] != '"':
-                j += 1
-            out.append(sql[i:j + 1])
-            i = j + 1
-            continue
-        if ch == "-" and i + 1 < n and sql[i + 1] == "-":
-            j = sql.find("\n", i)
-            j = n if j < 0 else j
-            out.append(sql[i:j])
-            i = j
-            continue
-        if ch == "$" and i + 1 < n and sql[i + 1].isdigit():
-            j = i + 1
-            while j < n and sql[j].isdigit():
-                j += 1
-            k = int(sql[i + 1:j])
-            if not 1 <= k <= len(args):
-                raise BinderException(
-                    f"Prepared statement needs {k} parameters, "
-                    f"{len(args)} given")
-            out.append(f"({args[k - 1]})")
-            i = j
-            continue
-        if ch == "?":
-            if used >= len(args):
-                raise BinderException(
-                    f"Prepared statement needs more than {len(args)} "
-                    "parameters")
-            out.append(f"({args[used]})")
-            used += 1
-            i += 1
-            continue
-        out.append(ch)
-        i += 1
-    return "".join(out)
+def _bind_prepared(stmt, binds):
+    """Deep-copy a prepared statement AST and replace every Parameter node
+    with its bound Constant (missing indices are left in place and raise a
+    clean binder error when evaluated)."""
+    import copy
+    import dataclasses
+    stmt = copy.deepcopy(stmt)
+
+    def walk(obj):
+        if isinstance(obj, _ast.Parameter):
+            return binds.get(obj.index, obj)
+        if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+            if obj.__dataclass_params__.frozen:   # e.g. LogicalType
+                return obj
+            for f in dataclasses.fields(obj):
+                setattr(obj, f.name, walk(getattr(obj, f.name)))
+            return obj
+        if isinstance(obj, list):
+            return [walk(x) for x in obj]
+        if isinstance(obj, tuple):
+            return tuple(walk(x) for x in obj)
+        if isinstance(obj, dict):
+            return {k: walk(v) for k, v in obj.items()}
+        return obj
+
+    return walk(stmt)

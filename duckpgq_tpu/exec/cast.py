@@ -4,6 +4,7 @@ type surface the test corpus uses)."""
 from __future__ import annotations
 
 import datetime
+import re
 
 import numpy as np
 
@@ -104,6 +105,17 @@ def cast_vector(vec: Vector, target: LogicalType, try_cast: bool = False
                     out[i] = _parse_timestamp(str(s)) // 1_000_000
                 elif target.id == TypeId.TIMESTAMP_NS:
                     out[i] = _parse_timestamp(str(s)) * 1000
+                elif target.id == TypeId.TIMESTAMP_TZ:
+                    txt = str(s).strip()
+                    off = 0
+                    m = re.search(r"([+-])(\d{2})(?::?(\d{2}))?$", txt)
+                    if m and ("+" in txt[10:] or txt[10:].count("-")):
+                        off = (int(m.group(2)) * 3600 +
+                               int(m.group(3) or 0) * 60) * 1_000_000
+                        if m.group(1) == "-":
+                            off = -off
+                        txt = txt[:m.start()].strip()
+                    out[i] = _parse_timestamp(txt) - off
                 elif target.id == TypeId.INTERVAL:
                     from ..types import interval_from_string
                     out[i] = interval_from_string(str(s))
@@ -139,7 +151,8 @@ def cast_vector(vec: Vector, target: LogicalType, try_cast: bool = False
         raise ConversionException(f"Unimplemented cast {src} -> {target}")
     if src.is_temporal and target.is_temporal:
         scale = {TypeId.TIMESTAMP_S: 1_000_000, TypeId.TIMESTAMP_MS: 1000,
-                 TypeId.TIMESTAMP: 1, TypeId.TIMESTAMP_NS: 0.001}
+                 TypeId.TIMESTAMP: 1, TypeId.TIMESTAMP_TZ: 1,
+                 TypeId.TIMESTAMP_NS: 0.001}
         if src.id == TypeId.DATE:
             micros = vec.data.astype(np.int64) * 86_400_000_000
         else:

@@ -238,6 +238,10 @@ class Evaluator:
             if typ is None:
                 typ = _infer_constant_type(e.value)
             return Vector.constant(e.value, typ, self.n)
+        if isinstance(e, a.Parameter):
+            raise BinderException(
+                "Values were not provided for the following prepared "
+                f"statement parameters: {e.index}")
         if isinstance(e, a.ColumnRef):
             return self.evaluate_column_ref(e)
         if isinstance(e, a.Comparison):
@@ -382,6 +386,11 @@ class Evaluator:
                     out[i] = self._py_compare(e.op, left.data[i], right.data[i])
             return Vector(BOOLEAN, out, validity)
         ld, rd = left.data, right.data
+        if left.type.id == TypeId.INTERVAL:
+            # DuckDB compares intervals on normalized micros (months ~ 30 d)
+            from ..types import interval_total_micros
+            ld = interval_total_micros(ld["months"], ld["days"], ld["micros"])
+            rd = interval_total_micros(rd["months"], rd["days"], rd["micros"])
         if left.type.id == TypeId.VARCHAR:
             # object-dtype string compare; numpy handles elementwise on objects
             ld = ld.astype(object)

@@ -153,26 +153,49 @@ def _date_arith(a: Vector, b: Vector, op: str) -> "Vector | None":
     if op == "-" and ta == TypeId.DATE and tb == TypeId.DATE:
         out = a.data.astype(np.int64) - b.data.astype(np.int64)
         return Vector(BIGINT, out, a.validity & b.validity)
-    # DATE/TIMESTAMP +/- INTERVAL (and INTERVAL + temporal, commutative)
+    # DATE/TIMESTAMP[_S/_MS/_NS/_TZ] +/- INTERVAL (and INTERVAL + temporal,
+    # commutative). Calendar months use end-of-month-clamped date math
+    # (DuckDB Interval::Add); the result type is the instant promoted to
+    # TIMESTAMP (DuckDB binder casts all precisions to TIMESTAMP first).
     DAY_US = 86_400_000_000
-    from ..types import DATE as _DATE, INTERVAL as _INTERVAL, TIMESTAMP
+    from ..types import (DATE as _DATE, INTERVAL as _INTERVAL, TIMESTAMP,
+                         TIMESTAMP_TZ as _TSTZ, INTERVAL_DTYPE,
+                         add_months_to_days)
+    _INSTANT_US_SCALE = {TypeId.DATE: None, TypeId.TIMESTAMP: 1,
+                         TypeId.TIMESTAMP_MS: 1_000,
+                         TypeId.TIMESTAMP_S: 1_000_000,
+                         TypeId.TIMESTAMP_NS: 0, TypeId.TIMESTAMP_TZ: 1}
     for x, y, yop in (((a, b, op),) if tb == TypeId.INTERVAL else
                       (((b, a, op),) if op == "+" and
                        ta == TypeId.INTERVAL else ())):
         tx = x.type.id
-        if tx in (TypeId.DATE, TypeId.TIMESTAMP):
-            base = x.data.astype(np.int64) * (DAY_US if tx == TypeId.DATE
-                                              else 1)
-            iv = y.data.astype(np.int64)
-            out = base + (iv if yop == "+" else -iv)
+        if tx in _INSTANT_US_SCALE:
+            scale = _INSTANT_US_SCALE[tx]
+            if tx == TypeId.DATE:
+                base = x.data.astype(np.int64) * DAY_US
+            elif scale == 0:  # TIMESTAMP_NS
+                base = x.data.astype(np.int64) // 1000
+            else:
+                base = x.data.astype(np.int64) * scale
+            iv = np.asarray(y.data, INTERVAL_DTYPE)
+            sgn = 1 if yop == "+" else -1
+            months = sgn * iv["months"].astype(np.int64)
+            rest = sgn * (iv["days"].astype(np.int64) * DAY_US
+                          + iv["micros"].astype(np.int64))
+            if np.any(months):
+                days, tod = np.divmod(base, DAY_US)
+                base = add_months_to_days(days, months) * DAY_US + tod
+            out = base + rest
             valid = a.validity & b.validity
-            # result type is STATIC (value-independent): instant +/- span
-            # is always TIMESTAMP (whole-day intervals render 00:00:00)
-            return Vector(TIMESTAMP, out, valid)
+            return Vector(_TSTZ if tx == TypeId.TIMESTAMP_TZ else TIMESTAMP,
+                          out, valid)
         if tx == TypeId.INTERVAL:
-            out = x.data.astype(np.int64) + (
-                y.data.astype(np.int64) if yop == "+"
-                else -y.data.astype(np.int64))
+            xv = np.asarray(x.data, INTERVAL_DTYPE)
+            yv = np.asarray(y.data, INTERVAL_DTYPE)
+            out = np.zeros(len(xv), dtype=INTERVAL_DTYPE)
+            sgn = 1 if yop == "+" else -1
+            for f in ("months", "days", "micros"):
+                out[f] = xv[f].astype(np.int64) + sgn * yv[f].astype(np.int64)
             return Vector(_INTERVAL, out, a.validity & b.validity)
     if (a.type.is_temporal or b.type.is_temporal) and \
             not (ta == TypeId.SQLNULL or tb == TypeId.SQLNULL):
@@ -209,6 +232,11 @@ def fn_sub(args):
         null = _sqlnull_arith(args, a.type)
         if null is not None:
             return null
+        if a.type.id == TypeId.INTERVAL:
+            out = np.zeros(len(a), dtype=a.data.dtype)
+            for f in ("months", "days", "micros"):
+                out[f] = -a.data[f]
+            return Vector(a.type, out, a.validity.copy())
         return Vector(a.type, -a.data, a.validity.copy())
     a, b = args
     _require_numeric(args, "-")
@@ -956,6 +984,57 @@ def fn_date_part(args):
 @register("extract")
 def fn_extract(args):
     return fn_date_part(args)
+
+
+@register("timezone")
+def fn_timezone(args):
+    """timezone(tz, instant) — the function behind `x AT TIME ZONE tz`
+    (reference grammar expression.gram AT TIME ZONE; DuckDB ICU semantics):
+    naive TIMESTAMP interpreted as wall time in tz -> TIMESTAMPTZ instant;
+    TIMESTAMPTZ instant -> naive wall time in tz."""
+    import datetime as _dt
+    from zoneinfo import ZoneInfo
+    from ..types import TIMESTAMP as _TS, TIMESTAMP_TZ as _TSTZ, DATE as _D
+    tzv, x = args
+    t = x.type.id
+    if t not in (TypeId.DATE, TypeId.TIMESTAMP, TypeId.TIMESTAMP_MS,
+                 TypeId.TIMESTAMP_S, TypeId.TIMESTAMP_NS, TypeId.TIMESTAMP_TZ):
+        raise BinderException(
+            f"No function matches the given name and argument types "
+            f"'timezone({tzv.type}, {x.type})'")
+    to_naive = t == TypeId.TIMESTAMP_TZ
+    scale = {TypeId.TIMESTAMP: 1, TypeId.TIMESTAMP_MS: 1_000,
+             TypeId.TIMESTAMP_S: 1_000_000, TypeId.TIMESTAMP_TZ: 1}
+    n = len(x)
+    out = np.zeros(n, dtype=np.int64)
+    validity = tzv.validity & x.validity
+    epoch = _dt.datetime(1970, 1, 1)
+    epoch_utc = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+    for i in range(n):
+        if not validity[i]:
+            continue
+        try:
+            zone = ZoneInfo(str(tzv.data[i]))
+        except Exception:
+            raise InvalidInputException(
+                f"Unknown TimeZone '{tzv.data[i]}'")
+        v = int(x.data[i])
+        if t == TypeId.DATE:
+            us = v * 86_400_000_000
+        elif t == TypeId.TIMESTAMP_NS:
+            us = v // 1000
+        else:
+            us = v * scale[t]
+        def _us(td):
+            return (td.days * 86_400 + td.seconds) * 1_000_000 \
+                + td.microseconds
+        if to_naive:
+            local = (epoch_utc + _dt.timedelta(microseconds=us)).astimezone(zone)
+            out[i] = _us(local.replace(tzinfo=None) - epoch)
+        else:
+            wall = epoch + _dt.timedelta(microseconds=us)
+            out[i] = _us(wall.replace(tzinfo=zone) - epoch_utc)
+    return Vector(_TS if to_naive else _TSTZ, out, validity)
 
 
 # ---------------------------------------------------------------------------

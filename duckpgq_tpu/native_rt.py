@@ -233,6 +233,20 @@ def gather(base: np.ndarray, idx: np.ndarray) -> Optional[np.ndarray]:
         return None
     elem = base.dtype.itemsize
     idx = _c64(idx)
+    # gr_gather_bytes dereferences unchecked — enforce numpy's indexing
+    # contract here (negative wrap, IndexError out of range) so a bad index
+    # can never become a silent out-of-bounds read (ADVICE r2). The min/max
+    # scan is sequential and cheap next to the random-access gather.
+    nb = len(base)
+    if len(idx):
+        mn, mx = int(idx.min()), int(idx.max())
+        if mx >= nb or mn < -nb:
+            raise IndexError(
+                f"index {mx if mx >= nb else mn} is out of bounds for "
+                f"axis 0 with size {nb}")
+        if mn < 0:
+            idx = np.where(idx < 0, idx + nb, idx)
+            idx = _c64(idx)
     out = np.empty(len(idx), dtype=base.dtype)
     lib.gr_gather_bytes(base.ctypes.data_as(ctypes.c_void_p),
                         ctypes.c_int64(elem),

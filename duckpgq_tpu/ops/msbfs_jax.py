@@ -833,7 +833,17 @@ def msbfs_bidirectional_batched(csr: DeviceCSR, src, dst,
 def bellman_ford(csr: DeviceCSR, src: jnp.ndarray, dst: jnp.ndarray,
                  active: jnp.ndarray, max_iters: int) -> jnp.ndarray:
     """Dense [Vp, L] distance relaxation (reference cheapest_path_length.cpp
-    as a segment-min product). Returns costs (inf = unreached). The dtype
+    as a segment-min product). Returns costs (inf = unreached)."""
+    costs, _ = bellman_ford_with_iters(csr, src, dst, active, max_iters)
+    return costs
+
+
+def bellman_ford_with_iters(csr: DeviceCSR, src: jnp.ndarray,
+                            dst: jnp.ndarray, active: jnp.ndarray,
+                            max_iters: int):
+    """As bellman_ford, but also returns the number of relaxation rounds
+    actually executed (the loop exits at fixpoint, so benchmarks must
+    account throughput with the REAL round count, not max_iters). The dtype
     follows the CSR weight dtype: float32 normally, float64 when the SQL
     bridge keeps DOUBLE weights exact (keep_w_dtype under scoped x64 —
     the reference computes doubles in double)."""
@@ -864,9 +874,9 @@ def bellman_ford(csr: DeviceCSR, src: jnp.ndarray, dst: jnp.ndarray,
         changed = (new < dist).any()
         return it + 1, new, changed
 
-    _, dist, _ = jax.lax.while_loop(
+    it, dist, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), dist, jnp.bool_(True)))
-    return dist[dst, lanes]
+    return dist[dst, lanes], it
 
 
 # ---------------------------------------------------------------------------

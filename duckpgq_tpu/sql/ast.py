@@ -31,6 +31,15 @@ class Constant(Expression):
 
 
 @dataclass
+class Parameter(Expression):
+    """Prepared-statement placeholder ($N numbered / ? positional). Bound to
+    a Constant at EXECUTE time; evaluating one unbound is a binder error
+    (DuckDB prepared-statement semantics)."""
+    index: int = 0          # 1-based
+    alias: Optional[str] = None
+
+
+@dataclass
 class ColumnRef(Expression):
     # parts like (table, column) or (column,) or (catalog, schema, table, col)
     parts: Tuple[str, ...] = ()

@@ -107,6 +107,7 @@ class Parser:
         self.sql = sql
         self.tokens = tokenize(sql)
         self.pos = 0
+        self._param_counter = 0   # positional ? placeholders (1-based)
 
     # ------------------------------------------------------------------ utils
     def peek(self, offset: int = 0) -> Token:
@@ -976,6 +977,13 @@ class Parser:
             elif tok.is_kw("COLLATE"):
                 self.next()
                 expr = a.Collate(child=expr, collation=self.expect_ident())
+            elif tok.is_kw("AT") and self.peek(1).is_kw("TIME") and \
+                    self.peek(2).is_kw("ZONE"):
+                # expr AT TIME ZONE tz  ==  timezone(tz, expr)
+                # (reference grammar: expression.gram AT TIME ZONE postfix)
+                self.next(); self.next(); self.next()
+                tz = self.parse_unary()
+                expr = a.FunctionCall(name="timezone", args=[tz, expr])
             else:
                 return expr
 
@@ -990,6 +998,15 @@ class Parser:
 
     def parse_primary(self) -> a.Expression:
         tok = self.peek()
+        if tok.is_op("$") and self.peek(1).kind == T.NUMBER and \
+                "." not in self.peek(1).text:
+            # $N prepared-statement placeholder
+            self.next()
+            return a.Parameter(index=int(self.next().text))
+        if tok.is_op("?"):
+            self.next()
+            self._param_counter += 1
+            return a.Parameter(index=self._param_counter)
         if tok.kind == T.NUMBER:
             self.next()
             text = tok.text
@@ -1097,17 +1114,23 @@ class Parser:
             if kw == "NOT":
                 self.next()
                 return a.Not(child=self.parse_not())
-            if kw in ("DATE", "TIMESTAMP", "TIME", "INTERVAL") and \
+            if kw in ("DATE", "TIMESTAMP", "TIME", "INTERVAL",
+                      "TIMESTAMP_MS", "TIMESTAMP_S", "TIMESTAMP_NS",
+                      "TIMESTAMPTZ") and \
                     self.peek(1).kind == T.STRING:
                 self.next()
                 lit = self.next().text
                 typ = tt.type_from_name(kw)
                 return a.Cast(child=a.Constant(lit, tt.VARCHAR), target=typ)
-            if kw == "INTERVAL" and self.peek(1).kind == T.NUMBER:
+            if kw == "INTERVAL" and (
+                    self.peek(1).kind == T.NUMBER or
+                    (self.peek(1).is_op("-") and
+                     self.peek(2).kind == T.NUMBER)):
                 self.next()
-                qty = float(self.next().text)
+                sign = -1.0 if self.accept_op("-") else 1.0
+                qty = sign * float(self.next().text)
                 unit = self.expect_ident()
-                return a.Constant(tt.interval_micros(qty, unit),
+                return a.Constant(tt.interval_value(qty, unit),
                                   tt.INTERVAL)
             if kw == "DISTINCT" and self.peek(1).is_kw("FROM"):
                 self.error("unexpected DISTINCT")

@@ -74,6 +74,11 @@ class Vector:
             if isinstance(value, (list, tuple)):
                 for i in range(n):
                     data[i] = value
+        elif getattr(dtype, "fields", None):
+            # structured scalar (e.g. INTERVAL triples): fill via assignment
+            data = np.zeros(n, dtype=dtype)
+            data[:] = tuple(value) if isinstance(value, (tuple, list)) \
+                else value
         else:
             data = np.full(n, value, dtype=dtype)
         return Vector(typ, data, np.ones(n, dtype=bool))

@@ -78,22 +78,26 @@ KNOWN_EXTENSIONS = {"duckpgq", "parquet", "json", "icu"}
 # The corpus compares STRICTLY ORDERED except for these four queries, whose
 # expected row order encodes host-engine internals that SQL semantics do not
 # determine (verified case by case; everything else — 59/62 files fully —
-# passes ordered). Key: (path suffix, 1-based line of the query directive).
+# passes ordered). Key: (path suffix, distinguishing substring of the query
+# text) — NOT line numbers, so a reference-file resync cannot silently
+# relax the wrong query. run_file asserts every entry for a file actually
+# matched exactly the expected number of records.
 ORDER_UNDETERMINED = {
     # Organisation is populated via `SELECT .. UNION SELECT ..`; the
     # expected MATCH order follows DuckDB's hash-DISTINCT bucket layout of
     # that union (CWI before EY despite later insertion), which has no
-    # SQL-level definition.
-    ("pattern_matching/inheritance_support.test", 109):
+    # SQL-level definition.  Matches the two un-ORDER-BY'd MATCH queries.
+    ("pattern_matching/inheritance_support.test", "(u:company)", 1):
         "row order follows DuckDB hash-UNION layout of Organisation",
-    ("pattern_matching/inheritance_support.test", 124):
+    ("pattern_matching/inheritance_support.test", "(u:COMPANY)", 1):
         "row order follows DuckDB hash-UNION layout of Organisation",
     # ORDER BY with ties between equally-shortest paths: the tie order is
     # DuckDB's sort-input (join pipeline) order, not a property of ANY
     # SHORTEST semantics.
-    ("path_finding/complex_matching.test", 55):
+    ("path_finding/complex_matching.test",
+     "ORDER BY p3_id, p4_id, p_id", 1):
         "ORDER BY tie order among equal-length shortest paths",
-    ("snb/snb_inheritance.test", 141):
+    ("snb/snb_inheritance.test", "m.id = 618475290624", 1):
         "ORDER BY tie order among joined reply rows",
 }
 
@@ -220,6 +224,7 @@ class SQLLogicRunner:
 
     def run_file(self, path: str) -> TestFileResult:
         self._current_path = path
+        self._order_relaxed_hits = {}
         result = TestFileResult(path)
         records = parse_test_file(path)
         db = Database()
@@ -258,6 +263,18 @@ class SQLLogicRunner:
                 result.results.append(self._run_statement(con, rec))
             elif rec.kind == "query":
                 result.results.append(self._run_query(con, rec))
+        # every ORDER_UNDETERMINED entry for this file must have matched its
+        # expected record count — a resync of the reference corpus that moves
+        # or removes a query must fail loudly, not silently relax/strict-en
+        # the wrong record (ADVICE r2).
+        for suffix, substr, cnt in ORDER_UNDETERMINED:
+            if path.endswith(suffix):
+                hits = self._order_relaxed_hits.get((suffix, substr), 0)
+                if hits != cnt:
+                    raise AssertionError(
+                        f"ORDER_UNDETERMINED entry ({suffix!r}, {substr!r}) "
+                        f"matched {hits} records, expected {cnt} — the "
+                        f"corpus changed; re-verify the whitelist")
         return result
 
     def _substitute(self, sql: str) -> str:
@@ -320,9 +337,12 @@ class SQLLogicRunner:
                 f"row count mismatch: expected {len(expected_rows)}, "
                 f"got {len(actual_rows)}\nfirst rows: "
                 f"{actual_rows[:5]} vs expected {expected_rows[:5]}")
-        relaxed = any(self._current_path.endswith(suffix)
-                      and rec.line == line
-                      for suffix, line in ORDER_UNDETERMINED)
+        relaxed = False
+        for suffix, substr, _cnt in ORDER_UNDETERMINED:
+            if self._current_path.endswith(suffix) and substr in rec.sql:
+                relaxed = True
+                self._order_relaxed_hits[(suffix, substr)] = \
+                    self._order_relaxed_hits.get((suffix, substr), 0) + 1
         if rec.sort_mode == "rowsort" or relaxed:
             expected_rows = sorted(expected_rows)
             actual_sorted = sorted(actual_rows)

@@ -40,6 +40,7 @@ class TypeId(Enum):
     TIMESTAMP_MS = "TIMESTAMP_MS"
     TIMESTAMP_NS = "TIMESTAMP_NS"
     TIMESTAMP_S = "TIMESTAMP_S"
+    TIMESTAMP_TZ = "TIMESTAMP WITH TIME ZONE"
     INTERVAL = "INTERVAL"
     LIST = "LIST"
     STRUCT = "STRUCT"
@@ -53,8 +54,16 @@ _INTEGRAL = {
 _FLOATING = {TypeId.FLOAT, TypeId.DOUBLE}
 _TEMPORAL = {
     TypeId.DATE, TypeId.TIME, TypeId.TIMESTAMP, TypeId.TIMESTAMP_MS,
-    TypeId.TIMESTAMP_NS, TypeId.TIMESTAMP_S, TypeId.INTERVAL,
+    TypeId.TIMESTAMP_NS, TypeId.TIMESTAMP_S, TypeId.TIMESTAMP_TZ,
+    TypeId.INTERVAL,
 }
+
+# DuckDB's interval_t: (months, days, micros) — calendar months/days are NOT
+# normalized to micros (reference grammar: expression.gram interval units;
+# DuckDB src/common/types/interval.cpp). Stored as a numpy structured dtype so
+# interval columns stay vectorized.
+INTERVAL_DTYPE = np.dtype(
+    [("months", "<i8"), ("days", "<i8"), ("micros", "<i8")])
 
 _NUMPY_DTYPE = {
     TypeId.BOOLEAN: np.bool_,
@@ -76,7 +85,8 @@ _NUMPY_DTYPE = {
     TypeId.TIMESTAMP_MS: np.int64,  # millis since epoch
     TypeId.TIMESTAMP_NS: np.int64,
     TypeId.TIMESTAMP_S: np.int64,
-    TypeId.INTERVAL: np.int64,    # micros (approximated)
+    TypeId.TIMESTAMP_TZ: np.int64,  # micros since epoch, UTC instant
+    TypeId.INTERVAL: INTERVAL_DTYPE,
     TypeId.VARCHAR: object,
     TypeId.BLOB: object,
     TypeId.SQLNULL: object,
@@ -158,6 +168,7 @@ TIMESTAMP = LogicalType(TypeId.TIMESTAMP)
 TIMESTAMP_MS = LogicalType(TypeId.TIMESTAMP_MS)
 TIMESTAMP_S = LogicalType(TypeId.TIMESTAMP_S)
 TIMESTAMP_NS = LogicalType(TypeId.TIMESTAMP_NS)
+TIMESTAMP_TZ = LogicalType(TypeId.TIMESTAMP_TZ)
 INTERVAL = LogicalType(TypeId.INTERVAL)
 
 
@@ -196,6 +207,8 @@ _NAME_TO_TYPE = {
     "TIMESTAMP_MS": TIMESTAMP_MS,
     "TIMESTAMP_S": TIMESTAMP_S,
     "TIMESTAMP_NS": TIMESTAMP_NS,
+    "TIMESTAMPTZ": TIMESTAMP_TZ,
+    "TIMESTAMP WITH TIME ZONE": TIMESTAMP_TZ,
     "INTERVAL": INTERVAL,
 }
 
@@ -241,6 +254,47 @@ def _civil_from_days(z: int):
     return (y + (1 if m <= 2 else 0), m, d)
 
 
+def civil_from_days_np(z):
+    """Vectorized days-since-epoch -> (y, m, d) int64 arrays."""
+    z = np.asarray(z, np.int64) + 719468
+    era = np.where(z >= 0, z, z - 146096) // 146097
+    doe = z - era * 146097
+    yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+    y = yoe + era * 400
+    doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+    mp = (5 * doy + 2) // 153
+    d = doy - (153 * mp + 2) // 5 + 1
+    m = np.where(mp < 10, mp + 3, mp - 9)
+    return y + (m <= 2), m, d
+
+
+def days_from_civil_np(y, m, d):
+    """Vectorized (y, m, d) -> days-since-epoch (Hinnant days_from_civil)."""
+    y = np.asarray(y, np.int64) - (np.asarray(m) <= 2)
+    m = np.asarray(m, np.int64)
+    d = np.asarray(d, np.int64)
+    era = np.where(y >= 0, y, y - 399) // 400
+    yoe = y - era * 400
+    mp = np.where(m > 2, m - 3, m + 9)
+    doy = (153 * mp + 2) // 5 + d - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468
+
+
+def add_months_to_days(days, months):
+    """Calendar month addition on days-since-epoch with DuckDB's end-of-month
+    clamping (2020-01-31 + 1 month = 2020-02-29)."""
+    y, m, d = civil_from_days_np(days)
+    tot = (y * 12 + (m - 1)) + np.asarray(months, np.int64)
+    ny, nm = tot // 12, tot % 12 + 1
+    leap = ((ny % 4 == 0) & (ny % 100 != 0)) | (ny % 400 == 0)
+    dim = np.choose(nm - 1,
+                    [np.full_like(ny, 31), np.where(leap, 29, 28)] +
+                    [np.full_like(ny, n)
+                     for n in (31, 30, 31, 30, 31, 31, 30, 31, 30, 31)])
+    return days_from_civil_np(ny, nm, np.minimum(d, dim))
+
+
 def value_to_string(value, typ: LogicalType) -> str:
     """Render a single (non-NULL) value the way the host engine's test runner
     renders it (reference test expectations, e.g. floats as repr, structs as
@@ -262,21 +316,43 @@ def value_to_string(value, typ: LogicalType) -> str:
         y, m, d = _civil_from_days(int(value))
         return f"{y:04d}-{m:02d}-{d:02d}"
     if t == TypeId.INTERVAL:
-        micros = int(value)
-        days, rem = divmod(abs(micros), 86_400_000_000)
-        secs, frac = divmod(rem, 1_000_000)
-        hh, rest = divmod(secs, 3600)
-        mm, ss = divmod(rest, 60)
+        months, idays, micros = interval_parts(value)
+        # DuckDB Interval::ToString (src/common/types/interval.cpp): each
+        # component keeps its own sign; time part prints when micros != 0 or
+        # the whole interval is zero.
         parts = []
-        if days:
-            parts.append(f"{days} day" + ("s" if days != 1 else ""))
-        if rem or not days:
-            tpart = f"{hh:02d}:{mm:02d}:{ss:02d}"
+        years, mon = int(months) // 12, int(months) % 12
+        if months < 0 and mon:          # C-style trunc toward zero
+            years, mon = -((-int(months)) // 12), -((-int(months)) % 12)
+        if years:
+            parts.append(f"{years} year" + ("s" if abs(years) != 1 else ""))
+        if mon:
+            parts.append(f"{mon} month" + ("s" if abs(mon) != 1 else ""))
+        if idays:
+            parts.append(f"{idays} day" + ("s" if abs(idays) != 1 else ""))
+        if micros or not parts:
+            sign = "-" if micros < 0 else ""
+            rem = abs(int(micros))
+            secs, frac = divmod(rem, 1_000_000)
+            hh, rest = divmod(secs, 3600)
+            mm, ss = divmod(rest, 60)
+            tpart = f"{sign}{hh:02d}:{mm:02d}:{ss:02d}"
             if frac:
                 tpart += ("." + f"{frac:06d}").rstrip("0")
             parts.append(tpart)
-        out = " ".join(parts)
-        return "-" + out if micros < 0 else out
+        return " ".join(parts)
+    if t == TypeId.TIMESTAMP_TZ:
+        # rendered as a UTC instant with explicit offset (session tz = UTC)
+        micros = int(value)
+        days, rem = divmod(micros, 86_400_000_000)
+        y, m, d = _civil_from_days(days)
+        secs, frac = divmod(rem, 1_000_000)
+        hh, rest = divmod(secs, 3600)
+        mm, ss = divmod(rest, 60)
+        out = f"{y:04d}-{m:02d}-{d:02d} {hh:02d}:{mm:02d}:{ss:02d}"
+        if frac:
+            out += ("." + f"{frac:06d}").rstrip("0")
+        return out + "+00"
     if t in (TypeId.TIMESTAMP, TypeId.TIMESTAMP_MS, TypeId.TIMESTAMP_S,
              TypeId.TIMESTAMP_NS):
         micros = int(value)
@@ -317,41 +393,101 @@ _INTERVAL_UNIT_MICROS = {
     "second": 1_000_000,
     "minute": 60_000_000,
     "hour": 3_600_000_000,
-    "day": 86_400_000_000,
-    "week": 7 * 86_400_000_000,
 }
 
+_INTERVAL_UNIT_DAYS = {"day": 1, "week": 7}
 
-def interval_micros(qty: float, unit: str) -> int:
-    """INTERVAL literal value in microseconds. Sub-month units are exact;
-    calendar units (MONTH/YEAR) need (months, days, micros) interval
-    representation and are rejected cleanly (documented boundary)."""
-    from .errors import NotImplementedException, ParserException
+_INTERVAL_UNIT_MONTHS = {
+    "month": 1, "mon": 1, "quarter": 3, "year": 12, "decade": 120,
+    "century": 1200, "millennium": 12000, "millennia": 12000,
+}
+
+DAY_MICROS = 86_400_000_000
+MONTH_DAYS = 30  # DuckDB Interval::GetMicro normalization for compare/sort
+
+
+def interval_parts(value):
+    """(months, days, micros) from an interval value (structured numpy scalar,
+    tuple, or legacy plain micros int)."""
+    if isinstance(value, (tuple, list)):
+        return int(value[0]), int(value[1]), int(value[2])
+    if isinstance(value, np.void):
+        return int(value["months"]), int(value["days"]), int(value["micros"])
+    return 0, 0, int(value)  # legacy micros
+
+
+def interval_value(qty: float, unit: str):
+    """INTERVAL literal as DuckDB's interval_t triple (months, days, micros).
+    Fractional calendar quantities spill downward (1.5 MONTH = 1 mon 15 days),
+    matching DuckDB's interval parser."""
+    from .errors import ParserException
     u = unit.lower()
-    if u.endswith("s") and u not in ("us", "ms"):
+    if u.endswith("s") and u not in ("us", "ms", "millennias"):
         u = u[:-1]
-    if u in ("month", "quarter", "year", "decade", "century", "millennium"):
-        raise NotImplementedException(
-            "calendar INTERVAL units (MONTH/YEAR) are not supported")
-    m = _INTERVAL_UNIT_MICROS.get(u)
-    if m is None:
+    months = days = micros = 0
+    if u in _INTERVAL_UNIT_MONTHS:
+        mf = qty * _INTERVAL_UNIT_MONTHS[u]
+        months = int(mf)
+        days = int(round((mf - months) * MONTH_DAYS))
+    elif u in _INTERVAL_UNIT_DAYS:
+        df = qty * _INTERVAL_UNIT_DAYS[u]
+        days = int(df)
+        micros = int(round((df - days) * DAY_MICROS))
+    elif u in _INTERVAL_UNIT_MICROS:
+        micros = int(round(qty * _INTERVAL_UNIT_MICROS[u]))
+    else:
         raise ParserException(f"unknown INTERVAL unit \"{unit}\"")
-    return int(round(qty * m))
+    return (months, days, micros)
 
 
-def interval_from_string(text: str) -> int:
-    """Parse "N unit [N unit ...]" interval text to microseconds."""
+def interval_from_string(text: str):
+    """Parse "N unit [N unit ...] [HH:MM:SS[.f]]" interval text to a
+    (months, days, micros) triple (DuckDB Interval::FromCString)."""
     from .errors import ConversionException
     parts = text.split()
-    if len(parts) < 2 or len(parts) % 2 != 0:
+    months = days = micros = 0
+    i = 0
+    if not parts:
         raise ConversionException(
             f"Could not convert string \"{text}\" to INTERVAL")
-    total = 0
-    for i in range(0, len(parts), 2):
+    while i < len(parts):
+        tok = parts[i]
+        if ":" in tok:  # bare time component
+            neg = tok.startswith("-")
+            body = tok[1:] if neg else tok
+            segs = body.split(":")
+            try:
+                hh = int(segs[0]); mm = int(segs[1]) if len(segs) > 1 else 0
+                ss = float(segs[2]) if len(segs) > 2 else 0.0
+            except ValueError:
+                raise ConversionException(
+                    f"Could not convert string \"{text}\" to INTERVAL")
+            t = int(round(((hh * 60 + mm) * 60 + ss) * 1_000_000))
+            micros += -t if neg else t
+            i += 1
+            continue
+        if i + 1 >= len(parts):
+            raise ConversionException(
+                f"Could not convert string \"{text}\" to INTERVAL")
         try:
-            qty = float(parts[i])
+            qty = float(tok)
         except ValueError:
             raise ConversionException(
                 f"Could not convert string \"{text}\" to INTERVAL")
-        total += interval_micros(qty, parts[i + 1])
-    return total
+        try:
+            m, d, us = interval_value(qty, parts[i + 1])
+        except Exception:
+            raise ConversionException(
+                f"Could not convert string \"{text}\" to INTERVAL")
+        months += m
+        days += d
+        micros += us
+        i += 2
+    return (months, days, micros)
+
+
+def interval_total_micros(months, days, micros):
+    """DuckDB's comparison/sort normalization (months ~ 30 days)."""
+    return (np.asarray(months, np.int64) * MONTH_DAYS
+            + np.asarray(days, np.int64)) * DAY_MICROS \
+        + np.asarray(micros, np.int64)

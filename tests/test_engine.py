@@ -264,12 +264,10 @@ def test_code_review_round2_regressions():
 
 
 def test_interval_literals_and_arithmetic():
-    """INTERVAL N UNIT literals (sub-month units, exact micros), string
-    intervals, temporal arithmetic, DuckDB-style rendering; calendar
-    units reject cleanly."""
+    """INTERVAL literals as DuckDB interval_t triples (months, days, micros),
+    string intervals, temporal arithmetic incl. calendar units with
+    end-of-month clamping, DuckDB-style rendering."""
     import duckpgq_tpu
-    import pytest
-    from duckpgq_tpu.errors import NotImplementedException
     con = duckpgq_tpu.connect()
     q = lambda s: con.execute(s).fetchall()
     assert q("SELECT (INTERVAL 1 DAY)::VARCHAR") == [("1 day",)]
@@ -285,5 +283,52 @@ def test_interval_literals_and_arithmetic():
              "INTERVAL 30 MINUTE)::VARCHAR") == [("2020-01-01 09:30:00",)]
     assert q("SELECT (INTERVAL 1 DAY + INTERVAL 3 HOUR)::VARCHAR") == \
         [("1 day 03:00:00",)]
-    with pytest.raises(NotImplementedException):
-        q("SELECT INTERVAL 1 MONTH")
+    # calendar units (round 3): DuckDB interval_t month field semantics
+    assert q("SELECT (INTERVAL 1 MONTH)::VARCHAR") == [("1 month",)]
+    assert q("SELECT (INTERVAL 14 MONTHS)::VARCHAR") == \
+        [("1 year 2 months",)]
+    assert q("SELECT (INTERVAL -14 MONTHS)::VARCHAR") == \
+        [("-1 year -2 months",)]
+    assert q("SELECT (INTERVAL 1.5 MONTHS)::VARCHAR") == \
+        [("1 month 15 days",)]
+    assert q("SELECT (INTERVAL '1 year 2 months 3 days 04:05:06')"
+             "::VARCHAR") == [("1 year 2 months 3 days 04:05:06",)]
+    # end-of-month clamping (DuckDB Interval::Add)
+    assert q("SELECT (DATE '2020-01-31' + INTERVAL 1 MONTH)::VARCHAR") == \
+        [("2020-02-29 00:00:00",)]
+    assert q("SELECT (DATE '2020-02-29' + INTERVAL 12 MONTHS)::VARCHAR") == \
+        [("2021-02-28 00:00:00",)]
+    assert q("SELECT (DATE '2020-03-31' - INTERVAL 1 MONTH)::VARCHAR") == \
+        [("2020-02-29 00:00:00",)]
+    # interval comparison normalizes months ~ 30 days (DuckDB GetMicro)
+    assert q("SELECT INTERVAL 1 MONTH > INTERVAL 29 DAYS") == [(True,)]
+    assert q("SELECT INTERVAL 1 MONTH = INTERVAL 30 DAYS") == [(True,)]
+    # all timestamp precisions accept interval arithmetic (result TIMESTAMP)
+    assert q("SELECT (TIMESTAMP_MS '2020-01-01 00:00:00' + "
+             "INTERVAL 2 HOUR)::VARCHAR") == [("2020-01-01 02:00:00",)]
+    assert q("SELECT (TIMESTAMP_S '2020-01-01 00:00:00' - "
+             "INTERVAL 1 MONTH)::VARCHAR") == [("2019-12-01 00:00:00",)]
+
+
+def test_at_time_zone():
+    """AT TIME ZONE (reference grammar expression.gram:262): naive ->
+    TIMESTAMPTZ instant; TIMESTAMPTZ -> naive wall time; DST-aware."""
+    import duckpgq_tpu
+    con = duckpgq_tpu.connect()
+    q = lambda s: con.execute(s).fetchall()
+    assert q("SELECT (TIMESTAMP '2020-01-01 06:00:00' AT TIME ZONE "
+             "'UTC')::VARCHAR") == [("2020-01-01 06:00:00+00",)]
+    # 2021-07-01 12:00 EDT (UTC-4) = 16:00 UTC
+    assert q("SELECT (TIMESTAMP '2021-07-01 12:00:00' AT TIME ZONE "
+             "'America/New_York')::VARCHAR") == [("2021-07-01 16:00:00+00",)]
+    # winter: EST (UTC-5)
+    assert q("SELECT (TIMESTAMP '2021-01-01 12:00:00' AT TIME ZONE "
+             "'America/New_York')::VARCHAR") == [("2021-01-01 17:00:00+00",)]
+    # round trip back to naive wall time
+    assert q("SELECT ((TIMESTAMP '2021-07-01 12:00:00' AT TIME ZONE "
+             "'America/New_York') AT TIME ZONE 'America/New_York')"
+             "::VARCHAR") == [("2021-07-01 12:00:00",)]
+    import pytest
+    from duckpgq_tpu.errors import DuckPGQError
+    with pytest.raises(DuckPGQError):
+        q("SELECT TIMESTAMP '2020-01-01' AT TIME ZONE 'No/Such_Zone'")

@@ -88,15 +88,21 @@ SUPPORTED = [
     ("pivot", "PIVOT t ON b USING sum(a)"),
     ("unpivot",
      "UNPIVOT (SELECT 1 AS p, 2 AS q) ON p, q INTO NAME k VALUE v"),
+    ("interval-calendar-units", "SELECT INTERVAL 1 MONTH"),
+    ("interval-calendar-arithmetic",
+     "SELECT DATE '2020-01-31' + INTERVAL 1 MONTH"),
+    ("at-time-zone",
+     "SELECT TIMESTAMP '2020-01-01 00:00:00' AT TIME ZONE 'UTC'"),
+    ("at-time-zone-named",
+     "SELECT TIMESTAMP '2021-07-01 12:00:00' AT TIME ZONE "
+     "'America/New_York'"),
 ]
 
 # Constructs of DuckDB's vendored grammar that are OUT OF SCOPE here; each
 # must fail with a clean engine error. Revisit deliberately.
-UNSUPPORTED = [
-    ("interval-calendar-units", "SELECT INTERVAL 1 MONTH"),
-    ("at-time-zone",
-     "SELECT TIMESTAMP '2020-01-01 00:00:00' AT TIME ZONE 'UTC'"),
-]
+# (round 3: the last two named gaps — calendar INTERVAL units and
+# AT TIME ZONE — moved to SUPPORTED; no known grammar gaps remain.)
+UNSUPPORTED = []
 
 
 @pytest.mark.parametrize("name,sql", SUPPORTED, ids=[n for n, _ in SUPPORTED])
