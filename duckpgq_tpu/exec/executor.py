@@ -128,6 +128,17 @@ class Executor:
         if isinstance(stmt, a.SetStatement):
             if stmt.name != "__noop__":
                 self.connection.settings[stmt.name] = stmt.value
+                if stmt.name.lower() == "pgq_mesh_devices":
+                    # SQL -> distributed-mesh kernel routing (process-wide,
+                    # like the reference's global parser-override setting)
+                    from ..parallel import sql_mesh
+                    try:
+                        sql_mesh.configure(int(stmt.value))
+                    except (TypeError, ValueError):
+                        from ..errors import BinderException
+                        raise BinderException(
+                            "pgq_mesh_devices expects an integer device "
+                            "count")
             return QueryResult([], [])
         if isinstance(stmt, a.DescribeStatement):
             return self.execute_describe(stmt)

@@ -37,9 +37,15 @@ def pagerank(csr: CSR, damping: float = 0.85, threshold: float = 1e-6
              ) -> np.ndarray:
     """Returns rank array over vsize entries (callers index by rowid).
 
-    Dispatches to the TPU device kernel for large CSRs (float64 power
-    iteration with the reference's V+2 quirk — msbfs_jax.pagerank_reference)
-    and to the native runtime (native/graphrt.cpp) otherwise."""
+    Dispatches to the distributed mesh when one is configured
+    (parallel/sql_mesh — float64 with the reference's V+2 quirk), to the
+    TPU device kernel for large CSRs (msbfs_jax.pagerank_reference), and
+    to the native runtime (native/graphrt.cpp) otherwise."""
+    from ..parallel import sql_mesh
+    if sql_mesh.active_n():
+        out = sql_mesh.pagerank(csr, damping, threshold)
+        if out is not None:
+            return out
     if csr.ecount >= _device_min_edges():
         from .csr_jax import from_host_csr
         from .msbfs_jax import pagerank_reference
@@ -110,7 +116,15 @@ def weakly_connected_component(csr: CSR) -> np.ndarray:
     Large CSRs route to the device: Boruvka over edge-position weights
     (msbfs_jax.wcc_msf_device) finds the reference's successful-link edge
     set on the TPU — the O(E) part — and the <= V-1 forest links are
-    replayed on the host to reproduce the exact order-dependent root ids."""
+    replayed on the host to reproduce the exact order-dependent root ids.
+
+    A configured mesh routes the O(E) Boruvka part to the distributed
+    implementation (parallel/sql_mesh) with the same host replay."""
+    from ..parallel import sql_mesh
+    if sql_mesh.active_n():
+        out = sql_mesh.weakly_connected_component(csr)
+        if out is not None:
+            return out
     if csr.ecount >= _device_min_edges():
         from .csr_jax import from_host_csr
         from .msbfs_jax import wcc_msf_device
@@ -154,7 +168,13 @@ def local_clustering_coefficient(csr: CSR) -> np.ndarray:
 
     Large CSRs route to the blocked device kernel (msbfs_jax.lcc_device);
     wedge counts are small integers so its float32 output is bit-identical
-    to the reference's float32 column."""
+    to the reference's float32 column (the distributed variant too, when a
+    mesh is configured)."""
+    from ..parallel import sql_mesh
+    if sql_mesh.active_n():
+        out = sql_mesh.local_clustering_coefficient(csr)
+        if out is not None:
+            return out
     if csr.ecount >= _device_min_edges():
         from .csr_jax import from_host_csr
         from .msbfs_jax import lcc_device

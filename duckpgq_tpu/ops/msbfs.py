@@ -25,6 +25,19 @@ from .csr import CSR
 LANE_LIMIT = 512  # reference duckpgq_utils.hpp:10
 
 
+
+def _mesh_route(kernel: str, csr: CSR, src, dst, src_valid):
+    """SQL -> distributed-mesh bridge: when a multi-device mesh is
+    configured (SET pgq_mesh_devices = N / DUCKPGQ_MESH_DEVICES), the
+    kernel runs on the vertex-partitioned distributed implementation
+    (parallel/sql_mesh) instead of any single-device path. Returns None
+    when mesh routing is off (or declines, e.g. f32-inexact weights)."""
+    from ..parallel import sql_mesh
+    if not sql_mesh.active_n():
+        return None
+    return getattr(sql_mesh, kernel)(csr, src, dst, src_valid)
+
+
 def _expand(frontier: np.ndarray, seen: np.ndarray, rsrc, rdst) -> np.ndarray:
     """next = (A^T x frontier) & ~seen ; seen |= next. Returns next."""
     V, L = frontier.shape
@@ -44,6 +57,9 @@ def iterative_length(csr: CSR, src: np.ndarray, dst: np.ndarray,
 
     Dispatches to the native C++ runtime (native/graphrt.cpp) when built;
     the numpy path below is the exact mirror and fallback."""
+    routed = _mesh_route("iterative_length", csr, src, dst, src_valid)
+    if routed is not None:
+        return routed
     n = len(src)
     V = csr.vcount
     out = np.full(n, -1, dtype=np.int64)
@@ -119,6 +135,9 @@ def iterative_length(csr: CSR, src: np.ndarray, dst: np.ndarray,
 def reachability(csr: CSR, src: np.ndarray, dst: np.ndarray,
                  src_valid: Optional[np.ndarray] = None
                  ) -> Tuple[np.ndarray, np.ndarray]:
+    routed = _mesh_route("reachability", csr, src, dst, src_valid)
+    if routed is not None:
+        return routed
     lengths, validity = iterative_length(csr, src, dst, src_valid)
     reached = validity & (lengths >= 0)
     out_validity = np.ones(len(src), dtype=bool)
@@ -139,6 +158,10 @@ def iterative_length_bidirectional(csr: CSR, src: np.ndarray, dst: np.ndarray,
     alternation produces no new vertex in ANY lane; still-active lanes are
     NULL even when the other side could keep expanding (visible on
     directed CSRs where one endpoint has no out-edges)."""
+    routed = _mesh_route("iterative_length_bidirectional", csr, src, dst,
+                         src_valid)
+    if routed is not None:
+        return routed
     n = len(src)
     V = csr.vcount
     out = np.full(n, -1, dtype=np.int64)
@@ -217,6 +240,9 @@ def shortest_path(csr: CSR, src: np.ndarray, dst: np.ndarray,
     deterministic choice (shortest_path.cpp:12-41): the in-edge with the
     lowest CSR position (lowest source vertex, then insertion order) wins.
     """
+    routed = _mesh_route("shortest_path", csr, src, dst, src_valid)
+    if routed is not None:
+        return routed
     n = len(src)
     V = csr.vcount
     paths: List[Optional[List[int]]] = [None] * n
@@ -329,6 +355,9 @@ def cheapest_path_length(csr: CSR, src: np.ndarray, dst: np.ndarray,
                          ) -> Tuple[np.ndarray, np.ndarray, bool]:
     """Batched multi-source Bellman-Ford over the weighted CSR (reference
     cheapest_path_length.cpp). Returns (costs, validity, is_double)."""
+    routed = _mesh_route("cheapest_path_length", csr, src, dst, src_valid)
+    if routed is not None:
+        return routed
     n = len(src)
     V = csr.vcount
     is_double = csr.w_double is not None

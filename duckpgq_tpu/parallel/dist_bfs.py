@@ -71,6 +71,10 @@ class ShardedCSR:
     # optional degree-balancing relabeling (hub handling): perm maps
     # original vertex id -> partition-space id; queries must be mapped in
     perm: Optional[np.ndarray] = None
+    # original CSR position of each sharded edge slot ([nx, Es] int64,
+    # -1 pad) — lets callers align per-edge payloads (weights, the WCC
+    # forest mask) with the original edge order
+    in_pos: Optional[np.ndarray] = None
 
     @property
     def v_padded(self) -> int:
@@ -114,6 +118,7 @@ def partition_csr(vcount: int, src: np.ndarray, dst: np.ndarray,
         src = perm[src]
         dst = perm[dst]
     owner = dst // v_shard
+    pos_all = np.arange(len(src), dtype=np.int64)
     per_shard = []
     max_e = 1
     for s in range(n_shards):
@@ -122,25 +127,28 @@ def partition_csr(vcount: int, src: np.ndarray, dst: np.ndarray,
         ed = (dst[mask] - s * v_shard).astype(np.int32)
         order = np.argsort(ed, kind="stable")
         ws = w[mask][order].astype(np.float32) if w is not None else None
-        per_shard.append((es[order], ed[order], ws))
+        per_shard.append((es[order], ed[order], ws, pos_all[mask][order]))
         max_e = max(max_e, len(es))
     es_pad = round_up(max_e, 8)
     in_src = np.full((n_shards, es_pad), n_shards * v_shard,
                      dtype=np.int32)   # pad: out-of-range source
     in_dst_local = np.full((n_shards, es_pad), v_shard - 1, dtype=np.int32)
     pad_valid = np.zeros((n_shards, es_pad), dtype=bool)
+    in_pos = np.full((n_shards, es_pad), -1, dtype=np.int64)
     w_shard = (np.zeros((n_shards, es_pad), dtype=np.float32)
                if w is not None else None)
-    for s, (es, ed, ws) in enumerate(per_shard):
+    for s, (es, ed, ws, ps) in enumerate(per_shard):
         in_src[s, :len(es)] = es
         in_dst_local[s, :len(es)] = ed
         pad_valid[s, :len(es)] = True
+        in_pos[s, :len(es)] = ps
         if ws is not None:
             w_shard[s, :len(es)] = ws
     # encode padding by pointing the source at the global pad row (see below)
     sharded = ShardedCSR(in_src=in_src, in_dst_local=in_dst_local,
                          n_shards=n_shards, v_shard=v_shard,
-                         vcount=vcount, ecount=len(src), perm=perm)
+                         vcount=vcount, ecount=len(src), perm=perm,
+                         in_pos=in_pos)
     sharded.edge_valid = pad_valid
     sharded.w_shard = w_shard
     return sharded

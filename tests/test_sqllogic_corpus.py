@@ -49,6 +49,23 @@ def test_corpus_file(relpath):
     f for f in _corpus_files()
     if f.replace("\\", "/").startswith(("scalar/", "path_finding/",
                                         "snb/"))])
+def test_corpus_file_mesh_kernels(relpath, monkeypatch):
+    """Fourth corpus parameterization (VERDICT r2 item 1): scalar/* +
+    path_finding/* + snb/* with every graph kernel routed through the
+    DISTRIBUTED mesh implementations on the 8-device virtual CPU mesh
+    (DUCKPGQ_MESH_DEVICES=8 -> parallel/sql_mesh): partitioned-ring BFS,
+    dist parents + host stitch, dist Bellman-Ford, f64 dist PageRank
+    (V+2 quirk), dist Boruvka-MSF WCC + host replay, dist LCC — results
+    must be bit-identical to the single-device backends."""
+    monkeypatch.setenv("DUCKPGQ_MESH_DEVICES", "8")
+    _run_one(relpath)
+
+
+@requires_reference
+@pytest.mark.parametrize("relpath", [
+    f for f in _corpus_files()
+    if f.replace("\\", "/").startswith(("scalar/", "path_finding/",
+                                        "snb/"))])
 def test_corpus_file_force_device_kernels(relpath, monkeypatch):
     """scalar/* + path_finding/* with every graph kernel forced through the
     TPU device path (DUCKPGQ_DEVICE_MIN_EDGES=0): iterativelength (+2,
