@@ -174,7 +174,9 @@ class Executor:
         env = CTEEnv(cte_env)
         for cte in stmt.ctes:
             env.entries[cte.name.lower()] = cte
-        result, order_ctx = self.execute_query_node(stmt.node, outer, env)
+        result, order_ctx = self.execute_query_node(
+            stmt.node, outer, env,
+            order_exprs=tuple(ob.expr for ob in (stmt.order_by or ())))
         # ORDER BY / LIMIT / OFFSET
         if stmt.order_by:
             result = self.apply_order(result, order_ctx, stmt.order_by, outer)
@@ -199,11 +201,13 @@ class Executor:
         v = ev.evaluate(expr)
         return v.value(0)
 
-    def execute_query_node(self, node: a.QueryNode, outer, env
+    def execute_query_node(self, node: a.QueryNode, outer, env,
+                           order_exprs=()
                            ) -> Tuple[QueryResult, Optional[dict]]:
         if isinstance(node, a.SetOpNode):
             return self.execute_set_op(node, outer, env), None
-        return self.execute_select_node(node, outer, env)
+        return self.execute_select_node(node, outer, env,
+                                        order_exprs=order_exprs)
 
     # ------------------------------------------------------------- set ops
     def execute_set_op(self, node: a.SetOpNode, outer, env) -> QueryResult:
@@ -542,7 +546,8 @@ class Executor:
         return final
 
     # --------------------------------------------------------- SELECT node
-    def execute_select_node(self, node: a.SelectNode, outer, env
+    def execute_select_node(self, node: a.SelectNode, outer, env,
+                            order_exprs=()
                             ) -> Tuple[QueryResult, Optional[dict]]:
         if node.grouping_sets is not None:
             return self._execute_grouping_sets(node, outer, env)
@@ -551,11 +556,17 @@ class Executor:
         if getattr(node, "sample", None):
             rel = self._apply_sample(rel, node.sample)
 
-        # aggregate detection
+        # aggregate detection; ORDER BY may use aggregates not in the
+        # select list (SELECT g FROM t GROUP BY g ORDER BY count(*)) — they
+        # must be computed during aggregation, then _bind_order_expr finds
+        # them via the replacement fingerprints
         aggs: List[a.AggregateCall] = []
         for e in node.select_list:
             collect_aggregates(e, aggs)
         collect_aggregates(node.having, aggs)
+        if aggs or node.groups or node.group_all:
+            for e in order_exprs:
+                collect_aggregates(e, aggs)
         has_agg = bool(aggs) or bool(node.groups) or node.group_all
 
         replacements: Dict[str, int] = {}

@@ -49,6 +49,33 @@ def _build() -> bool:
         return False
 
 
+_allocator_tuned = False
+
+
+def _tune_allocator():
+    """Long-session performance fix (BASELINE.md §3 in-session ~5x decay):
+    the MATCH-binding hot path allocates/frees multi-hundred-MB numpy
+    buffers (gathers, join fills) every query. Above glibc's dynamic mmap
+    threshold each cycle is a fresh mmap/munmap, so every query re-faults
+    every page it touches — allocation cost grows with the working set and
+    the session 'ages'. Raising M_MMAP_THRESHOLD/M_TRIM_THRESHOLD keeps
+    those buffers on the reusable heap (pages stay mapped between
+    queries). Linux/glibc only; silently skipped elsewhere."""
+    global _allocator_tuned
+    if _allocator_tuned:
+        return
+    _allocator_tuned = True
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        M_TRIM_THRESHOLD, M_MMAP_THRESHOLD = -1, -3
+        threshold = int(os.environ.get("DUCKPGQ_MMAP_THRESHOLD",
+                                       str(1 << 30)))
+        libc.mallopt(M_MMAP_THRESHOLD, threshold)
+        libc.mallopt(M_TRIM_THRESHOLD, threshold)
+    except (OSError, AttributeError):
+        pass
+
+
 def _load():
     global _lib, _tried
     if _tried:
@@ -56,6 +83,7 @@ def _load():
     _tried = True
     if os.environ.get("DUCKPGQ_NATIVE", "1") == "0":
         return None
+    _tune_allocator()
     src = os.path.join(_NATIVE_DIR, "graphrt.cpp")
     needs_build = not os.path.exists(_SO_PATH) or (
         os.path.exists(src) and

@@ -277,8 +277,9 @@ def build_lengths_csr_on_device(vcount: int, src, dst,
         offsets=offsets, e=None, edge_src=None, edge_ids=None, in_pos=None,
         in_src=in_src, in_dst=in_dst, in_offsets=in_offsets, w=None,
         vcount=vcount, ecount=e, lengths_only=True)
-    # one small pull (~4(vpad+1) bytes) so plan_packed_wave stays host-side
-    out.__dict__["_host_in_offsets"] = np.asarray(in_offsets)
+    # NO host stash: pulling in_offsets D2H costs ~110 s/1.6 MB over the
+    # tunnel (the round-2 driver bench lost 242 s to it) — device-built
+    # CSRs plan their chunk tables ON device (_plan_tables_device)
     return out
 
 
@@ -318,5 +319,4 @@ def build_weighted_bf_csr_on_device(vcount: int, src, dst, w,
         in_pos=jnp.arange(epad, dtype=jnp.int32),
         in_src=in_src, in_dst=in_dst, in_offsets=in_offsets, w=in_w,
         vcount=vcount, ecount=e, lengths_only=True)
-    out.__dict__["_host_in_offsets"] = np.asarray(in_offsets)
     return out

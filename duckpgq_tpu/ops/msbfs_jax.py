@@ -465,11 +465,20 @@ def plan_packed_wave(csr: DeviceCSR, lanes: Optional[int] = None,
                               lanes=lanes, n_chunks=1, bmax=1)
     K = n_chunks
     Ec = Ep // K
-    # prefer the host copy stashed by build_device_csr: a D2H read of
-    # in_offsets costs ~12 s at the tunnel's ~0.1 MB/s pull rate
+    # extraction tables: prefer a host copy of in_offsets when one exists
+    # (host-built CSRs stash it); DEVICE-built CSRs build the tables ON
+    # DEVICE instead — pulling in_offsets D2H costs ~110 s for 1.6 MB at
+    # the tunnel's measured pull rate (the round-2 driver bench spent 242 s
+    # of its 246 s setup on exactly that pull), while the device build
+    # pulls ONE scalar (bmax) to size the static shapes
     host_off = getattr(csr, "_host_in_offsets", None)
-    in_off = (np.asarray(host_off) if host_off is not None
-              else np.asarray(csr.in_offsets)).astype(np.int64)  # [Vp + 1]
+    if host_off is None:
+        bmax = int(_plan_chunk_bmax(csr.in_offsets, Ec, K))
+        bmax = max(bmax, 1)
+        rel, slot = _plan_tables_device(csr.in_offsets, Ec, K, bmax)
+        return PackedWavePlan(rel=rel, slot=slot, lanes=lanes,
+                              n_chunks=K, bmax=bmax)
+    in_off = np.asarray(host_off).astype(np.int64)  # [Vp + 1]
     deg_in = in_off[1:] - in_off[:-1]
     has = deg_in > 0
     last = in_off[1:] - 1
@@ -488,6 +497,52 @@ def plan_packed_wave(csr: DeviceCSR, lanes: Optional[int] = None,
         pos += c
     return PackedWavePlan(rel=jnp.asarray(rel), slot=jnp.asarray(slot),
                           lanes=lanes, n_chunks=K, bmax=bmax)
+
+
+@functools.partial(jax.jit, static_argnames=("Ec", "K"))
+def _plan_chunk_bmax(in_offsets, Ec: int, K: int):
+    """Max vertices-with-in-edges per edge chunk (the one scalar the host
+    planner needs to size the static extraction tables)."""
+    in_off = in_offsets.astype(jnp.int32)
+    has = in_off[1:] > in_off[:-1]
+    last = in_off[1:] - 1
+    chunk_of = jnp.where(has, last // Ec, K).astype(jnp.int32)
+    counts = jax.ops.segment_sum(has.astype(jnp.int32), chunk_of,
+                                 num_segments=K + 1)[:K]
+    return counts.max()
+
+
+@functools.partial(jax.jit, static_argnames=("Ec", "K", "bmax"))
+def _plan_tables_device(in_offsets, Ec: int, K: int, bmax: int):
+    """Device-side construction of the chunked-wave extraction tables
+    (rel [K, bmax] int32, slot [Vp] int32) — sort-based, one sorted
+    unique-index fill, no host transfer of the [Vp+1] offsets."""
+    Vp = in_offsets.shape[0] - 1
+    # int32 throughout: edge positions stay < 2^31 for every single-chip
+    # graph this kernel runs (Ep <= 268M at RMAT-24)
+    in_off = in_offsets.astype(jnp.int32)
+    has = in_off[1:] > in_off[:-1]
+    last = in_off[1:] - 1
+    chunk_of = jnp.where(has, last // Ec, K).astype(jnp.int32)
+    vid = jnp.arange(Vp, dtype=jnp.int32)
+    # two-key sort == numpy stable argsort by chunk
+    chunk_sorted, order = jax.lax.sort((chunk_of, vid), num_keys=2)
+    start = jnp.searchsorted(
+        chunk_sorted, jnp.arange(K, dtype=jnp.int32)).astype(jnp.int32)
+    rank = jnp.arange(Vp, dtype=jnp.int32) - \
+        start[jnp.minimum(chunk_sorted, K - 1)]
+    valid = chunk_sorted < K
+    p = jnp.where(valid,
+                  chunk_sorted * bmax + rank,
+                  K * bmax)                      # drop target for invalid
+    last_sorted = last[order]
+    relv = last_sorted - chunk_sorted * Ec
+    rel_flat = jnp.zeros(K * bmax, jnp.int32).at[p].set(
+        jnp.where(valid, relv, 0), mode="drop")
+    slot_sorted = jnp.where(valid, p, jnp.int32(K * bmax))
+    # invert the permutation with a second sort (scatter-free)
+    _, slot = jax.lax.sort((order, slot_sorted), num_keys=1)
+    return rel_flat.reshape(K, bmax), slot
 
 
 def msbfs_lengths_packed_planned(csr: DeviceCSR, plan: PackedWavePlan,

@@ -1,0 +1,102 @@
+"""Long-session drift benchmark (VERDICT r2 item 9 'done' criterion).
+
+Runs the same heavy 2-hop MATCH binding N consecutive times in ONE
+session and reports the drift ratio (slowest / fastest). Before the
+allocator fix (native_rt._tune_allocator: glibc mmap-threshold tuning so
+the multi-hundred-MB gather/join buffers stay on the reusable heap), this
+decayed up to ~5x across a session (BASELINE.md §3); the bar is <= 1.3x.
+
+Env: BENCH_SF (10 default — the documented decay configuration),
+BENCH_REPEATS (10), DUCKPGQ_MMAP_THRESHOLD (allocator knob, bytes).
+Prints one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    import jax
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass
+    import duckpgq_tpu
+    from duckpgq_tpu.utils.rmat import rmat_edges
+
+    sf = os.environ.get("BENCH_SF", "10")
+    n_person, n_knows = {"1": (10620, 180000),
+                         "10": (73000, 1900000)}.get(sf, (10620, 180000))
+    repeats = int(os.environ.get("BENCH_REPEATS", "10"))
+
+    rng = np.random.default_rng(42)
+    scale = int(np.ceil(np.log2(n_person)))
+    src, dst = rmat_edges(scale, max(4 * n_knows // (1 << scale), 1), seed=7)
+    keep = (src < n_person) & (dst < n_person) & (src != dst)
+    src, dst = src[keep][:n_knows], dst[keep][:n_knows]
+    pid = np.arange(n_person, dtype=np.int64) * 10 + 933
+
+    con = duckpgq_tpu.connect()
+    from duckpgq_tpu.storage.table import ColumnDefinition, DataTable
+    from duckpgq_tpu.storage.vector import Vector
+    from duckpgq_tpu.types import BIGINT, VARCHAR
+    person = DataTable("Person", [ColumnDefinition("id", BIGINT),
+                                  ColumnDefinition("name", VARCHAR)])
+    person.append([Vector.from_values(pid.tolist(), BIGINT),
+                   Vector.from_values([f"p{i}" for i in range(n_person)],
+                                      VARCHAR)])
+    con.catalog.create_table(person)
+    knows = DataTable("Person_knows_person",
+                      [ColumnDefinition("Person1Id", BIGINT),
+                       ColumnDefinition("Person2Id", BIGINT)])
+    knows.append([Vector.from_values(pid[src].tolist(), BIGINT),
+                  Vector.from_values(pid[dst].tolist(), BIGINT)])
+    con.catalog.create_table(knows)
+    con.execute("""
+    CREATE PROPERTY GRAPH snb
+    VERTEX TABLES (Person LABEL Person)
+    EDGE TABLES (
+        Person_knows_person SOURCE KEY (Person1Id) REFERENCES Person (id)
+                            DESTINATION KEY (Person2Id) REFERENCES Person (id)
+                            LABEL Knows)
+    """)
+
+    hop_src = int(pid[max(n_person // 40, 1)])
+    q = (f"SELECT count(*) FROM GRAPH_TABLE (snb MATCH (a:Person)"
+         f"-[k1:Knows]->(b:Person)-[k2:Knows]->(c:Person) WHERE "
+         f"a.id <> c.id AND a.id < {hop_src} "
+         f"COLUMNS (a.id AS aid, c.id AS cid)) t")
+
+    times = []
+    bindings = None
+    for i in range(repeats + 1):
+        t0 = time.time()
+        rows = con.execute(q).fetchall()
+        dt = time.time() - t0
+        bindings = int(rows[0][0])
+        if i == 0:
+            # warmup: first run pays one-off costs (native lib load, CSR
+            # cache, first page touch) that are not session drift
+            print(f"# warmup: {dt:.2f}s", file=sys.stderr)
+            continue
+        times.append(dt)
+        print(f"# run {i}/{repeats}: {dt:.2f}s "
+              f"({bindings / dt / 1e6:.2f}M rows/s)", file=sys.stderr)
+    drift = max(times) / min(times)
+    print(json.dumps({
+        "metric": "snb_2hop_session_drift",
+        "value": round(drift, 3),
+        "unit": "x (slowest/fastest of consecutive runs)",
+        "detail": {"runs": [round(t, 2) for t in times],
+                   "bindings": bindings, "sf": sf,
+                   "rows_per_s_last": round(bindings / times[-1], 1)}}))
+
+
+if __name__ == "__main__":
+    main()
