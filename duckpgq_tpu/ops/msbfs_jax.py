@@ -405,11 +405,23 @@ def plan_packed_wave(csr: DeviceCSR, lanes: Optional[int] = None,
         if ec_cap < 2048:
             return None
         k = 1
-        while (Ep // k > ec_cap and k < 256
+        while (Ep // k > ec_cap and k < 4096
                and Ep % (k * 2) == 0
                and (Ep // (k * 2)) % 128 == 0):
             k *= 2
-        return k if Ep // k <= ec_cap else None
+        if Ep // k > ec_cap:
+            return None
+        # compile-size ceiling (RMAT-24 boundary): the associative-scan
+        # HLO grows with Ec and a [8M, W] chunk scan OOM-kills the shared
+        # 2-core compile helper. Stream more, smaller chunks instead —
+        # the fori_loop body is one chunk, so HLO size is K-independent.
+        ec_compile_cap = int(os.environ.get("DUCKPGQ_MAX_CHUNK_EDGES",
+                                            str(1 << 20)))
+        while (Ep // k > ec_compile_cap and k < 4096
+               and Ep % (k * 2) == 0
+               and (Ep // (k * 2)) % 128 == 0):
+            k *= 2
+        return k
 
     def narrow_fallback():
         """Graph too large for this wave width: single-dispatch narrow
@@ -487,7 +499,9 @@ def plan_packed_wave(csr: DeviceCSR, lanes: Optional[int] = None,
     counts = np.bincount(chunk_of[has], minlength=K)[:K]
     bmax = max(int(counts.max()), 1) if counts.size else 1
     rel = np.zeros((K, bmax), np.int32)
-    slot = np.full(Vp, K * bmax, np.int32)
+    # slot has Vp + 1 entries: the pad row maps to compact's zero row, so
+    # the expansion's output is directly [Vp + 1, W] (no concat copy)
+    slot = np.full(Vp + 1, K * bmax, np.int32)
     pos = 0
     for k in range(K):
         c = int(counts[k])
@@ -542,6 +556,7 @@ def _plan_tables_device(in_offsets, Ec: int, K: int, bmax: int):
     slot_sorted = jnp.where(valid, p, jnp.int32(K * bmax))
     # invert the permutation with a second sort (scatter-free)
     _, slot = jax.lax.sort((order, slot_sorted), num_keys=1)
+    slot = jnp.concatenate([slot, jnp.full((1,), K * bmax, jnp.int32)])
     return rel_flat.reshape(K, bmax), slot
 
 
@@ -636,7 +651,10 @@ def _msbfs_lengths_packed_chunked(csr: DeviceCSR, plan: PackedWavePlan,
         compact0 = jnp.zeros((K * bmax + 1, W), jnp.uint32)
         carry0 = jnp.zeros((1, W), jnp.uint32)
         compact, _ = jax.lax.fori_loop(0, K, chunk_step, (compact0, carry0))
-        return jnp.take(compact, plan.slot, axis=0)      # [Vp, W]
+        # slot's pad row points at compact's zero row: output is directly
+        # [Vp + 1, W], saving one full-width copy (the old concat) — one
+        # fewer live [Vp, W] buffer at peak (the RMAT-23 W=64 OOM margin)
+        return jnp.take(compact, plan.slot, axis=0)      # [Vp + 1, W]
 
     def cond(state):
         it, frontier, seen, result = state
@@ -644,9 +662,7 @@ def _msbfs_lengths_packed_chunked(csr: DeviceCSR, plan: PackedWavePlan,
 
     def body(state):
         it, frontier, seen, result = state
-        ext = expand(frontier)
-        nxt = jnp.concatenate(
-            [ext, jnp.zeros((1, W), jnp.uint32)], axis=0) & ~seen
+        nxt = expand(frontier) & ~seen
         seen = seen | nxt
         found = ((nxt[dst, word_of_lane] & bit_of_lane) != 0) \
             & (result < 0) & searching
@@ -893,15 +909,18 @@ def bellman_ford(csr: DeviceCSR, src: jnp.ndarray, dst: jnp.ndarray,
     return costs
 
 
+@jax.jit
 def bellman_ford_with_iters(csr: DeviceCSR, src: jnp.ndarray,
                             dst: jnp.ndarray, active: jnp.ndarray,
-                            max_iters: int):
+                            max_iters):
     """As bellman_ford, but also returns the number of relaxation rounds
     actually executed (the loop exits at fixpoint, so benchmarks must
-    account throughput with the REAL round count, not max_iters). The dtype
-    follows the CSR weight dtype: float32 normally, float64 when the SQL
-    bridge keeps DOUBLE weights exact (keep_w_dtype under scoped x64 —
-    the reference computes doubles in double)."""
+    account throughput with the REAL round count, not max_iters — which is
+    a DYNAMIC scalar here, so fixpoint runs with a high cap reuse the same
+    executable as depth-bounded ones). The dtype follows the CSR weight
+    dtype: float32 normally, float64 when the SQL bridge keeps DOUBLE
+    weights exact (keep_w_dtype under scoped x64 — the reference computes
+    doubles in double)."""
     Vp = csr.vpad
     L = src.shape[0]
     lanes = jnp.arange(L)

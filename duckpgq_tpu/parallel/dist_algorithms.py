@@ -92,9 +92,10 @@ def make_dist_pagerank(mesh: Mesh, sharded: ShardedCSR,
             cond, body, (jnp.int32(0), rank, jnp.float32(jnp.inf)))
         return rank
 
-    @jax.jit
+    run_jit = jax.jit(pr)
+
     def run():
-        return pr(in_src, in_dst, edge_valid, deg_global)[:V]
+        return run_jit(in_src, in_dst, edge_valid, deg_global)[:V]
 
     return run
 
@@ -154,9 +155,10 @@ def make_dist_bellman_ford(mesh: Mesh, sharded: ShardedCSR,
             cond, body, (jnp.int32(0), dist, jnp.bool_(True)))
         return dist[dst, lanes_idx]
 
-    @jax.jit
+    run_jit = jax.jit(bf)
+
     def run(src, dst, active):
-        return bf(in_src, in_dst, edge_valid, w_dev, src, dst, active)
+        return run_jit(in_src, in_dst, edge_valid, w_dev, src, dst, active)
 
     return run
 
@@ -215,9 +217,10 @@ def make_dist_wcc(mesh: Mesh, sharded: ShardedCSR, max_iters: int = 64):
             cond, body, (jnp.int32(0), labels, jnp.bool_(True)))
         return labels
 
-    @jax.jit
+    run_jit = jax.jit(wcc)
+
     def run():
-        return wcc(in_src, in_dst, edge_valid)[:V]
+        return run_jit(in_src, in_dst, edge_valid)[:V]
 
     return run
 

@@ -437,9 +437,12 @@ def make_dist_bfs_parents(mesh: Mesh, sharded: ShardedCSR, lanes: int,
         parents = jax.lax.all_gather(parent_l, axis, axis=0, tiled=True)
         return result, parents
 
-    @jax.jit
+    run_jit = jax.jit(bfs)
+
     def run(src, dst, active):
-        return bfs(in_src, in_dst, edge_valid, src, dst, active)
+        # sharded arrays as ARGUMENTS: jit closures over multi-process
+        # global arrays are rejected by jax
+        return run_jit(in_src, in_dst, edge_valid, src, dst, active)
 
     return run
 
@@ -581,9 +584,10 @@ def make_dist_bfs(mesh: Mesh, sharded: ShardedCSR, lanes: int,
                      deg_global[:, None]).sum(axis=0)
         return result, traversed
 
-    @jax.jit
+    run_jit = jax.jit(bfs)
+
     def run(src, dst, active):
-        return bfs(in_src, in_dst, edge_valid, src, dst, active)
+        return run_jit(in_src, in_dst, edge_valid, src, dst, active)
 
     return run
 
@@ -758,9 +762,10 @@ def make_dist_bfs_packed_overlap(mesh: Mesh, sharded: ShardedCSR,
         traversed = jnp.stack(per_bit, axis=1).reshape(L)
         return result, traversed
 
-    @jax.jit
+    run_jit = jax.jit(bfs)
+
     def run(src, dst, active):
-        return bfs(*blocks["A"], *blocks["B"], src, dst, active)
+        return run_jit(*blocks["A"], *blocks["B"], src, dst, active)
 
     return run
 
@@ -1102,8 +1107,10 @@ def make_dist_bfs_partitioned(mesh: Mesh, grouped: GroupedShardedCSR,
             jnp.stack(per_bit, axis=1).reshape(L), axis)
         return result, traversed
 
-    @jax.jit
+    run_jit = jax.jit(bfs)
+
     def run(src, dst, active):
-        return bfs(in_src, in_dst, edge_valid, deg_shard, src, dst, active)
+        return run_jit(in_src, in_dst, edge_valid, deg_shard, src, dst,
+                       active)
 
     return run

@@ -83,6 +83,18 @@ def main():
     print(f"# warmup (compile): {time.time() - t0:.1f}s", file=sys.stderr)
     reached = float(np.isfinite(costs_np).mean())
 
+    if os.environ.get("BENCH_CHECK_REACHABLE", "0") == "1":
+        # fixpoint proof: a pair gets a finite cost iff it is BFS-reachable
+        # (VERDICT r2 item 7 "~100% of reachable pairs resolved")
+        from duckpgq_tpu.ops.msbfs_jax import msbfs_lengths
+        lengths, _ = msbfs_lengths(csr, qs, qd, active,
+                                   max_iters=int(np.ceil(np.log2(v))) * 4)
+        bfs_reach = np.asarray(lengths) >= 0
+        agree = float((bfs_reach == np.isfinite(costs_np)).mean())
+        print(f"# reachability cross-check: BFS-reachable "
+              f"{bfs_reach.mean():.3f}, agreement {agree:.4f}",
+              file=sys.stderr)
+
     times = []
     for _ in range(runs):
         t0 = time.time()

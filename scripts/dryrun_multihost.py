@@ -53,6 +53,21 @@ def worker(proc_id: int) -> None:
                    jnp.ones(L, dtype=bool))
     got = np.asarray(jax.device_get(res))
 
+    # PARTITIONED-frontier ring kernel across the host boundary (VERDICT
+    # r2 item 8): a flat 1-D mesh over all 8 global devices — the
+    # ppermute ring hops cross the process (DCN) boundary once per cycle
+    from duckpgq_tpu.parallel.dist_bfs import (make_dist_bfs_partitioned,
+                                               partition_csr_grouped)
+    from duckpgq_tpu.parallel.mesh import make_mesh
+    mesh1d = make_mesh(n_shards)
+    grouped = partition_csr_grouped(v, src, dst, n_shards, balance=True)
+    qs_g = grouped.map_queries(qs0).astype(np.int32)
+    qd_g = grouped.map_queries(qd0).astype(np.int32)
+    fn_part = make_dist_bfs_partitioned(mesh1d, grouped, L, max_iters=v)
+    res_p, _ = fn_part(jnp.asarray(qs_g), jnp.asarray(qd_g),
+                       jnp.ones(L, dtype=bool))
+    got_p = np.asarray(jax.device_get(res_p))
+
     if proc_id == 0:
         from duckpgq_tpu.ops import msbfs as host_msbfs
         from duckpgq_tpu.ops.csr import build_csr
@@ -60,6 +75,7 @@ def worker(proc_id: int) -> None:
         want, valid = host_msbfs.iterative_length(csr, qs0, qd0)
         want = np.where(valid, want, -1)
         assert (got == want).all(), (got, want)
+        assert (got_p == want).all(), (got_p, want)
         print("MULTIHOST_OK", flush=True)
 
 
