@@ -127,10 +127,11 @@ class Executor:
             return execute_pragma(self, stmt)
         if isinstance(stmt, a.SetStatement):
             if stmt.name != "__noop__":
-                self.connection.settings[stmt.name] = stmt.value
                 if stmt.name.lower() == "pgq_mesh_devices":
                     # SQL -> distributed-mesh kernel routing (process-wide,
-                    # like the reference's global parser-override setting)
+                    # like the reference's global parser-override setting);
+                    # validate BEFORE storing so a rejected value never
+                    # lingers in connection.settings
                     from ..parallel import sql_mesh
                     try:
                         sql_mesh.configure(int(stmt.value))
@@ -139,6 +140,7 @@ class Executor:
                         raise BinderException(
                             "pgq_mesh_devices expects an integer device "
                             "count")
+                self.connection.settings[stmt.name] = stmt.value
             return QueryResult([], [])
         if isinstance(stmt, a.DescribeStatement):
             return self.execute_describe(stmt)
@@ -1061,7 +1063,13 @@ class Executor:
                     ["\0N" if not v.validity[i] else str(v.data[i])
                      for i in range(n)], dtype=object).astype(str)
             else:
-                col = np.where(v.validity, v.data, 0)
+                data = v.data
+                if v.type.id == TypeId.INTERVAL:
+                    # group by DuckDB interval equality (normalized micros)
+                    from ..types import interval_total_micros
+                    data = interval_total_micros(
+                        data["months"], data["days"], data["micros"])
+                col = np.where(v.validity, data, 0)
                 col = np.stack([col.astype(np.float64),
                                 (~v.validity).astype(np.float64)], axis=0)
             keys.append(col)
@@ -1155,6 +1163,12 @@ class Executor:
                     for i in range(n)], dtype=object).astype(str)
                 _, codes = np.unique(vals, return_inverse=True)
                 arr = codes.astype(np.float64)
+            elif vec.type.id == TypeId.INTERVAL:
+                # DuckDB sorts intervals by normalized micros (GetMicro)
+                from ..types import interval_total_micros
+                arr = interval_total_micros(
+                    vec.data["months"], vec.data["days"],
+                    vec.data["micros"]).astype(np.float64)
             else:
                 arr = vec.data.astype(np.float64)
             if not ob.ascending:

@@ -134,6 +134,20 @@ def _minmax(args, gids, n_groups, is_min):
             if out[g] is None or (v < out[g]) == is_min and v != out[g]:
                 out[g] = v
         return Vector(a.type, out, has)
+    if a.type.id == TypeId.INTERVAL:
+        # order by DuckDB's normalized micros, return the ORIGINAL triple
+        from ..types import INTERVAL_DTYPE, interval_total_micros
+        key = interval_total_micros(a.data["months"], a.data["days"],
+                                    a.data["micros"])
+        init = np.iinfo(np.int64).max if is_min else np.iinfo(np.int64).min
+        acc = np.full(n_groups, init, dtype=np.int64)
+        op = np.minimum if is_min else np.maximum
+        getattr(op, "at")(acc, gids[valid], key[valid])
+        out = np.zeros(n_groups, dtype=INTERVAL_DTYPE)
+        for i in np.flatnonzero(valid):
+            if key[i] == acc[gids[i]]:
+                out[gids[i]] = a.data[i]
+        return Vector(a.type, out, has)
     if a.type.is_integral or a.type.id == TypeId.BOOLEAN or a.type.is_temporal:
         init = np.iinfo(np.int64).max if is_min else np.iinfo(np.int64).min
         acc = np.full(n_groups, init, dtype=np.int64)

@@ -944,6 +944,32 @@ def _to_datetime_parts(vec: Vector):
 
 def _date_part_fn(part: str):
     def impl(args):
+        if args[0].type.id == TypeId.INTERVAL:
+            # DuckDB date_part on interval_t fields: year/month from the
+            # months field, day from days, time parts from micros
+            from ..types import interval_parts
+            vals = []
+            for i in range(len(args[0])):
+                if not args[0].validity[i]:
+                    vals.append(None)
+                    continue
+                months, days, micros = interval_parts(args[0].data[i])
+                if part == "year":
+                    vals.append(int(months) // 12)
+                elif part == "month":
+                    vals.append(int(months) % 12)
+                elif part == "day":
+                    vals.append(int(days))
+                elif part == "hour":
+                    vals.append(int(micros) // 3_600_000_000)
+                elif part == "minute":
+                    vals.append((int(micros) // 60_000_000) % 60)
+                elif part == "second":
+                    vals.append((int(micros) // 1_000_000) % 60)
+                else:
+                    raise BinderException(
+                        f'date_part "{part}" not supported for INTERVAL')
+            return Vector.from_values(vals, BIGINT)
         dts = _to_datetime_parts(args[0])
         vals = []
         for d in dts:

@@ -448,13 +448,22 @@ def make_dist_bfs_parents(mesh: Mesh, sharded: ShardedCSR, lanes: int,
 
 
 def dist_shortest_paths(mesh: Mesh, sharded: ShardedCSR, src, dst,
-                        lanes: int = 32, max_iters: int = 0):
+                        lanes: int = 32, max_iters: int = 0,
+                        fn_cache: Optional[dict] = None):
     """Distributed BFS + host backtracking. Returns (paths, validity):
     each path is the vertex sequence [v0, v1, ..., vk] in ORIGINAL vertex
     ids (edge ids are shard-local and not tracked distributed; the
-    single-chip kernels provide edge-id paths)."""
+    single-chip kernels provide edge-id paths). ``fn_cache`` lets callers
+    reuse the compiled parents kernel across invocations (the SQL mesh
+    bridge passes the per-CSR cache so repeated queries skip the
+    build+jit)."""
     max_iters = max_iters or max(sharded.vcount, 1)
-    fn = make_dist_bfs_parents(mesh, sharded, lanes, max_iters)
+    key = ("dist_parents", lanes, max_iters)
+    fn = fn_cache.get(key) if fn_cache is not None else None
+    if fn is None:
+        fn = make_dist_bfs_parents(mesh, sharded, lanes, max_iters)
+        if fn_cache is not None:
+            fn_cache[key] = fn
     src_m = sharded.map_queries(np.asarray(src))
     dst_m = sharded.map_queries(np.asarray(dst))
     inv = None

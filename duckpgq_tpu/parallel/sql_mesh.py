@@ -51,8 +51,21 @@ _mesh_cache = {}
 
 
 def configure(n: Optional[int]):
-    """Set (or clear with None/<=1) the mesh width for SQL kernel routing."""
+    """Set (or clear with None/<=1) the mesh width for SQL kernel routing.
+    Raises a clean engine error when fewer devices are visible — a
+    too-wide mesh would otherwise surface as cryptic jax shape errors
+    deep inside the first routed kernel."""
     global _override_n
+    if n is not None and int(n) > 1:
+        import jax
+        avail = len(jax.devices())
+        if int(n) > avail:
+            from ..errors import BinderException
+            raise BinderException(
+                f"pgq_mesh_devices = {int(n)} but only {avail} device"
+                f"{'s' if avail != 1 else ''} are visible (on CPU, set "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                f"before the first jax use)")
     _override_n = int(n) if n is not None else None
 
 
@@ -190,7 +203,7 @@ def shortest_path(csr, src, dst, src_valid):
         sharded = _sharded(csr, active_n())
         lanes = _lane_width(len(sel))
         chains, ok = dist_shortest_paths(m, sharded, src[sel], dst[sel],
-                                         lanes=lanes)
+                                         lanes=lanes, fn_cache=_cache(csr))
         v, e, eids = csr.v, csr.e, csr.edge_ids
         for k, q in enumerate(sel):
             if not ok[k] or chains[k] is None:

@@ -399,7 +399,8 @@ _INTERVAL_UNIT_DAYS = {"day": 1, "week": 7}
 
 _INTERVAL_UNIT_MONTHS = {
     "month": 1, "mon": 1, "quarter": 3, "year": 12, "decade": 120,
-    "century": 1200, "millennium": 12000, "millennia": 12000,
+    "century": 1200, "centurie": 1200,   # "centuries" minus trailing s
+    "millennium": 12000, "millennia": 12000,
 }
 
 DAY_MICROS = 86_400_000_000

@@ -310,6 +310,36 @@ def test_interval_literals_and_arithmetic():
              "INTERVAL 1 MONTH)::VARCHAR") == [("2019-12-01 00:00:00",)]
 
 
+def test_interval_column_operations():
+    """Round-3 review regressions: the structured interval dtype must
+    survive ORDER BY / GROUP BY / DISTINCT / min-max / date_part (DuckDB
+    normalizes months ~ 30 days for ordering and equality)."""
+    import duckpgq_tpu
+    con = duckpgq_tpu.connect()
+    q = lambda s: con.execute(s).fetchall()
+    con.execute("CREATE TABLE iv(k BIGINT, i INTERVAL)")
+    con.execute("INSERT INTO iv VALUES (1, INTERVAL 1 MONTH), "
+                "(2, INTERVAL 29 DAYS), (3, INTERVAL 1 MONTH), "
+                "(4, INTERVAL 35 DAYS)")
+    assert q("SELECT k FROM iv ORDER BY i, k") == \
+        [(2,), (1,), (3,), (4,)]
+    assert q("SELECT CAST(i AS VARCHAR) AS s, count(*) FROM iv GROUP BY i "
+             "ORDER BY min(i)") == \
+        [("29 days", 1), ("1 month", 2), ("35 days", 1)]
+    assert q("SELECT CAST(min(i) AS VARCHAR), CAST(max(i) AS VARCHAR) "
+             "FROM iv") == [("29 days", "35 days")]
+    assert q("SELECT CAST(i AS VARCHAR) FROM "
+             "(SELECT DISTINCT i FROM iv) ORDER BY i") == \
+        [("29 days",), ("1 month",), ("35 days",)]
+    assert q("SELECT date_part('month', INTERVAL '14 months'), "
+             "date_part('year', INTERVAL '14 months'), "
+             "date_part('day', INTERVAL '3 days 05:00:00'), "
+             "date_part('hour', INTERVAL '3 days 05:00:00')") == \
+        [(2, 1, 3, 5)]
+    assert q("SELECT CAST(INTERVAL 2 CENTURIES AS VARCHAR)") == \
+        [("200 years",)]
+
+
 def test_at_time_zone():
     """AT TIME ZONE (reference grammar expression.gram:262): naive ->
     TIMESTAMPTZ instant; TIMESTAMPTZ -> naive wall time; DST-aware."""

@@ -166,11 +166,18 @@ def test_mesh_edgeless_csr(mesh8):
 
 def test_set_statement_configures_mesh():
     import duckpgq_tpu
+    from duckpgq_tpu.errors import DuckPGQError
     con = duckpgq_tpu.connect()
     try:
         con.execute("SET pgq_mesh_devices = 8")
         assert sql_mesh.active_n() == 8
         con.execute("SET pgq_mesh_devices = 1")
         assert sql_mesh.active_n() == 0
+        # more shards than visible devices: clean binder error at SET
+        # time, and the rejected value must NOT linger in settings
+        con2 = duckpgq_tpu.connect()
+        with pytest.raises(DuckPGQError):
+            con2.execute("SET pgq_mesh_devices = 512")
+        assert "pgq_mesh_devices" not in con2.settings
     finally:
         sql_mesh.configure(None)
