@@ -328,8 +328,8 @@ def test_interval_column_operations():
         [("29 days", 1), ("1 month", 2), ("35 days", 1)]
     assert q("SELECT CAST(min(i) AS VARCHAR), CAST(max(i) AS VARCHAR) "
              "FROM iv") == [("29 days", "35 days")]
-    assert q("SELECT CAST(i AS VARCHAR) FROM "
-             "(SELECT DISTINCT i FROM iv) ORDER BY i") == \
+    assert q("SELECT CAST(i AS VARCHAR) AS s FROM "
+             "(SELECT DISTINCT i FROM iv) t ORDER BY t.i") == \
         [("29 days",), ("1 month",), ("35 days",)]
     assert q("SELECT date_part('month', INTERVAL '14 months'), "
              "date_part('year', INTERVAL '14 months'), "
