@@ -219,6 +219,15 @@ def seg_or_scan_packed_carry(values: jnp.ndarray, heads: jnp.ndarray,
     the running OR of that segment's rows from earlier super-chunks.
     Returns (scanned [E, W], carry_out [1, W])."""
     E, W = values.shape
+    if W < 128:
+        # Mosaic faults on sub-vreg lane widths (the round-2 scale-23
+        # W=48 TPU-worker crash): pad the word axis to one full vreg; pad
+        # lanes carry zeros through the OR-scan and are sliced off after.
+        Wp = 128
+        out, carry = seg_or_scan_packed_carry(
+            jnp.pad(values, ((0, 0), (0, Wp - W))), heads,
+            jnp.pad(carry_in, ((0, 0), (0, Wp - W))), chunk)
+        return out[:, :W], carry[:, :W]
     assert E % chunk == 0, (E, chunk)
     n_chunks = E // chunk
     heads_i = heads.astype(jnp.int32).reshape(E, 1)

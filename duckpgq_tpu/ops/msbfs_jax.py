@@ -567,11 +567,19 @@ def msbfs_lengths_packed_planned(csr: DeviceCSR, plan: PackedWavePlan,
                                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Packed MS-BFS following a PackedWavePlan: single-dispatch kernels
     when the wave fits (n_chunks == 1), chunked streaming expansion
-    otherwise. Narrow waves (W < 128, the RMAT-23+ fallback) use the XLA
-    scan: the Pallas kernel's sub-vreg-width path crashed the TPU worker
-    at scale 23 (kernel fault) and is only exercised at W >= 128."""
+    otherwise. Narrow waves (W < 128, the RMAT-23+ fallback) default to
+    the XLA scan: the Pallas kernel's raw sub-vreg-width path crashed the
+    TPU worker at scale 23 in round 2. Round 3 added a pad-to-one-vreg
+    shim in seg_or_scan_packed_carry (DUCKPGQ_NARROW_PALLAS=1 opts in),
+    verified bit-identical on TPU at scale 16 — but at scale-23 shapes
+    (Ec=262k super-chunks, 512 of them) the padded kernel still faults
+    the TPU worker (Mosaic runtime fault, 2026-08-21), so the opt-in
+    stays off by default and scale-23 narrow waves pay the XLA scan's
+    long one-time compile (cached thereafter)."""
     if plan.lanes < 32 * 128:
-        use_pallas = False
+        import os
+        if os.environ.get("DUCKPGQ_NARROW_PALLAS", "0") != "1":
+            use_pallas = False
     if plan.n_chunks == 1:
         return _msbfs_lengths_packed(csr, src, dst, active, max_iters,
                                      use_pallas)
