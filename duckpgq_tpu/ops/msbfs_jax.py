@@ -62,6 +62,48 @@ def _seg_or_pair(a, b):
     return af | bf, jnp.where(bf, bv, av | bv)
 
 
+def _scan_block_size(Ec: int) -> int:
+    """Largest power-of-two block <= DUCKPGQ_SCAN_BLOCK (default 8192) that
+    divides Ec. Blocks cap the associative-scan HLO at O(log block) stages
+    of [block, W] ops regardless of Ec — the RMAT-23/24 chunk scans
+    ([262k..8M, W] HLO) are uncompilable by the shared 2-core AOT helper
+    (BASELINE.md RMAT-23 round-3 campaign: >116 min vs 5.7 s on CPU), while
+    a lax.scan over fixed blocks compiles one block-sized body."""
+    import os
+    cap = int(os.environ.get("DUCKPGQ_SCAN_BLOCK", "8192"))
+    blk = 1
+    while blk * 2 <= min(Ec, cap) and Ec % (blk * 2) == 0:
+        blk *= 2
+    return blk
+
+
+def _seg_or_scan_blocked(g: jnp.ndarray, hds: jnp.ndarray,
+                         carry: jnp.ndarray, block: int
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inclusive segmented-OR scan of [Ec, W] rows as a lax.scan over
+    [block, W] sub-blocks, seeding each block's first row with the open
+    segment carried out of the previous block (valid for the OR combiner:
+    OR-ing the carry into a non-head first row is exactly the segmented
+    prefix). Bit-identical to the one-shot associative_scan; compile size
+    is O(log block), independent of Ec."""
+    Ec, W = g.shape
+    B = Ec // block
+    gb = g.reshape(B, block, W)
+    hb = hds.reshape(B, block)
+
+    def step(carry, inp):
+        gblk, hblk = inp
+        g0 = gblk[0] | jnp.where(hblk[0], jnp.uint32(0), carry[0])
+        gblk = jax.lax.dynamic_update_slice(gblk, g0[None, :], (0, 0))
+        _, scanned = jax.lax.associative_scan(
+            _seg_or_pair, (hblk.astype(jnp.int32).reshape(-1, 1), gblk),
+            axis=0)
+        return scanned[-1:], scanned
+
+    carry, scanned = jax.lax.scan(step, carry, (gb, hb))
+    return scanned.reshape(Ec, W), carry
+
+
 def _wave_state(src, dst, active):
     """Per-wave lane bookkeeping shared by the packed kernels: word/bit of
     each lane, trivial (src==dst) results, and the searching mask."""
@@ -630,6 +672,7 @@ def _msbfs_lengths_packed_chunked(csr: DeviceCSR, plan: PackedWavePlan,
     scan_chunk = 1
     while scan_chunk * 2 <= min(Ec, chunk_cap) and Ec % (scan_chunk * 2) == 0:
         scan_chunk *= 2
+    scan_block = _scan_block_size(Ec)
 
     def expand(frontier):
         def chunk_step(k, state):
@@ -642,6 +685,12 @@ def _msbfs_lengths_packed_chunked(csr: DeviceCSR, plan: PackedWavePlan,
                 from ..kernels.segscan_pallas import seg_or_scan_packed_carry
                 scanned, carry = seg_or_scan_packed_carry(
                     g, hds, carry, chunk=scan_chunk)
+            elif scan_block < Ec:
+                # blocked scan: compile size O(log block) regardless of Ec
+                # — the only XLA formulation the shared AOT helper can
+                # compile at RMAT-23/24 chunk shapes (see _scan_block_size)
+                scanned, carry = _seg_or_scan_blocked(g, hds, carry,
+                                                      scan_block)
             else:
                 g0 = g[0] | jnp.where(hds[0], jnp.uint32(0), carry[0])
                 g = jax.lax.dynamic_update_slice(g, g0[None, :], (0, 0))

@@ -226,3 +226,67 @@ def test_chunked_narrow_wave_matches_host():
         csr, qs.astype(np.int64), qd.astype(np.int64))
     np.testing.assert_array_equal(np.asarray(got),
                                   np.where(valid, want, -1))
+
+
+@pytest.mark.parametrize("seed,E,W,block", [
+    (17, 4096, 4, 256), (18, 2048, 16, 128)])
+def test_seg_or_scan_blocked_matches_one_shot(seed, E, W, block):
+    """The blocked lax.scan formulation (compile size O(log block), the
+    RMAT-23/24 AOT-helper escape) is bit-identical to the one-shot
+    associative scan, including a non-trivial incoming carry."""
+    import jax
+    import jax.numpy as jnp
+
+    from duckpgq_tpu.ops.msbfs_jax import (_seg_or_pair,
+                                           _seg_or_scan_blocked)
+
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 1 << 32, size=(E, W), dtype=np.uint32)
+    heads = rng.random(E) < 0.02
+    carry_in = rng.integers(0, 1 << 32, size=(1, W), dtype=np.uint32)
+
+    g = jnp.asarray(vals)
+    hds = jnp.asarray(heads)
+    g0 = g[0] | jnp.where(hds[0], jnp.uint32(0), jnp.asarray(carry_in)[0])
+    g_seeded = g.at[0].set(g0)
+    _, want = jax.lax.associative_scan(
+        _seg_or_pair, (hds.astype(jnp.int32).reshape(-1, 1), g_seeded),
+        axis=0)
+    got, carry_out = _seg_or_scan_blocked(
+        g, hds, jnp.asarray(carry_in), block)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(carry_out),
+                                  np.asarray(want)[-1:])
+
+
+def test_chunked_blocked_scan_matches_host(monkeypatch):
+    """Force a tiny scan block so the chunked kernel takes the blocked
+    lax.scan path end-to-end; results must stay exact vs the host oracle."""
+    import jax.numpy as jnp
+
+    from duckpgq_tpu.ops import msbfs as host_msbfs
+    from duckpgq_tpu.ops.csr import build_csr
+    from duckpgq_tpu.ops.csr_jax import build_device_csr
+    from duckpgq_tpu.ops.msbfs_jax import (msbfs_lengths_packed_planned,
+                                           plan_packed_wave)
+
+    monkeypatch.setenv("DUCKPGQ_SCAN_BLOCK", "64")
+    rng = np.random.default_rng(41)
+    v, e = 300, 2048
+    src = rng.integers(0, v, size=e).astype(np.int64)
+    dst = rng.integers(0, v, size=e).astype(np.int64)
+    dcsr = build_device_csr(v, src, dst)
+    lanes = 48 * 32                                    # W = 48 (RMAT-23 wave)
+    plan = plan_packed_wave(dcsr, lanes=lanes, n_chunks=2)
+    assert plan.n_chunks == 2
+    assert (dcsr.epad // plan.n_chunks) > 64           # blocked path taken
+    qs = rng.integers(0, v, size=lanes).astype(np.int32)
+    qd = rng.integers(0, v, size=lanes).astype(np.int32)
+    got, _ = msbfs_lengths_packed_planned(
+        dcsr, plan, jnp.asarray(qs), jnp.asarray(qd),
+        jnp.ones(lanes, dtype=bool), v, False)
+    csr = build_csr(v, src, dst, np.arange(e, dtype=np.int64))
+    want, valid = host_msbfs.iterative_length(
+        csr, qs.astype(np.int64), qd.astype(np.int64))
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.where(valid, want, -1))
