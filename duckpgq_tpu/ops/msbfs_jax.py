@@ -117,6 +117,9 @@ def _wave_state(src, dst, active):
     return word_of_lane, bit_of_lane, searching, result
 
 
+_wave_state_jit = jax.jit(_wave_state)
+
+
 def _packed_traversed(seen_v: jnp.ndarray, deg: jnp.ndarray, L: int,
                       edge_major: bool) -> jnp.ndarray:
     """graph500 TEPS accounting: per lane, every out-edge of every visited
@@ -618,13 +621,23 @@ def msbfs_lengths_packed_planned(csr: DeviceCSR, plan: PackedWavePlan,
     the TPU worker (Mosaic runtime fault, 2026-08-21), so the opt-in
     stays off by default and scale-23 narrow waves pay the XLA scan's
     long one-time compile (cached thereafter)."""
+    import os
     if plan.lanes < 32 * 128:
-        import os
         if os.environ.get("DUCKPGQ_NARROW_PALLAS", "0") != "1":
             use_pallas = False
     if plan.n_chunks == 1:
         return _msbfs_lengths_packed(csr, src, dst, active, max_iters,
                                      use_pallas)
+    # Narrow chunked waves are the huge-graph regime (RMAT-23+), where one
+    # full-depth dispatch runs minutes and the tunnel worker crashes
+    # (BASELINE.md): step the loop from the host, a few iterations per
+    # dispatch. Wide waves keep the monolithic kernel (dispatches run
+    # seconds; cached executables stay valid).
+    seg_default = "4" if plan.lanes < 32 * 128 else "0"
+    seg_iters = int(os.environ.get("DUCKPGQ_SEG_ITERS", seg_default))
+    if seg_iters > 0 and max_iters > seg_iters:
+        return _msbfs_chunked_stepped(csr, plan, src, dst, active,
+                                      max_iters, use_pallas, seg_iters)
     return _msbfs_lengths_packed_chunked(csr, plan, src, dst, active,
                                          max_iters, use_pallas)
 
@@ -641,6 +654,37 @@ def _msbfs_lengths_packed_chunked(csr: DeviceCSR, plan: PackedWavePlan,
     chunks (the open segment at a chunk boundary), then pull each
     chunk-final vertex's row into the compact buffer; ``slot`` expands the
     compact buffer back to [Vp, W] with one static gather."""
+    word_of_lane, bit_of_lane, searching, result = _wave_state(
+        src, dst, active)
+    deg = out_degrees(csr).astype(jnp.float32)       # [Vp]
+
+    W = src.shape[0] // 32
+    frontier = jnp.zeros((csr.vpad + 1, W), dtype=jnp.uint32)
+    frontier = frontier.at[src, word_of_lane].add(
+        jnp.where(searching, bit_of_lane, jnp.uint32(0)))
+    seen = frontier
+
+    body = _chunked_wave_body(csr, plan, src, dst, word_of_lane,
+                              bit_of_lane, searching, use_pallas)
+
+    def cond(state):
+        it, frontier, seen, result = state
+        return (it <= max_iters) & (frontier != 0).any()
+
+    _, _, seen, result = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), frontier, seen, result))
+
+    traversed = _packed_traversed(seen[:csr.vpad], deg, src.shape[0],
+                                  edge_major=True)
+    return result, traversed
+
+
+def _chunked_wave_body(csr, plan, src, dst, word_of_lane, bit_of_lane,
+                       searching, use_pallas):
+    """Build the per-iteration ``body(state)`` of the chunked packed wave
+    (shared by the monolithic while_loop kernel and the host-stepped
+    segment kernel — identical op sequence, so the monolithic jaxpr and
+    its cached executables are unchanged by the refactor)."""
     Vp = csr.vpad
     Ep = csr.epad
     L = src.shape[0]
@@ -652,14 +696,6 @@ def _msbfs_lengths_packed_chunked(csr: DeviceCSR, plan: PackedWavePlan,
     K = plan.n_chunks
     Ec = Ep // K
     bmax = plan.bmax
-    word_of_lane, bit_of_lane, searching, result = _wave_state(
-        src, dst, active)
-    deg = out_degrees(csr).astype(jnp.float32)       # [Vp]
-
-    frontier = jnp.zeros((Vp + 1, W), dtype=jnp.uint32)
-    frontier = frontier.at[src, word_of_lane].add(
-        jnp.where(searching, bit_of_lane, jnp.uint32(0)))
-    seen = frontier
 
     heads, _, _ = _in_segments(csr)
 
@@ -713,10 +749,6 @@ def _msbfs_lengths_packed_chunked(csr: DeviceCSR, plan: PackedWavePlan,
         # fewer live [Vp, W] buffer at peak (the RMAT-23 W=64 OOM margin)
         return jnp.take(compact, plan.slot, axis=0)      # [Vp + 1, W]
 
-    def cond(state):
-        it, frontier, seen, result = state
-        return (it <= max_iters) & (frontier != 0).any()
-
     def body(state):
         it, frontier, seen, result = state
         nxt = expand(frontier) & ~seen
@@ -727,10 +759,78 @@ def _msbfs_lengths_packed_chunked(csr: DeviceCSR, plan: PackedWavePlan,
         nxt = nxt & _pack_words(result < 0, W)[None, :]
         return it + 1, nxt, seen, result
 
-    _, _, seen, result = jax.lax.while_loop(
-        cond, body, (jnp.int32(1), frontier, seen, result))
+    return body
 
-    traversed = _packed_traversed(seen[:Vp], deg, L, edge_major=True)
+
+@functools.partial(jax.jit, static_argnames=("use_pallas",),
+                   donate_argnames=("frontier", "seen", "result"))
+def _chunked_wave_segment(csr: DeviceCSR, plan: PackedWavePlan,
+                          src: jnp.ndarray, dst: jnp.ndarray,
+                          word_of_lane, bit_of_lane, searching,
+                          it0, end, frontier, seen, result,
+                          use_pallas: bool):
+    """Run BFS iterations it0..end of the chunked wave (state in, state
+    out, buffers donated). ``end`` is a DYNAMIC scalar so one executable
+    serves every segment length. Splitting the while_loop across host
+    dispatches bounds single-dispatch runtime: the axon tunnel worker
+    crashes on very long dispatches (a 16-iteration RMAT-23 wave, ~150 s,
+    died; the same kernel at 4 iterations / 37 s runs — 2026-08-21)."""
+    body = _chunked_wave_body(csr, plan, src, dst, word_of_lane,
+                              bit_of_lane, searching, use_pallas)
+
+    def cond(state):
+        it, frontier, seen, result = state
+        return (it <= end) & (frontier != 0).any()
+
+    it, frontier, seen, result = jax.lax.while_loop(
+        cond, body, (it0, frontier, seen, result))
+    return it, frontier, seen, result, (frontier != 0).any()
+
+
+@jax.jit
+def _chunked_wave_init(csr: DeviceCSR, src, word_of_lane, bit_of_lane,
+                       searching):
+    W = src.shape[0] // 32
+    frontier = jnp.zeros((csr.vpad + 1, W), dtype=jnp.uint32)
+    frontier = frontier.at[src, word_of_lane].add(
+        jnp.where(searching, bit_of_lane, jnp.uint32(0)))
+    return frontier, frontier + jnp.uint32(0)   # distinct seen buffer
+
+
+@functools.partial(jax.jit, static_argnames=("L",))
+def _traversed_from_seen(csr: DeviceCSR, seen, L: int):
+    deg = out_degrees(csr).astype(jnp.float32)
+    return _packed_traversed(seen[:csr.vpad], deg, L, edge_major=True)
+
+
+def _msbfs_chunked_stepped(csr: DeviceCSR, plan: PackedWavePlan,
+                           src: jnp.ndarray, dst: jnp.ndarray,
+                           active: jnp.ndarray, max_iters: int,
+                           use_pallas: bool, seg_iters: int
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Host-stepped chunked wave: ``seg_iters`` BFS iterations per device
+    dispatch, state resident on device between dispatches (one scalar D2H
+    per segment for the empty-frontier exit). Bit-identical to the
+    monolithic kernel; used for narrow (W < 128) waves on huge graphs
+    where a full-depth dispatch exceeds the tunnel worker's tolerated
+    runtime (BASELINE.md RMAT-23)."""
+    import numpy as np
+
+    word_of_lane, bit_of_lane, searching, result = _wave_state_jit(
+        src, dst, active)
+    frontier, seen = _chunked_wave_init(csr, src, word_of_lane,
+                                        bit_of_lane, searching)
+    it = jnp.int32(1)
+    next_it = 1
+    while next_it <= max_iters:
+        end = jnp.int32(min(next_it + seg_iters - 1, max_iters))
+        it, frontier, seen, result, nonempty = _chunked_wave_segment(
+            csr, plan, src, dst, word_of_lane, bit_of_lane, searching,
+            it, end, frontier, seen, result, use_pallas)
+        next_it = min(next_it + seg_iters - 1, max_iters) + 1
+        if not bool(np.asarray(nonempty)):
+            break
+    traversed = _traversed_from_seen(csr, seen, src.shape[0])
     return result, traversed
 
 

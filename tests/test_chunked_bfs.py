@@ -290,3 +290,31 @@ def test_chunked_blocked_scan_matches_host(monkeypatch):
         csr, qs.astype(np.int64), qd.astype(np.int64))
     np.testing.assert_array_equal(np.asarray(got),
                                   np.where(valid, want, -1))
+
+
+def test_stepped_matches_monolithic(monkeypatch):
+    """The host-stepped chunked wave (seg_iters per dispatch, donated
+    state) returns exactly the monolithic while_loop kernel's results,
+    including early exit when the frontier empties mid-segment."""
+    import jax.numpy as jnp
+
+    from duckpgq_tpu.ops import msbfs_jax as dev
+    from duckpgq_tpu.ops.csr_jax import build_device_csr
+
+    rng = np.random.default_rng(55)
+    v, e = 250, 1500
+    src = rng.integers(0, v, size=e).astype(np.int64)
+    dst = rng.integers(0, v, size=e).astype(np.int64)
+    dcsr = build_device_csr(v, src, dst)
+    lanes = 4096
+    plan = dev.plan_packed_wave(dcsr, lanes=lanes, n_chunks=4)
+    qs = jnp.asarray(rng.integers(0, v, size=lanes).astype(np.int32))
+    qd = jnp.asarray(rng.integers(0, v, size=lanes).astype(np.int32))
+    act = jnp.ones(lanes, dtype=bool)
+    want, tw = dev._msbfs_lengths_packed_chunked(
+        dcsr, plan, qs, qd, act, v, False)
+    for seg in (1, 3, 64):
+        got, tg = dev._msbfs_chunked_stepped(
+            dcsr, plan, qs, qd, act, v, False, seg)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        np.testing.assert_allclose(np.asarray(tg), np.asarray(tw))
