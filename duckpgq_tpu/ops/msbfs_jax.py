@@ -77,6 +77,32 @@ def _scan_block_size(Ec: int) -> int:
     return blk
 
 
+def _seg_or_scan_blocked_rows(g: jnp.ndarray, hds: jnp.ndarray,
+                              carry: jnp.ndarray, block: int
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Lane-major mirror of _seg_or_scan_blocked: inclusive segmented-OR
+    scan of [W, Ec] along axis 1 as a fori_loop over [W, block] sub-blocks
+    (dynamic slices, no transposes), carry [W, 1] threaded across blocks."""
+    W, Ec = g.shape
+    B = Ec // block
+
+    def step(b, state):
+        out, carry = state
+        off = b * block
+        gblk = jax.lax.dynamic_slice(g, (0, off), (W, block))
+        hblk = jax.lax.dynamic_slice(hds, (off,), (block,))
+        g0 = gblk[:, 0] | jnp.where(hblk[0], jnp.uint32(0), carry[:, 0])
+        gblk = jax.lax.dynamic_update_slice(gblk, g0[:, None], (0, 0))
+        _, scanned = jax.lax.associative_scan(
+            _seg_or_pair, (hblk.astype(jnp.int32).reshape(1, -1), gblk),
+            axis=1)
+        out = jax.lax.dynamic_update_slice(out, scanned, (0, off))
+        return out, scanned[:, -1:]
+
+    out, carry = jax.lax.fori_loop(0, B, step, (jnp.zeros_like(g), carry))
+    return out, carry
+
+
 def _seg_or_scan_blocked(g: jnp.ndarray, hds: jnp.ndarray,
                          carry: jnp.ndarray, block: int
                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -631,10 +657,20 @@ def msbfs_lengths_packed_planned(csr: DeviceCSR, plan: PackedWavePlan,
     # Narrow chunked waves are the huge-graph regime (RMAT-23+), where one
     # full-depth dispatch runs minutes and the tunnel worker crashes
     # (BASELINE.md): step the loop from the host, a few iterations per
-    # dispatch. Wide waves keep the monolithic kernel (dispatches run
-    # seconds; cached executables stay valid).
-    seg_default = "4" if plan.lanes < 32 * 128 else "0"
+    # dispatch — and use the lane-major [W, Vp+1] layout, which tiles
+    # exactly (edge-major [Vp, W] pays up to 128/W x T(8,128) padding on
+    # every vertex buffer). Wide waves keep the monolithic edge-major
+    # kernel (dispatches run seconds; cached executables stay valid).
+    narrow = plan.lanes < 32 * 128
+    layout = os.environ.get("DUCKPGQ_CHUNKED_LAYOUT",
+                            "lm" if narrow else "em")
+    seg_default = "4" if narrow else "0"
     seg_iters = int(os.environ.get("DUCKPGQ_SEG_ITERS", seg_default))
+    if layout == "lm":
+        return _msbfs_chunked_stepped(csr, plan, src, dst, active,
+                                      max_iters, use_pallas,
+                                      seg_iters if seg_iters > 0
+                                      else max_iters, lane_major=True)
     if seg_iters > 0 and max_iters > seg_iters:
         return _msbfs_chunked_stepped(csr, plan, src, dst, active,
                                       max_iters, use_pallas, seg_iters)
@@ -762,21 +798,84 @@ def _chunked_wave_body(csr, plan, src, dst, word_of_lane, bit_of_lane,
     return body
 
 
-@functools.partial(jax.jit, static_argnames=("use_pallas",),
+def _chunked_wave_body_lm(csr, plan, src, dst, word_of_lane, bit_of_lane,
+                          searching, use_pallas):
+    """Lane-major ([W, Vp+1] frontier) mirror of _chunked_wave_body. For
+    W < 128 this is the layout that does NOT pay XLA's T(8,128) minor-dim
+    padding: measured at scale 23, a [Vp, 64] edge-major buffer tiles at
+    2.0x its unpadded bytes (the W=64 compile-OOM, scripts/
+    bench_wide_probe.py) while [W, Vp] tiles exactly — and every
+    elementwise op runs at full vreg lane utilization instead of W/128."""
+    Ep = csr.epad
+    L = src.shape[0]
+    W = L // 32
+    assert L == plan.lanes and L % 32 == 0, (L, plan.lanes)
+    K = plan.n_chunks
+    Ec = Ep // K
+    bmax = plan.bmax
+
+    heads, _, _ = _in_segments(csr)
+    chunk_cap = max(128, (2048 * 128) // max(W, 128))
+    scan_chunk = 1
+    while scan_chunk * 2 <= min(Ec, chunk_cap) and Ec % (scan_chunk * 2) == 0:
+        scan_chunk *= 2
+    scan_block = _scan_block_size(Ec)
+
+    def expand(frontier):                            # [W, Vp + 1]
+        def chunk_step(k, state):
+            compact, carry = state
+            off = k * Ec
+            idx = jax.lax.dynamic_slice(csr.in_src, (off,), (Ec,))
+            hds = jax.lax.dynamic_slice(heads, (off,), (Ec,))
+            g = jnp.take(frontier, idx, axis=1)      # [W, Ec]
+            if use_pallas:
+                from ..kernels.segscan_pallas import seg_or_scan_rows_carry
+                scanned, carry = seg_or_scan_rows_carry(
+                    g, hds, carry, chunk=scan_chunk)
+            else:
+                scanned, carry = _seg_or_scan_blocked_rows(
+                    g, hds, carry, scan_block)
+            rel = jax.lax.dynamic_index_in_dim(plan.rel, k, 0,
+                                               keepdims=False)   # [bmax]
+            vals = jnp.take(scanned, rel, axis=1)    # [W, bmax]
+            compact = jax.lax.dynamic_update_slice(compact, vals,
+                                                   (0, k * bmax))
+            return compact, carry
+
+        compact0 = jnp.zeros((W, K * bmax + 1), jnp.uint32)
+        carry0 = jnp.zeros((W, 1), jnp.uint32)
+        compact, _ = jax.lax.fori_loop(0, K, chunk_step, (compact0, carry0))
+        return jnp.take(compact, plan.slot, axis=1)  # [W, Vp + 1]
+
+    def body(state):
+        it, frontier, seen, result = state
+        nxt = expand(frontier) & ~seen
+        seen = seen | nxt
+        found = ((nxt[word_of_lane, dst] & bit_of_lane) != 0) \
+            & (result < 0) & searching
+        result = jnp.where(found, it, result)
+        nxt = nxt & _pack_words(result < 0, W)[:, None]
+        return it + 1, nxt, seen, result
+
+    return body
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas", "lane_major"),
                    donate_argnames=("frontier", "seen", "result"))
 def _chunked_wave_segment(csr: DeviceCSR, plan: PackedWavePlan,
                           src: jnp.ndarray, dst: jnp.ndarray,
                           word_of_lane, bit_of_lane, searching,
                           it0, end, frontier, seen, result,
-                          use_pallas: bool):
+                          use_pallas: bool, lane_major: bool = False):
     """Run BFS iterations it0..end of the chunked wave (state in, state
     out, buffers donated). ``end`` is a DYNAMIC scalar so one executable
     serves every segment length. Splitting the while_loop across host
     dispatches bounds single-dispatch runtime: the axon tunnel worker
     crashes on very long dispatches (a 16-iteration RMAT-23 wave, ~150 s,
     died; the same kernel at 4 iterations / 37 s runs — 2026-08-21)."""
-    body = _chunked_wave_body(csr, plan, src, dst, word_of_lane,
-                              bit_of_lane, searching, use_pallas)
+    make_body = _chunked_wave_body_lm if lane_major else _chunked_wave_body
+    body = make_body(csr, plan, src, dst, word_of_lane,
+                     bit_of_lane, searching, use_pallas)
 
     def cond(state):
         it, frontier, seen, result = state
@@ -787,50 +886,59 @@ def _chunked_wave_segment(csr: DeviceCSR, plan: PackedWavePlan,
     return it, frontier, seen, result, (frontier != 0).any()
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("lane_major",))
 def _chunked_wave_init(csr: DeviceCSR, src, word_of_lane, bit_of_lane,
-                       searching):
+                       searching, lane_major: bool = False):
     W = src.shape[0] // 32
-    frontier = jnp.zeros((csr.vpad + 1, W), dtype=jnp.uint32)
-    frontier = frontier.at[src, word_of_lane].add(
-        jnp.where(searching, bit_of_lane, jnp.uint32(0)))
+    bits = jnp.where(searching, bit_of_lane, jnp.uint32(0))
+    if lane_major:
+        frontier = jnp.zeros((W, csr.vpad + 1), dtype=jnp.uint32)
+        frontier = frontier.at[word_of_lane, src].add(bits)
+    else:
+        frontier = jnp.zeros((csr.vpad + 1, W), dtype=jnp.uint32)
+        frontier = frontier.at[src, word_of_lane].add(bits)
     return frontier, frontier + jnp.uint32(0)   # distinct seen buffer
 
 
-@functools.partial(jax.jit, static_argnames=("L",))
-def _traversed_from_seen(csr: DeviceCSR, seen, L: int):
+@functools.partial(jax.jit, static_argnames=("L", "lane_major"))
+def _traversed_from_seen(csr: DeviceCSR, seen, L: int,
+                         lane_major: bool = False):
     deg = out_degrees(csr).astype(jnp.float32)
-    return _packed_traversed(seen[:csr.vpad], deg, L, edge_major=True)
+    seen_v = seen[:, :csr.vpad] if lane_major else seen[:csr.vpad]
+    return _packed_traversed(seen_v, deg, L, edge_major=not lane_major)
 
 
 def _msbfs_chunked_stepped(csr: DeviceCSR, plan: PackedWavePlan,
                            src: jnp.ndarray, dst: jnp.ndarray,
                            active: jnp.ndarray, max_iters: int,
-                           use_pallas: bool, seg_iters: int
+                           use_pallas: bool, seg_iters: int,
+                           lane_major: bool = False
                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Host-stepped chunked wave: ``seg_iters`` BFS iterations per device
     dispatch, state resident on device between dispatches (one scalar D2H
     per segment for the empty-frontier exit). Bit-identical to the
     monolithic kernel; used for narrow (W < 128) waves on huge graphs
     where a full-depth dispatch exceeds the tunnel worker's tolerated
-    runtime (BASELINE.md RMAT-23)."""
+    runtime (BASELINE.md RMAT-23). ``lane_major`` picks the [W, Vp+1]
+    state layout (see _chunked_wave_body_lm)."""
     import numpy as np
 
     word_of_lane, bit_of_lane, searching, result = _wave_state_jit(
         src, dst, active)
     frontier, seen = _chunked_wave_init(csr, src, word_of_lane,
-                                        bit_of_lane, searching)
+                                        bit_of_lane, searching,
+                                        lane_major)
     it = jnp.int32(1)
     next_it = 1
     while next_it <= max_iters:
         end = jnp.int32(min(next_it + seg_iters - 1, max_iters))
         it, frontier, seen, result, nonempty = _chunked_wave_segment(
             csr, plan, src, dst, word_of_lane, bit_of_lane, searching,
-            it, end, frontier, seen, result, use_pallas)
+            it, end, frontier, seen, result, use_pallas, lane_major)
         next_it = min(next_it + seg_iters - 1, max_iters) + 1
         if not bool(np.asarray(nonempty)):
             break
-    traversed = _traversed_from_seen(csr, seen, src.shape[0])
+    traversed = _traversed_from_seen(csr, seen, src.shape[0], lane_major)
     return result, traversed
 
 

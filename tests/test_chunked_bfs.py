@@ -318,3 +318,35 @@ def test_stepped_matches_monolithic(monkeypatch):
             dcsr, plan, qs, qd, act, v, False, seg)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
         np.testing.assert_allclose(np.asarray(tg), np.asarray(tw))
+
+
+def test_lane_major_chunked_matches_edge_major(monkeypatch):
+    """The lane-major ([W, Vp+1]) chunked wave — the W < 128 default, which
+    avoids XLA's T(8,128) minor-dim padding — is bit-identical to the
+    edge-major kernel, stepped and monolithic, including the blocked scan."""
+    import jax.numpy as jnp
+
+    from duckpgq_tpu.ops import msbfs_jax as dev
+    from duckpgq_tpu.ops.csr_jax import build_device_csr
+
+    monkeypatch.setenv("DUCKPGQ_SCAN_BLOCK", "64")
+    rng = np.random.default_rng(77)
+    v, e = 220, 1800
+    src = rng.integers(0, v, size=e).astype(np.int64)
+    dst = rng.integers(0, v, size=e).astype(np.int64)
+    dcsr = build_device_csr(v, src, dst)
+    lanes = 48 * 32                                    # W = 48
+    plan = dev.plan_packed_wave(dcsr, lanes=lanes, n_chunks=4)
+    qs = jnp.asarray(rng.integers(0, v, size=lanes).astype(np.int32))
+    qd = jnp.asarray(rng.integers(0, v, size=lanes).astype(np.int32))
+    act = jnp.ones(lanes, dtype=bool)
+    want, tw = dev._msbfs_lengths_packed_chunked(
+        dcsr, plan, qs, qd, act, v, False)
+    for seg in (2, v):
+        got, tg = dev._msbfs_chunked_stepped(
+            dcsr, plan, qs, qd, act, v, False, seg, lane_major=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        np.testing.assert_allclose(np.asarray(tg), np.asarray(tw))
+    # and the planned entry point routes narrow waves to lane-major
+    got, tg = dev.msbfs_lengths_packed_planned(dcsr, plan, qs, qd, act, v)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
