@@ -23,7 +23,8 @@ from ..storage.vector import Vector
 from ..types import (BIGINT, BOOLEAN, DOUBLE, INTEGER, LogicalType, STRUCT,
                      TypeId, VARCHAR, SQLNULL, value_to_string)
 from .cast import cast_vector
-from .expression import (Evaluator, OuterScope, collect_aggregates,
+from .expression import (Evaluator, OuterScope, apply_collation,
+                         collect_aggregates, collect_collations,
                          collect_windows, fingerprint)
 from .join import cross_pairs, equi_join_pairs, factorize_keys
 from .relation import Binding, Relation
@@ -566,6 +567,10 @@ class Executor:
         for e in node.select_list:
             collect_aggregates(e, aggs)
         collect_aggregates(node.having, aggs)
+        qualify = None
+        if node.qualify is not None:
+            qualify = self._resolve_qualify_expr(node.qualify, node)
+            collect_aggregates(qualify, aggs)
         if aggs or node.groups or node.group_all:
             for e in order_exprs:
                 collect_aggregates(e, aggs)
@@ -585,9 +590,19 @@ class Executor:
         wins: List[a.WindowCall] = []
         for e in node.select_list:
             collect_windows(e, wins)
+        collect_windows(qualify, wins)
         if wins:
             rel, replacements = self.apply_windows(rel, outer, replacements,
                                                    env, wins)
+        if qualify is not None:
+            # QUALIFY filters AFTER window computation, BEFORE projection
+            # (DuckDB semantics; windows are evaluated over the unfiltered
+            # input — window columns already live in rel, so filtering rel
+            # here preserves them for the projection)
+            ev = Evaluator(self, rel, outer, replacements, env=env)
+            cond = ev.as_bool(ev.evaluate(qualify))
+            mask = cond.data.astype(bool) & cond.validity
+            rel = rel.filter(mask)
 
         # projection
         ev = Evaluator(self, rel, outer, replacements, env=env)
@@ -792,8 +807,13 @@ class Executor:
         key_ranks: List[np.ndarray] = []
         for ob in reversed(order_by):
             kv = ev.evaluate(ob.expr)
-            if kv.type.numpy_dtype() is object or not kv.validity.all():
+            colls = collect_collations(ob.expr)
+            if colls or kv.type.numpy_dtype() is object or \
+                    not kv.validity.all():
                 vals = [kv.value(int(i)) for i in perm]
+                if colls:
+                    from .expression import collation_key_values
+                    vals = collation_key_values(vals, colls)
                 order = sorted(range(len(vals)),
                                key=lambda j: (vals[j] is None,
                                               vals[j] if vals[j]
@@ -876,6 +896,13 @@ class Executor:
                                  dtype=np.int64)
             peer_last[peer_gid] = pos            # last write wins
         name = call.name
+        if call.frame is not None and name not in (
+                "row_number", "rank", "dense_rank", "lead", "lag"):
+            # explicit ROWS/RANGE/GROUPS frame (expression.gram:70-76);
+            # ranking/offset functions ignore frames like DuckDB
+            return self._compute_window_framed(
+                ev, call, n, perm, spids, new_part, new_peer, pos,
+                part_start, peer_gid, peer_last, key_ranks)
         if name == "row_number":
             vals = pos - part_start + 1
             out = np.empty(n, dtype=np.int64)
@@ -1017,6 +1044,217 @@ class Executor:
             return Vector(BIGINT, np.where(ov, out, 0).astype(np.int64), ov)
         return Vector(DOUBLE, out, ov)
 
+    def _compute_window_framed(self, ev, call: "a.WindowCall", n: int,
+                               perm, spids, new_part, new_peer, pos,
+                               part_start, peer_gid, peer_last, key_ranks
+                               ) -> Vector:
+        """Aggregate / first_value / last_value over an explicit
+        ROWS/RANGE/GROUPS frame (expression.gram:70-76). All index math is
+        in SORTED coordinates: each row's frame is the inclusive index
+        range [s, e]; results scatter back through ``perm``."""
+        from ..types import BIGINT, DOUBLE
+        frame = call.frame
+        name = call.name
+        if n == 0:
+            return Vector(BIGINT, np.zeros(0, np.int64), np.zeros(0, bool))
+        pgid = np.cumsum(new_part.astype(np.int64)) - 1
+        nparts = int(pgid[-1]) + 1
+        part_last_arr = np.zeros(nparts, dtype=np.int64)
+        part_last_arr[pgid] = pos                      # last write wins
+        part_end = part_last_arr[pgid]
+        peer_first = np.maximum.accumulate(np.where(new_peer, pos, 0))
+
+        def scalar_off(bexpr, integral):
+            v = ev.evaluate(bexpr).value(0)
+            if v is None:
+                raise BinderException(
+                    "window frame offsets cannot be NULL")
+            val = int(v) if integral else float(v)
+            if val < 0:
+                raise InvalidInputException(
+                    "Invalid preceding or following size in window "
+                    "function")
+            return val
+
+        if frame.kind in ("ROWS", "GROUPS"):
+            if frame.kind == "ROWS":
+                base, lo_b, hi_b = pos, part_start, part_end
+            else:
+                base = peer_gid
+                lo_b, hi_b = peer_gid[part_start], peer_gid[part_end]
+
+            def bound(btype, bexpr):
+                if btype == "unbounded_preceding":
+                    return lo_b.astype(np.int64)
+                if btype == "unbounded_following":
+                    return hi_b.astype(np.int64)
+                if btype == "current":
+                    return base.astype(np.int64)
+                k = scalar_off(bexpr, True)
+                return base - k if btype == "preceding" else base + k
+
+            s_b = bound(frame.start_type, frame.start_expr)
+            e_b = bound(frame.end_type, frame.end_expr)
+            empty = (s_b > hi_b) | (e_b < lo_b) | (s_b > e_b)
+            s_b = np.clip(s_b, lo_b, hi_b)
+            e_b = np.clip(e_b, lo_b, hi_b)
+            if frame.kind == "ROWS":
+                s, e = s_b, e_b
+            else:
+                ngroups = int(peer_gid[-1]) + 1
+                g_first = np.zeros(ngroups, np.int64)
+                g_last = np.zeros(ngroups, np.int64)
+                g_last[peer_gid] = pos
+                g_first[peer_gid[::-1]] = pos[::-1]
+                s, e = g_first[s_b], g_last[e_b]
+        else:                                           # RANGE
+            s = np.empty(n, dtype=np.int64)
+            e = np.empty(n, dtype=np.int64)
+            needs_key = "preceding" in (frame.start_type, frame.end_type) \
+                or "following" in (frame.start_type, frame.end_type)
+            skv = svalid = None
+            if needs_key:
+                if len(call.order_by) != 1:
+                    raise BinderException(
+                        "RANGE frames with offsets require exactly one "
+                        "ORDER BY expression")
+                kv = ev.evaluate(call.order_by[0].expr)
+                if kv.type.numpy_dtype() is object:
+                    raise BinderException(
+                        "RANGE frames require a numeric ORDER BY "
+                        "expression")
+                # ascending view of the key so PRECEDING/FOLLOWING share
+                # one searchsorted formulation for ASC and DESC orders
+                q = kv.data.astype(np.float64)[perm]
+                if not call.order_by[0].ascending:
+                    q = -q
+                skv = q
+                svalid = kv.validity[perm]
+
+            def range_edge(btype, bexpr, is_start, out):
+                if btype == "unbounded_preceding":
+                    out[:] = part_start
+                    return
+                if btype == "unbounded_following":
+                    out[:] = part_end
+                    return
+                if btype == "current":
+                    out[:] = peer_first if is_start else peer_last[peer_gid]
+                    return
+                off = scalar_off(bexpr, False)
+                delta = -off if btype == "preceding" else off
+                pstarts = np.flatnonzero(new_part)
+                pends = np.append(pstarts[1:] - 1, n - 1)
+                for ps, pe in zip(pstarts, pends):
+                    seg_valid = svalid[ps:pe + 1]
+                    vidx = np.flatnonzero(seg_valid)
+                    for i in range(ps, pe + 1):
+                        if not svalid[i]:
+                            # NULL order keys frame their own peer group
+                            out[i] = peer_first[i] if is_start \
+                                else peer_last[peer_gid[i]]
+                            continue
+                        seg = skv[ps + vidx[0]:ps + vidx[-1] + 1] \
+                            if len(vidx) else skv[ps:ps]
+                        tgt = skv[i] + delta
+                        if is_start:
+                            out[i] = ps + vidx[0] + int(
+                                np.searchsorted(seg, tgt, side="left"))
+                        else:
+                            out[i] = ps + vidx[0] + int(
+                                np.searchsorted(seg, tgt, side="right")) - 1
+            range_edge(frame.start_type, frame.start_expr, True, s)
+            range_edge(frame.end_type, frame.end_expr, False, e)
+            empty = s > e
+            s = np.clip(s, 0, n - 1)
+            e = np.clip(e, 0, n - 1)
+
+        # ---- aggregate the inclusive sorted-index ranges [s, e] ----
+        if name in ("first_value", "last_value"):
+            src = ev.evaluate(call.args[0])
+            pick = s if name == "first_value" else e
+            res = [None] * n
+            for i in range(n):
+                if not empty[i]:
+                    res[int(perm[i])] = src.value(int(perm[int(pick[i])]))
+            return Vector.from_values(res, src.type)
+        if name == "count_star":
+            cnt = np.where(empty, 0, e - s + 1).astype(np.int64)
+            out = np.zeros(n, dtype=np.int64)
+            out[perm] = cnt
+            return Vector(BIGINT, out, np.ones(n, dtype=bool))
+        src = ev.evaluate(call.args[0])
+        svalid_s = src.validity[perm]
+        ppv = np.concatenate([[0], np.cumsum(svalid_s.astype(np.int64))])
+        cnt_valid = np.where(empty, 0, ppv[e + 1] - ppv[s])
+        if name == "count":
+            out = np.zeros(n, dtype=np.int64)
+            out[perm] = cnt_valid
+            return Vector(BIGINT, out, np.ones(n, dtype=bool))
+        if src.type.numpy_dtype() is object:
+            raise BinderException(
+                f"window aggregate {name} requires numeric input")
+        sv = np.where(src.validity, src.data, 0).astype(np.float64)[perm]
+        if name in ("sum", "avg"):
+            pps = np.concatenate([[0.0], np.cumsum(sv)])
+            tot = np.where(empty, 0.0, pps[e + 1] - pps[s])
+            valid_out = cnt_valid > 0
+            if name == "avg":
+                vals = np.where(valid_out, tot / np.maximum(cnt_valid, 1),
+                                0.0)
+                out = np.zeros(n, dtype=np.float64)
+                out[perm] = vals
+                ov = np.zeros(n, dtype=bool)
+                ov[perm] = valid_out
+                return Vector(DOUBLE, out, ov)
+            out = np.zeros(n, dtype=np.float64)
+            out[perm] = tot
+            ov = np.zeros(n, dtype=bool)
+            ov[perm] = valid_out
+            if src.type.is_numeric and src.type.is_integral:
+                return Vector(BIGINT,
+                              np.where(ov, out, 0).astype(np.int64), ov)
+            return Vector(DOUBLE, out, ov)
+        if name in ("min", "max"):
+            pad = np.inf if name == "min" else -np.inf
+            vals = np.where(svalid_s, sv, pad)
+            res = self._range_extrema(vals, s, e, name == "min")
+            valid_out = (cnt_valid > 0) & np.isfinite(res)
+            out = np.zeros(n, dtype=np.float64)
+            out[perm] = np.where(valid_out, res, 0.0)
+            ov = np.zeros(n, dtype=bool)
+            ov[perm] = valid_out
+            if src.type.is_numeric and src.type.is_integral:
+                return Vector(BIGINT, out.astype(np.int64), ov)
+            return Vector(DOUBLE, out, ov)
+        raise BinderException(
+            f"window function {name} does not support explicit frames")
+
+    @staticmethod
+    def _range_extrema(vals: np.ndarray, s: np.ndarray, e: np.ndarray,
+                       is_min: bool) -> np.ndarray:
+        """Vectorized range min/max over inclusive [s, e] via an
+        O(n log n) sparse table; s > e rows return the padding value."""
+        n = len(vals)
+        comb = np.minimum if is_min else np.maximum
+        table = [vals]
+        j = 0
+        while (2 << j) <= n:
+            prev = table[-1]
+            half = 1 << j
+            m = n - (2 << j) + 1
+            table.append(comb(prev[:m], prev[half:half + m]))
+            j += 1
+        w = np.maximum(e - s + 1, 1)
+        k = np.floor(np.log2(w)).astype(np.int64)
+        out = np.empty(len(s), dtype=np.float64)
+        for kk in np.unique(k):
+            mask = k == kk
+            length = 1 << int(kk)
+            t = table[int(kk)]
+            out[mask] = comb(t[s[mask]], t[e[mask] - length + 1])
+        return out
+
     @staticmethod
     def _ffill_nan(x: np.ndarray) -> np.ndarray:
         """Forward-fill NaN with the last non-NaN value (0.0 before any)."""
@@ -1040,6 +1278,61 @@ class Executor:
         idx = np.sort(rng.choice(n, size=k, replace=False)) if n else \
             np.arange(0)
         return rel.take(idx)
+
+    def _resolve_qualify_expr(self, q: a.Expression, node: a.SelectNode
+                              ) -> a.Expression:
+        """Substitute select-list aliases inside a QUALIFY predicate with
+        their expressions (DuckDB: QUALIFY may reference select aliases,
+        window functions, and input columns; input columns resolve first,
+        then aliases — handled here by leaving non-alias names alone)."""
+        import dataclasses
+        alias_map = {}
+        for e in node.select_list:
+            al = getattr(e, "alias", None)
+            if al:
+                alias_map[al.lower()] = e
+        if not alias_map:
+            return q
+
+        def walk(e):
+            if isinstance(e, a.ColumnRef):
+                if len(e.parts) == 1:
+                    return alias_map.get(e.parts[0].lower(), e)
+                return e
+            if not isinstance(e, a.Expression):
+                return e
+            changes = {}
+            for f in dataclasses.fields(e):
+                v = getattr(e, f.name)
+                if isinstance(v, a.Expression):
+                    nv = walk(v)
+                    if nv is not v:
+                        changes[f.name] = nv
+                elif isinstance(v, list) and v:
+                    nl = []
+                    dirty = False
+                    for x in v:
+                        if isinstance(x, a.Expression):
+                            nx = walk(x)
+                        elif isinstance(x, a.OrderByNode) and \
+                                x.expr is not None:
+                            ne = walk(x.expr)
+                            nx = dataclasses.replace(x, expr=ne) \
+                                if ne is not x.expr else x
+                        elif isinstance(x, tuple):
+                            nx = tuple(walk(y) if isinstance(y, a.Expression)
+                                       else y for y in x)
+                            if all(p is q2 for p, q2 in zip(nx, x)):
+                                nx = x
+                        else:
+                            nx = x
+                        dirty = dirty or nx is not x
+                        nl.append(nx)
+                    if dirty:
+                        changes[f.name] = nl
+            return dataclasses.replace(e, **changes) if changes else e
+
+        return walk(q)
 
     def _resolve_group_expr(self, g: a.Expression, node: a.SelectNode
                             ) -> a.Expression:
@@ -1160,7 +1453,13 @@ class Executor:
             if vec.type.numpy_dtype() is object:
                 vals = np.array([
                     "" if not vec.validity[i] else str(vec.data[i])
-                    for i in range(n)], dtype=object).astype(str)
+                    for i in range(n)], dtype=object)
+                colls = collect_collations(ob.expr) \
+                    if ob.expr is not None else []
+                if colls:
+                    # ORDER BY expr COLLATE …: sort by the collation key
+                    vals = apply_collation(vals, colls)
+                vals = vals.astype(str)
                 _, codes = np.unique(vals, return_inverse=True)
                 arr = codes.astype(np.float64)
             elif vec.type.id == TypeId.INTERVAL:

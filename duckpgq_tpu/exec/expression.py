@@ -12,7 +12,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from ..errors import BinderException, ConversionException, InternalException
-from ..functions.scalar import get_function, like_to_regex
+from ..functions.scalar import get_function, glob_to_regex, like_to_regex
 from ..storage.vector import Vector
 from ..types import (BIGINT, BOOLEAN, DOUBLE, LogicalType, TypeId, VARCHAR,
                      SQLNULL, STRUCT, max_numeric_type)
@@ -31,8 +31,10 @@ def fingerprint(e: a.Expression) -> str:
     if isinstance(e, a.ColumnRef):
         return "col:" + ".".join(p.lower() for p in e.parts)
     if isinstance(e, a.FunctionCall):
+        kw = "" if not e.kwargs else ";" + ",".join(
+            f"{k}:{fingerprint(v)}" for k, v in e.kwargs)
         return f"fn:{e.name.lower()}(" + ",".join(
-            fingerprint(x) for x in e.args) + ")"
+            fingerprint(x) for x in e.args) + f"{kw})"
     if isinstance(e, a.AggregateCall):
         d = "distinct " if e.distinct else ""
         ob = "" if not e.order_by else " order:" + ",".join(
@@ -45,9 +47,16 @@ def fingerprint(e: a.Expression) -> str:
         pb = ",".join(fingerprint(x) for x in e.partition_by)
         ob = ",".join(fingerprint(o.expr) + ("" if o.ascending else " desc")
                       for o in e.order_by)
+        fr = ""
+        if e.frame is not None:
+            f = e.frame
+            fr = (f" frame:{f.kind}:{f.start_type}"
+                  f"({fingerprint(f.start_expr) if f.start_expr else ''})"
+                  f":{f.end_type}"
+                  f"({fingerprint(f.end_expr) if f.end_expr else ''})")
         return (f"win:{e.name.lower()}(" +
                 ",".join(fingerprint(x) for x in e.args) +
-                f") partition:{pb} order:{ob}")
+                f") partition:{pb} order:{ob}{fr}")
     if isinstance(e, a.Comparison):
         return f"cmp:{e.op}({fingerprint(e.left)},{fingerprint(e.right)})"
     if isinstance(e, a.Conjunction):
@@ -75,7 +84,7 @@ def fingerprint(e: a.Expression) -> str:
         return (f"in:{e.negated}({fingerprint(e.expr)};" +
                 ",".join(fingerprint(v) for v in e.values) + ")")
     if isinstance(e, a.Like):
-        return (f"like:{e.negated}:{e.case_insensitive}"
+        return (f"like:{e.negated}:{e.case_insensitive}:{e.glob}"
                 f"({fingerprint(e.left)},{fingerprint(e.pattern)})")
     if isinstance(e, a.ListExpr):
         return "list(" + ",".join(fingerprint(v) for v in e.values) + ")"
@@ -91,6 +100,63 @@ def fingerprint(e: a.Expression) -> str:
     if isinstance(e, a.Collate):
         return f"collate({fingerprint(e.child)},{e.collation})"
     return f"expr:{id(e)}"
+
+
+# ---------------------------------------------------------------------------
+# collations (reference grammar expression.gram:258-259 COLLATE postfix;
+# DuckDB builtins: NOCASE, NOACCENT, NFC and dot-combinations, plus the
+# no-op binary collations C/POSIX/BINARY)
+# ---------------------------------------------------------------------------
+
+_KNOWN_COLLATIONS = {"nocase", "noaccent", "nfc", "c", "binary", "posix"}
+
+
+def collect_collations(e: a.Expression) -> List[str]:
+    """Collation names from a (possibly nested) Collate wrapper; empty if
+    ``e`` is not a Collate node. Unknown names raise like DuckDB's catalog
+    lookup."""
+    from ..errors import CatalogException
+    colls: List[str] = []
+    while isinstance(e, a.Collate):
+        for part in e.collation.split("."):
+            c = part.lower()
+            if c not in _KNOWN_COLLATIONS:
+                raise CatalogException(
+                    f"Collation with name {part} does not exist!")
+            colls.append(c)
+        e = e.child
+    return colls
+
+
+def apply_collation(values: np.ndarray, colls: List[str]) -> np.ndarray:
+    """Map an object array of strings to their collation keys (NOCASE →
+    casefold, NOACCENT → strip combining marks, NFC → normalize); non-str
+    entries pass through."""
+    import unicodedata
+    nocase = "nocase" in colls
+    noaccent = "noaccent" in colls
+    nfc = "nfc" in colls
+    if not (nocase or noaccent or nfc):
+        return values
+    out = np.empty(len(values), dtype=object)
+    for i, v in enumerate(values):
+        if not isinstance(v, str):
+            out[i] = v
+            continue
+        s = unicodedata.normalize("NFC", v) if nfc else v
+        if noaccent:
+            s = "".join(ch for ch in unicodedata.normalize("NFD", s)
+                        if not unicodedata.combining(ch))
+        if nocase:
+            s = s.lower()
+        out[i] = s
+    return out
+
+
+def collation_key_values(vals: List, colls: List[str]) -> List:
+    """apply_collation for a plain python list (ORDER BY key path)."""
+    arr = apply_collation(np.array(vals, dtype=object), colls)
+    return list(arr)
 
 
 def collect_aggregates(e: a.Expression, out: List[a.AggregateCall]):
@@ -115,12 +181,16 @@ def collect_windows(e: a.Expression, out: List["a.WindowCall"]):
 
 def _children(e: a.Expression):
     if isinstance(e, a.FunctionCall):
-        return e.args
+        return e.args + [v for _, v in e.kwargs]
     if isinstance(e, a.AggregateCall):
         return e.args
     if isinstance(e, a.WindowCall):
-        return (e.args + e.partition_by +
-                [ob.expr for ob in e.order_by])
+        out = (e.args + e.partition_by +
+               [ob.expr for ob in e.order_by])
+        if e.frame is not None:
+            out += [x for x in (e.frame.start_expr, e.frame.end_expr)
+                    if x is not None]
+        return out
     if isinstance(e, a.Comparison):
         return [e.left, e.right]
     if isinstance(e, a.Conjunction):
@@ -395,6 +465,12 @@ class Evaluator:
             # object-dtype string compare; numpy handles elementwise on objects
             ld = ld.astype(object)
             rd = rd.astype(object)
+            colls = collect_collations(e.left) + collect_collations(e.right)
+            if colls:
+                # COLLATE on either side collates the whole comparison
+                # (expression.gram:258-259; DuckDB PushCollation)
+                ld = apply_collation(ld, colls)
+                rd = apply_collation(rd, colls)
             out = np.zeros(n, dtype=bool)
             idx = np.flatnonzero(validity)
             for i in idx:
@@ -513,12 +589,13 @@ class Evaluator:
         out = np.zeros(n, dtype=bool)
         cache = {}
         flags = _re.IGNORECASE if e.case_insensitive else 0
+        to_regex = glob_to_regex if e.glob else like_to_regex
         for i in range(n):
             if validity[i]:
                 p = str(pat.data[i])
                 rx = cache.get(p)
                 if rx is None:
-                    rx = cache[p] = _re.compile(like_to_regex(p),
+                    rx = cache[p] = _re.compile(to_regex(p),
                                                 _re.DOTALL | flags)
                 out[i] = rx.fullmatch(str(s.data[i])) is not None
         if e.negated:
@@ -567,6 +644,13 @@ class Evaluator:
 
     def evaluate_function(self, e: a.FunctionCall) -> Vector:
         name = e.name.lower()
+        if e.kwargs:
+            # named arguments parse (select.gram:88-91) but no scalar
+            # builtin here declares named parameters — clean binder error,
+            # mirroring DuckDB's InvalidNamedParameter path
+            raise BinderException(
+                f'Invalid named parameter "{e.kwargs[0][0]}" for function '
+                f"{name}")
         if any(isinstance(x, a.Lambda) for x in e.args):
             mode = self._LAMBDA_FUNCS.get(name)
             if mode is None:

@@ -717,6 +717,39 @@ def like_to_regex(pattern: str) -> str:
     return "".join(out)
 
 
+def glob_to_regex(pattern: str) -> str:
+    """GLOB wildcards (reference: DuckDB LikeFun glob): * any run, ? one
+    char, [...] / [!...] character classes, case-sensitive."""
+    out = []
+    i, n = 0, len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        elif ch == "[":
+            j = i + 1
+            if j < n and pattern[j] in "!^":
+                j += 1
+            if j < n and pattern[j] == "]":
+                j += 1
+            while j < n and pattern[j] != "]":
+                j += 1
+            if j < n:
+                body = pattern[i + 1:j]
+                if body.startswith("!"):
+                    body = "^" + body[1:]
+                out.append("[" + body.replace("\\", "\\\\") + "]")
+                i = j
+            else:
+                out.append(re.escape(ch))
+        else:
+            out.append(re.escape(ch))
+        i += 1
+    return "".join(out)
+
+
 @register("like")
 def fn_like(args):
     s, pat = args

@@ -60,10 +60,25 @@ def _bind_replace(bind_fn):
     return handler
 
 
+_NAMED_PARAMS = {
+    # table functions with named parameters (DuckDB read_csv options)
+    "read_csv": {"header", "delim", "sep", "delimiter"},
+    "read_csv_auto": {"header", "delim", "sep", "delimiter"},
+}
+
+
 def _relation_fn(fn):
     def handler(executor, ref, outer, env):
         args = [_arg_value(executor, x, outer, env) for x in ref.args]
-        names, cols = fn(executor, args)
+        kwargs = {}
+        for k, e in getattr(ref, "kwargs", ()):
+            if k not in _NAMED_PARAMS.get(ref.name.lower(), ()):
+                raise BinderException(
+                    f'Invalid named parameter "{k}" for function '
+                    f"{ref.name.lower()}")
+            kwargs[k] = _arg_value(executor, e, outer, env)
+        names, cols = fn(executor, args, kwargs) if kwargs else \
+            fn(executor, args)
         alias = ref.alias or ref.name
         if ref.column_aliases:
             names = list(names)
@@ -103,10 +118,15 @@ def _fn_read_parquet(executor, args):
     return names, cols
 
 
-def _fn_read_csv(executor, args):
+def _fn_read_csv(executor, args, kwargs=None):
     from ..io.csv import read_csv
+    kwargs = kwargs or {}
     path = executor.connection.database.resolve_path(str(args[0]))
-    names, cols = read_csv(path)
+    delim = str(kwargs.get("delim") or kwargs.get("sep") or
+                kwargs.get("delimiter") or ",")
+    header = kwargs.get("header")
+    names, cols = read_csv(path, delimiter=delim,
+                           header=True if header is None else bool(header))
     return names, cols
 
 

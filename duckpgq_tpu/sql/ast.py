@@ -69,19 +69,38 @@ class FunctionCall(Expression):
     distinct: bool = False
     is_operator: bool = False
     order_by: List["OrderByNode"] = field(default_factory=list)
+    # named arguments f(x := 1) / f(x => 1) (reference grammar
+    # select.gram:88-91 NamedArgument)
+    kwargs: List[Tuple[str, Expression]] = field(default_factory=list)
     alias: Optional[str] = None
 
 
 @dataclass
+class WindowFrame:
+    """Explicit frame clause (reference grammar expression.gram
+    WindowFrameClause): ROWS/RANGE/GROUPS with BETWEEN bounds.
+    Bound types: unbounded_preceding / preceding / current /
+    following / unbounded_following; preceding/following carry an
+    offset expression."""
+
+    kind: str = "ROWS"            # ROWS / RANGE / GROUPS
+    start_type: str = "unbounded_preceding"
+    start_expr: Optional[Expression] = None
+    end_type: str = "current"
+    end_expr: Optional[Expression] = None
+
+
+@dataclass
 class WindowCall(Expression):
-    """fn(args) OVER (PARTITION BY ... ORDER BY ...) — default frames only
-    (with ORDER BY: RANGE UNBOUNDED PRECEDING..CURRENT ROW incl. peers;
-    without: the whole partition)."""
+    """fn(args) OVER (PARTITION BY ... ORDER BY ... [frame]) — default
+    frames when ``frame`` is None (with ORDER BY: RANGE UNBOUNDED
+    PRECEDING..CURRENT ROW incl. peers; without: the whole partition)."""
 
     name: str = ""
     args: List[Expression] = field(default_factory=list)
     partition_by: List[Expression] = field(default_factory=list)
     order_by: List["OrderByNode"] = field(default_factory=list)
+    frame: Optional[WindowFrame] = None
     alias: Optional[str] = None
 
 
@@ -203,6 +222,7 @@ class Like(Expression):
     pattern: Expression = None
     negated: bool = False
     case_insensitive: bool = False
+    glob: bool = False     # GLOB: * / ? / [...] wildcards, case-sensitive
     alias: Optional[str] = None
 
 
@@ -259,6 +279,7 @@ class SubqueryRef(TableRef):
 class TableFunctionRef(TableRef):
     name: str = ""
     args: List[Expression] = field(default_factory=list)
+    kwargs: List[Tuple[str, Expression]] = field(default_factory=list)
     alias: Optional[str] = None
     column_aliases: Tuple[str, ...] = ()
 

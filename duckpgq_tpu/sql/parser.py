@@ -710,12 +710,19 @@ class Parser:
             # table function
             self.next()
             args: List[a.Expression] = []
+            kwargs: List[tuple] = []
             if not self.peek().is_op(")"):
-                args.append(self.parse_expression())
-                while self.accept_op(","):
-                    args.append(self.parse_expression())
+                while True:
+                    kw = self._try_named_arg()
+                    if kw is not None:
+                        kwargs.append(kw)
+                    else:
+                        args.append(self.parse_expression())
+                    if not self.accept_op(","):
+                        break
             self.expect_op(")")
-            ref = a.TableFunctionRef(name=parts[-1].lower(), args=args)
+            ref = a.TableFunctionRef(name=parts[-1].lower(), args=args,
+                                     kwargs=kwargs)
             self._parse_table_alias(ref)
             return ref
         ref = a.BaseTableRef(table=parts[-1])
@@ -859,7 +866,8 @@ class Parser:
                 kw = self.next().upper
                 pattern = self.parse_additive()
                 left = a.Like(left=left, pattern=pattern, negated=negated,
-                              case_insensitive=(kw == "ILIKE"))
+                              case_insensitive=(kw == "ILIKE"),
+                              glob=(kw == "GLOB"))
                 continue
             if tok.is_kw("SIMILAR"):
                 self.next()
@@ -904,7 +912,7 @@ class Parser:
             else:
                 return left
 
-    def parse_unary(self) -> a.Expression:
+    def parse_unary(self, allow_at_tz: bool = True) -> a.Expression:
         if self.accept_op("-"):
             child = self.parse_unary()
             if isinstance(child, a.Constant) and child.type is not None and \
@@ -914,9 +922,9 @@ class Parser:
             return a.FunctionCall(name="-", args=[child], is_operator=True)
         if self.accept_op("+"):
             return self.parse_unary()
-        return self.parse_postfix()
+        return self.parse_postfix(allow_at_tz)
 
-    def parse_postfix(self) -> a.Expression:
+    def parse_postfix(self, allow_at_tz: bool = True) -> a.Expression:
         expr = self.parse_primary()
         while True:
             tok = self.peek()
@@ -977,12 +985,15 @@ class Parser:
             elif tok.is_kw("COLLATE"):
                 self.next()
                 expr = a.Collate(child=expr, collation=self.expect_ident())
-            elif tok.is_kw("AT") and self.peek(1).is_kw("TIME") and \
-                    self.peek(2).is_kw("ZONE"):
+            elif allow_at_tz and tok.is_kw("AT") and \
+                    self.peek(1).is_kw("TIME") and self.peek(2).is_kw("ZONE"):
                 # expr AT TIME ZONE tz  ==  timezone(tz, expr)
-                # (reference grammar: expression.gram AT TIME ZONE postfix)
+                # (reference grammar: expression.gram:262-263 makes the tail
+                # repeatable/left-associative — the tz operand itself must
+                # NOT consume a following AT TIME ZONE tail, so it is
+                # parsed with allow_at_tz=False and chaining happens here)
                 self.next(); self.next(); self.next()
-                tz = self.parse_unary()
+                tz = self.parse_unary(allow_at_tz=False)
                 expr = a.FunctionCall(name="timezone", args=[tz, expr])
             else:
                 return expr
@@ -1221,11 +1232,27 @@ class Parser:
                                 body=self.parse_expression())
         return self.parse_expression()
 
+    def _try_named_arg(self):
+        """``ident := expr`` / ``ident => expr`` named argument (reference
+        grammar select.gram:88-91); returns (name, expr) or None. The lexer
+        splits ``:=``/``=>`` into two single-char ops."""
+        tok = self.peek()
+        if tok.kind != T.IDENT:
+            return None
+        if self.peek(1).is_op(":") and self.peek(2).is_op("="):
+            self.next(); self.next(); self.next()
+            return tok.text.lower(), self.parse_expression()
+        if self.peek(1).is_op("=") and self.peek(2).is_op(">"):
+            self.next(); self.next(); self.next()
+            return tok.text.lower(), self.parse_expression()
+        return None
+
     def parse_function_call(self, name: str) -> a.Expression:
         lname = name.lower()
         self.expect_op("(")
         distinct = False
         args: List[a.Expression] = []
+        kwargs: List[tuple] = []
         order_by: List[a.OrderByNode] = []
         if self.peek().is_op("*"):
             self.next()
@@ -1249,9 +1276,14 @@ class Parser:
         if not self.peek().is_op(")"):
             if self.accept_kw("DISTINCT"):
                 distinct = True
-            args.append(self._parse_lambda_or_expression())
-            while self.accept_op(","):
-                args.append(self._parse_lambda_or_expression())
+            while True:
+                kw = self._try_named_arg()
+                if kw is not None:
+                    kwargs.append(kw)
+                else:
+                    args.append(self._parse_lambda_or_expression())
+                if not self.accept_op(","):
+                    break
             if self.accept_kw("ORDER"):
                 self.expect_kw("BY")
                 while True:
@@ -1284,7 +1316,7 @@ class Parser:
             raise BinderException(
                 "FILTER is only supported for aggregate functions")
         fn = a.FunctionCall(name=lname, args=args, distinct=distinct,
-                            order_by=order_by)
+                            order_by=order_by, kwargs=kwargs)
         return fn
 
     _WINDOW_FUNCTIONS = {
@@ -1314,10 +1346,9 @@ class Parser:
                 order_by.append(a.OrderByNode(expr=e, ascending=asc))
                 if not self.accept_op(","):
                     break
+        frame = None
         if self.peek().is_kw("ROWS", "RANGE", "GROUPS"):
-            raise NotImplementedException(
-                "explicit window frames are not supported yet (default "
-                "frames only)")
+            frame = self._parse_window_frame()
         self.expect_op(")")
         if lname == "count" and not args:
             lname = "count_star"
@@ -1325,7 +1356,42 @@ class Parser:
             raise NotImplementedException(
                 f"window function {lname} is not supported")
         return a.WindowCall(name=lname, args=args, partition_by=partition,
-                            order_by=order_by)
+                            order_by=order_by, frame=frame)
+
+    def _parse_window_frame(self) -> "a.WindowFrame":
+        """ROWS/RANGE/GROUPS [BETWEEN bound AND bound | bound]
+        (reference grammar expression.gram WindowFrameClause:70-76).
+        A single bound is the frame start; the end defaults to CURRENT
+        ROW."""
+        kind = self.next().text.upper()
+
+        def bound():
+            if self.accept_kw("UNBOUNDED"):
+                if self.accept_kw("PRECEDING"):
+                    return "unbounded_preceding", None
+                self.expect_kw("FOLLOWING")
+                return "unbounded_following", None
+            if self.accept_kw("CURRENT"):
+                self.expect_kw("ROW")
+                return "current", None
+            e = self.parse_expression()
+            if self.accept_kw("PRECEDING"):
+                return "preceding", e
+            self.expect_kw("FOLLOWING")
+            return "following", e
+
+        if self.accept_kw("BETWEEN"):
+            st, se = bound()
+            self.expect_kw("AND")
+            et, ee = bound()
+        else:
+            st, se = bound()
+            et, ee = "current", None
+        if self.peek().is_kw("EXCLUDE"):
+            raise NotImplementedException(
+                "EXCLUDE in window frames is not supported")
+        return a.WindowFrame(kind=kind, start_type=st, start_expr=se,
+                             end_type=et, end_expr=ee)
 
     def parse_case(self) -> a.Expression:
         self.expect_kw("CASE")

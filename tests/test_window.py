@@ -100,9 +100,74 @@ def test_window_in_expression():
     assert rows[0] == (1, 1 - 21 / 6)
 
 
-def test_explicit_frames_rejected():
-    from duckpgq_tpu.errors import NotImplementedException
+def test_rows_frame_sliding_sum():
     con = _con()
-    with pytest.raises(NotImplementedException):
-        con.execute("SELECT sum(x) OVER (ORDER BY x ROWS BETWEEN 1 "
-                    "PRECEDING AND CURRENT ROW) FROM w")
+    assert con.execute(
+        "SELECT x, sum(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND "
+        "1 FOLLOWING) FROM w WHERE x IN (1,2,5,7) ORDER BY x"
+    ).fetchall() == [(1, 3), (2, 8), (5, 14), (7, 12)]
+
+
+def test_rows_frame_current_to_unbounded():
+    con = _con()
+    assert con.execute(
+        "SELECT x, sum(x) OVER (ORDER BY x ROWS BETWEEN CURRENT ROW AND "
+        "UNBOUNDED FOLLOWING) FROM w WHERE x IN (1,2,5,7) ORDER BY x"
+    ).fetchall() == [(1, 15), (2, 14), (5, 12), (7, 7)]
+
+
+def test_rows_frame_single_bound_shorthand():
+    # ROWS 1 PRECEDING == BETWEEN 1 PRECEDING AND CURRENT ROW
+    con = _con()
+    assert con.execute(
+        "SELECT x, sum(x) OVER (ORDER BY x ROWS 1 PRECEDING) "
+        "FROM w WHERE x IN (1,2,5,7) ORDER BY x"
+    ).fetchall() == [(1, 1), (2, 3), (5, 7), (7, 12)]
+
+
+def test_rows_frame_empty_is_null():
+    con = _con()
+    assert con.execute(
+        "SELECT x, sum(x) OVER (ORDER BY x ROWS BETWEEN 2 FOLLOWING AND "
+        "3 FOLLOWING) FROM w WHERE x IN (1,2,5,7) ORDER BY x"
+    ).fetchall() == [(1, 12), (2, 7), (5, None), (7, None)]
+
+
+def test_range_frame_offsets_and_peers():
+    # keys 1,2,3,3,5,7; RANGE end CURRENT ROW includes peers (both 3s)
+    con = _con()
+    assert con.execute(
+        "SELECT x, count(*) OVER (ORDER BY x RANGE BETWEEN 2 PRECEDING "
+        "AND CURRENT ROW) FROM w ORDER BY x").fetchall() == [
+        (1, 1), (2, 2), (3, 4), (3, 4), (5, 3), (7, 2)]
+
+
+def test_groups_frame():
+    # peer groups {1},{2},{3,3},{5},{7}
+    con = _con()
+    assert con.execute(
+        "SELECT x, count(*) OVER (ORDER BY x GROUPS BETWEEN 1 PRECEDING "
+        "AND CURRENT ROW) FROM w ORDER BY x").fetchall() == [
+        (1, 1), (2, 2), (3, 3), (3, 3), (5, 3), (7, 2)]
+
+
+def test_frame_min_max_first_last():
+    con = _con()
+    assert con.execute(
+        "SELECT x, max(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING AND "
+        "1 FOLLOWING), min(x) OVER (ORDER BY x ROWS BETWEEN 1 PRECEDING "
+        "AND 1 FOLLOWING) FROM w WHERE x IN (1,2,5,7) ORDER BY x"
+    ).fetchall() == [(1, 2, 1), (2, 5, 1), (5, 7, 2), (7, 7, 5)]
+    assert con.execute(
+        "SELECT x, last_value(x) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND UNBOUNDED FOLLOWING) FROM w WHERE x IN (1,2,5) "
+        "ORDER BY x").fetchall() == [(1, 5), (2, 5), (5, 5)]
+
+
+def test_frame_partitioned():
+    con = _con()
+    assert con.execute(
+        "SELECT g, x, sum(x) OVER (PARTITION BY g ORDER BY x ROWS BETWEEN "
+        "1 PRECEDING AND CURRENT ROW) FROM w WHERE x <> 3 "
+        "ORDER BY g, x").fetchall() == [
+        ("a", 1, 1), ("a", 7, 8), ("b", 2, 2), ("b", 5, 7)]
