@@ -135,9 +135,12 @@ def cast_vector(vec: Vector, target: LogicalType, try_cast: bool = False
             (target.is_numeric or target.id == TypeId.BOOLEAN):
         dtype = target.numpy_dtype()
         if target.is_integral and src.is_floating:
-            # DuckDB rounds on float->int cast
+            # DuckDB rounds float->int casts HALF AWAY FROM ZERO
+            # (8.5 -> 9, -7.5 -> -8); np.round would do banker's rounding
+            f = vec.data.astype(np.float64)
             data = np.where(vec.validity,
-                            np.round(vec.data.astype(np.float64)), 0)
+                            np.where(f >= 0, np.floor(f + 0.5),
+                                     np.ceil(f - 0.5)), 0)
             out = data.astype(dtype)
         elif target.id == TypeId.BOOLEAN:
             out = vec.data.astype(np.float64) != 0

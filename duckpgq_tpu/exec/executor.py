@@ -1477,8 +1477,12 @@ class Executor:
             nullkey = (~vec.validity).astype(np.float64)
             if not nulls_last:
                 nullkey = -nullkey
-            sort_cols.append(arr)
+            # the null flag must be MORE significant than the value key
+            # (NULL rows would otherwise sort by whatever bytes sit under
+            # the invalid slots); np.lexsort makes the LAST entry of the
+            # reversed tuple primary, so nullkey goes before arr here
             sort_cols.append(nullkey)
+            sort_cols.append(arr)
         # lexsort uses last key as primary; reverse our list
         idx = np.lexsort(tuple(reversed(sort_cols))) if sort_cols else \
             np.arange(n)

@@ -568,16 +568,24 @@ class Evaluator:
         out = Vector.constant(None, typ, n)
         for mask, vec in results:
             if mask.any():
-                if vec.type.id != typ.id and vec.type.id != TypeId.SQLNULL:
+                if vec.type.id == TypeId.SQLNULL:
+                    # typed-NULL branch (e.g. `-NULL`): object data holds
+                    # None — only the validity may be written
+                    out.validity[mask] = False
+                    continue
+                if vec.type.id != typ.id:
                     vec = cast_vector(vec, typ)
                 out.data[mask] = vec.data[mask]
                 out.validity[mask] = vec.validity[mask]
         rest = ~decided
         if else_vec is not None and rest.any():
-            if else_vec.type.id != typ.id and else_vec.type.id != TypeId.SQLNULL:
-                else_vec = cast_vector(else_vec, typ)
-            out.data[rest] = else_vec.data[rest]
-            out.validity[rest] = else_vec.validity[rest]
+            if else_vec.type.id == TypeId.SQLNULL:
+                out.validity[rest] = False
+            else:
+                if else_vec.type.id != typ.id:
+                    else_vec = cast_vector(else_vec, typ)
+                out.data[rest] = else_vec.data[rest]
+                out.validity[rest] = else_vec.validity[rest]
         return out
 
     def evaluate_like(self, e: a.Like) -> Vector:

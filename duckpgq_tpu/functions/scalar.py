@@ -583,13 +583,29 @@ def fn_substring(args):
     for i in range(n):
         if not validity[i]:
             continue
-        st = int(start.data[i]) - 1
-        if st < 0:
-            st = max(0, st)
-        if length is not None:
-            out[i] = str(s.data[i])[st:st + int(length.data[i])]
+        text = str(s.data[i])
+        L = len(text)
+        st = int(start.data[i])
+        # DuckDB GetSubstringParameters: negative start counts from the
+        # string END; position 0 consumes one length unit; negative
+        # length extends LEFT of the start
+        if st > 0:
+            pos = st - 1
+        elif st < 0:
+            pos = L + st
         else:
-            out[i] = str(s.data[i])[st:]
+            pos = -1
+        if length is not None:
+            ln = int(length.data[i])
+            if ln < 0:
+                pos += ln
+                ln = -ln
+            e0 = pos + ln
+        else:
+            e0 = L
+        b0 = max(pos, 0)
+        e0 = min(max(e0, b0), L)
+        out[i] = text[b0:e0]
     return Vector(VARCHAR, out, validity)
 
 

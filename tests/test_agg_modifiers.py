@@ -67,25 +67,28 @@ def test_grouping_sets_rollup_cube():
     con = duckpgq_tpu.connect()
     con.execute("CREATE TABLE gs(a VARCHAR, b VARCHAR, v BIGINT)")
     con.execute("INSERT INTO gs VALUES ('x','p',1),('x','q',2),('y','p',4)")
+    # DuckDB default null order is NULLS LAST (the pre-round-4 engine
+    # sorted NULL varchars first by their "" placeholder — a real ORDER BY
+    # bug found by tests/test_differential.py)
     assert con.execute(
         "SELECT a, count(*) FROM gs GROUP BY GROUPING SETS ((a), ()) "
-        "ORDER BY ALL").fetchall() == [(None, 3), ("x", 2), ("y", 1)]
+        "ORDER BY ALL").fetchall() == [("x", 2), ("y", 1), (None, 3)]
     assert con.execute(
         "SELECT a, b, sum(v) FROM gs GROUP BY ROLLUP (a, b) ORDER BY ALL"
     ).fetchall() == [
-        (None, None, 7), ("x", None, 3), ("x", "p", 1), ("x", "q", 2),
-        ("y", None, 4), ("y", "p", 4)]
+        ("x", "p", 1), ("x", "q", 2), ("x", None, 3),
+        ("y", "p", 4), ("y", None, 4), (None, None, 7)]
     assert con.execute(
         "SELECT a, b, sum(v) FROM gs GROUP BY CUBE (a, b) ORDER BY ALL"
     ).fetchall() == [
-        (None, None, 7), (None, "p", 5), (None, "q", 2),
-        ("x", None, 3), ("x", "p", 1), ("x", "q", 2),
-        ("y", None, 4), ("y", "p", 4)]
+        ("x", "p", 1), ("x", "q", 2), ("x", None, 3),
+        ("y", "p", 4), ("y", None, 4),
+        (None, "p", 5), (None, "q", 2), (None, None, 7)]
     # HAVING applies per set
     assert con.execute(
         "SELECT a, count(*) FROM gs GROUP BY GROUPING SETS ((a), ()) "
         "HAVING count(*) > 1 ORDER BY ALL"
-    ).fetchall() == [(None, 3), ("x", 2)]
+    ).fetchall() == [("x", 2), (None, 3)]
 
 
 def test_pivot_unpivot():
