@@ -908,6 +908,148 @@ def _traversed_from_seen(csr: DeviceCSR, seen, L: int,
     return _packed_traversed(seen_v, deg, L, edge_major=not lane_major)
 
 
+# ---------------------------------------------------------------------------
+# sparse-frontier tail mode (VERDICT r3 item 2)
+#
+# After ~depth 4 the RMAT frontier collapses but the dense chunked wave
+# still pays a full [Ep, W] sweep per iteration (BASELINE.md RMAT-23:
+# 2.58 GTEPS at depth 4 vs 1.14 at depth 16). This is the TPU analog of
+# the reference's sparse/dense frontier switch
+# (src/core/functions/scalar/reachability.cpp:154-163, VISIT_SIZE_DIVISOR):
+# when few vertices hold new bits, expand ONLY their out-edges under a
+# static budget. Formulation keeps the no-big-scatter invariant: the only
+# scatter is E_cap int32 POSITIONS (not rows) — the frontier rows flow
+# through gather / sort / blocked segmented-OR scan / gather, exactly the
+# op classes the AOT compile helper is known to handle.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("lane_major",))
+def _frontier_occupancy(csr: DeviceCSR, frontier, lane_major: bool = False):
+    """(occupied vertex count, total out-degree of occupied vertices) of a
+    packed frontier — the two scalars the host-stepped driver uses to pick
+    dense vs sparse for the next dispatch."""
+    if lane_major:
+        any_v = (frontier[:, :csr.vpad] != 0).any(axis=0)
+    else:
+        any_v = (frontier[:csr.vpad] != 0).any(axis=1)
+    deg = csr.offsets[1:] - csr.offsets[:-1]
+    occ = any_v.sum(dtype=jnp.int32)
+    tot = jnp.where(any_v, deg, 0).sum(dtype=jnp.int32)
+    return occ, tot
+
+
+def build_out_dst_device(csr: DeviceCSR) -> jnp.ndarray:
+    """Out-edge destinations sorted by source ([Ep] int32) for the sparse
+    tail. Full CSRs already carry this as ``csr.e``; lengths-only CSRs
+    (bench path) re-sort the in-edge view ON DEVICE (pad edges carry
+    src=vpad and sort to the end, consistent with ``csr.offsets``)."""
+    if csr.e is not None:
+        return csr.e
+    _, d_by_s = jax.lax.sort((csr.in_src, csr.in_dst), num_keys=1)
+    return d_by_s
+
+
+def _sparse_expand(csr: DeviceCSR, out_dst, frontier, a_cap: int,
+                   e_cap: int, lane_major: bool):
+    """One sparse frontier expansion: returns the full-width next-frontier
+    candidate ([W, Vp+1] lane-major / [Vp+1, W] edge-major), bit-identical
+    to the dense expand whenever (occ <= a_cap and active out-degree sum
+    <= e_cap) — the host guarantees that before dispatching."""
+    Vp = csr.vpad
+    if lane_major:
+        W = frontier.shape[0]
+        any_v = (frontier[:, :Vp] != 0).any(axis=0)
+    else:
+        W = frontier.shape[1]
+        any_v = (frontier[:Vp] != 0).any(axis=1)
+    av = jnp.nonzero(any_v, size=a_cap, fill_value=Vp)[0].astype(jnp.int32)
+    degs = jnp.where(av < Vp, csr.offsets[av + 1] - csr.offsets[av], 0)
+    cum = jnp.cumsum(degs)                                   # [A]
+    total = cum[-1]
+    j = jnp.arange(e_cap, dtype=jnp.int32)
+    i_of_j = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
+    i_cl = jnp.minimum(i_of_j, a_cap - 1)
+    base = jnp.where(i_cl > 0, cum[jnp.maximum(i_cl - 1, 0)], 0)
+    valid = j < total
+    srcv = jnp.where(valid, av[i_cl], Vp)                    # [Eb]
+    e_idx = jnp.where(valid, csr.offsets[jnp.minimum(srcv, Vp)]
+                      + (j - base), 0)
+    d = jnp.where(valid, out_dst[e_idx], Vp).astype(jnp.int32)
+    d_sorted, perm = jax.lax.sort((d, j), num_keys=1)
+    hds = jnp.concatenate([jnp.ones(1, bool),
+                           d_sorted[1:] != d_sorted[:-1]])
+    block = _scan_block_size(e_cap)
+    # segment-final position of each destination, GATHER-ONLY: the last
+    # occurrence of v in the sorted keys is searchsorted(right) - 1 (no
+    # scatter anywhere in the sparse path — scatter HLO is what chokes
+    # the shared AOT compile helper); absent vertices point at the
+    # trailing zero column, the dense kernel's plan.slot pattern
+    pos = jnp.searchsorted(
+        d_sorted, jnp.arange(Vp + 1, dtype=jnp.int32),
+        side="right").astype(jnp.int32) - 1
+    pos_cl = jnp.maximum(pos, 0)
+    idx = jnp.where(d_sorted[pos_cl] == jnp.arange(Vp + 1, dtype=jnp.int32),
+                    pos_cl, e_cap)
+    if lane_major:
+        g = jnp.take(frontier, srcv, axis=1)                 # [W, Eb]
+        g = jnp.take(g, perm, axis=1)
+        scanned, _ = _seg_or_scan_blocked_rows(
+            g, hds, jnp.zeros((W, 1), jnp.uint32), block)
+        scanned = jnp.concatenate(
+            [scanned, jnp.zeros((W, 1), jnp.uint32)], axis=1)
+        return jnp.take(scanned, idx, axis=1)                # [W, Vp+1]
+    g = jnp.take(frontier, srcv, axis=0)                     # [Eb, W]
+    g = jnp.take(g, perm, axis=0)
+    scanned, _ = _seg_or_scan_blocked(
+        g, hds, jnp.zeros((1, W), jnp.uint32), block)
+    scanned = jnp.concatenate(
+        [scanned, jnp.zeros((1, W), jnp.uint32)], axis=0)
+    return jnp.take(scanned, idx, axis=0)                    # [Vp+1, W]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("a_cap", "e_cap", "lane_major"),
+                   donate_argnames=("frontier", "seen", "result"))
+def _sparse_wave_step(csr: DeviceCSR, out_dst, src, dst, word_of_lane,
+                      bit_of_lane, searching, it, frontier, seen, result,
+                      a_cap: int, e_cap: int, lane_major: bool = False):
+    """One sparse-tail BFS iteration (single dispatch; sparse iterations
+    are cheap enough that the host re-decides dense-vs-sparse every
+    iteration from the returned occupancy scalars)."""
+    W = src.shape[0] // 32
+    nxt = _sparse_expand(csr, out_dst, frontier, a_cap, e_cap, lane_major)
+    nxt = nxt & ~seen
+    seen = seen | nxt
+    if lane_major:
+        found = ((nxt[word_of_lane, dst] & bit_of_lane) != 0) \
+            & (result < 0) & searching
+        result = jnp.where(found, it, result)
+        nxt = nxt & _pack_words(result < 0, W)[:, None]
+    else:
+        found = ((nxt[dst, word_of_lane] & bit_of_lane) != 0) \
+            & (result < 0) & searching
+        result = jnp.where(found, it, result)
+        nxt = nxt & _pack_words(result < 0, W)[None, :]
+    occ, tot = _frontier_occupancy(csr, nxt, lane_major)
+    return it + 1, nxt, seen, result, (nxt != 0).any(), occ, tot
+
+
+def _sparse_tail_caps(ec: int):
+    """(a_cap, e_cap) for the sparse tail; (0, 0) disables. e_cap defaults
+    to one dense chunk's edge count clamped to [8192, 262144] (compile
+    shapes of the same class the AOT helper has already proven) and a_cap
+    to min(e_cap, 65536) — an active set larger than that is not a
+    tail."""
+    import os
+    if os.environ.get("DUCKPGQ_SPARSE_TAIL", "1") != "1":
+        return 0, 0
+    e_cap = int(os.environ.get("DUCKPGQ_SPARSE_E", "0")) or \
+        max(min(ec or 262144, 262144), 8192)
+    a_cap = int(os.environ.get("DUCKPGQ_SPARSE_A", "0")) or \
+        min(e_cap, 65536)
+    return a_cap, e_cap
+
+
 def _msbfs_chunked_stepped(csr: DeviceCSR, plan: PackedWavePlan,
                            src: jnp.ndarray, dst: jnp.ndarray,
                            active: jnp.ndarray, max_iters: int,
@@ -928,14 +1070,34 @@ def _msbfs_chunked_stepped(csr: DeviceCSR, plan: PackedWavePlan,
     frontier, seen = _chunked_wave_init(csr, src, word_of_lane,
                                         bit_of_lane, searching,
                                         lane_major)
+    a_cap, e_cap = _sparse_tail_caps(csr.epad // plan.n_chunks)
+    out_dst = build_out_dst_device(csr) if a_cap else None
+    occ = tot = None                 # unknown until first measured
     it = jnp.int32(1)
     next_it = 1
     while next_it <= max_iters:
-        end = jnp.int32(min(next_it + seg_iters - 1, max_iters))
-        it, frontier, seen, result, nonempty = _chunked_wave_segment(
-            csr, plan, src, dst, word_of_lane, bit_of_lane, searching,
-            it, end, frontier, seen, result, use_pallas, lane_major)
-        next_it = min(next_it + seg_iters - 1, max_iters) + 1
+        sparse_ok = a_cap and occ is not None and \
+            occ <= a_cap and tot <= e_cap
+        if sparse_ok:
+            # cheap iteration: one dispatch, re-decide from the returned
+            # occupancy of the NEW frontier
+            it, frontier, seen, result, nonempty, d_occ, d_tot = \
+                _sparse_wave_step(
+                    csr, out_dst, src, dst, word_of_lane, bit_of_lane,
+                    searching, it, frontier, seen, result,
+                    a_cap, e_cap, lane_major)
+            next_it += 1
+            occ, tot = int(np.asarray(d_occ)), int(np.asarray(d_tot))
+        else:
+            end = jnp.int32(min(next_it + seg_iters - 1, max_iters))
+            it, frontier, seen, result, nonempty = _chunked_wave_segment(
+                csr, plan, src, dst, word_of_lane, bit_of_lane, searching,
+                it, end, frontier, seen, result, use_pallas, lane_major)
+            next_it = min(next_it + seg_iters - 1, max_iters) + 1
+            if a_cap and next_it <= max_iters:
+                d_occ, d_tot = _frontier_occupancy(csr, frontier,
+                                                   lane_major)
+                occ, tot = int(np.asarray(d_occ)), int(np.asarray(d_tot))
         if not bool(np.asarray(nonempty)):
             break
     traversed = _traversed_from_seen(csr, seen, src.shape[0], lane_major)

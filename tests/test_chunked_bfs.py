@@ -350,3 +350,86 @@ def test_lane_major_chunked_matches_edge_major(monkeypatch):
     # and the planned entry point routes narrow waves to lane-major
     got, tg = dev.msbfs_lengths_packed_planned(dcsr, plan, qs, qd, act, v)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sparse_tail_matches_monolithic(monkeypatch):
+    """The sparse-frontier tail (VERDICT r3 item 2): host-stepped waves
+    switch to compact active-vertex expansion when the frontier collapses
+    under the static budgets, bit-identical to the dense kernel in both
+    layouts — including budget-overflow fallback to dense mid-run."""
+    import jax.numpy as jnp
+
+    from duckpgq_tpu.ops import msbfs_jax as dev
+    from duckpgq_tpu.ops.csr_jax import build_device_csr
+
+    monkeypatch.setenv("DUCKPGQ_SCAN_BLOCK", "64")
+    rng = np.random.default_rng(91)
+    v, e = 300, 2200
+    src = rng.integers(0, v, size=e).astype(np.int64)
+    dst = rng.integers(0, v, size=e).astype(np.int64)
+    dcsr = build_device_csr(v, src, dst)
+    lanes = 16 * 32                                    # W = 16 narrow
+    plan = dev.plan_packed_wave(dcsr, lanes=lanes, n_chunks=4)
+    qs = jnp.asarray(rng.integers(0, v, size=lanes).astype(np.int32))
+    qd = jnp.asarray(rng.integers(0, v, size=lanes).astype(np.int32))
+    act = jnp.ones(lanes, dtype=bool)
+    want, tw = dev._msbfs_lengths_packed_chunked(
+        dcsr, plan, qs, qd, act, v, False)
+
+    calls = {"n": 0}
+    orig = dev._sparse_wave_step
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(dev, "_sparse_wave_step", counting)
+    for lane_major in (True, False):
+        # generous budgets: sparse engages right after the first segment
+        monkeypatch.setenv("DUCKPGQ_SPARSE_A", "8192")
+        monkeypatch.setenv("DUCKPGQ_SPARSE_E", "8192")
+        calls["n"] = 0
+        got, tg = dev._msbfs_chunked_stepped(
+            dcsr, plan, qs, qd, act, v, False, 1, lane_major=lane_major)
+        assert calls["n"] > 0, "sparse tail never engaged"
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        np.testing.assert_allclose(np.asarray(tg), np.asarray(tw))
+        # tiny active-set budget: the saturated mid-wave exceeds it
+        # (dense), only the thin head/tail iterations qualify
+        monkeypatch.setenv("DUCKPGQ_SPARSE_A", "32")
+        calls["n"] = 0
+        got, tg = dev._msbfs_chunked_stepped(
+            dcsr, plan, qs, qd, act, v, False, 1, lane_major=lane_major)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        np.testing.assert_allclose(np.asarray(tg), np.asarray(tw))
+    # disabled: no sparse dispatches at all
+    monkeypatch.setenv("DUCKPGQ_SPARSE_TAIL", "0")
+    calls["n"] = 0
+    got, tg = dev._msbfs_chunked_stepped(
+        dcsr, plan, qs, qd, act, v, False, 1, lane_major=True)
+    assert calls["n"] == 0
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_build_out_dst_device_lengths_only():
+    """build_out_dst_device on a lengths-only CSR reproduces the full
+    build's forward-view destinations (same multiset per source; the
+    sparse tail only ORs over them, so per-source order is free)."""
+    import jax.numpy as jnp
+
+    from duckpgq_tpu.ops import msbfs_jax as dev
+    from duckpgq_tpu.ops.csr_jax import build_device_csr
+
+    rng = np.random.default_rng(13)
+    v, e = 150, 900
+    src = rng.integers(0, v, size=e).astype(np.int64)
+    dst = rng.integers(0, v, size=e).astype(np.int64)
+    full = build_device_csr(v, src, dst)
+    lo = build_device_csr(v, src, dst, lengths_only=True)
+    got = np.asarray(dev.build_out_dst_device(lo))
+    want = np.asarray(full.e)
+    offs = np.asarray(full.offsets)
+    for vtx in range(v):
+        a, b = offs[vtx], offs[vtx + 1]
+        np.testing.assert_array_equal(np.sort(got[a:b]),
+                                      np.sort(want[a:b]))
