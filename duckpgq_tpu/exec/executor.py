@@ -182,7 +182,16 @@ class Executor:
             order_exprs=tuple(ob.expr for ob in (stmt.order_by or ())))
         # ORDER BY / LIMIT / OFFSET
         if stmt.order_by:
-            result = self.apply_order(result, order_ctx, stmt.order_by, outer)
+            limit_hint = None
+            if stmt.limit is not None:
+                try:
+                    limit_hint = int(self._const_scalar(stmt.limit)) + \
+                        (int(self._const_scalar(stmt.offset))
+                         if stmt.offset is not None else 0)
+                except (TypeError, ValueError):
+                    limit_hint = None
+            result = self.apply_order(result, order_ctx, stmt.order_by,
+                                      outer, limit_hint=limit_hint)
         if stmt.limit is not None or stmt.offset is not None:
             n = result.row_count
             off = 0
@@ -1418,7 +1427,8 @@ class Executor:
 
     # -------------------------------------------------------------- ORDER BY
     def apply_order(self, result: QueryResult, order_ctx,
-                    order_by: List[a.OrderByNode], outer) -> QueryResult:
+                    order_by: List[a.OrderByNode], outer,
+                    limit_hint: Optional[int] = None) -> QueryResult:
         n = result.row_count
         # ORDER BY ALL: every output column, left to right (DuckDB)
         if any(ob.order_all for ob in order_by):
@@ -1483,10 +1493,42 @@ class Executor:
             # reversed tuple primary, so nullkey goes before arr here
             sort_cols.append(nullkey)
             sort_cols.append(arr)
+        # ORDER BY + LIMIT top-k pushdown (VERDICT r3 item 4a): select the
+        # top limit_hint rows by the primary key (ties included) with
+        # argpartition, then full-precision lexsort only the candidates —
+        # O(n + c log c) instead of O(n log n * keys) on IC2-shape queries
+        if sort_cols and limit_hint and limit_hint > 0 and n > 8192 and \
+                limit_hint * 4 <= n:
+            idx = self._topk_indices(sort_cols, limit_hint, n)
+            if idx is not None:
+                return QueryResult(result.names,
+                                   [c.take(idx) for c in result.columns])
         # lexsort uses last key as primary; reverse our list
         idx = np.lexsort(tuple(reversed(sort_cols))) if sort_cols else \
             np.arange(n)
         return QueryResult(result.names, [c.take(idx) for c in result.columns])
+
+    @staticmethod
+    def _topk_indices(sort_cols: List[np.ndarray], k: int, n: int
+                      ) -> Optional[np.ndarray]:
+        """Exact top-k row indices for a multi-key sort, or None when the
+        candidate set is not selective (low-cardinality primary key, or a
+        NaN threshold) and the caller should full-sort. sort_cols is the
+        [nullkey0, arr0, nullkey1, arr1, ...] layout of apply_order."""
+        nullkey, arr = sort_cols[0], sort_cols[1]
+        primary = np.where(nullkey > 0, np.inf,
+                           np.where(nullkey < 0, -np.inf, arr))
+        part = np.argpartition(primary, k - 1)[:k]
+        thresh = primary[part].max()
+        if np.isnan(thresh):
+            return None                    # k reaches into NaN keys
+        cand = np.flatnonzero(primary <= thresh)   # ties included
+        if len(cand) > max(4 * k, 8192):
+            return None
+        sub = np.lexsort(tuple(reversed([c[cand] for c in sort_cols])))
+        # cand is ascending, so the subset lexsort is stable w.r.t. the
+        # original row order — identical tie order to the full sort
+        return cand[sub]
 
     def _bind_order_expr(self, e: a.Expression, result: QueryResult,
                          order_ctx, outer) -> Vector:

@@ -997,14 +997,66 @@ def _sparse_expand(csr: DeviceCSR, out_dst, frontier, a_cap: int,
             g, hds, jnp.zeros((W, 1), jnp.uint32), block)
         scanned = jnp.concatenate(
             [scanned, jnp.zeros((W, 1), jnp.uint32)], axis=1)
-        return jnp.take(scanned, idx, axis=1)                # [W, Vp+1]
+        return _take_cols_chunked(scanned, idx)              # [W, Vp+1]
     g = jnp.take(frontier, srcv, axis=0)                     # [Eb, W]
     g = jnp.take(g, perm, axis=0)
     scanned, _ = _seg_or_scan_blocked(
         g, hds, jnp.zeros((1, W), jnp.uint32), block)
     scanned = jnp.concatenate(
         [scanned, jnp.zeros((1, W), jnp.uint32)], axis=0)
-    return jnp.take(scanned, idx, axis=0)                    # [Vp+1, W]
+    return _take_rows_chunked(scanned, idx)                  # [Vp+1, W]
+
+
+_GATHER_CHUNK = 262144
+
+
+def _take_cols_chunked(table, idx, chunk: int = _GATHER_CHUNK):
+    """jnp.take(table, idx, axis=1) as a fori_loop over fixed index
+    chunks. One monolithic Vp-sized gather along the minor axis makes
+    XLA materialize a vertex-major [Vp, W] intermediate whose W-minor
+    T(8,128) tiles pad 128/W x — a 12 GB HLO temp at RMAT-24 W=16 that
+    OOMed the sparse-step compile (2026-08-21). Chunking bounds the
+    padded intermediate at [chunk, W] and keeps the output (and the
+    seen/frontier buffers it feeds) in their natural lane-major
+    layout."""
+    W = table.shape[0]
+    n = idx.shape[0]
+    nb, rem = n // chunk, n % chunk
+
+    def step(c, out):
+        sl = jax.lax.dynamic_slice(idx, (c * chunk,), (chunk,))
+        vals = jnp.take(table, sl, axis=1)
+        return jax.lax.dynamic_update_slice(out, vals, (0, c * chunk))
+
+    out = jnp.zeros((W, n), table.dtype)
+    if nb:
+        out = jax.lax.fori_loop(0, nb, step, out)
+    if rem:
+        sl = jax.lax.dynamic_slice(idx, (nb * chunk,), (rem,))
+        vals = jnp.take(table, sl, axis=1)
+        out = jax.lax.dynamic_update_slice(out, vals, (0, nb * chunk))
+    return out
+
+
+def _take_rows_chunked(table, idx, chunk: int = _GATHER_CHUNK):
+    """Edge-major mirror of _take_cols_chunked (axis 0)."""
+    W = table.shape[1]
+    n = idx.shape[0]
+    nb, rem = n // chunk, n % chunk
+
+    def step(c, out):
+        sl = jax.lax.dynamic_slice(idx, (c * chunk,), (chunk,))
+        vals = jnp.take(table, sl, axis=0)
+        return jax.lax.dynamic_update_slice(out, vals, (c * chunk, 0))
+
+    out = jnp.zeros((n, W), table.dtype)
+    if nb:
+        out = jax.lax.fori_loop(0, nb, step, out)
+    if rem:
+        sl = jax.lax.dynamic_slice(idx, (nb * chunk,), (rem,))
+        vals = jnp.take(table, sl, axis=0)
+        out = jax.lax.dynamic_update_slice(out, vals, (nb * chunk, 0))
+    return out
 
 
 @functools.partial(jax.jit,

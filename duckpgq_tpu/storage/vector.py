@@ -22,15 +22,21 @@ from ..types import LogicalType, TypeId, SQLNULL
 class Vector:
     """A column of values with a logical type and validity mask."""
 
-    __slots__ = ("type", "data", "validity")
+    __slots__ = ("type", "data", "validity", "constant_hint")
 
     def __init__(self, typ: LogicalType, data: np.ndarray,
-                 validity: Optional[np.ndarray] = None):
+                 validity: Optional[np.ndarray] = None,
+                 constant_hint: bool = False):
         self.type = typ
         self.data = data
         if validity is None:
             validity = np.ones(len(data), dtype=bool)
         self.validity = validity
+        # True only for Vector.constant results: every row is the same
+        # value, so casts may parse once and broadcast (a VARCHAR
+        # timestamp literal compared against a 21M-row column was being
+        # re-parsed per row — 172 of BI17's 174 s at SF0.3)
+        self.constant_hint = constant_hint
 
     # -- constructors -------------------------------------------------------
     @staticmethod
