@@ -60,6 +60,16 @@ def cast_vector(vec: Vector, target: LogicalType, try_cast: bool = False
     if src.id == TypeId.SQLNULL:
         return Vector.constant(None, target, n)
 
+    # constant vectors (comparison/coercion of literals against columns):
+    # cast the single value once and broadcast — a VARCHAR timestamp
+    # literal in a BETWEEN filter was re-parsed for every one of 21M rows
+    # (172 of BI17's 174 s at SF0.3)
+    if n > 1 and getattr(vec, "constant_hint", False):
+        one = cast_vector(Vector(src, vec.data[:1], vec.validity[:1].copy()),
+                          target, try_cast)
+        val = one.value(0) if one.validity[0] else None
+        return Vector.constant(val, target, n)
+
     # to VARCHAR: render values
     if target.id == TypeId.VARCHAR:
         data = np.empty(n, dtype=object)
@@ -73,6 +83,22 @@ def cast_vector(vec: Vector, target: LogicalType, try_cast: bool = False
         out = np.zeros(n, dtype=target.numpy_dtype()) \
             if target.numpy_dtype() is not object else np.empty(n, dtype=object)
         validity = vec.validity.copy()
+        # memoize temporal parses: repeated date strings in real columns
+        # (and any constant vector that slipped past the hint) parse once
+        _memo = {}
+
+        def _parse_timestamp(s, _raw=globals()["_parse_timestamp"]):
+            v = _memo.get(s)
+            if v is None:
+                v = _memo[s] = _raw(s)
+            return v
+
+        def _parse_date(s, _raw=globals()["_parse_date"]):
+            v = _memo.get(s)
+            if v is None:
+                v = _memo[s] = _raw(s)
+            return v
+
         for i in range(n):
             if not validity[i]:
                 continue

@@ -307,7 +307,9 @@ class Evaluator:
             typ = e.type
             if typ is None:
                 typ = _infer_constant_type(e.value)
-            return Vector.constant(e.value, typ, self.n)
+            vec = Vector.constant(e.value, typ, self.n)
+            vec.constant_hint = True   # literal: casts may parse once
+            return vec
         if isinstance(e, a.Parameter):
             raise BinderException(
                 "Values were not provided for the following prepared "

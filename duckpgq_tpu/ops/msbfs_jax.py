@@ -1062,43 +1062,67 @@ def _take_rows_chunked(table, idx, chunk: int = _GATHER_CHUNK):
 @functools.partial(jax.jit,
                    static_argnames=("a_cap", "e_cap", "lane_major"),
                    donate_argnames=("frontier", "seen", "result"))
-def _sparse_wave_step(csr: DeviceCSR, out_dst, src, dst, word_of_lane,
-                      bit_of_lane, searching, it, frontier, seen, result,
-                      a_cap: int, e_cap: int, lane_major: bool = False):
-    """One sparse-tail BFS iteration (single dispatch; sparse iterations
-    are cheap enough that the host re-decides dense-vs-sparse every
-    iteration from the returned occupancy scalars)."""
+def _sparse_wave_segment(csr: DeviceCSR, out_dst, src, dst, word_of_lane,
+                         bit_of_lane, searching, it0, end, occ0, tot0,
+                         frontier, seen, result,
+                         a_cap: int, e_cap: int, lane_major: bool = False):
+    """Run sparse-tail BFS iterations it0..end in ONE dispatch. The
+    while_loop re-checks the occupancy budgets each iteration on device
+    (a sparse expand is only valid when occ <= a_cap and the active
+    out-degree sum <= e_cap), so the loop exits the moment the frontier
+    outgrows them and the host falls back to a dense segment —
+    per-iteration host round trips over the slow tunnel would otherwise
+    eat the sparse iterations' entire advantage."""
     W = src.shape[0] // 32
-    nxt = _sparse_expand(csr, out_dst, frontier, a_cap, e_cap, lane_major)
-    nxt = nxt & ~seen
-    seen = seen | nxt
-    if lane_major:
-        found = ((nxt[word_of_lane, dst] & bit_of_lane) != 0) \
-            & (result < 0) & searching
-        result = jnp.where(found, it, result)
-        nxt = nxt & _pack_words(result < 0, W)[:, None]
-    else:
-        found = ((nxt[dst, word_of_lane] & bit_of_lane) != 0) \
-            & (result < 0) & searching
-        result = jnp.where(found, it, result)
-        nxt = nxt & _pack_words(result < 0, W)[None, :]
-    occ, tot = _frontier_occupancy(csr, nxt, lane_major)
-    return it + 1, nxt, seen, result, (nxt != 0).any(), occ, tot
+
+    def cond(state):
+        it, frontier, seen, result, occ, tot = state
+        return (it <= end) & (occ > 0) & (occ <= a_cap) & (tot <= e_cap)
+
+    def body(state):
+        it, frontier, seen, result, occ, tot = state
+        nxt = _sparse_expand(csr, out_dst, frontier, a_cap, e_cap,
+                             lane_major)
+        nxt = nxt & ~seen
+        seen = seen | nxt
+        if lane_major:
+            found = ((nxt[word_of_lane, dst] & bit_of_lane) != 0) \
+                & (result < 0) & searching
+            result = jnp.where(found, it, result)
+            nxt = nxt & _pack_words(result < 0, W)[:, None]
+        else:
+            found = ((nxt[dst, word_of_lane] & bit_of_lane) != 0) \
+                & (result < 0) & searching
+            result = jnp.where(found, it, result)
+            nxt = nxt & _pack_words(result < 0, W)[None, :]
+        occ, tot = _frontier_occupancy(csr, nxt, lane_major)
+        return it + 1, nxt, seen, result, occ, tot
+
+    it, frontier, seen, result, occ, tot = jax.lax.while_loop(
+        cond, body, (it0, frontier, seen, result, occ0, tot0))
+    return it, frontier, seen, result, occ, tot
 
 
-def _sparse_tail_caps(ec: int):
-    """(a_cap, e_cap) for the sparse tail; (0, 0) disables. e_cap defaults
-    to one dense chunk's edge count clamped to [8192, 262144] (compile
-    shapes of the same class the AOT helper has already proven) and a_cap
-    to min(e_cap, 65536) — an active set larger than that is not a
-    tail."""
+def _sparse_tail_caps(ec: int, w: int):
+    """(a_cap, e_cap) for the sparse tail; (0, 0) disables. e_cap bounds
+    the per-iteration edge gather; the three [W, e_cap] buffers (gather,
+    sorted, scanned) are budgeted at ~1.5 GB, floored at 262144 and
+    capped at 4M edges. a_cap = e_cap / 8 active vertices (a frontier
+    with more than e_cap/8 vertices at RMAT's ~16 average degree would
+    overflow the edge budget anyway)."""
     import os
     if os.environ.get("DUCKPGQ_SPARSE_TAIL", "1") != "1":
         return 0, 0
-    e_cap = int(os.environ.get("DUCKPGQ_SPARSE_E", "0")) or \
-        max(min(ec or 262144, 262144), 8192)
+    e_env = int(os.environ.get("DUCKPGQ_SPARSE_E", "0"))
+    if e_env:
+        e_cap = e_env
+    else:
+        budget = (1536 << 20) // (12 * max(w, 1))   # 3 bufs x 4 B/word
+        e_cap = 262144
+        while e_cap * 2 <= min(budget, 4 << 20):
+            e_cap *= 2
     a_cap = int(os.environ.get("DUCKPGQ_SPARSE_A", "0")) or \
-        min(e_cap, 65536)
+        max(e_cap // 8, 8192)
     return a_cap, e_cap
 
 
@@ -1117,13 +1141,19 @@ def _msbfs_chunked_stepped(csr: DeviceCSR, plan: PackedWavePlan,
     state layout (see _chunked_wave_body_lm)."""
     import numpy as np
 
+    import os
+    import sys
+    import time
+
     word_of_lane, bit_of_lane, searching, result = _wave_state_jit(
         src, dst, active)
     frontier, seen = _chunked_wave_init(csr, src, word_of_lane,
                                         bit_of_lane, searching,
                                         lane_major)
-    a_cap, e_cap = _sparse_tail_caps(csr.epad // plan.n_chunks)
+    W = src.shape[0] // 32
+    a_cap, e_cap = _sparse_tail_caps(csr.epad // plan.n_chunks, W)
     out_dst = build_out_dst_device(csr) if a_cap else None
+    log = os.environ.get("DUCKPGQ_SPARSE_LOG", "0") == "1"
     occ = tot = None                 # unknown until first measured
     it = jnp.int32(1)
     next_it = 1
@@ -1131,26 +1161,42 @@ def _msbfs_chunked_stepped(csr: DeviceCSR, plan: PackedWavePlan,
         sparse_ok = a_cap and occ is not None and \
             occ <= a_cap and tot <= e_cap
         if sparse_ok:
-            # cheap iteration: one dispatch, re-decide from the returned
-            # occupancy of the NEW frontier
-            it, frontier, seen, result, nonempty, d_occ, d_tot = \
-                _sparse_wave_step(
+            # batched sparse tail: ONE dispatch runs iterations until the
+            # depth cap, the frontier empties, or the occupancy outgrows
+            # the budgets (checked per iteration on device)
+            t0 = time.time()
+            it, frontier, seen, result, d_occ, d_tot = \
+                _sparse_wave_segment(
                     csr, out_dst, src, dst, word_of_lane, bit_of_lane,
-                    searching, it, frontier, seen, result,
+                    searching, it, jnp.int32(max_iters), jnp.int32(occ),
+                    jnp.int32(tot), frontier, seen, result,
                     a_cap, e_cap, lane_major)
-            next_it += 1
             occ, tot = int(np.asarray(d_occ)), int(np.asarray(d_tot))
+            done = int(np.asarray(it)) - next_it
+            if log:
+                print(f"# sparse seg: iters {next_it}..{next_it + done - 1}"
+                      f" in {time.time() - t0:.2f}s -> occ={occ} "
+                      f"deg={tot}", file=sys.stderr)
+            next_it += max(done, 1)
+            nonempty = occ > 0
         else:
             end = jnp.int32(min(next_it + seg_iters - 1, max_iters))
+            t0 = time.time()
             it, frontier, seen, result, nonempty = _chunked_wave_segment(
                 csr, plan, src, dst, word_of_lane, bit_of_lane, searching,
                 it, end, frontier, seen, result, use_pallas, lane_major)
+            nonempty = bool(np.asarray(nonempty))
+            seg_t = time.time() - t0
             next_it = min(next_it + seg_iters - 1, max_iters) + 1
             if a_cap and next_it <= max_iters:
                 d_occ, d_tot = _frontier_occupancy(csr, frontier,
                                                    lane_major)
                 occ, tot = int(np.asarray(d_occ)), int(np.asarray(d_tot))
-        if not bool(np.asarray(nonempty)):
+                if log:
+                    print(f"# dense seg: ..{next_it - 1} in {seg_t:.2f}s "
+                          f"-> occ={occ} deg={tot} "
+                          f"(caps {a_cap}/{e_cap})", file=sys.stderr)
+        if not nonempty:
             break
     traversed = _traversed_from_seen(csr, seen, src.shape[0], lane_major)
     return result, traversed

@@ -32,10 +32,13 @@ class Vector:
         if validity is None:
             validity = np.ones(len(data), dtype=bool)
         self.validity = validity
-        # True only for Vector.constant results: every row is the same
-        # value, so casts may parse once and broadcast (a VARCHAR
-        # timestamp literal compared against a 21M-row column was being
-        # re-parsed per row — 172 of BI17's 174 s at SF0.3)
+        # Set ONLY at literal-evaluation sites (Evaluator's a.Constant
+        # branch): every row is the same value, so casts may parse once
+        # and broadcast (a VARCHAR timestamp literal compared against a
+        # 21M-row column was being re-parsed per row — 172 of BI17's
+        # 174 s at SF0.3). Vector.constant must NOT set it: several
+        # callers use it as a fillable output buffer and mutate data
+        # in place (the differential harness caught that).
         self.constant_hint = constant_hint
 
     # -- constructors -------------------------------------------------------

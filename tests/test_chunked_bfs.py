@@ -377,13 +377,13 @@ def test_sparse_tail_matches_monolithic(monkeypatch):
         dcsr, plan, qs, qd, act, v, False)
 
     calls = {"n": 0}
-    orig = dev._sparse_wave_step
+    orig = dev._sparse_wave_segment
 
     def counting(*a, **k):
         calls["n"] += 1
         return orig(*a, **k)
 
-    monkeypatch.setattr(dev, "_sparse_wave_step", counting)
+    monkeypatch.setattr(dev, "_sparse_wave_segment", counting)
     for lane_major in (True, False):
         # generous budgets: sparse engages right after the first segment
         monkeypatch.setenv("DUCKPGQ_SPARSE_A", "8192")
