@@ -886,6 +886,46 @@ def _chunked_wave_segment(csr: DeviceCSR, plan: PackedWavePlan,
     return it, frontier, seen, result, (frontier != 0).any()
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("use_pallas", "lane_major",
+                                    "a_cap", "e_cap"),
+                   donate_argnames=("frontier", "seen", "result"))
+def _chunked_wave_segment_occ(csr: DeviceCSR, plan: PackedWavePlan,
+                              src: jnp.ndarray, dst: jnp.ndarray,
+                              word_of_lane, bit_of_lane, searching,
+                              it0, end, frontier, seen, result,
+                              use_pallas: bool, lane_major: bool,
+                              a_cap: int, e_cap: int):
+    """_chunked_wave_segment that ALSO exits as soon as the frontier
+    fits the sparse-tail budgets — the BFS collapse (3.8M -> 1 occupied
+    vertices across ONE 4-iteration dense segment in the RMAT-23 trace)
+    otherwise burns full dense sweeps on frontiers the sparse kernel
+    handles in a fraction of the time. Tracks (occ, tot) per iteration
+    (one cheap state pass) and returns them so the host switches without
+    an extra dispatch. Kept separate from _chunked_wave_segment so the
+    sparse-disabled path's jaxpr (and its cached executables) stays
+    byte-identical."""
+    make_body = _chunked_wave_body_lm if lane_major else _chunked_wave_body
+    body0 = make_body(csr, plan, src, dst, word_of_lane,
+                      bit_of_lane, searching, use_pallas)
+
+    def body(state):
+        it, frontier, seen, result, occ, tot = state
+        it, frontier, seen, result = body0((it, frontier, seen, result))
+        occ, tot = _frontier_occupancy(csr, frontier, lane_major)
+        return it, frontier, seen, result, occ, tot
+
+    def cond(state):
+        it, frontier, seen, result, occ, tot = state
+        fits_sparse = (occ <= a_cap) & (tot <= e_cap)
+        return (it <= end) & (occ > 0) & ~fits_sparse
+
+    big = jnp.int32(2**31 - 1)
+    it, frontier, seen, result, occ, tot = jax.lax.while_loop(
+        cond, body, (it0, frontier, seen, result, big, big))
+    return it, frontier, seen, result, occ, tot
+
+
 @functools.partial(jax.jit, static_argnames=("lane_major",))
 def _chunked_wave_init(csr: DeviceCSR, src, word_of_lane, bit_of_lane,
                        searching, lane_major: bool = False):
@@ -979,17 +1019,28 @@ def _sparse_expand(csr: DeviceCSR, out_dst, frontier, a_cap: int,
     hds = jnp.concatenate([jnp.ones(1, bool),
                            d_sorted[1:] != d_sorted[:-1]])
     block = _scan_block_size(e_cap)
-    # segment-final position of each destination, GATHER-ONLY: the last
-    # occurrence of v in the sorted keys is searchsorted(right) - 1 (no
-    # scatter anywhere in the sparse path — scatter HLO is what chokes
-    # the shared AOT compile helper); absent vertices point at the
-    # trailing zero column, the dense kernel's plan.slot pattern
-    pos = jnp.searchsorted(
-        d_sorted, jnp.arange(Vp + 1, dtype=jnp.int32),
-        side="right").astype(jnp.int32) - 1
-    pos_cl = jnp.maximum(pos, 0)
-    idx = jnp.where(d_sorted[pos_cl] == jnp.arange(Vp + 1, dtype=jnp.int32),
-                    pos_cl, e_cap)
+    # segment-final position of each destination; absent vertices point
+    # at the trailing zero column (the dense kernel's plan.slot pattern).
+    # Two formulations:
+    #   scatter (default): pos.at[d_sorted].max(j) — e_cap int32 updates,
+    #     duplicate keys resolve to the max position = the segment final.
+    #     ~50x cheaper than the searchsorted at RMAT-24 shapes (the [Vp]
+    #     binary search was ~5 s of the 6.9 s sparse iteration).
+    #   searchsorted (DUCKPGQ_SPARSE_IDX=search): gather-only fallback in
+    #     case a backend's scatter lowering misbehaves.
+    import os as _os
+    if _os.environ.get("DUCKPGQ_SPARSE_IDX", "scatter") == "scatter":
+        pos = jnp.full((Vp + 1,), -1, jnp.int32).at[d_sorted].max(
+            j, mode="drop")
+        idx = jnp.where(pos < 0, e_cap, pos)
+    else:
+        pos = jnp.searchsorted(
+            d_sorted, jnp.arange(Vp + 1, dtype=jnp.int32),
+            side="right").astype(jnp.int32) - 1
+        pos_cl = jnp.maximum(pos, 0)
+        idx = jnp.where(
+            d_sorted[pos_cl] == jnp.arange(Vp + 1, dtype=jnp.int32),
+            pos_cl, e_cap)
     if lane_major:
         g = jnp.take(frontier, srcv, axis=1)                 # [W, Eb]
         g = jnp.take(g, perm, axis=1)
@@ -1121,8 +1172,11 @@ def _sparse_tail_caps(ec: int, w: int):
         e_cap = 262144
         while e_cap * 2 <= min(budget, 4 << 20):
             e_cap *= 2
-    a_cap = int(os.environ.get("DUCKPGQ_SPARSE_A", "0")) or \
-        max(e_cap // 8, 8192)
+    # a_cap = e_cap: the edge budget is the binding constraint (RMAT-23
+    # trace: occupancy hit 262k while the degree sum was still far under
+    # e_cap — a smaller a_cap only delays the sparse engagement); the
+    # [a_cap] cumsum/searchsorted side arrays are cheap
+    a_cap = int(os.environ.get("DUCKPGQ_SPARSE_A", "0")) or e_cap
     return a_cap, e_cap
 
 
@@ -1155,6 +1209,12 @@ def _msbfs_chunked_stepped(csr: DeviceCSR, plan: PackedWavePlan,
     out_dst = build_out_dst_device(csr) if a_cap else None
     log = os.environ.get("DUCKPGQ_SPARSE_LOG", "0") == "1"
     occ = tot = None                 # unknown until first measured
+    if a_cap:
+        # seed occupancy (<= lane count of distinct sources): BFS waves
+        # START sparse — the first 1-2 levels' frontiers are tiny and a
+        # full dense sweep on them is pure waste (RMAT-23 trace)
+        d_occ, d_tot = _frontier_occupancy(csr, frontier, lane_major)
+        occ, tot = int(np.asarray(d_occ)), int(np.asarray(d_tot))
     it = jnp.int32(1)
     next_it = 1
     while next_it <= max_iters:
@@ -1179,6 +1239,25 @@ def _msbfs_chunked_stepped(csr: DeviceCSR, plan: PackedWavePlan,
                       f"deg={tot}", file=sys.stderr)
             next_it += max(done, 1)
             nonempty = occ > 0
+        elif a_cap:
+            # dense segment WITH per-iteration occupancy exit: hand back
+            # to the sparse kernel the moment the frontier collapses
+            # under the budgets (which can happen mid-segment)
+            end = jnp.int32(min(next_it + seg_iters - 1, max_iters))
+            t0 = time.time()
+            it, frontier, seen, result, d_occ, d_tot = \
+                _chunked_wave_segment_occ(
+                    csr, plan, src, dst, word_of_lane, bit_of_lane,
+                    searching, it, end, frontier, seen, result,
+                    use_pallas, lane_major, a_cap, e_cap)
+            occ, tot = int(np.asarray(d_occ)), int(np.asarray(d_tot))
+            done_end = int(np.asarray(it)) - 1
+            if log:
+                print(f"# dense seg: {next_it}..{done_end} in "
+                      f"{time.time() - t0:.2f}s -> occ={occ} deg={tot} "
+                      f"(caps {a_cap}/{e_cap})", file=sys.stderr)
+            next_it = done_end + 1
+            nonempty = occ > 0
         else:
             end = jnp.int32(min(next_it + seg_iters - 1, max_iters))
             t0 = time.time()
@@ -1186,16 +1265,7 @@ def _msbfs_chunked_stepped(csr: DeviceCSR, plan: PackedWavePlan,
                 csr, plan, src, dst, word_of_lane, bit_of_lane, searching,
                 it, end, frontier, seen, result, use_pallas, lane_major)
             nonempty = bool(np.asarray(nonempty))
-            seg_t = time.time() - t0
             next_it = min(next_it + seg_iters - 1, max_iters) + 1
-            if a_cap and next_it <= max_iters:
-                d_occ, d_tot = _frontier_occupancy(csr, frontier,
-                                                   lane_major)
-                occ, tot = int(np.asarray(d_occ)), int(np.asarray(d_tot))
-                if log:
-                    print(f"# dense seg: ..{next_it - 1} in {seg_t:.2f}s "
-                          f"-> occ={occ} deg={tot} "
-                          f"(caps {a_cap}/{e_cap})", file=sys.stderr)
         if not nonempty:
             break
     traversed = _traversed_from_seen(csr, seen, src.shape[0], lane_major)

@@ -1123,3 +1123,248 @@ def make_dist_bfs_partitioned(mesh: Mesh, grouped: GroupedShardedCSR,
                        active)
 
     return run
+
+
+def make_dist_bfs_partitioned_compressed(mesh: Mesh,
+                                         grouped: GroupedShardedCSR,
+                                         lanes: int, max_iters: int,
+                                         budget_div=8):
+    """Partitioned-frontier ring BFS with COMPRESSED frontier exchange
+    (VERDICT r3 item 3a / BASELINE.md multi-host projection lever 3a).
+
+    After the first 3-4 BFS levels the new-frontier blocks are mostly
+    zero columns, but the plain ring still moves the dense [W, Vs] block
+    every hop. Here each iteration takes a replicated pmax of per-shard
+    column occupancy; when every shard's nonzero-column count fits the
+    static budget C = Vs/budget_div, the ring permutes a
+    (column-ids [C], payload [W, C]) pair instead — C*(W+1) words per
+    hop vs W*Vs, an occupancy-proportional cut of the DCN bytes that the
+    projection table says is mandatory for >=0.70 efficiency at 4 hosts.
+    Receivers reconstruct the dense block gather-only (searchsorted over
+    the sorted column ids), so results are bit-identical to
+    make_dist_bfs_partitioned.
+
+    ``budget_div`` may be an int or a tuple of ints (multiple budget
+    TIERS, e.g. (4, 32): each iteration rings the smallest payload that
+    fits the global occupancy — a step-wise approximation of
+    occupancy-proportional exchange).
+
+    Returns fn(src, dst, active) -> (lengths [L], traversed [L],
+    words_log [max_iters + 1] int32 — EXACT per-iteration exchanged
+    words per shard, 0 after the fixpoint; words_log[0] is unused)."""
+    nx = grouped.n_shards
+    Vs = grouped.v_shard
+    axis = mesh.axis_names[0]
+    assert lanes % 32 == 0
+    W = lanes // 32
+    divs = (budget_div,) if isinstance(budget_div, int) else \
+        tuple(budget_div)
+    caps = []
+    for d in sorted(divs, reverse=True):    # smallest payload first
+        cc = max(128, -(-max(Vs // d, 1) // 128) * 128)
+        caps.append(min(cc, Vs))
+    caps = sorted(set(caps))
+
+    src_np = grouped.in_src_local
+    dst_np = grouped.in_dst_local
+    val_np = grouped.edge_valid
+    Eg = src_np.shape[2]
+
+    shard4 = NamedSharding(mesh, P(axis, None, None))
+    in_src = jax.device_put(jnp.asarray(src_np), shard4)
+    in_dst = jax.device_put(jnp.asarray(dst_np), shard4)
+    edge_valid = jax.device_put(jnp.asarray(val_np), shard4)
+
+    deg = np.zeros((nx, Vs), dtype=np.float32)
+    src_flat = grouped.in_src_local.reshape(nx, -1)
+    own_flat = np.broadcast_to(
+        np.arange(nx, dtype=np.int32)[None, :, None],
+        grouped.in_src_local.shape).reshape(nx, -1)
+    val_flat = grouped.edge_valid.reshape(nx, -1)
+    np.add.at(deg, (own_flat[val_flat], src_flat[val_flat]), 1.0)
+    deg_shard = jax.device_put(jnp.asarray(deg),
+                               NamedSharding(mesh, P(axis, None)))
+
+    ring_perm = [(i, (i - 1) % nx) for i in range(nx)]
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(axis, None, None), P(axis, None, None),
+                  P(axis, None, None), P(axis, None), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False)
+    def bfs(src_blk, dst_blk, val_blk, deg_blk, src, dst, active):
+        isrc = src_blk[0]
+        idst = dst_blk[0]
+        ival = val_blk[0]
+        deg_l = deg_blk[0]
+        L = src.shape[0]
+        lanes_idx = jnp.arange(L)
+        word_of_lane = lanes_idx // 32
+        bit_of_lane = (jnp.uint32(1) << (lanes_idx % 32).astype(jnp.uint32))
+        shard_id = jax.lax.axis_index(axis)
+
+        trivial = active & (src == dst)
+        searching = active & (src != dst)
+        result = jnp.where(trivial, 0, -1).astype(jnp.int32)
+
+        src_owner = src // Vs
+        src_local = jnp.where(src_owner == shard_id, src % Vs, Vs)
+        seed = jnp.zeros((W, Vs + 1), dtype=jnp.uint32)
+        seed = seed.at[word_of_lane, src_local].add(
+            jnp.where(searching, bit_of_lane, jnp.uint32(0)))[:, :Vs]
+        seen_l = seed
+
+        dst_owner = dst // Vs
+        dst_local = jnp.where(dst_owner == shard_id, dst % Vs, 0)
+        dst_mine = dst_owner == shard_id
+
+        slot_ids = jnp.arange(Eg, dtype=jnp.int32)
+        heads_g = jnp.concatenate(
+            [jnp.ones((nx, 1), jnp.bool_), idst[:, 1:] != idst[:, :-1]],
+            axis=1)
+        last_pos_g = jax.vmap(lambda d: jax.ops.segment_max(
+            slot_ids, d, num_segments=Vs, indices_are_sorted=True))(idst)
+        has_in_g = jax.vmap(lambda d, v: jax.ops.segment_max(
+            v.astype(jnp.int32), d, num_segments=Vs,
+            indices_are_sorted=True) > 0)(idst, ival)
+
+        def seg_or(x, y):
+            xf, xv = x
+            yf, yv = y
+            return xf | yf, jnp.where(yf, yv, xv | yv)
+
+        def expand_group(owner, blk):
+            g_src = jax.lax.dynamic_index_in_dim(isrc, owner, 0, False)
+            g_val = jax.lax.dynamic_index_in_dim(ival, owner, 0, False)
+            g_heads = jax.lax.dynamic_index_in_dim(heads_g, owner, 0,
+                                                   False)
+            g_last = jax.lax.dynamic_index_in_dim(last_pos_g, owner, 0,
+                                                  False)
+            g_has = jax.lax.dynamic_index_in_dim(has_in_g, owner, 0, False)
+            gathered = jnp.where(
+                g_val[None, :],
+                blk.at[:, g_src].get(mode="fill", fill_value=0),
+                jnp.uint32(0))
+            _, scanned = jax.lax.associative_scan(
+                seg_or, (g_heads.reshape(1, -1), gathered), axis=1)
+            return jnp.where(g_has[None, :],
+                             scanned[:, jnp.maximum(g_last, 0)],
+                             jnp.uint32(0))
+
+        def make_ring_compressed(C):
+            def compress(blk):
+                colnz = (blk != 0).any(axis=0)
+                idx = jnp.nonzero(colnz, size=C,
+                                  fill_value=Vs)[0].astype(jnp.int32)
+                payload = jnp.where(
+                    (idx < Vs)[None, :],
+                    jnp.take(blk, jnp.minimum(idx, Vs - 1), axis=1),
+                    jnp.uint32(0))
+                return idx, payload
+
+            def reconstruct(idx, payload):
+                v = jnp.arange(Vs, dtype=jnp.int32)
+                pos = jnp.searchsorted(idx, v).astype(jnp.int32)
+                pos_cl = jnp.minimum(pos, C - 1)
+                match = idx[pos_cl] == v
+                return jnp.where(match[None, :], payload[:, pos_cl],
+                                 jnp.uint32(0))
+
+            def ring(cur):
+                idx, payload = compress(cur)
+
+                def step(k, st):
+                    acc, idx, payload = st
+                    n_idx = jax.lax.ppermute(idx, axis, ring_perm)
+                    n_pay = jax.lax.ppermute(payload, axis, ring_perm)
+                    owner = jax.lax.rem(shard_id + k, nx)
+                    acc = acc | expand_group(owner,
+                                             reconstruct(idx, payload))
+                    return acc, n_idx, n_pay
+
+                acc0 = jnp.zeros((W, Vs), jnp.uint32)
+                acc, _, _ = jax.lax.fori_loop(0, nx, step,
+                                              (acc0, idx, payload))
+                return acc
+
+            return ring
+
+        rings = [(C, make_ring_compressed(C)) for C in caps]
+
+        def pack_lane_mask(c):
+            bits = c.reshape(W, 32).astype(jnp.uint32)
+            return (bits << jnp.arange(32, dtype=jnp.uint32)[None, :]).sum(
+                axis=1, dtype=jnp.uint32)
+
+        def ring_dense(cur):
+            def step(k, st):
+                acc, blk = st
+                nxt_blk = jax.lax.ppermute(blk, axis, ring_perm)
+                owner = jax.lax.rem(shard_id + k, nx)
+                acc = acc | expand_group(owner, blk)
+                return acc, nxt_blk
+            acc0 = jnp.zeros((W, Vs), jnp.uint32)
+            acc, _ = jax.lax.fori_loop(0, nx, step, (acc0, cur))
+            return acc
+
+        def cond(state):
+            it, cur, seen_l, result, alive, words = state
+            return (it <= max_iters) & alive
+
+        def body(state):
+            it, cur, seen_l, result, _, words = state
+            nnz = (cur != 0).any(axis=0).sum()
+            occ_max = jax.lax.pmax(nnz, axis)
+
+            def pick(t, cur):
+                # smallest payload tier that fits this iteration's
+                # global occupancy; dense fallback (replicated
+                # predicate, so every shard takes the same branch)
+                if t == len(rings):
+                    return ring_dense(cur)
+                C_t, ring_t = rings[t]
+                return jax.lax.cond(occ_max <= C_t, ring_t,
+                                    lambda x: pick(t + 1, x), cur)
+
+            acc = pick(0, cur)
+            # exact exchange accounting: (nx-1) hops per iteration, each
+            # C*(W+1) words at the chosen tier / W*Vs words dense
+            iter_words = jnp.int32((nx - 1) * W * Vs)
+            for C_t, _ in reversed(rings):
+                iter_words = jnp.where(occ_max <= C_t,
+                                       jnp.int32((nx - 1) * (C_t * (W + 1))),
+                                       iter_words)
+            words = words.at[it].set(iter_words)
+            nxt = acc & ~seen_l
+            seen_l = seen_l | nxt
+            bit = (nxt[word_of_lane, dst_local] & bit_of_lane) != 0
+            hit = jax.lax.psum((dst_mine & bit).astype(jnp.int32),
+                               axis) > 0
+            found = hit & (result < 0) & searching
+            result = jnp.where(found, it, result)
+            nxt = nxt & pack_lane_mask(result < 0)[:, None]
+            alive = jax.lax.psum((nxt != 0).any().astype(jnp.int32),
+                                 axis) > 0
+            return it + 1, nxt, seen_l, result, alive, words
+
+        words0 = jnp.zeros(max_iters + 1, jnp.int32)
+        _, _, seen_l, result, _, words = jax.lax.while_loop(
+            cond, body, (jnp.int32(1), seed, seen_l, result,
+                         jnp.bool_(True), words0))
+        per_bit = []
+        for b in range(32):
+            bits = ((seen_l >> jnp.uint32(b)) &
+                    jnp.uint32(1)).astype(jnp.float32)
+            per_bit.append(bits @ deg_l)
+        traversed = jax.lax.psum(
+            jnp.stack(per_bit, axis=1).reshape(L), axis)
+        return result, traversed, words
+
+    run_jit = jax.jit(bfs)
+
+    def run(src, dst, active):
+        return run_jit(in_src, in_dst, edge_valid, deg_shard, src, dst,
+                       active)
+
+    return run

@@ -404,3 +404,160 @@ def test_dist_bfs_partitioned_chunked_matches_unchunked():
     r1, t1 = chunked(jnp.asarray(qs), jnp.asarray(qd), jnp.asarray(act))
     np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
     np.testing.assert_allclose(np.asarray(t0), np.asarray(t1))
+
+
+def test_dist_bfs_compressed_ring_matches_partitioned():
+    """Compressed-frontier ring exchange (VERDICT r3 item 3a): identical
+    lengths/TEPS to the plain partitioned ring, and the per-iteration
+    words log shows the tail iterations actually exchanging C*(W+1)
+    words instead of W*Vs."""
+    import jax.numpy as jnp
+
+    from duckpgq_tpu.parallel.dist_bfs import (
+        make_dist_bfs_partitioned, make_dist_bfs_partitioned_compressed,
+        partition_csr_grouped)
+
+    rng = np.random.default_rng(123)
+    v, e = 200, 900
+    src = rng.integers(0, v, size=e).astype(np.int64)
+    dst = rng.integers(0, v, size=e).astype(np.int64)
+    mesh = make_mesh(8)
+    grouped = partition_csr_grouped(v, src, dst, 8, balance=True)
+    L = 64
+    W = L // 32
+    qs0 = rng.integers(0, v, size=L).astype(np.int32)
+    qd0 = rng.integers(0, v, size=L).astype(np.int32)
+    qs = grouped.map_queries(qs0.astype(np.int64)).astype(np.int32)
+    qd = grouped.map_queries(qd0.astype(np.int64)).astype(np.int32)
+    active = np.ones(L, dtype=bool)
+    want, wtrav = make_dist_bfs_partitioned(mesh, grouped, L, v + 1)(
+        jnp.asarray(qs), jnp.asarray(qd), jnp.asarray(active))
+    Vs = grouped.v_shard
+
+    def cap_of(d):
+        return min(max(128, -(-max(Vs // d, 1) // 128) * 128), Vs)
+
+    for budget_div in (2, 8, (2, 8)):
+        fn = make_dist_bfs_partitioned_compressed(
+            mesh, grouped, L, v + 1, budget_div=budget_div)
+        got, trav, words = fn(jnp.asarray(qs), jnp.asarray(qd),
+                              jnp.asarray(active))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        np.testing.assert_allclose(np.asarray(trav), np.asarray(wtrav))
+        words = np.asarray(words)
+        divs = (budget_div,) if isinstance(budget_div, int) else budget_div
+        allowed = {7 * W * Vs} | {7 * cap_of(d) * (W + 1) for d in divs}
+        used = words[words > 0]
+        assert len(used) > 0
+        assert set(used.tolist()) <= allowed, (used, allowed)
+        # the seed iteration (single-vertex frontiers) must take the
+        # SMALLEST tier
+        assert used[0] == 7 * min(cap_of(d) for d in divs) * (W + 1), used
+
+
+def test_dist_bfs_2d_matches_host():
+    """2-D (vertex x edge) grid BFS (VERDICT r3 item 3b): bit-identical
+    lengths and TEPS vs the host oracle and the 1-D partitioned ring on
+    a 2x2 virtual grid, with the O(W*V/sqrt(N)) per-iteration words log."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from duckpgq_tpu.parallel.dist_bfs import (make_dist_bfs_partitioned,
+                                               partition_csr_grouped)
+    from duckpgq_tpu.parallel.dist_bfs_2d import make_dist_bfs_2d
+
+    rng = np.random.default_rng(321)
+    v, e = 150, 700
+    src = rng.integers(0, v, size=e).astype(np.int64)
+    dst = rng.integers(0, v, size=e).astype(np.int64)
+    r = 2
+    mesh2 = Mesh(np.array(jax.devices()[:r * r]).reshape(r, r),
+                 ("row", "col"))
+    grouped = partition_csr_grouped(v, src, dst, r, balance=True)
+    L = 64
+    W = L // 32
+    qs0 = rng.integers(0, v, size=L).astype(np.int32)
+    qd0 = rng.integers(0, v, size=L).astype(np.int32)
+    qs0[3] = qd0[3]
+    qs = grouped.map_queries(qs0.astype(np.int64)).astype(np.int32)
+    qd = grouped.map_queries(qd0.astype(np.int64)).astype(np.int32)
+    active = np.ones(L, dtype=bool)
+    active[-2:] = False
+    fn = make_dist_bfs_2d(mesh2, grouped, L, v + 1)
+    got, trav, words = fn(jnp.asarray(qs), jnp.asarray(qd),
+                          jnp.asarray(active))
+    got = np.asarray(got)
+
+    csr = build_csr(v, src, dst, np.arange(e, dtype=np.int64))
+    want, valid = host_msbfs.iterative_length(
+        csr, qs0.astype(np.int64), qd0.astype(np.int64))
+    want = np.where(valid & active, want, -1)
+    np.testing.assert_array_equal(got, want)
+
+    # 1-D ring on a 2-shard mesh for TEPS cross-check
+    mesh1 = Mesh(np.array(jax.devices()[:r]), ("x",))
+    fn1 = make_dist_bfs_partitioned(mesh1, grouped, L, v + 1)
+    got1, trav1 = fn1(jnp.asarray(qs), jnp.asarray(qd),
+                      jnp.asarray(active))
+    np.testing.assert_array_equal(got, np.asarray(got1))
+    np.testing.assert_allclose(np.asarray(trav), np.asarray(trav1))
+
+    # words log: (c-1 + 1 + r-1) hops of [W, Vs/c] words per iteration
+    words = np.asarray(words)
+    Vs = grouped.v_shard
+    per_iter = (r - 1 + 1 + r - 1) * W * (Vs // r)
+    used = words[words > 0]
+    assert len(used) >= 2
+    assert set(used.tolist()) == {per_iter}, (used, per_iter)
+
+
+def test_dist_bfs_2d_4x4_subprocess():
+    """4x4 grid (16 virtual devices, needs its own backend) — the index
+    math (ring reduce-scatter slice ownership, transpose, all-gather
+    placement) only fully exercises at r > 2."""
+    import subprocess
+    import sys
+    code = """
+import os
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=16"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh
+from duckpgq_tpu.parallel.dist_bfs import partition_csr_grouped
+from duckpgq_tpu.parallel.dist_bfs_2d import make_dist_bfs_2d
+from duckpgq_tpu.ops.csr import build_csr
+from duckpgq_tpu.ops import msbfs as host_msbfs
+
+rng = np.random.default_rng(77)
+v, e = 260, 1300
+src = rng.integers(0, v, size=e).astype(np.int64)
+dst = rng.integers(0, v, size=e).astype(np.int64)
+r = 4
+mesh = Mesh(np.array(jax.devices()).reshape(r, r), ("row", "col"))
+grouped = partition_csr_grouped(v, src, dst, r, balance=True)
+L = 64
+qs0 = rng.integers(0, v, size=L).astype(np.int32)
+qd0 = rng.integers(0, v, size=L).astype(np.int32)
+qs = grouped.map_queries(qs0.astype(np.int64)).astype(np.int32)
+qd = grouped.map_queries(qd0.astype(np.int64)).astype(np.int32)
+active = np.ones(L, dtype=bool)
+fn = make_dist_bfs_2d(mesh, grouped, L, v + 1)
+got, trav, words = fn(jnp.asarray(qs), jnp.asarray(qd),
+                      jnp.asarray(active))
+csr = build_csr(v, src, dst, np.arange(e, dtype=np.int64))
+want, valid = host_msbfs.iterative_length(
+    csr, qs0.astype(np.int64), qd0.astype(np.int64))
+want = np.where(valid & active, want, -1)
+np.testing.assert_array_equal(np.asarray(got), want)
+assert (np.asarray(words) > 0).sum() >= 2
+print("2d-4x4-ok")
+"""
+    res = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, timeout=600,
+                         cwd=str(__import__("pathlib").Path(
+                             __file__).parent.parent))
+    assert "2d-4x4-ok" in res.stdout, res.stderr[-2000:]
