@@ -68,12 +68,22 @@ def _scan_block_size(Ec: int) -> int:
     of [block, W] ops regardless of Ec — the RMAT-23/24 chunk scans
     ([262k..8M, W] HLO) are uncompilable by the shared 2-core AOT helper
     (BASELINE.md RMAT-23 round-3 campaign: >116 min vs 5.7 s on CPU), while
-    a lax.scan over fixed blocks compiles one block-sized body."""
+    a lax.scan over fixed blocks compiles one block-sized body.
+
+    NOTE (ADVICE r3): this is read at TRACE time — jit-cached kernels keep
+    the block size they were first traced with; set DUCKPGQ_SCAN_BLOCK
+    before first use. When Ec has low 2-adicity (e.g. 2 * odd) the largest
+    dividing power of two degenerates toward 1, which would turn the
+    blocked path into an Ec-length sequential scan with a unit-width body;
+    below 128 we return Ec so callers fall back to the one-shot
+    associative scan instead."""
     import os
     cap = int(os.environ.get("DUCKPGQ_SCAN_BLOCK", "8192"))
     blk = 1
     while blk * 2 <= min(Ec, cap) and Ec % (blk * 2) == 0:
         blk *= 2
+    if blk < 128 and blk < Ec:
+        return Ec          # degenerate blocking: one-shot scan is better
     return blk
 
 
@@ -718,9 +728,10 @@ def _msbfs_lengths_packed_chunked(csr: DeviceCSR, plan: PackedWavePlan,
 def _chunked_wave_body(csr, plan, src, dst, word_of_lane, bit_of_lane,
                        searching, use_pallas):
     """Build the per-iteration ``body(state)`` of the chunked packed wave
-    (shared by the monolithic while_loop kernel and the host-stepped
-    segment kernel — identical op sequence, so the monolithic jaxpr and
-    its cached executables are unchanged by the refactor)."""
+    — the op sequence is SHARED by the monolithic while_loop kernel and
+    the host-stepped segment kernel, so the two stay bit-identical by
+    construction (their jaxprs still differ in loop plumbing, so cached
+    executables are per-kernel)."""
     Vp = csr.vpad
     Ep = csr.epad
     L = src.shape[0]
@@ -937,7 +948,12 @@ def _chunked_wave_init(csr: DeviceCSR, src, word_of_lane, bit_of_lane,
     else:
         frontier = jnp.zeros((csr.vpad + 1, W), dtype=jnp.uint32)
         frontier = frontier.at[src, word_of_lane].add(bits)
-    return frontier, frontier + jnp.uint32(0)   # distinct seen buffer
+    # seen must be a DISTINCT buffer from frontier: both are donated by
+    # _chunked_wave_segment, and if XLA ever aliased the two outputs
+    # (after folding a copy-like op) the donation would alias one buffer
+    # twice. optimization_barrier pins a real copy (ADVICE r3).
+    seen = jax.lax.optimization_barrier(frontier) + jnp.uint32(0)
+    return frontier, seen
 
 
 @functools.partial(jax.jit, static_argnames=("L", "lane_major"))
