@@ -1127,24 +1127,35 @@ def _take_rows_chunked(table, idx, chunk: int = _GATHER_CHUNK):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("a_cap", "e_cap", "lane_major"),
+                   static_argnames=("a_cap", "e_cap", "lo_a", "lo_e",
+                                    "lane_major"),
                    donate_argnames=("frontier", "seen", "result"))
 def _sparse_wave_segment(csr: DeviceCSR, out_dst, src, dst, word_of_lane,
                          bit_of_lane, searching, it0, end, occ0, tot0,
                          frontier, seen, result,
-                         a_cap: int, e_cap: int, lane_major: bool = False):
+                         a_cap: int, e_cap: int, lo_a: int = 0,
+                         lo_e: int = 0, lane_major: bool = False):
     """Run sparse-tail BFS iterations it0..end in ONE dispatch. The
     while_loop re-checks the occupancy budgets each iteration on device
     (a sparse expand is only valid when occ <= a_cap and the active
     out-degree sum <= e_cap), so the loop exits the moment the frontier
     outgrows them and the host falls back to a dense segment —
     per-iteration host round trips over the slow tunnel would otherwise
-    eat the sparse iterations' entire advantage."""
+    eat the sparse iterations' entire advantage.
+
+    ``lo_a``/``lo_e``: when nonzero, ALSO exit once the frontier fits a
+    SMALLER tier — the per-iteration sort is e_cap-sized regardless of
+    occupancy (a 2M-element sort is ~1.7 s/iteration on v5e even for a
+    35k-vertex frontier), so the host re-dispatches the small-tier
+    kernel for the deep tail."""
     W = src.shape[0] // 32
 
     def cond(state):
         it, frontier, seen, result, occ, tot = state
-        return (it <= end) & (occ > 0) & (occ <= a_cap) & (tot <= e_cap)
+        ok = (it <= end) & (occ > 0) & (occ <= a_cap) & (tot <= e_cap)
+        if lo_a:
+            ok &= ~((occ <= lo_a) & (tot <= lo_e))
+        return ok
 
     def body(state):
         it, frontier, seen, result, occ, tot = state
@@ -1171,29 +1182,31 @@ def _sparse_wave_segment(csr: DeviceCSR, out_dst, src, dst, word_of_lane,
 
 
 def _sparse_tail_caps(ec: int, w: int):
-    """(a_cap, e_cap) for the sparse tail; (0, 0) disables. e_cap bounds
-    the per-iteration edge gather; the three [W, e_cap] buffers (gather,
-    sorted, scanned) are budgeted at ~1.5 GB, floored at 262144 and
-    capped at 4M edges. a_cap = e_cap / 8 active vertices (a frontier
-    with more than e_cap/8 vertices at RMAT's ~16 average degree would
-    overflow the edge budget anyway)."""
+    """Sparse-tail budget TIERS, smallest first: [(a_cap, e_cap), ...];
+    [] disables. The per-iteration sort is e_cap-sized regardless of
+    occupancy, so the deep tail runs a small tier (262144 edges) and the
+    collapse/ramp iterations a large one (three [W, e_cap] buffers
+    budgeted at ~1.5 GB, capped at 4M edges). a_cap = e_cap: the edge
+    budget is the binding constraint on power-law graphs (RMAT-23
+    trace), and the [a_cap] cumsum side arrays are cheap."""
     import os
     if os.environ.get("DUCKPGQ_SPARSE_TAIL", "1") != "1":
-        return 0, 0
+        return []
     e_env = int(os.environ.get("DUCKPGQ_SPARSE_E", "0"))
     if e_env:
-        e_cap = e_env
+        e_hi = e_env
     else:
         budget = (1536 << 20) // (12 * max(w, 1))   # 3 bufs x 4 B/word
-        e_cap = 262144
-        while e_cap * 2 <= min(budget, 4 << 20):
-            e_cap *= 2
-    # a_cap = e_cap: the edge budget is the binding constraint (RMAT-23
-    # trace: occupancy hit 262k while the degree sum was still far under
-    # e_cap — a smaller a_cap only delays the sparse engagement); the
-    # [a_cap] cumsum/searchsorted side arrays are cheap
-    a_cap = int(os.environ.get("DUCKPGQ_SPARSE_A", "0")) or e_cap
-    return a_cap, e_cap
+        e_hi = 262144
+        while e_hi * 2 <= min(budget, 4 << 20):
+            e_hi *= 2
+    a_env = int(os.environ.get("DUCKPGQ_SPARSE_A", "0"))
+    tiers = []
+    e_lo = min(262144, e_hi)
+    tiers.append((a_env or e_lo, e_lo))
+    if e_hi > e_lo:
+        tiers.append((a_env or e_hi, e_hi))
+    return tiers
 
 
 def _msbfs_chunked_stepped(csr: DeviceCSR, plan: PackedWavePlan,
@@ -1221,11 +1234,12 @@ def _msbfs_chunked_stepped(csr: DeviceCSR, plan: PackedWavePlan,
                                         bit_of_lane, searching,
                                         lane_major)
     W = src.shape[0] // 32
-    a_cap, e_cap = _sparse_tail_caps(csr.epad // plan.n_chunks, W)
-    out_dst = build_out_dst_device(csr) if a_cap else None
+    tiers = _sparse_tail_caps(csr.epad // plan.n_chunks, W)
+    a_cap, e_cap = tiers[-1] if tiers else (0, 0)    # largest tier
+    out_dst = build_out_dst_device(csr) if tiers else None
     log = os.environ.get("DUCKPGQ_SPARSE_LOG", "0") == "1"
     occ = tot = None                 # unknown until first measured
-    if a_cap:
+    if tiers:
         # seed occupancy (<= lane count of distinct sources): BFS waves
         # START sparse — the first 1-2 levels' frontiers are tiny and a
         # full dense sweep on them is pure waste (RMAT-23 trace)
@@ -1234,28 +1248,34 @@ def _msbfs_chunked_stepped(csr: DeviceCSR, plan: PackedWavePlan,
     it = jnp.int32(1)
     next_it = 1
     while next_it <= max_iters:
-        sparse_ok = a_cap and occ is not None and \
-            occ <= a_cap and tot <= e_cap
-        if sparse_ok:
-            # batched sparse tail: ONE dispatch runs iterations until the
-            # depth cap, the frontier empties, or the occupancy outgrows
-            # the budgets (checked per iteration on device)
+        tier = next(((a, e) for a, e in tiers
+                     if occ is not None and occ <= a and tot <= e), None)
+        if tier is not None:
+            # batched sparse tail at the SMALLEST fitting tier: ONE
+            # dispatch runs iterations until the depth cap, the frontier
+            # empties, the occupancy outgrows this tier (host may pick a
+            # bigger one next), or it fits a smaller tier (host
+            # re-dispatches with a cheaper sort)
+            t_a, t_e = tier
+            t_i = tiers.index(tier)
+            lo_a, lo_e = tiers[t_i - 1] if t_i > 0 else (0, 0)
             t0 = time.time()
             it, frontier, seen, result, d_occ, d_tot = \
                 _sparse_wave_segment(
                     csr, out_dst, src, dst, word_of_lane, bit_of_lane,
                     searching, it, jnp.int32(max_iters), jnp.int32(occ),
                     jnp.int32(tot), frontier, seen, result,
-                    a_cap, e_cap, lane_major)
+                    t_a, t_e, lo_a, lo_e, lane_major)
             occ, tot = int(np.asarray(d_occ)), int(np.asarray(d_tot))
             done = int(np.asarray(it)) - next_it
             if log:
-                print(f"# sparse seg: iters {next_it}..{next_it + done - 1}"
+                print(f"# sparse seg (e_cap {t_e}): iters "
+                      f"{next_it}..{next_it + done - 1}"
                       f" in {time.time() - t0:.2f}s -> occ={occ} "
                       f"deg={tot}", file=sys.stderr)
             next_it += max(done, 1)
             nonempty = occ > 0
-        elif a_cap:
+        elif tiers:
             # dense segment WITH per-iteration occupancy exit: hand back
             # to the sparse kernel the moment the frontier collapses
             # under the budgets (which can happen mid-segment)
