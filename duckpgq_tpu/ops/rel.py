@@ -56,11 +56,42 @@ def _join_count(lcode: jnp.ndarray, rcode: jnp.ndarray):
     return order, lo.astype(jnp.int32), offs, cnt
 
 
+@functools.partial(jax.jit, static_argnames=("domain",))
+def _join_count_dense(lcode: jnp.ndarray, rcode: jnp.ndarray,
+                      domain: int):
+    """_join_count via a DENSE code-domain offsets table (round-4 device-
+    join lever, VERDICT r3 item 6): a bincount + cumsum over [domain]
+    replaces the per-probe binary search — two gathers per probe instead
+    of 2 log(rn) search rounds. Valid when all codes < domain (the host
+    wrapper checks). Bit-identical ordering: the stable argsort groups
+    build rows by code in row order, and code c's group starts at
+    n_negative_pads + exclusive-prefix(counts)[c]."""
+    order = jnp.argsort(rcode, stable=True)
+    neg = (rcode < 0)
+    n_neg = neg.sum(dtype=jnp.int32)
+    rc_cl = jnp.where(neg, domain, rcode).astype(jnp.int32)
+    counts = jnp.bincount(rc_cl, length=domain + 1)[:domain].astype(
+        jnp.int32)
+    starts = n_neg + (jnp.cumsum(counts) - counts)
+    lc_cl = jnp.clip(lcode, 0, domain - 1)
+    lo = starts[lc_cl]
+    cnt = jnp.where(lcode < 0, 0, counts[lc_cl]).astype(jnp.int32)
+    offs = jnp.cumsum(cnt) - cnt                      # exclusive
+    return order, lo.astype(jnp.int32), offs, cnt
+
+
 @functools.partial(jax.jit, static_argnames=("cap",))
 def _join_expand(order: jnp.ndarray, lo: jnp.ndarray, offs: jnp.ndarray,
                  cap: int):
+    # output-slot -> probe-row via run-start scatter + cumsum (O(cap))
+    # instead of searchsorted (O(cap log probes)): scatter 1 at each
+    # probe's run start (empty runs stack at the same slot and the
+    # cumsum skips them), p = prefix-count - 1. Bounded int32 scatter —
+    # the class proven cheap-and-compilable by the sparse-tail campaign.
     t = jnp.arange(cap, dtype=jnp.int32)
-    p = jnp.searchsorted(offs, t, side="right").astype(jnp.int32) - 1
+    heads = jnp.zeros(cap + 1, jnp.int32).at[
+        jnp.minimum(offs, cap)].add(1, mode="drop")
+    p = (jnp.cumsum(heads[:cap]) - 1).astype(jnp.int32)
     p = jnp.maximum(p, 0)
     j = t - offs[p]
     rn = order.shape[0]
@@ -93,7 +124,15 @@ def device_equi_join(lcode: np.ndarray, rcode: np.ndarray,
         lc[:len(lcode)] = np.where(lvalid, lc[:len(lcode)], _L_NULL)
     if rvalid is not None and not rvalid.all():
         rc[:len(rcode)] = np.where(rvalid, rc[:len(rcode)], _R_NULL)
-    order, lo, offs, cnt = _join_count(jnp.asarray(lc), jnp.asarray(rc))
+    domain = max(lmax, rmax) + 1
+    if domain <= (1 << 22):
+        # compact code domains (factorized keys): dense offsets table,
+        # two gathers per probe instead of 2 log(rn) search rounds
+        order, lo, offs, cnt = _join_count_dense(
+            jnp.asarray(lc), jnp.asarray(rc), pad_bucket(domain))
+    else:
+        order, lo, offs, cnt = _join_count(jnp.asarray(lc),
+                                           jnp.asarray(rc))
     n = int(np.asarray(cnt).astype(np.int64).sum())   # exact, host-side
     if n == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)

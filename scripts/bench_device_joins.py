@@ -55,7 +55,8 @@ def main():
         pass
 
     from duckpgq_tpu.ops.csr_jax import pad_bucket
-    from duckpgq_tpu.ops.rel import _join_count, _join_expand
+    from duckpgq_tpu.ops.rel import (_join_count, _join_count_dense,
+                                     _join_expand)
     from duckpgq_tpu.utils.rmat import rmat_edges_device
 
     sf = os.environ.get("BENCH_SF", "10")
@@ -80,6 +81,7 @@ def main():
           file=sys.stderr)
 
     lim = int((n_person // 40) )  # same selectivity as the SQL bench
+    dom = pad_bucket(n_person)  # dense code-domain offsets (round 4)
 
     @jax.jit
     def total_of(cnt):
@@ -93,7 +95,7 @@ def main():
 
     def run_2hop():
         probe = hop1_codes(src, dst)
-        order, lo, offs, cnt = _join_count(probe, src)
+        order, lo, offs, cnt = _join_count_dense(probe, src, dom)
         n = int(total_of(cnt))
         cap = pad_bucket(n)
         li, ri = _join_expand(order, lo, offs, cap)
@@ -110,12 +112,12 @@ def main():
 
     def run_3hop(lim3):
         probe = jnp.where(src < lim3, dst, jnp.int32(-1))
-        order, lo, offs, cnt = _join_count(probe, src)
+        order, lo, offs, cnt = _join_count_dense(probe, src, dom)
         n1 = int(total_of(cnt))
         cap1 = pad_bucket(n1)
         li1, ri1 = _join_expand(order, lo, offs, cap1)
         probe2 = _chain_codes(ri1, dst, jnp.int64(n1))
-        order2, lo2, offs2, cnt2 = _join_count(probe2, src)
+        order2, lo2, offs2, cnt2 = _join_count_dense(probe2, src, dom)
         n2 = int(total_of(cnt2))
         cap2 = pad_bucket(n2)
         li2, ri2 = _join_expand(order2, lo2, offs2, cap2)
