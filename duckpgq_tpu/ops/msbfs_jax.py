@@ -597,13 +597,20 @@ def plan_packed_wave(csr: DeviceCSR, lanes: Optional[int] = None,
 @functools.partial(jax.jit, static_argnames=("Ec", "K"))
 def _plan_chunk_bmax(in_offsets, Ec: int, K: int):
     """Max vertices-with-in-edges per edge chunk (the one scalar the host
-    planner needs to size the static extraction tables)."""
+    planner needs to size the static extraction tables). Scatter-free:
+    ``last`` (per-vertex final in-edge position) is NONDECREASING, so the
+    per-chunk vertex count is a difference of has-prefix-sums at the K
+    chunk boundaries — the segment_sum it replaces lowered to a [Vp]
+    scatter-add whose dispatch crashed the TPU worker at RMAT-25
+    (Vp=50M, 2026-08-21)."""
     in_off = in_offsets.astype(jnp.int32)
     has = in_off[1:] > in_off[:-1]
     last = in_off[1:] - 1
-    chunk_of = jnp.where(has, last // Ec, K).astype(jnp.int32)
-    counts = jax.ops.segment_sum(has.astype(jnp.int32), chunk_of,
-                                 num_segments=K + 1)[:K]
+    cum_has = jnp.cumsum(has.astype(jnp.int32))
+    bounds = jnp.arange(1, K + 1, dtype=jnp.int32) * jnp.int32(Ec)
+    pos = jnp.searchsorted(last, bounds, side="left").astype(jnp.int32)
+    f = jnp.where(pos > 0, cum_has[jnp.maximum(pos - 1, 0)], 0)
+    counts = jnp.diff(jnp.concatenate([jnp.zeros(1, jnp.int32), f]))
     return counts.max()
 
 
