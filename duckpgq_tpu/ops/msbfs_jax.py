@@ -527,12 +527,25 @@ def plan_packed_wave(csr: DeviceCSR, lanes: Optional[int] = None,
             # every 128-multiple width, but narrower chunked waves still
             # beat the tiny single-dispatch fallback several-fold (the
             # frontier gather is latency-bound, so per-lane cost keeps
-            # dropping with width). The margin-of-fit is thinner when the
-            # resident state IS most of HBM, so budget these at 3/5:
-            # measured at scale 23, the W=64 plan's real peak exceeded the
-            # model by ~30% (two HBM OOMs on HLO temps) while W=48 fits
-            for w_try in (96, 64, 48, 32, 16, 8):
-                k_try = pick_chunks(w_try, hbm_budget * 3 // 5)
+            # dropping with width). Here the resident CSR arrays and the
+            # sparse-tail extras are most of HBM, so charge them
+            # EXPLICITLY (8*Ep in-edge arrays; with the sparse tail on,
+            # +4*Ep out_dst and three [W, e_cap] buffers) instead of the
+            # flat 3/5 margin — at RMAT-26 the uncharged 8.6 GB of edge
+            # arrays drove the model to a degenerate W=1 single-dispatch
+            # plan whose [Ep, 1] buffers then compile-OOMed (2026-08-21)
+            sparse_on = os.environ.get("DUCKPGQ_SPARSE_TAIL", "1") == "1"
+            for w_try in (96, 64, 48, 32, 16, 8, 4, 2, 1):
+                extra = 8 * Ep
+                if sparse_on:
+                    tiers = _sparse_tail_caps(min(Ep, 1 << 20), w_try)
+                    e_hi = tiers[-1][1] if tiers else 0
+                    extra += 4 * Ep + 12 * e_hi * w_try
+                # measured at scale 23: real peak exceeds the 3.5-buffer
+                # state model by ~30% (XLA temps) — W=64 OOMed twice while
+                # W=48 fits. Charge the margin on the state term.
+                extra += (14 * (Vp + 1) * w_try) * 3 // 10
+                k_try = pick_chunks(w_try, hbm_budget - extra)
                 if k_try is not None:
                     w = w_try
                     if n_chunks is None:
