@@ -80,7 +80,19 @@ def main():
     if graph_src == "device":
         src_d, dst_d = rmat_edges_device(scale, edge_factor, seed=11)
         e = int(src_d.shape[0])
+        if scale >= 25:
+            # stage-isolating scalar syncs: everything up to the first
+            # D2H is async, so a worker crash otherwise surfaces at an
+            # unrelated later pull (the RMAT-25 campaign lost two runs
+            # to exactly that ambiguity)
+            np.asarray(src_d[:1])
+            print(f"# gen synced: {time.time() - t0:.3f}s",
+                  file=sys.stderr)
         csr = build_lengths_csr_on_device(v, src_d, dst_d)
+        if scale >= 25:
+            np.asarray(csr.in_offsets[-1:])
+            print(f"# build synced: {time.time() - t0:.3f}s",
+                  file=sys.stderr)
     else:
         src, dst = rmat_edges(scale, edge_factor, seed=11)
         e = len(src)

@@ -243,17 +243,44 @@ def out_degrees(csr: DeviceCSR) -> jnp.ndarray:
     return csr.offsets[1:] - csr.offsets[:-1]
 
 
+def _pad_edges(x, vpad: int, epad: int, ecount: int):
+    if epad == ecount:
+        return x.astype(jnp.int32)
+    return jnp.concatenate([x.astype(jnp.int32),
+                            jnp.full(epad - ecount, vpad, jnp.int32)])
+
+
 @functools.partial(jax.jit, static_argnames=("vpad", "epad", "ecount"))
-def _build_lengths_csr_on_device(src, dst, vpad: int, epad: int,
-                                 ecount: int):
-    pad_fill = jnp.full(epad - ecount, vpad, dtype=jnp.int32)
-    src_p = jnp.concatenate([src.astype(jnp.int32), pad_fill])
-    dst_p = jnp.concatenate([dst.astype(jnp.int32), pad_fill])
+def _build_offsets_on_device(src, vpad: int, epad: int, ecount: int):
+    """Forward offsets only (one [Ep] sort). Split from the in-view sort
+    so the two sorts' scratch never coexists: the one-jit build peaked
+    ~17 GB at RMAT-25 (inputs + pair-sort output + scratch + second
+    sort) and crashed the TPU worker — the split passes peak at
+    ~8.6 / ~12.9 GB instead."""
+    src_p = _pad_edges(src, vpad, epad, ecount)
+    s_sorted = jax.lax.sort(src_p)
+    ids = jnp.arange(vpad + 1, dtype=jnp.int32)
+    return jnp.searchsorted(s_sorted, ids).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("vpad", "epad", "ecount"),
+                   donate_argnames=("src", "dst"))
+def _build_in_view_on_device(src, dst, vpad: int, epad: int, ecount: int):
+    """In-edge view (dst-sorted pair sort); donates the raw edge arrays
+    so their HBM is reusable as sort scratch."""
+    src_p = _pad_edges(src, vpad, epad, ecount)
+    dst_p = _pad_edges(dst, vpad, epad, ecount)
     d_sorted, s_by_d = jax.lax.sort((dst_p, src_p), num_keys=1)
     ids = jnp.arange(vpad + 1, dtype=jnp.int32)
     in_offsets = jnp.searchsorted(d_sorted, ids).astype(jnp.int32)
-    s_sorted = jax.lax.sort(src_p)
-    offsets = jnp.searchsorted(s_sorted, ids).astype(jnp.int32)
+    return in_offsets, s_by_d, d_sorted
+
+
+def _build_lengths_csr_on_device(src, dst, vpad: int, epad: int,
+                                 ecount: int):
+    offsets = _build_offsets_on_device(src, vpad, epad, ecount)
+    in_offsets, s_by_d, d_sorted = _build_in_view_on_device(
+        src, dst, vpad, epad, ecount)
     return offsets, in_offsets, s_by_d, d_sorted
 
 

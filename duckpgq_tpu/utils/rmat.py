@@ -5,6 +5,8 @@ power-law graph)."""
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 
@@ -55,20 +57,38 @@ def rmat_edges_device(scale: int, edge_factor: int = 16, seed: int = 42,
     ab = a + b
     a_norm = a / ab
     c_norm = c / (1.0 - ab)
+    # chunk the sampling at huge scales: the unrolled bit loop keeps two
+    # [e] f32 uniforms live next to the two [e] u32 outputs — 17 GB at
+    # scale 26, an HBM OOM that crashes the TPU worker at the next sync.
+    # Each chunk is its own dispatch with its own temps.
+    n_chunks = 1 << max(0, scale - 24)
 
-    @jax.jit
-    def gen(key):
-        keys = jax.random.split(key, 2 * scale + 1)
-        src = jnp.zeros(e, dtype=jnp.uint32)
-        dst = jnp.zeros(e, dtype=jnp.uint32)
+    @functools.partial(jax.jit, static_argnames=("ec",))
+    def gen_chunk(key, ec: int):
+        keys = jax.random.split(key, 2 * scale)
+        src = jnp.zeros(ec, dtype=jnp.uint32)
+        dst = jnp.zeros(ec, dtype=jnp.uint32)
         for bit in range(scale):
-            r1 = jax.random.uniform(keys[2 * bit], (e,))
-            r2 = jax.random.uniform(keys[2 * bit + 1], (e,))
+            r1 = jax.random.uniform(keys[2 * bit], (ec,))
+            r2 = jax.random.uniform(keys[2 * bit + 1], (ec,))
             src_bit = r1 > ab
             dst_bit = jnp.where(src_bit, r2 > c_norm, r2 > a_norm)
             src = src | (src_bit.astype(jnp.uint32) << bit)
             dst = dst | (dst_bit.astype(jnp.uint32) << bit)
-        perm = jax.random.permutation(keys[-1], v).astype(jnp.int32)
+        return src, dst
+
+    @jax.jit
+    def scramble(key, src, dst):
+        perm = jax.random.permutation(key, v).astype(jnp.int32)
         return perm[src], perm[dst]
 
-    return gen(jax.random.PRNGKey(seed))
+    root = jax.random.PRNGKey(seed)
+    pkey, *ckeys = jax.random.split(root, n_chunks + 1)
+    ec = e // n_chunks
+    if n_chunks == 1:
+        src, dst = gen_chunk(ckeys[0], e)
+    else:
+        parts = [gen_chunk(k, ec) for k in ckeys]
+        src = jnp.concatenate([p[0] for p in parts])
+        dst = jnp.concatenate([p[1] for p in parts])
+    return scramble(pkey, src, dst)
