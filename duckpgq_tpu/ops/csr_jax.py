@@ -263,11 +263,7 @@ def _build_offsets_on_device(src, vpad: int, epad: int, ecount: int):
     return jnp.searchsorted(s_sorted, ids).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("vpad", "epad", "ecount"),
-                   donate_argnames=("src", "dst"))
-def _build_in_view_on_device(src, dst, vpad: int, epad: int, ecount: int):
-    """In-edge view (dst-sorted pair sort); donates the raw edge arrays
-    so their HBM is reusable as sort scratch."""
+def _in_view_impl(src, dst, vpad: int, epad: int, ecount: int):
     src_p = _pad_edges(src, vpad, epad, ecount)
     dst_p = _pad_edges(dst, vpad, epad, ecount)
     d_sorted, s_by_d = jax.lax.sort((dst_p, src_p), num_keys=1)
@@ -276,11 +272,63 @@ def _build_in_view_on_device(src, dst, vpad: int, epad: int, ecount: int):
     return in_offsets, s_by_d, d_sorted
 
 
+_build_in_view_plain = functools.partial(
+    jax.jit, static_argnames=("vpad", "epad", "ecount"))(_in_view_impl)
+# huge graphs DONATE the raw edge arrays so their HBM is reusable as
+# sort scratch (callers must not reuse them afterwards — the low-mem
+# path below is the only caller at those sizes)
+_build_in_view_donated = functools.partial(
+    jax.jit, static_argnames=("vpad", "epad", "ecount"),
+    donate_argnames=("src", "dst"))(_in_view_impl)
+
+
+def _build_in_view_on_device(src, dst, vpad: int, epad: int, ecount: int):
+    """In-edge view (dst-sorted pair sort)."""
+    fn = _build_in_view_donated if epad >= (1 << 29) else \
+        _build_in_view_plain
+    return fn(src, dst, vpad, epad, ecount)
+
+
+@functools.partial(jax.jit, static_argnames=("vpad", "ec"),
+                   donate_argnames=("deg",))
+def _deg_count_chunk(in_src, deg, off, vpad: int, ec: int):
+    """Out-degree contribution of one in_src chunk: sort the chunk, then
+    per-vertex counts are searchsorted differences over the boundary ids
+    — O(chunk) memory, no full-array sort, no scatter."""
+    chunk = jax.lax.dynamic_slice(in_src, (off,), (ec,))
+    sc = jax.lax.sort(chunk)
+    ids = jnp.arange(vpad + 1, dtype=jnp.int32)
+    pos = jnp.searchsorted(sc, ids).astype(jnp.int32)
+    return deg + jnp.diff(pos)
+
+
+# one full edge array above this size: the standalone offsets sort would
+# put src+dst+sorted+scratch (~17 GB at RMAT-26) in HBM at once, so the
+# low-mem path derives offsets from the in-edge view in chunks instead
+_LOWMEM_EDGES = 1 << 30
+
+
 def _build_lengths_csr_on_device(src, dst, vpad: int, epad: int,
                                  ecount: int):
-    offsets = _build_offsets_on_device(src, vpad, epad, ecount)
+    if epad < _LOWMEM_EDGES:
+        offsets = _build_offsets_on_device(src, vpad, epad, ecount)
+        in_offsets, s_by_d, d_sorted = _build_in_view_on_device(
+            src, dst, vpad, epad, ecount)
+        return offsets, in_offsets, s_by_d, d_sorted
+    # low-mem order: the donated pair sort FIRST (frees the raw edge
+    # arrays), then offsets from in_src chunk-by-chunk (same multiset as
+    # src, so the offsets are identical to the sorted-src formulation)
     in_offsets, s_by_d, d_sorted = _build_in_view_on_device(
         src, dst, vpad, epad, ecount)
+    n_chunks = max(epad >> 27, 1)
+    while epad % n_chunks or (epad // n_chunks) % 128:
+        n_chunks -= 1
+    ec = epad // n_chunks
+    deg = jnp.zeros(vpad, jnp.int32)
+    for k in range(n_chunks):
+        deg = _deg_count_chunk(s_by_d, deg, np.int32(k * ec), vpad, ec)
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(deg).astype(jnp.int32)])
     return offsets, in_offsets, s_by_d, d_sorted
 
 

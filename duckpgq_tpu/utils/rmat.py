@@ -77,10 +77,19 @@ def rmat_edges_device(scale: int, edge_factor: int = 16, seed: int = 42,
             dst = dst | (dst_bit.astype(jnp.uint32) << bit)
         return src, dst
 
-    @jax.jit
-    def scramble(key, src, dst):
+    @functools.partial(jax.jit, donate_argnames=("sbuf", "dbuf"))
+    def fill_chunk(sbuf, dbuf, key, off):
+        # write each chunk into donated full-size buffers: a concat of
+        # the chunk list would transiently DOUBLE the edge arrays
+        # (17 GB at scale 26); dynamic offset = one executable
+        s, d = gen_chunk(key, sbuf.shape[0] // n_chunks)
+        return (jax.lax.dynamic_update_slice(sbuf, s, (off,)),
+                jax.lax.dynamic_update_slice(dbuf, d, (off,)))
+
+    @functools.partial(jax.jit, donate_argnames=("x",))
+    def scramble_one(key, x):
         perm = jax.random.permutation(key, v).astype(jnp.int32)
-        return perm[src], perm[dst]
+        return perm[x]
 
     root = jax.random.PRNGKey(seed)
     pkey, *ckeys = jax.random.split(root, n_chunks + 1)
@@ -88,7 +97,10 @@ def rmat_edges_device(scale: int, edge_factor: int = 16, seed: int = 42,
     if n_chunks == 1:
         src, dst = gen_chunk(ckeys[0], e)
     else:
-        parts = [gen_chunk(k, ec) for k in ckeys]
-        src = jnp.concatenate([p[0] for p in parts])
-        dst = jnp.concatenate([p[1] for p in parts])
-    return scramble(pkey, src, dst)
+        src = jnp.zeros(e, dtype=jnp.uint32)
+        dst = jnp.zeros(e, dtype=jnp.uint32)
+        for i, k in enumerate(ckeys):
+            src, dst = fill_chunk(src, dst, k, np.int32(i * ec))
+    # scramble per component (donated) so only one extra [e] buffer is
+    # ever live
+    return scramble_one(pkey, src), scramble_one(pkey, dst)

@@ -392,3 +392,26 @@ def test_weighted_bf_device_build_matches_host_build():
     got = np.asarray(bellman_ford(dev, qs, qd, act, v + 1))
     want = np.asarray(bellman_ford(full, qs, qd, act, v + 1))
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_lowmem_build_matches_normal(monkeypatch):
+    """The RMAT-26 low-mem build path (donated pair sort first, offsets
+    derived from in_src in chunked sorts) produces the identical CSR."""
+    import jax.numpy as jnp
+    from duckpgq_tpu.ops import csr_jax
+
+    rng = np.random.default_rng(17)
+    v, e = 500, 4096
+    src = jnp.asarray(rng.integers(0, v, size=e).astype(np.int32))
+    dst = jnp.asarray(rng.integers(0, v, size=e).astype(np.int32))
+    want = csr_jax.build_lengths_csr_on_device(v, src, dst)
+    monkeypatch.setattr(csr_jax, "_LOWMEM_EDGES", 1)
+    got = csr_jax.build_lengths_csr_on_device(v, src, dst)
+    np.testing.assert_array_equal(np.asarray(got.offsets),
+                                  np.asarray(want.offsets))
+    np.testing.assert_array_equal(np.asarray(got.in_offsets),
+                                  np.asarray(want.in_offsets))
+    np.testing.assert_array_equal(np.asarray(got.in_src),
+                                  np.asarray(want.in_src))
+    np.testing.assert_array_equal(np.asarray(got.in_dst),
+                                  np.asarray(want.in_dst))
