@@ -668,18 +668,17 @@ def msbfs_lengths_packed_planned(csr: DeviceCSR, plan: PackedWavePlan,
                                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Packed MS-BFS following a PackedWavePlan: single-dispatch kernels
     when the wave fits (n_chunks == 1), chunked streaming expansion
-    otherwise. Narrow waves (W < 128, the RMAT-23+ fallback) default to
-    the XLA scan: the Pallas kernel's raw sub-vreg-width path crashed the
-    TPU worker at scale 23 in round 2. Round 3 added a pad-to-one-vreg
-    shim in seg_or_scan_packed_carry (DUCKPGQ_NARROW_PALLAS=1 opts in),
-    verified bit-identical on TPU at scale 16 — but at scale-23 shapes
-    (Ec=262k super-chunks, 512 of them) the padded kernel still faults
-    the TPU worker (Mosaic runtime fault, 2026-08-21), so the opt-in
-    stays off by default and scale-23 narrow waves pay the XLA scan's
-    long one-time compile (cached thereafter)."""
+    otherwise. Narrow waves (W < 128) use the Pallas pad-to-one-vreg
+    scan shim BY DEFAULT since round 4: the round-2/3 Mosaic faults at
+    scale-23 shapes (512 x Ec=262k chunk plans) do not reproduce with
+    the round-4 plans (Ec >= 512k, the lane-major layout, and the
+    sparse-tail restructuring) — measured clean AND faster at scales
+    23 (W=48, 2.34 vs 2.02 GTEPS), 24 (W=16, 1.54 vs 1.19) and 25
+    (W=8, 1.30 vs 0.86) on v5e, 2026-08-21. DUCKPGQ_NARROW_PALLAS=0
+    opts back into the XLA blocked scan."""
     import os
     if plan.lanes < 32 * 128:
-        if os.environ.get("DUCKPGQ_NARROW_PALLAS", "0") != "1":
+        if os.environ.get("DUCKPGQ_NARROW_PALLAS", "1") != "1":
             use_pallas = False
     if plan.n_chunks == 1:
         return _msbfs_lengths_packed(csr, src, dst, active, max_iters,
