@@ -453,3 +453,71 @@ def test_limit_offset(con, i, k, off):
     got = [r[0] for r in con.execute(sql).fetchall()]
     want = [r["u"] for r in ROWS][off:off + k]
     assert got == want, f"{sql}: engine {got!r} != oracle {want!r}"
+
+
+# ---- family I: two-table joins vs a nested-loop oracle --------------------
+
+ROWS2 = [{"x": (None if (i * 7) % 11 == 0 else (i * 3) % 9 - 2),
+          "y": ["x", "y", "abc", None, "zz"][i % 5],
+          "w": i}
+         for i in range(25)]
+
+
+@pytest.fixture(scope="module")
+def con2(con):
+    vals = ", ".join(
+        "({}, {}, {})".format(
+            "NULL" if r["x"] is None else r["x"],
+            "NULL" if r["y"] is None else "'" + r["y"] + "'",
+            r["w"])
+        for r in ROWS2)
+    con.execute("CREATE TABLE t_diff2(x BIGINT, y VARCHAR, w BIGINT)")
+    con.execute(f"INSERT INTO t_diff2 VALUES {vals}")
+    return con
+
+
+CASES_I = [(i,
+            gen_int(random.Random(10 * SEED + i), 1),
+            random.Random(11 * SEED + i).choice(
+                ["inner", "left", "cross_filter"]))
+           for i in range(100)]
+
+
+@pytest.mark.parametrize("i,e,kind", CASES_I, ids=[f"join{i}"
+                                                   for i, *_ in CASES_I])
+def test_join_differential(con2, i, e, kind):
+    """INNER / LEFT equi-joins and filtered cross joins vs a Python
+    nested-loop oracle (SQL NULL-key semantics: NULL never matches)."""
+    key = render(e)
+    if kind == "inner":
+        sql = (f"SELECT a.u, b.w FROM t_diff a JOIN t_diff2 b "
+               f"ON {key} = b.x ORDER BY a.u, b.w")
+        want = sorted((ra["u"], rb["w"]) for ra in ROWS for rb in ROWS2
+                      if oracle(e, ra) is not None
+                      and rb["x"] is not None
+                      and oracle(e, ra) == rb["x"])
+    elif kind == "left":
+        sql = (f"SELECT a.u, b.w FROM t_diff a LEFT JOIN t_diff2 b "
+               f"ON {key} = b.x ORDER BY a.u, b.w NULLS FIRST")
+        want = []
+        for ra in ROWS:
+            k = oracle(e, ra)
+            matches = [rb["w"] for rb in ROWS2
+                       if k is not None and rb["x"] is not None
+                       and k == rb["x"]]
+            if matches:
+                want.extend((ra["u"], w) for w in sorted(matches))
+            else:
+                want.append((ra["u"], None))
+        # ORDER BY a.u, b.w NULLS FIRST
+        want.sort(key=lambda r: (r[0], r[1] is not None,
+                                 r[1] if r[1] is not None else 0))
+    else:
+        sql = (f"SELECT a.u, b.w FROM t_diff a, t_diff2 b "
+               f"WHERE {key} > b.x ORDER BY a.u, b.w")
+        want = sorted((ra["u"], rb["w"]) for ra in ROWS for rb in ROWS2
+                      if oracle(e, ra) is not None
+                      and rb["x"] is not None
+                      and oracle(e, ra) > rb["x"])
+    got = con2.execute(sql).fetchall()
+    assert got == want, f"{sql}: engine {got!r} != oracle {want!r}"
