@@ -73,12 +73,21 @@ def main():
          f"a.id <> c.id AND a.id < {hop_src} "
          f"COLUMNS (a.id AS aid, c.id AS cid)) t")
 
+    import resource
+
+    def cpu_now():
+        ru = resource.getrusage(resource.RUSAGE_SELF)
+        return ru.ru_utime + ru.ru_stime
+
     times = []
+    shares = []
     bindings = None
     for i in range(repeats + 1):
+        c0 = cpu_now()
         t0 = time.time()
         rows = con.execute(q).fetchall()
         dt = time.time() - t0
+        share = (cpu_now() - c0) / max(dt, 1e-9)
         bindings = int(rows[0][0])
         if i == 0:
             # warmup: first run pays one-off costs (native lib load, CSR
@@ -86,19 +95,31 @@ def main():
             print(f"# warmup: {dt:.2f}s", file=sys.stderr)
             continue
         times.append(dt)
+        shares.append(share)
         print(f"# run {i}/{repeats}: {dt:.2f}s "
-              f"({bindings / dt / 1e6:.2f}M rows/s)", file=sys.stderr)
+              f"({bindings / dt / 1e6:.2f}M rows/s, "
+              f"cpu-share {share:.2f})", file=sys.stderr)
     # session DECAY (the round-2 pathology: queries getting monotonically
     # slower as the session ages) = late-run mean over early-run mean;
     # max/min spread is run-to-run scheduler variance, reported separately
     k = max(len(times) // 3, 1)
     trend = (sum(times[-k:]) / k) / (sum(times[:k]) / k)
+    # variance ATTRIBUTION (VERDICT r3 weak #8): if the slow runs show a
+    # proportionally LOW process-CPU share of their wall time, the
+    # spread is external scheduler contention (co-tenant CPU steal),
+    # not the engine; if shares are flat while wall varies, look at
+    # memory/page effects instead. corr < 0 => contention-attributed.
+    wall = np.array(times)
+    shr = np.array(shares)
+    corr = float(np.corrcoef(wall, shr)[0, 1]) if len(times) > 2 else 0.0
     print(json.dumps({
         "metric": "snb_2hop_session_drift",
         "value": round(trend, 3),
         "unit": "x (mean of last third / mean of first third)",
         "detail": {"runs": [round(t, 2) for t in times],
                    "spread_max_over_min": round(max(times) / min(times), 2),
+                   "cpu_shares": [round(s, 2) for s in shares],
+                   "wall_vs_share_corr": round(corr, 3),
                    "bindings": bindings, "sf": sf,
                    "rows_per_s_best": round(bindings / min(times), 1)}}))
 
