@@ -77,6 +77,14 @@ def main():
         _bench_pallas(v, src, dst, lanes, batches, max_iters, rng)
         return
     t0 = time.time()
+    n_runs = int(os.environ.get("BENCH_CSR_RUNS", "0")) or \
+        (4 if scale >= 26 and graph_src == "device" else 0)
+    if graph_src == "device" and n_runs:
+        # RMAT-26-class: the monolithic [Ep] pair sort needs ~20 GB
+        # (BASELINE.md round-4 campaign); build a multi-run CSR and run
+        # the multi-run wave instead
+        _bench_runs_csr(scale, edge_factor, v, n_runs, max_iters, rng, t0)
+        return
     if graph_src == "device":
         src_d, dst_d = rmat_edges_device(scale, edge_factor, seed=11)
         e = int(src_d.shape[0])
@@ -198,6 +206,65 @@ def main():
 
     gteps = total_traversed / elapsed / 1e9
     print(f"# bfs: {lanes * batches} searches in {elapsed:.3f}s, "
+          f"{total_traversed / 1e9:.2f}G edges traversed", file=sys.stderr)
+    print(json.dumps({
+        "metric": "msbfs_gteps_per_chip",
+        "value": round(gteps, 3),
+        "unit": "GTEPS",
+        "vs_baseline": round(gteps / 1.0, 3),
+    }))
+
+
+def _bench_runs_csr(scale, edge_factor, v, n_runs, max_iters, rng, t0):
+    import time
+
+    import jax.numpy as jnp
+
+    from duckpgq_tpu.ops.csr_jax import build_lengths_csr_runs_on_device
+    from duckpgq_tpu.ops.msbfs_jax import msbfs_lengths_runs, plan_runs_wave
+    from duckpgq_tpu.utils.rmat import rmat_edges_device
+
+    src_d, dst_d = rmat_edges_device(scale, edge_factor, seed=11)
+    e = int(src_d.shape[0])
+    np.asarray(src_d[:1])
+    print(f"# gen synced: {time.time() - t0:.3f}s", file=sys.stderr)
+    runs_csr = build_lengths_csr_runs_on_device(v, src_d, dst_d, n_runs)
+    del src_d, dst_d                        # donated into the run sorts
+    np.asarray(runs_csr.run_offsets[0, -1:])
+    build_s = time.time() - t0
+    print(f"# runs-csr build ({n_runs} runs): {build_s:.1f}s "
+          f"({e / max(build_s, 1e-9) / 1e6:.1f} Medges/s)",
+          file=sys.stderr)
+    lanes = int(os.environ.get("BENCH_RUNS_LANES", "32"))
+    plans = plan_runs_wave(runs_csr, lanes=lanes)
+    print(f"# runs plan: {lanes} lanes (W={lanes // 32}), "
+          f"{plans[0].n_chunks} chunks/run x {n_runs} runs",
+          file=sys.stderr)
+    qs = jnp.asarray(rng.integers(0, v, size=lanes).astype(np.int32))
+    qd = jnp.asarray(rng.integers(0, v, size=lanes).astype(np.int32))
+    active = jnp.ones(lanes, dtype=bool)
+    seg = int(os.environ.get("DUCKPGQ_SEG_ITERS", "1"))
+
+    def run_once():
+        res, trav = msbfs_lengths_runs(runs_csr, plans, qs, qd, active,
+                                       max_iters, seg_iters=seg)
+        return float(np.asarray(trav).sum())
+
+    t0 = time.time()
+    run_once()
+    print(f"# warmup (compile): {time.time() - t0:.1f}s", file=sys.stderr)
+    times, travs = [], []
+    for _ in range(int(os.environ.get("BENCH_RUNS", "3"))):
+        t0 = time.time()
+        travs.append(run_once())
+        times.append(time.time() - t0)
+    order = sorted(range(len(times)), key=lambda i: times[i])
+    mid = order[len(order) // 2]
+    elapsed, total_traversed = times[mid], travs[mid]
+    print(f"# runs: {['%.3f' % t for t in times]}s (median reported)",
+          file=sys.stderr)
+    gteps = total_traversed / elapsed / 1e9
+    print(f"# bfs: {lanes} searches in {elapsed:.3f}s, "
           f"{total_traversed / 1e9:.2f}G edges traversed", file=sys.stderr)
     print(json.dumps({
         "metric": "msbfs_gteps_per_chip",

@@ -358,6 +358,92 @@ def build_lengths_csr_on_device(vcount: int, src, dst,
     return out
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class RunsCSR:
+    """Multi-run lengths-only CSR for graphs whose single [Ep] pair sort
+    exceeds HBM (RMAT-26: the XLA compile reports 20 GB for the 2^30
+    (dst, src) sort — the TPU sort's operand copies are irreducible).
+    The edge set is split into ``n_runs`` equal runs, each dst-sorted IN
+    PLACE with donated buffers (peak ~8.6 + 2 * run GB); a vertex's
+    in-edges then live in up to n_runs contiguous segments, and the
+    multi-run wave ORs the per-run expansions."""
+
+    in_src: jnp.ndarray       # int32 [Ep]  src, dst-sorted WITHIN runs
+    in_dst: jnp.ndarray       # int32 [Ep]
+    run_offsets: jnp.ndarray  # int32 [R, Vp+1] per-run dst offsets
+    offsets: jnp.ndarray      # int32 [Vp+1] forward (out-degree) offsets
+    vcount: int
+    ecount: int
+    n_runs: int
+
+    @property
+    def vpad(self) -> int:
+        return int(self.run_offsets.shape[1]) - 1
+
+    @property
+    def epad(self) -> int:
+        return int(self.in_dst.shape[0])
+
+    def tree_flatten(self):
+        return ((self.in_src, self.in_dst, self.run_offsets,
+                 self.offsets),
+                (self.vcount, self.ecount, self.n_runs))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+@functools.partial(jax.jit, static_argnames=("ec",),
+                   donate_argnames=("src", "dst"))
+def _sort_run_inplace(src, dst, off, ec: int):
+    s = jax.lax.dynamic_slice(src, (off,), (ec,))
+    d = jax.lax.dynamic_slice(dst, (off,), (ec,))
+    ds, ss = jax.lax.sort((d, s), num_keys=1)
+    return (jax.lax.dynamic_update_slice(src, ss, (off,)),
+            jax.lax.dynamic_update_slice(dst, ds, (off,)))
+
+
+@functools.partial(jax.jit, static_argnames=("vpad", "ec"))
+def _run_offsets_chunk(in_dst, off, vpad: int, ec: int):
+    d = jax.lax.dynamic_slice(in_dst, (off,), (ec,))
+    ids = jnp.arange(vpad + 1, dtype=jnp.int32)
+    return jnp.searchsorted(d, ids).astype(jnp.int32)
+
+
+def build_lengths_csr_runs_on_device(vcount: int, src, dst,
+                                     n_runs: int) -> RunsCSR:
+    """Build a RunsCSR entirely on device. ``src``/``dst`` are DONATED
+    (sorted in place run by run). Edge count must divide n_runs."""
+    e = int(src.shape[0])
+    assert e % n_runs == 0, (e, n_runs)
+    rl = e // n_runs
+    vpad = pad_bucket(vcount + 1)
+    src = src.astype(jnp.int32) if src.dtype != jnp.int32 else src
+    dst = dst.astype(jnp.int32) if dst.dtype != jnp.int32 else dst
+    for r in range(n_runs):
+        src, dst = _sort_run_inplace(src, dst, np.int32(r * rl), rl)
+    # run-LOCAL offsets (position within the run's [rl] slice); kernels
+    # add r * rl when slicing the global arrays
+    run_offs = jnp.stack([
+        _run_offsets_chunk(dst, np.int32(r * rl), vpad, rl)
+        for r in range(n_runs)])
+    # forward offsets (TEPS out-degrees) via chunked counting over in_src
+    n_deg_chunks = max(e >> 27, 1)
+    while e % n_deg_chunks or (e // n_deg_chunks) % 128:
+        n_deg_chunks -= 1
+    dec = e // n_deg_chunks
+    deg = jnp.zeros(vpad, jnp.int32)
+    for k in range(n_deg_chunks):
+        deg = _deg_count_chunk(src, deg, np.int32(k * dec), vpad, dec)
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(deg).astype(jnp.int32)])
+    return RunsCSR(in_src=src, in_dst=dst, run_offsets=run_offs,
+                   offsets=offsets, vcount=vcount, ecount=e,
+                   n_runs=n_runs)
+
+
 @functools.partial(jax.jit, static_argnames=("vpad", "epad", "ecount"))
 def _build_weighted_bf_csr_on_device(src, dst, w, vpad: int, epad: int,
                                      ecount: int):

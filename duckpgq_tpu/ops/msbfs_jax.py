@@ -1327,6 +1327,137 @@ def _msbfs_chunked_stepped(csr: DeviceCSR, plan: PackedWavePlan,
     return result, traversed
 
 
+# ---------------------------------------------------------------------------
+# multi-run wave (RunsCSR): single-chip RMAT-26-class graphs
+# ---------------------------------------------------------------------------
+
+def plan_runs_wave(runs_csr, lanes: int = 32, ec_cap: int = 1 << 20):
+    """Per-run PackedWavePlans for the multi-run wave (equal-length runs
+    share K; tables built on device, one bmax scalar pulled per run)."""
+    plans = []
+    R = runs_csr.n_runs
+    rl = runs_csr.epad // R
+    K = 1
+    while rl // K > ec_cap and rl % (K * 2) == 0 and \
+            (rl // (K * 2)) % 128 == 0:
+        K *= 2
+    Ec = rl // K
+    for r in range(R):
+        offs = runs_csr.run_offsets[r]
+        bmax = max(int(_plan_chunk_bmax(offs, Ec, K)), 1)
+        rel, slot = _plan_tables_device(offs, Ec, K, bmax)
+        plans.append(PackedWavePlan(rel=rel, slot=slot, lanes=lanes,
+                                    n_chunks=K, bmax=bmax))
+    return plans
+
+
+def _runs_wave_body(runs_csr, plans, src, dst, word_of_lane, bit_of_lane,
+                    searching):
+    """Lane-major multi-run wave body: the expansion ORs each run's
+    chunk-streamed segmented-scan result. Segment head flags are
+    computed on the fly from the dst slices (a precomputed [Ep] bool
+    heads array would cost another 1.07 GB at scale 26)."""
+    Vp = runs_csr.vpad
+    L = src.shape[0]
+    W = L // 32
+    R = runs_csr.n_runs
+    rl = runs_csr.epad // R
+    K = plans[0].n_chunks
+    Ec = rl // K
+    scan_block = _scan_block_size(Ec)
+
+    def expand_run(frontier, r, plan):
+        base = r * rl
+
+        def chunk_step(k, state):
+            compact, carry = state
+            off = base + k * Ec
+            idx = jax.lax.dynamic_slice(runs_csr.in_src, (off,), (Ec,))
+            dsts = jax.lax.dynamic_slice(runs_csr.in_dst, (off,), (Ec,))
+            # on-the-fly segment heads; the first row of chunk 0 is a
+            # head, later chunks continue the open segment via the carry
+            prev = jax.lax.dynamic_slice(
+                runs_csr.in_dst, (jnp.maximum(off - 1, base),), (1,))
+            first_head = jnp.where(k == 0, True, dsts[0] != prev[0])
+            hds = jnp.concatenate(
+                [first_head[None], dsts[1:] != dsts[:-1]])
+            g = jnp.take(frontier, idx, axis=1)          # [W, Ec]
+            scanned, carry = _seg_or_scan_blocked_rows(
+                g, hds, carry, scan_block)
+            rel = jax.lax.dynamic_index_in_dim(plan.rel, k, 0,
+                                               keepdims=False)
+            vals = jnp.take(scanned, rel, axis=1)        # [W, bmax]
+            compact = jax.lax.dynamic_update_slice(
+                compact, vals, (0, k * plan.bmax))
+            return compact, carry
+
+        compact0 = jnp.zeros((W, K * plan.bmax + 1), jnp.uint32)
+        carry0 = jnp.zeros((W, 1), jnp.uint32)
+        compact, _ = jax.lax.fori_loop(0, K, chunk_step,
+                                       (compact0, carry0))
+        return _take_cols_chunked(compact, plan.slot)    # [W, Vp+1]
+
+    def body(state):
+        it, frontier, seen, result = state
+        acc = expand_run(frontier, 0, plans[0])
+        for r in range(1, R):
+            acc = acc | expand_run(frontier, r, plans[r])
+        nxt = acc & ~seen
+        seen = seen | nxt
+        found = ((nxt[word_of_lane, dst] & bit_of_lane) != 0) \
+            & (result < 0) & searching
+        result = jnp.where(found, it, result)
+        nxt = nxt & _pack_words(result < 0, W)[:, None]
+        return it + 1, nxt, seen, result
+
+    return body
+
+
+@functools.partial(jax.jit, donate_argnames=("frontier", "seen", "result"))
+def _runs_wave_segment(runs_csr, plans, src, dst, word_of_lane,
+                       bit_of_lane, searching, it0, end, frontier, seen,
+                       result):
+    body = _runs_wave_body(runs_csr, plans, src, dst, word_of_lane,
+                           bit_of_lane, searching)
+
+    def cond(state):
+        it, frontier, seen, result = state
+        return (it <= end) & (frontier != 0).any()
+
+    it, frontier, seen, result = jax.lax.while_loop(
+        cond, body, (it0, frontier, seen, result))
+    return it, frontier, seen, result, (frontier != 0).any()
+
+
+def msbfs_lengths_runs(runs_csr, plans, src, dst, active, max_iters: int,
+                       seg_iters: int = 1):
+    """Host-stepped multi-run packed MS-BFS over a RunsCSR (lane-major).
+    Bit-identical to the single-run kernels on the same edge multiset
+    (the OR over runs commutes with the OR over edges)."""
+    import numpy as np
+
+    word_of_lane, bit_of_lane, searching, result = _wave_state_jit(
+        src, dst, active)
+    frontier, seen = _chunked_wave_init(runs_csr, src, word_of_lane,
+                                        bit_of_lane, searching,
+                                        lane_major=True)
+    it = jnp.int32(1)
+    next_it = 1
+    while next_it <= max_iters:
+        end = jnp.int32(min(next_it + seg_iters - 1, max_iters))
+        it, frontier, seen, result, nonempty = _runs_wave_segment(
+            runs_csr, plans, src, dst, word_of_lane, bit_of_lane,
+            searching, it, end, frontier, seen, result)
+        next_it = min(next_it + seg_iters - 1, max_iters) + 1
+        if not bool(np.asarray(nonempty)):
+            break
+    deg = (runs_csr.offsets[1:] - runs_csr.offsets[:-1]).astype(
+        jnp.float32)
+    traversed = _packed_traversed(seen[:, :runs_csr.vpad], deg,
+                                  src.shape[0], edge_major=False)
+    return result, traversed
+
+
 def max_packed_lanes(csr: DeviceCSR, hbm_budget: Optional[int] = None,
                      cap: Optional[int] = None,
                      vertex_buffers: int = 2) -> int:
