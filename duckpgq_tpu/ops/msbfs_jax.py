@@ -683,18 +683,19 @@ def msbfs_lengths_packed_planned(csr: DeviceCSR, plan: PackedWavePlan,
     if plan.n_chunks == 1:
         return _msbfs_lengths_packed(csr, src, dst, active, max_iters,
                                      use_pallas)
-    # Narrow chunked waves are the huge-graph regime (RMAT-23+), where one
-    # full-depth dispatch runs minutes and the tunnel worker crashes
-    # (BASELINE.md): step the loop from the host, a few iterations per
-    # dispatch — and use the lane-major [W, Vp+1] layout, which tiles
-    # exactly (edge-major [Vp, W] pays up to 128/W x T(8,128) padding on
-    # every vertex buffer). Wide waves keep the monolithic edge-major
-    # kernel (dispatches run seconds; cached executables stay valid).
+    # Chunked waves ALL host-step by default since round 4: narrow waves
+    # because one full-depth dispatch crashes the tunnel worker
+    # (BASELINE.md), and wide waves because host stepping is what lets
+    # the sparse-frontier tail engage — measured faster at EVERY scale
+    # (RMAT-18 36.4 -> 40.1 GTEPS, 20: 28.9 -> 34.5, 22: 12.0 -> 15.2;
+    # 2026-08-21). Narrow waves use the lane-major [W, Vp+1] layout,
+    # which tiles exactly (edge-major [Vp, W] pays up to 128/W x
+    # T(8,128) padding on every vertex buffer). DUCKPGQ_SEG_ITERS=0
+    # restores the monolithic kernel.
     narrow = plan.lanes < 32 * 128
     layout = os.environ.get("DUCKPGQ_CHUNKED_LAYOUT",
                             "lm" if narrow else "em")
-    seg_default = "4" if narrow else "0"
-    seg_iters = int(os.environ.get("DUCKPGQ_SEG_ITERS", seg_default))
+    seg_iters = int(os.environ.get("DUCKPGQ_SEG_ITERS", "4"))
     if layout == "lm":
         return _msbfs_chunked_stepped(csr, plan, src, dst, active,
                                       max_iters, use_pallas,
