@@ -9,7 +9,7 @@ a recursive matcher rather than the engine's regex translation) — so a
 parse-then-ignore or wrong-semantics class diverges instead of passing
 silently.
 
-Check families:
+Check families (1360 generated queries):
   A scalar expressions        SELECT <e>
   B projections               SELECT <e> FROM t
   C filters                   SELECT * FROM t WHERE <p>
@@ -18,6 +18,9 @@ Check families:
   F distinct                  SELECT DISTINCT <e> FROM t
   G windows + QUALIFY         row_number() OVER (PARTITION BY <e> ORDER BY u)
   H limit/offset              ORDER BY u LIMIT k OFFSET j
+  I joins                     INNER / LEFT / filtered cross vs nested loop
+  J aggregates + HAVING       min/max/sum/count grouped, HAVING count(*)
+  K set ops                   UNION [ALL] / INTERSECT / EXCEPT
 """
 
 import math
@@ -520,4 +523,65 @@ def test_join_differential(con2, i, e, kind):
                       and rb["x"] is not None
                       and oracle(e, ra) > rb["x"])
     got = con2.execute(sql).fetchall()
+    assert got == want, f"{sql}: engine {got!r} != oracle {want!r}"
+
+
+# ---- family J: aggregates, HAVING, set ops --------------------------------
+
+CASES_J = [(i, gen_int(random.Random(12 * SEED + i), 2),
+            gen_bool(random.Random(13 * SEED + i), 1))
+           for i in range(100)]
+
+
+@pytest.mark.parametrize("i,g,p", CASES_J, ids=[f"agg{i}"
+                                                for i, *_ in CASES_J])
+def test_aggregate_differential(con, i, g, p):
+    """min/max/avg/sum with GROUP BY + HAVING vs a Python oracle."""
+    sql = (f"SELECT {render(g)} AS k, min(d), max(d), sum(a), count(a) "
+           f"FROM t_diff WHERE {render(p)} GROUP BY k "
+           f"HAVING count(*) > 1")
+    got = sorted(con.execute(sql).fetchall(),
+                 key=lambda r: (r[0] is None, str(r[0])))
+    groups = {}
+    for r in ROWS:
+        if oracle(p, r) is not True:
+            continue
+        k = _norm(oracle(g, r))
+        groups.setdefault(k, []).append(r)
+    want = []
+    for k, rs in groups.items():
+        if len(rs) <= 1:
+            continue
+        avals = [r["a"] for r in rs if r["a"] is not None]
+        want.append((k, min(r["d"] for r in rs), max(r["d"] for r in rs),
+                     sum(avals) if avals else None, len(avals)))
+    want.sort(key=lambda r: (r[0] is None, str(r[0])))
+    assert got == want, f"{sql}: engine {got!r} != oracle {want!r}"
+
+
+CASES_K = [(i, gen_bool(random.Random(14 * SEED + i), 1),
+            gen_bool(random.Random(15 * SEED + i), 1),
+            random.Random(16 * SEED + i).choice(
+                ["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]))
+           for i in range(60)]
+
+
+@pytest.mark.parametrize("i,p1,p2,op", CASES_K, ids=[f"setop{i}"
+                                                     for i, *_ in CASES_K])
+def test_set_op_differential(con, i, p1, p2, op):
+    """UNION [ALL] / INTERSECT / EXCEPT vs Python set/multiset
+    semantics."""
+    sql = (f"SELECT u FROM t_diff WHERE {render(p1)} {op} "
+           f"SELECT u FROM t_diff WHERE {render(p2)} ORDER BY u")
+    got = [r[0] for r in con.execute(sql).fetchall()]
+    s1 = [r["u"] for r in ROWS if oracle(p1, r) is True]
+    s2 = [r["u"] for r in ROWS if oracle(p2, r) is True]
+    if op == "UNION":
+        want = sorted(set(s1) | set(s2))
+    elif op == "UNION ALL":
+        want = sorted(s1 + s2)
+    elif op == "INTERSECT":
+        want = sorted(set(s1) & set(s2))
+    else:
+        want = sorted(set(s1) - set(s2))
     assert got == want, f"{sql}: engine {got!r} != oracle {want!r}"
