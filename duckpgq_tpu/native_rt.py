@@ -15,6 +15,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import sys
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -275,9 +276,42 @@ def gather(base: np.ndarray, idx: np.ndarray) -> Optional[np.ndarray]:
         if mn < 0:
             idx = np.where(idx < 0, idx + nb, idx)
             idx = _c64(idx)
-    out = np.empty(len(idx), dtype=base.dtype)
+    out = _pool_buffer(len(idx), base.dtype)
     lib.gr_gather_bytes(base.ctypes.data_as(ctypes.c_void_p),
                         ctypes.c_int64(elem),
                         idx, ctypes.c_int64(len(idx)),
                         out.ctypes.data_as(ctypes.c_void_p))
+    return out
+
+
+# Output-buffer pool for the big gather results (round-4 variance
+# attribution: repeated identical queries showed a bimodal 1.7x wall
+# spread with proportional CPU burn — per-query multi-hundred-MB
+# allocations landing on alternating heap/page states). Reuse is gated
+# on the REFCOUNT: a pooled buffer is handed out again only when the
+# pool list holds its sole reference (numpy views keep the base alive,
+# so a live view also blocks reuse). False negatives just allocate.
+_POOL: dict = {}
+_POOL_MIN_BYTES = 1 << 24          # only pool >=16 MB outputs
+_POOL_MAX_BYTES = int(os.environ.get("DUCKPGQ_POOL_BYTES",
+                                     str(2 << 30)))
+_pool_bytes = 0
+
+
+def _pool_buffer(n: int, dtype) -> np.ndarray:
+    global _pool_bytes
+    nbytes = n * dtype.itemsize
+    if nbytes < _POOL_MIN_BYTES:
+        return np.empty(n, dtype=dtype)
+    key = (n, dtype.str)
+    bufs = _POOL.get(key)
+    if bufs:
+        for b in bufs:
+            # refs when free: pool list + loop var + getrefcount arg
+            if sys.getrefcount(b) <= 3:
+                return b
+    out = np.empty(n, dtype=dtype)
+    if _pool_bytes + nbytes <= _POOL_MAX_BYTES:
+        _POOL.setdefault(key, []).append(out)
+        _pool_bytes += nbytes
     return out
