@@ -2417,8 +2417,30 @@ class Executor:
             casted.append(vec)
         table.append(casted)
         self.connection.database.invalidate_graph_caches(table.name)
+        if stmt.returning:
+            return self._returning_result(table, stmt.table, casted,
+                                          stmt.returning)
         cnt = Vector.from_values([n], BIGINT)
         return QueryResult(["Count"], [cnt])
+
+    def _returning_result(self, table, alias: str,
+                          row_vectors: List[Vector],
+                          returning: List[a.Expression]) -> QueryResult:
+        """DML RETURNING clause (DuckDB): project the affected rows."""
+        rel = Relation.from_columns(
+            alias, [c.name for c in table.column_defs], row_vectors)
+        ev = Evaluator(self, rel)
+        out_names: List[str] = []
+        out_cols: List[Vector] = []
+        for e in returning:
+            if isinstance(e, a.Star):
+                for b_alias, name, col in self.expand_star(rel, e):
+                    out_names.append(name)
+                    out_cols.append(col)
+            else:
+                out_names.append(self.derive_name(e))
+                out_cols.append(ev.evaluate(e))
+        return QueryResult(out_names, out_cols)
 
     def execute_update(self, stmt: a.UpdateStatement) -> QueryResult:
         catalog = self.connection.resolve_catalog(None)
@@ -2444,6 +2466,10 @@ class Executor:
             cur.validity[mask] = new_vec.validity[mask]
             table.update_column(idx, cur)
         self.connection.database.invalidate_graph_caches(table.name)
+        if stmt.returning:
+            rows = [c.filter(mask) for c in table.columns]
+            return self._returning_result(table, stmt.table, rows,
+                                          stmt.returning)
         return QueryResult(["Count"],
                            [Vector.from_values([int(mask.sum())], BIGINT)])
 
@@ -2456,8 +2482,13 @@ class Executor:
             ev = Evaluator(self, rel)
             cond = ev.as_bool(ev.evaluate(stmt.where))
             mask = cond.data.astype(bool) & cond.validity
+        deleted = [c.filter(mask) for c in table.columns] \
+            if stmt.returning else None
         table.delete_rows(mask)
         self.connection.database.invalidate_graph_caches(table.name)
+        if stmt.returning:
+            return self._returning_result(table, stmt.table, deleted,
+                                          stmt.returning)
         return QueryResult(["Count"],
                            [Vector.from_values([int(mask.sum())], BIGINT)])
 

@@ -422,6 +422,7 @@ class InsertStatement(Statement):
     table: str = ""
     columns: Tuple[str, ...] = ()
     query: SelectStatement = None       # VALUES parsed as SelectStatement over ValuesRef
+    returning: List[Expression] = field(default_factory=list)
 
 
 @dataclass
@@ -430,6 +431,7 @@ class UpdateStatement(Statement):
     schema: Optional[str] = None
     assignments: List[Tuple[str, Expression]] = field(default_factory=list)
     where: Optional[Expression] = None
+    returning: List[Expression] = field(default_factory=list)
 
 
 @dataclass
@@ -437,6 +439,7 @@ class DeleteStatement(Statement):
     table: str = ""
     schema: Optional[str] = None
     where: Optional[Expression] = None
+    returning: List[Expression] = field(default_factory=list)
 
 
 @dataclass

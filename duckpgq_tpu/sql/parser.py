@@ -1170,6 +1170,10 @@ class Parser:
             return self._parse_star_modifiers(a.Star(relation=parts[-1]))
         if self.peek().is_op("("):
             return self.parse_function_call(parts[-1])
+        if len(parts) == 1 and parts[0].lower() in (
+                "current_date", "current_timestamp"):
+            # DuckDB nullary keyword functions usable without parens
+            return a.FunctionCall(name=parts[0].lower(), args=[])
         return a.ColumnRef(parts=tuple(parts))
 
     def _parse_star_modifiers(self, star: a.Star) -> a.Star:
@@ -1250,6 +1254,15 @@ class Parser:
     def parse_function_call(self, name: str) -> a.Expression:
         lname = name.lower()
         self.expect_op("(")
+        if lname == "position":
+            # SQL-standard position(needle IN haystack) == instr(hay, n)
+            save = self.pos
+            needle = self.parse_additive()
+            if self.accept_kw("IN"):
+                hay = self.parse_expression()
+                self.expect_op(")")
+                return a.FunctionCall(name="instr", args=[hay, needle])
+            self.pos = save
         distinct = False
         args: List[a.Expression] = []
         kwargs: List[tuple] = []
@@ -1647,6 +1660,8 @@ class Parser:
             self.expect_op(")")
             stmt.columns = tuple(cols)
         stmt.query = self.parse_select_statement()
+        if self.accept_kw("RETURNING"):
+            stmt.returning = self.parse_select_list()
         return stmt
 
     def parse_update(self) -> a.UpdateStatement:
@@ -1667,6 +1682,8 @@ class Parser:
                 break
         if self.accept_kw("WHERE"):
             stmt.where = self.parse_expression()
+        if self.accept_kw("RETURNING"):
+            stmt.returning = self.parse_select_list()
         return stmt
 
     def parse_delete(self) -> a.DeleteStatement:
@@ -1681,6 +1698,8 @@ class Parser:
             stmt.schema = parts[-2]
         if self.accept_kw("WHERE"):
             stmt.where = self.parse_expression()
+        if self.accept_kw("RETURNING"):
+            stmt.returning = self.parse_select_list()
         return stmt
 
     def parse_drop(self) -> a.DropStatement:
