@@ -38,6 +38,8 @@ class Database:
         self.connections: List["Connection"] = []
         # cached CSRs keyed by (graph build signature); invalidated on writes
         self._csr_cache: Dict[tuple, object] = {}
+        # CREATE SEQUENCE state: name -> {next, inc, cur}
+        self.sequences: Dict[str, dict] = {}
         # durable databases (reference: PG metadata persists inside the
         # user's database file, duckpgq_state.cpp:34-160): a non-:memory:
         # path restores on open; CHECKPOINT / close() save

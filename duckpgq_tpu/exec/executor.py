@@ -106,6 +106,16 @@ class Executor:
         if isinstance(stmt, a.CreateSchemaStatement):
             self.catalog.create_schema(stmt.name, stmt.if_not_exists)
             return QueryResult([], [])
+        if isinstance(stmt, a.CreateSequenceStatement):
+            seqs = self.connection.database.sequences
+            key = stmt.name.lower()
+            if key in seqs and not (stmt.if_not_exists or stmt.or_replace):
+                raise CatalogException(
+                    f'Sequence with name "{stmt.name}" already exists!')
+            if key not in seqs or stmt.or_replace:
+                seqs[key] = {"next": stmt.start, "inc": stmt.increment,
+                             "cur": None}
+            return QueryResult([], [])
         if isinstance(stmt, a.InsertStatement):
             return self.execute_insert(stmt)
         if isinstance(stmt, a.UpdateStatement):
@@ -871,7 +881,8 @@ class Executor:
     def _compute_window(self, ev, call: "a.WindowCall", n: int) -> Vector:
         from ..types import BIGINT, DOUBLE, SQLNULL
         if not call.args and call.name not in (
-                "row_number", "rank", "dense_rank", "count_star"):
+                "row_number", "rank", "dense_rank", "count_star",
+                "percent_rank", "cume_dist"):
             raise BinderException(
                 f"No function matches the given name and argument types "
                 f"'{call.name}()'")
@@ -905,6 +916,58 @@ class Executor:
                                  dtype=np.int64)
             peer_last[peer_gid] = pos            # last write wins
         name = call.name
+        if name in ("ntile", "percent_rank", "cume_dist", "nth_value"):
+            pgid2 = np.cumsum(new_part.astype(np.int64)) - 1 if n else \
+                np.zeros(0, np.int64)
+            nparts = int(pgid2[-1]) + 1 if n else 0
+            plast = np.zeros(max(nparts, 1), dtype=np.int64)
+            if n:
+                plast[pgid2] = pos
+            part_end = plast[pgid2] if n else pos
+            count = part_end - part_start + 1
+            if name == "ntile":
+                buckets = int(ev.evaluate(call.args[0]).value(0))
+                if buckets < 1:
+                    raise InvalidInputException(
+                        "NTILE must be greater than zero")
+                rel_pos = pos - part_start
+                base = count // buckets
+                rem = count % buckets
+                # first `rem` buckets take base+1 rows (DuckDB/standard)
+                big_span = rem * (base + 1)
+                vals = np.where(
+                    rel_pos < big_span,
+                    rel_pos // np.maximum(base + 1, 1),
+                    rem + (rel_pos - big_span) // np.maximum(base, 1)) + 1
+                out = np.empty(n, dtype=np.int64)
+                out[perm] = vals
+                return Vector(BIGINT, out, np.ones(n, dtype=bool))
+            if name == "percent_rank":
+                rank_v = np.maximum.accumulate(
+                    np.where(new_peer, pos, 0)) - part_start + 1
+                vals = np.where(count > 1,
+                                (rank_v - 1) / np.maximum(count - 1, 1),
+                                0.0)
+                out = np.zeros(n, dtype=np.float64)
+                out[perm] = vals
+                return Vector(DOUBLE, out, np.ones(n, dtype=bool))
+            if name == "cume_dist":
+                vals = (peer_last[peer_gid] - part_start + 1) / count
+                out = np.zeros(n, dtype=np.float64)
+                out[perm] = vals
+                return Vector(DOUBLE, out, np.ones(n, dtype=bool))
+            # nth_value over the DEFAULT frame: NULL until the frame
+            # (peer-inclusive running window) reaches the nth row
+            k = int(ev.evaluate(call.args[1]).value(0))
+            src = ev.evaluate(call.args[0])
+            target = part_start + k - 1
+            frame_end = peer_last[peer_gid] if call.order_by else part_end
+            ok = (k >= 1) & (target <= frame_end) & (target <= part_end)
+            res = [None] * n
+            for i in range(n):
+                if ok[i]:
+                    res[int(perm[i])] = src.value(int(perm[int(target[i])]))
+            return Vector.from_values(res, src.type)
         if call.frame is not None and name not in (
                 "row_number", "rank", "dense_rank", "lead", "lag"):
             # explicit ROWS/RANGE/GROUPS frame (expression.gram:70-76);
@@ -1852,6 +1915,8 @@ class Executor:
             b = rel.bindings[0]
             for i, nm in enumerate(ref.column_aliases):
                 b.names[i] = nm
+        if getattr(ref, "sample", None):
+            rel = self._apply_sample(rel, ref.sample)   # TABLESAMPLE
         return rel
 
     def _information_schema_relation(self, ref: a.BaseTableRef) -> Relation:
@@ -2496,6 +2561,13 @@ class Executor:
         if stmt.kind == "PROPERTY_GRAPH":
             from ..pgq.ddl import execute_drop_property_graph
             return execute_drop_property_graph(self, stmt.info)
+        if stmt.kind == "SEQUENCE":
+            seqs = self.connection.database.sequences
+            if stmt.name.lower() not in seqs and not stmt.if_exists:
+                raise CatalogException(
+                    f'Sequence with name "{stmt.name}" does not exist!')
+            seqs.pop(stmt.name.lower(), None)
+            return QueryResult([], [])
         catalog = self.connection.resolve_catalog(None)
         if stmt.kind == "TABLE":
             catalog.drop_table(stmt.name, stmt.schema or "main",

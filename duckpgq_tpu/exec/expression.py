@@ -655,9 +655,14 @@ class Evaluator:
     def evaluate_function(self, e: a.FunctionCall) -> Vector:
         name = e.name.lower()
         if e.kwargs:
-            # named arguments parse (select.gram:88-91) but no scalar
-            # builtin here declares named parameters — clean binder error,
-            # mirroring DuckDB's InvalidNamedParameter path
+            if name == "struct_pack":
+                # struct_pack(a := 1, b := 'x') builds a struct from its
+                # named arguments (DuckDB)
+                return self.evaluate_struct_expr(
+                    a.StructExpr(fields=list(e.kwargs)))
+            # named arguments parse (select.gram:88-91) but no other
+            # scalar builtin declares named parameters — clean binder
+            # error, mirroring DuckDB's InvalidNamedParameter path
             raise BinderException(
                 f'Invalid named parameter "{e.kwargs[0][0]}" for function '
                 f"{name}")

@@ -374,3 +374,45 @@ def agg_product(args, gids, n_groups, distinct):
     has = np.zeros(n_groups, dtype=bool)
     has[gids[valid]] = True
     return Vector(DOUBLE, acc, has)
+
+
+@register("mode")
+def agg_mode(args, gids, n_groups, distinct):
+    """Most frequent non-NULL value per group (ties: smallest value,
+    deterministic)."""
+    a = args[0]
+    counts: list = [dict() for _ in range(n_groups)]
+    for i in range(len(gids)):
+        if a.validity[i]:
+            d = counts[gids[i]]
+            v = a.value(i)
+            d[v] = d.get(v, 0) + 1
+    vals = []
+    for d in counts:
+        if not d:
+            vals.append(None)
+        else:
+            best = max(d.items(), key=lambda kv: (kv[1], _neg_key(kv[0])))
+            vals.append(best[0])
+    return Vector.from_values(vals, a.type)
+
+
+def _neg_key(v):
+    # tie-break toward the SMALLEST value: invert ordering where possible
+    try:
+        return -v
+    except TypeError:
+        return tuple(-ord(c) for c in str(v))
+
+
+@register("approx_count_distinct")
+def agg_approx_count_distinct(args, gids, n_groups, distinct):
+    """Exact distinct count (the engine has no sketch pressure at these
+    cardinalities; DuckDB's HLL is an approximation of this value)."""
+    a = args[0]
+    sets: list = [set() for _ in range(n_groups)]
+    for i in range(len(gids)):
+        if a.validity[i]:
+            sets[gids[i]].add(a.value(i))
+    out = np.array([len(s) for s in sets], dtype=np.int64)
+    return Vector(BIGINT, out, np.ones(n_groups, dtype=bool))

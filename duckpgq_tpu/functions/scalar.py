@@ -1869,3 +1869,89 @@ def fn_list_unique(args):
         else:
             vals.append(len({v for v in x.data[i] if v is not None}))
     return Vector.from_values(vals, BIGINT)
+
+
+@register("bit_count")
+def fn_bit_count(args):
+    x = args[0]
+    out = np.array([bin(int(v) & 0xFFFFFFFFFFFFFFFF).count("1")
+                    for v in x.data], dtype=np.int64)
+    return Vector(BIGINT, out, x.validity.copy())
+
+
+@register("bin")
+def fn_bin(args):
+    x = args[0]
+    n = len(x)
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        if x.validity[i]:
+            out[i] = bin(int(x.data[i]))[2:] if int(x.data[i]) >= 0 \
+                else bin(int(x.data[i]) & 0xFFFFFFFFFFFFFFFF)[2:]
+    return Vector(VARCHAR, out, x.validity.copy())
+
+
+@register("hex")
+@register("to_hex")
+def fn_hex(args):
+    x = args[0]
+    n = len(x)
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        if not x.validity[i]:
+            continue
+        v = x.data[i]
+        if isinstance(v, str):
+            out[i] = v.encode("utf-8").hex().upper()
+        else:
+            iv = int(v)
+            out[i] = format(iv if iv >= 0 else
+                            iv & 0xFFFFFFFFFFFFFFFF, "X")
+    return Vector(VARCHAR, out, x.validity.copy())
+
+
+@register("struct_pack")
+def fn_struct_pack(args):
+    raise BinderException(
+        "struct_pack requires named arguments: struct_pack(a := 1)")
+
+
+@register("nextval", needs_ctx=True)
+def fn_nextval(args, ctx):
+    from ..errors import CatalogException
+    name = args[0]
+    n = len(name)
+    out = np.zeros(n, dtype=np.int64)
+    seqs = ctx.database.sequences
+    for i in range(n):
+        if not name.validity[i]:
+            continue
+        seq = seqs.get(str(name.data[i]).lower())
+        if seq is None:
+            raise CatalogException(
+                f'Sequence with name "{name.data[i]}" does not exist!')
+        out[i] = seq["next"]
+        seq["cur"] = seq["next"]
+        seq["next"] += seq["inc"]
+    return Vector(BIGINT, out, name.validity.copy())
+
+
+@register("currval", needs_ctx=True)
+def fn_currval(args, ctx):
+    from ..errors import CatalogException, InvalidInputException
+    name = args[0]
+    n = len(name)
+    out = np.zeros(n, dtype=np.int64)
+    seqs = ctx.database.sequences
+    for i in range(n):
+        if not name.validity[i]:
+            continue
+        seq = seqs.get(str(name.data[i]).lower())
+        if seq is None:
+            raise CatalogException(
+                f'Sequence with name "{name.data[i]}" does not exist!')
+        if seq["cur"] is None:
+            raise InvalidInputException(
+                f'currval: sequence "{name.data[i]}" has not been used')
+        out[i] = seq["cur"]
+    return Vector(BIGINT, out, name.validity.copy())

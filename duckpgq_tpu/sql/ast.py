@@ -265,6 +265,7 @@ class BaseTableRef(TableRef):
     table: str = ""
     alias: Optional[str] = None
     column_aliases: Tuple[str, ...] = ()
+    sample: Optional[dict] = None      # t TABLESAMPLE ... (per-table)
 
 
 @dataclass
@@ -440,6 +441,15 @@ class DeleteStatement(Statement):
     schema: Optional[str] = None
     where: Optional[Expression] = None
     returning: List[Expression] = field(default_factory=list)
+
+
+@dataclass
+class CreateSequenceStatement(Statement):
+    name: str = ""
+    start: int = 1
+    increment: int = 1
+    if_not_exists: bool = False
+    or_replace: bool = False
 
 
 @dataclass

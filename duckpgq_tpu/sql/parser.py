@@ -36,7 +36,7 @@ _ALIAS_STOP = {
     "QUALIFY", "WINDOW", "AND", "OR", "NOT", "AS", "ASC", "DESC", "NULLS",
     "THEN", "ELSE", "END", "WHEN", "SET", "VALUES", "RETURNING", "WITH",
     "FETCH", "FOR", "INTO", "BETWEEN", "IS", "IN", "LIKE", "ILIKE", "GLOB",
-    "SIMILAR", "COLLATE", "BY",
+    "SIMILAR", "COLLATE", "BY", "TABLESAMPLE",
 }
 
 
@@ -200,6 +200,11 @@ class Parser:
             self.next()
             analyze = bool(self.accept_kw("ANALYZE"))
             return a.ExplainStatement(child=self.parse_statement(), analyze=analyze)
+        if kw == "TRUNCATE":
+            self.next()
+            self.accept_kw("TABLE")
+            name = self.expect_ident()
+            return a.DeleteStatement(table=name)
         if kw == "PIVOT":
             return self.parse_pivot()
         if kw == "UNPIVOT":
@@ -733,6 +738,8 @@ class Parser:
         elif len(parts) > 3:
             self.error("too many dots in table name")
         self._parse_table_alias(ref)
+        if self.accept_kw("TABLESAMPLE"):
+            ref.sample = self.parse_sample_clause()
         return ref
 
     def _parse_table_alias(self, ref: a.TableRef):
@@ -1005,10 +1012,14 @@ class Parser:
         "quantile_disc", "median", "stddev", "stddev_samp", "stddev_pop",
         "var_samp", "var_pop", "variance", "arg_min", "arg_max", "bit_and",
         "bit_or", "bit_xor", "product", "count_star", "favg", "fsum",
+        "mode", "approx_count_distinct",
     }
 
     def parse_primary(self) -> a.Expression:
         tok = self.peek()
+        if tok.is_kw("ARRAY") and self.peek(1).is_op("["):
+            self.next()                  # ARRAY[...] == [...] (DuckDB)
+            tok = self.peek()
         if tok.is_op("$") and self.peek(1).kind == T.NUMBER and \
                 "." not in self.peek(1).text:
             # $N prepared-statement placeholder
@@ -1026,6 +1037,10 @@ class Parser:
             v = int(text)
             if -2147483648 <= v <= 2147483647:
                 return a.Constant(v, tt.INTEGER)
+            if not -(1 << 63) <= v < (1 << 63):
+                raise NotImplementedException(
+                    "HUGEINT literals (beyond the BIGINT range) are not "
+                    "supported")
             return a.Constant(v, tt.BIGINT)
         if tok.kind == T.STRING:
             self.next()
@@ -1334,7 +1349,8 @@ class Parser:
 
     _WINDOW_FUNCTIONS = {
         "row_number", "rank", "dense_rank", "lead", "lag",
-        "first_value", "last_value",
+        "first_value", "last_value", "ntile", "percent_rank",
+        "cume_dist", "nth_value",
         "sum", "count", "count_star", "avg", "min", "max",
     }
 
@@ -1483,6 +1499,30 @@ class Parser:
                                            if_not_exists=if_not_exists)
         if tok.is_kw("PROPERTY"):
             return self.parse_create_property_graph(or_replace)
+        if tok.is_kw("SEQUENCE"):
+            self.next()
+            if_not_exists = self._parse_if_not_exists()
+            stmt = a.CreateSequenceStatement(
+                name=self.expect_ident(), if_not_exists=if_not_exists,
+                or_replace=or_replace)
+            while True:
+                if self.accept_kw("START"):
+                    self.accept_kw("WITH")
+                    stmt.start = int(self.next().text)
+                elif self.accept_kw("INCREMENT"):
+                    self.accept_kw("BY")
+                    neg = self.accept_op("-")
+                    stmt.increment = int(self.next().text) * (-1 if neg
+                                                              else 1)
+                elif self.accept_kw("MINVALUE", "MAXVALUE", "CACHE"):
+                    self.next()
+                elif self.accept_kw("NO"):
+                    self.next()
+                elif self.accept_kw("CYCLE"):
+                    pass
+                else:
+                    break
+            return stmt
         if tok.is_kw("INDEX", "UNIQUE"):
             # accepted and ignored
             while self.peek().kind != T.EOF and not self.peek().is_op(";"):
@@ -1704,6 +1744,15 @@ class Parser:
 
     def parse_drop(self) -> a.DropStatement:
         self.expect_kw("DROP")
+        if self.peek().is_kw("SEQUENCE"):
+            self.next()
+            if_exists = False
+            if self.accept_kw("IF"):
+                self.expect_kw("EXISTS")
+                if_exists = True
+            return a.DropStatement(kind="SEQUENCE",
+                                   name=self.expect_ident(),
+                                   if_exists=if_exists)
         tok = self.peek()
         if tok.is_kw("PROPERTY"):
             self.next()
