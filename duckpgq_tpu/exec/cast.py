@@ -123,6 +123,20 @@ def cast_vector(vec: Vector, target: LogicalType, try_cast: bool = False
                     out[i] = float(str(s).strip())
                 elif target.id == TypeId.DATE:
                     out[i] = _parse_date(str(s))
+                elif target.id == TypeId.TIME:
+                    txt = str(s).strip()
+                    try:
+                        frac = 0
+                        if "." in txt:
+                            txt, frac_s = txt.split(".", 1)
+                            frac = int(frac_s.ljust(6, "0")[:6])
+                        hh, mm, ss = (txt.split(":") + ["0", "0"])[:3]
+                        out[i] = ((int(hh) * 60 + int(mm)) * 60 +
+                                  int(ss)) * 1_000_000 + frac
+                    except Exception as exc:
+                        raise ConversionException(
+                            f"Could not convert string '{s}' to TIME"
+                        ) from exc
                 elif target.id == TypeId.TIMESTAMP:
                     out[i] = _parse_timestamp(str(s))
                 elif target.id == TypeId.TIMESTAMP_MS:

@@ -315,6 +315,15 @@ def value_to_string(value, typ: LogicalType) -> str:
     if t == TypeId.DATE:
         y, m, d = _civil_from_days(int(value))
         return f"{y:04d}-{m:02d}-{d:02d}"
+    if t == TypeId.TIME:
+        rem = int(value)
+        secs, frac = divmod(rem, 1_000_000)
+        hh, rest = divmod(secs, 3600)
+        mm, ss = divmod(rest, 60)
+        out = f"{hh:02d}:{mm:02d}:{ss:02d}"
+        if frac:
+            out += ("." + f"{frac:06d}").rstrip("0")
+        return out
     if t == TypeId.INTERVAL:
         months, idays, micros = interval_parts(value)
         # DuckDB Interval::ToString (src/common/types/interval.cpp): each
