@@ -852,13 +852,32 @@ def _chunked_wave_body_lm(csr, plan, src, dst, word_of_lane, bit_of_lane,
         scan_chunk *= 2
     scan_block = _scan_block_size(Ec)
 
+    # Edge-major FLAT gather source (round-4 experiment): a column gather
+    # from the lane-major [W, Vp+1] state touches ceil(W/8) separate
+    # (8,128) tiles per edge — measured 17.6M idx/s at W=48 vs ~90M for
+    # contiguous rows. Building a flat [Vp*W] copy once per iteration
+    # (one transpose+reshape, no 2-D padded shape) lets the chunk gather
+    # read contiguous 4W-byte rows via vmap'd dynamic_slice; each chunk
+    # transposes its [Ec, W] back for the unchanged lane-major scan.
+    import os as _os
+    em_gather = _os.environ.get("DUCKPGQ_DENSE_EMGATHER", "0") == "1"
+
     def expand(frontier):                            # [W, Vp + 1]
+        if em_gather:
+            flat = jnp.swapaxes(frontier, 0, 1).reshape(-1)
+
         def chunk_step(k, state):
             compact, carry = state
             off = k * Ec
             idx = jax.lax.dynamic_slice(csr.in_src, (off,), (Ec,))
             hds = jax.lax.dynamic_slice(heads, (off,), (Ec,))
-            g = jnp.take(frontier, idx, axis=1)      # [W, Ec]
+            if em_gather:
+                rows = jax.vmap(
+                    lambda i: jax.lax.dynamic_slice(flat, (i * W,), (W,))
+                )(idx)                               # [Ec, W] contiguous
+                g = jnp.swapaxes(rows, 0, 1)         # [W, Ec]
+            else:
+                g = jnp.take(frontier, idx, axis=1)  # [W, Ec]
             if use_pallas:
                 from ..kernels.segscan_pallas import seg_or_scan_rows_carry
                 scanned, carry = seg_or_scan_rows_carry(
