@@ -872,9 +872,15 @@ def _chunked_wave_body_lm(csr, plan, src, dst, word_of_lane, bit_of_lane,
             idx = jax.lax.dynamic_slice(csr.in_src, (off,), (Ec,))
             hds = jax.lax.dynamic_slice(heads, (off,), (Ec,))
             if em_gather:
-                rows = jax.vmap(
-                    lambda i: jax.lax.dynamic_slice(flat, (i * W,), (W,))
-                )(idx)                               # [Ec, W] contiguous
+                # explicit batched gather (vmap-of-dynamic_slice lowered
+                # to a sequential loop on this backend and crashed the
+                # worker on dispatch length): one GatherOp, slice size W
+                dnums = jax.lax.GatherDimensionNumbers(
+                    offset_dims=(1,), collapsed_slice_dims=(),
+                    start_index_map=(0,))
+                rows = jax.lax.gather(
+                    flat, (idx * W)[:, None], dnums, (W,),
+                    mode=jax.lax.GatherScatterMode.CLIP)  # [Ec, W]
                 g = jnp.swapaxes(rows, 0, 1)         # [W, Ec]
             else:
                 g = jnp.take(frontier, idx, axis=1)  # [W, Ec]
