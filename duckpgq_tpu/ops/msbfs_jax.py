@@ -852,38 +852,22 @@ def _chunked_wave_body_lm(csr, plan, src, dst, word_of_lane, bit_of_lane,
         scan_chunk *= 2
     scan_block = _scan_block_size(Ec)
 
-    # Edge-major FLAT gather source (round-4 experiment): a column gather
-    # from the lane-major [W, Vp+1] state touches ceil(W/8) separate
-    # (8,128) tiles per edge — measured 17.6M idx/s at W=48 vs ~90M for
-    # contiguous rows. Building a flat [Vp*W] copy once per iteration
-    # (one transpose+reshape, no 2-D padded shape) lets the chunk gather
-    # read contiguous 4W-byte rows via vmap'd dynamic_slice; each chunk
-    # transposes its [Ec, W] back for the unchanged lane-major scan.
-    import os as _os
-    em_gather = _os.environ.get("DUCKPGQ_DENSE_EMGATHER", "0") == "1"
+    # NOTE (round-4 negative result): the lane-major column gather
+    # touches ceil(W/8) separate (8,128) tiles per edge (~17.6M idx/s at
+    # W=48 vs ~90M for contiguous rows). Two attempts to gather from a
+    # flat [Vp*W] edge-major copy instead — vmap'd dynamic_slice and an
+    # explicit slice-size-W GatherOp — both crashed the v5e worker on
+    # the first dense dispatch (2026-08-21); this backend's gather
+    # lowering only behaves for unit/minor-dim slices. Don't retry
+    # blindly; a Pallas kernel with manual DMA would be the next angle.
 
     def expand(frontier):                            # [W, Vp + 1]
-        if em_gather:
-            flat = jnp.swapaxes(frontier, 0, 1).reshape(-1)
-
         def chunk_step(k, state):
             compact, carry = state
             off = k * Ec
             idx = jax.lax.dynamic_slice(csr.in_src, (off,), (Ec,))
             hds = jax.lax.dynamic_slice(heads, (off,), (Ec,))
-            if em_gather:
-                # explicit batched gather (vmap-of-dynamic_slice lowered
-                # to a sequential loop on this backend and crashed the
-                # worker on dispatch length): one GatherOp, slice size W
-                dnums = jax.lax.GatherDimensionNumbers(
-                    offset_dims=(1,), collapsed_slice_dims=(),
-                    start_index_map=(0,))
-                rows = jax.lax.gather(
-                    flat, (idx * W)[:, None], dnums, (W,),
-                    mode=jax.lax.GatherScatterMode.CLIP)  # [Ec, W]
-                g = jnp.swapaxes(rows, 0, 1)         # [W, Ec]
-            else:
-                g = jnp.take(frontier, idx, axis=1)  # [W, Ec]
+            g = jnp.take(frontier, idx, axis=1)      # [W, Ec]
             if use_pallas:
                 from ..kernels.segscan_pallas import seg_or_scan_rows_carry
                 scanned, carry = seg_or_scan_rows_carry(
