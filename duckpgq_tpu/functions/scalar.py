@@ -1837,7 +1837,6 @@ def fn_list_sort(args):
 
 @register("list_reverse_sort")
 def fn_list_reverse_sort(args):
-    from ..storage.vector import Vector as _V
     one = Vector.constant("DESC", VARCHAR, len(args[0]))
     return fn_list_sort([args[0], one])
 

@@ -71,13 +71,10 @@ def make_dist_bfs_2d(mesh: Mesh, grouped: GroupedShardedCSR,
     # out-degrees per SOURCE block (TEPS): deg[q, v] = out-degree of
     # block-q vertex v; sharded down the column axis, replicated on rows
     deg = np.zeros((c, Vs), dtype=np.float32)
-    src_flat = grouped.in_src_local.reshape(
-        grouped.n_shards, grouped.n_shards, -1)
     for i in range(grouped.n_shards):
         for j in range(grouped.n_shards):
             m = grouped.edge_valid[i, j]
             np.add.at(deg[j], grouped.in_src_local[i, j][m], 1.0)
-    del src_flat
     deg_shard = jax.device_put(jnp.asarray(deg),
                                NamedSharding(mesh, P(col_ax, None)))
 
