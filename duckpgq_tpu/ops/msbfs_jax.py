@@ -1744,6 +1744,190 @@ def bellman_ford_with_iters(csr: DeviceCSR, src: jnp.ndarray,
     return dist[dst, lanes], it
 
 
+def _seg_min_scan_blocked(g: jnp.ndarray, hds: jnp.ndarray,
+                          carry: jnp.ndarray, block: int, INF
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Edge-major [Ec, L] inclusive segmented-MIN scan as a lax.scan over
+    [block, L] sub-blocks (the min-combining sibling of
+    _seg_or_scan_blocked; min-ing the open segment's carry into a
+    non-head first row is exactly the segmented prefix)."""
+    Ec, L = g.shape
+    B = Ec // block
+    gb = g.reshape(B, block, L)
+    hb = hds.reshape(B, block)
+
+    def comb(x, y):
+        xf, xv = x
+        yf, yv = y
+        return xf | yf, jnp.where(yf, yv, jnp.minimum(xv, yv))
+
+    def step(carry, inp):
+        gblk, hblk = inp
+        g0 = jnp.minimum(gblk[0],
+                         jnp.where(hblk[0], INF, carry[0]))
+        gblk = jax.lax.dynamic_update_slice(gblk, g0[None, :], (0, 0))
+        _, scanned = jax.lax.associative_scan(
+            comb, (hblk.astype(jnp.int32).reshape(-1, 1), gblk), axis=0)
+        return scanned[-1:], scanned
+
+    carry, scanned = jax.lax.scan(step, carry, (gb, hb))
+    return scanned.reshape(Ec, L), carry
+
+
+@functools.partial(jax.jit, static_argnames=("a_cap", "e_cap"),
+                   donate_argnames=("dist", "ch"))
+def _bf_sparse_segment(csr: DeviceCSR, out_dst, out_w, deg, it0, end,
+                       occ0, tot0, dist, ch, a_cap: int, e_cap: int):
+    """Sparse Bellman-Ford rounds: relax only the out-edges of vertices
+    whose distance CHANGED last round (bounded by the static budgets,
+    re-checked per round on device). Bit-identical per round to the
+    dense relaxation: unchanged sources can only produce candidates
+    already >= dist."""
+    Vp = csr.vpad
+    L = dist.shape[1]
+    wdt = dist.dtype
+    INF = jnp.asarray(jnp.inf, dtype=wdt)
+
+    def cond(state):
+        it, dist, ch, occ, tot = state
+        return (it < end) & (occ > 0) & (occ <= a_cap) & (tot <= e_cap)
+
+    def body(state):
+        it, dist, ch, occ, tot = state
+        av = jnp.nonzero(ch[:Vp], size=a_cap,
+                         fill_value=Vp)[0].astype(jnp.int32)
+        degs = jnp.where(av < Vp, csr.offsets[av + 1] - csr.offsets[av],
+                         0)
+        cum = jnp.cumsum(degs)
+        total = cum[-1]
+        j = jnp.arange(e_cap, dtype=jnp.int32)
+        i_cl = jnp.minimum(
+            jnp.searchsorted(cum, j, side="right").astype(jnp.int32),
+            a_cap - 1)
+        base = jnp.where(i_cl > 0, cum[jnp.maximum(i_cl - 1, 0)], 0)
+        valid = j < total
+        srcv = jnp.where(valid, av[i_cl], Vp)
+        e_idx = jnp.where(valid, csr.offsets[jnp.minimum(srcv, Vp)]
+                          + (j - base), 0)
+        d = jnp.where(valid, out_dst[e_idx], Vp).astype(jnp.int32)
+        wgt = out_w[e_idx]
+        d_sorted, perm = jax.lax.sort((d, j), num_keys=1)
+        hds = jnp.concatenate([jnp.ones(1, bool),
+                               d_sorted[1:] != d_sorted[:-1]])
+        cand = dist[jnp.minimum(srcv, Vp)] + wgt[:, None]   # [Eb, L]
+        cand = jnp.where(valid[:, None], cand, INF)
+        g = jnp.take(cand, perm, axis=0)
+        block = _scan_block_size(e_cap)
+        scanned, _ = _seg_min_scan_blocked(
+            g, hds, jnp.full((1, L), INF, wdt), block, INF)
+        pos = jnp.full((Vp + 1,), -1, jnp.int32).at[d_sorted].max(
+            j, mode="drop")
+        idx = jnp.where(pos < 0, e_cap, pos)
+        scanned = jnp.concatenate(
+            [scanned, jnp.full((1, L), INF, wdt)], axis=0)
+        relaxed = _take_rows_chunked(scanned, idx)          # [Vp+1, L]
+        new = jnp.minimum(dist, relaxed)
+        ch = (new < dist).any(axis=1)
+        occ = ch[:Vp].sum(dtype=jnp.int32)
+        tot = jnp.where(ch[:Vp], deg, 0).sum(dtype=jnp.int32)
+        return it + 1, new, ch, occ, tot
+
+    it, dist, ch, occ, tot = jax.lax.while_loop(
+        cond, body, (it0, dist, ch, occ0, tot0))
+    return it, dist, ch, occ, tot
+
+
+@functools.partial(jax.jit, static_argnames=("a_cap", "e_cap"),
+                   donate_argnames=("dist", "ch"))
+def _bf_dense_segment(csr: DeviceCSR, in_w, deg, it0, end, dist, ch,
+                      a_cap: int, e_cap: int):
+    """Dense Bellman-Ford rounds with change tracking; exits when the
+    changed set fits the sparse budgets (or at fixpoint / the round
+    cap)."""
+    Vp = csr.vpad
+    L = dist.shape[1]
+    wdt = dist.dtype
+    INF = jnp.asarray(jnp.inf, dtype=wdt)
+    heads, last_pos, has_in = _in_segments(csr)
+
+    def cond(state):
+        it, dist, ch, occ, tot = state
+        ok = (it < end) & (occ > 0)
+        if a_cap:
+            ok &= ~((occ <= a_cap) & (tot <= e_cap))
+        return ok
+
+    def body(state):
+        it, dist, ch, occ, tot = state
+        cand = dist[csr.in_src] + in_w[:, None]
+        relaxed = segment_min_sorted(cand, heads, last_pos, has_in, INF)
+        relaxed = jnp.concatenate([relaxed, jnp.full((1, L), INF, wdt)])
+        new = jnp.minimum(dist, relaxed)
+        ch = (new < dist).any(axis=1)
+        occ = ch[:Vp].sum(dtype=jnp.int32)
+        tot = jnp.where(ch[:Vp], deg, 0).sum(dtype=jnp.int32)
+        return it + 1, new, ch, occ, tot
+
+    big = jnp.int32(2**31 - 1)
+    it, dist, ch, occ, tot = jax.lax.while_loop(
+        cond, body, (it0, dist, ch, big, big))
+    return it, dist, ch, occ, tot
+
+
+def bellman_ford_sparse(csr: DeviceCSR, src: jnp.ndarray,
+                        dst: jnp.ndarray, active: jnp.ndarray,
+                        max_iters: int):
+    """Host-stepped Bellman-Ford with the sparse changed-vertex rounds
+    (the weighted sibling of the BFS sparse tail). Returns
+    (costs [L], rounds_executed) — values bit-identical to
+    bellman_ford_with_iters (per-round relaxation sets differ only by
+    provably no-op candidates)."""
+    import numpy as np
+
+    Vp = csr.vpad
+    L = src.shape[0]
+    lanes = jnp.arange(L)
+    w = csr.w if csr.w is not None else jnp.ones_like(csr.in_pos,
+                                                      dtype=jnp.float32)
+    wdt = w.dtype
+    in_w = w[csr.in_pos]
+    # out-edge view with aligned weights (3-key device sort)
+    _, out_dst, out_w = jax.lax.sort(
+        (csr.in_src, csr.in_dst, in_w), num_keys=1)
+    deg = (csr.offsets[1:] - csr.offsets[:-1]).astype(jnp.int32)
+    tiers = _sparse_tail_caps(min(csr.epad, 1 << 20), max(L // 8, 1))
+    a_cap, e_cap = tiers[-1] if tiers else (0, 0)
+
+    dist = jnp.full((Vp + 1, L), jnp.asarray(jnp.inf, wdt), dtype=wdt)
+    dist = dist.at[src, lanes].set(
+        jnp.where(active, jnp.asarray(0.0, wdt), jnp.asarray(jnp.inf,
+                                                             wdt)))
+    ch = jnp.zeros(Vp + 1, bool).at[jnp.where(active, src, Vp)].set(True)
+    ch = ch.at[Vp].set(False)
+    d_occ, = (ch[:Vp].sum(dtype=jnp.int32),)
+    occ = int(np.asarray(d_occ))
+    tot = int(np.asarray(jnp.where(ch[:Vp], deg, 0).sum(
+        dtype=jnp.int32)))
+    it = jnp.int32(0)
+    rounds = 0
+    while rounds < max_iters:
+        fits = a_cap and occ <= a_cap and tot <= e_cap
+        if occ == 0:
+            break
+        if fits:
+            it, dist, ch, d_occ, d_tot = _bf_sparse_segment(
+                csr, out_dst, out_w, deg, it, jnp.int32(max_iters),
+                jnp.int32(occ), jnp.int32(tot), dist, ch, a_cap, e_cap)
+        else:
+            it, dist, ch, d_occ, d_tot = _bf_dense_segment(
+                csr, in_w, deg, it, jnp.int32(min(rounds + 4,
+                                                  max_iters)),
+                dist, ch, a_cap, e_cap)
+        occ, tot = int(np.asarray(d_occ)), int(np.asarray(d_tot))
+        rounds = int(np.asarray(it))
+    return dist[dst, lanes], rounds
+
+
 # ---------------------------------------------------------------------------
 # PageRank (power iteration as segment_sum products)
 # ---------------------------------------------------------------------------

@@ -40,7 +40,8 @@ def main():
 
     from duckpgq_tpu.ops.csr_jax import (build_device_csr,
                                          build_weighted_bf_csr_on_device)
-    from duckpgq_tpu.ops.msbfs_jax import bellman_ford_with_iters
+    from duckpgq_tpu.ops.msbfs_jax import (bellman_ford_sparse,
+                                           bellman_ford_with_iters)
     from duckpgq_tpu.utils.rmat import rmat_edges, rmat_edges_device
 
     scale = int(os.environ.get("BENCH_SCALE", "18"))
@@ -76,10 +77,19 @@ def main():
     qd = jnp.asarray(rng.integers(0, v, size=lanes).astype(np.int32))
     active = jnp.ones(lanes, dtype=bool)
 
+    use_sparse = os.environ.get("BENCH_BF_SPARSE", "1") == "1"
+    bf = bellman_ford_sparse if use_sparse else bellman_ford_with_iters
     t0 = time.time()
-    costs, it = bellman_ford_with_iters(csr, qs, qd, active, max_iters)
+    costs, it = bf(csr, qs, qd, active, max_iters)
     costs_np = np.asarray(costs)
     iters_actual = int(np.asarray(it))
+    if use_sparse:
+        # cross-check: the sparse rounds are bit-identical to the dense
+        # kernel (unchanged sources only yield no-op candidates)
+        dcosts, dit = bellman_ford_with_iters(csr, qs, qd, active,
+                                              max_iters)
+        assert (np.asarray(dcosts) == costs_np).all()
+        assert int(np.asarray(dit)) == iters_actual
     print(f"# warmup (compile): {time.time() - t0:.1f}s", file=sys.stderr)
     reached = float(np.isfinite(costs_np).mean())
 
@@ -98,8 +108,7 @@ def main():
     times = []
     for _ in range(runs):
         t0 = time.time()
-        np.asarray(bellman_ford_with_iters(csr, qs, qd, active,
-                                           max_iters)[0])
+        np.asarray(bf(csr, qs, qd, active, max_iters)[0])
         times.append(time.time() - t0)
     t = sorted(times)[len(times) // 2]
     # throughput over rounds actually executed (the kernel exits at
@@ -113,6 +122,7 @@ def main():
         "unit": "G edge-relaxations/s",
         "detail": {"seconds": round(t, 4), "lanes": lanes,
                    "iters": iters_actual, "iters_cap": max_iters,
+                   "kernel": "sparse" if use_sparse else "dense",
                    "reached_frac": round(reached, 3)}}))
 
 

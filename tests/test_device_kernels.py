@@ -415,3 +415,34 @@ def test_lowmem_build_matches_normal(monkeypatch):
                                   np.asarray(want.in_src))
     np.testing.assert_array_equal(np.asarray(got.in_dst),
                                   np.asarray(want.in_dst))
+
+
+def test_bellman_ford_sparse_matches_dense(monkeypatch):
+    """Sparse changed-vertex Bellman-Ford rounds == the dense kernel,
+    bit-identical costs AND round counts (unchanged sources only produce
+    no-op candidates), incl. forced dense<->sparse tier transitions."""
+    import jax.numpy as jnp
+
+    from duckpgq_tpu.ops.csr_jax import build_weighted_bf_csr_on_device
+    from duckpgq_tpu.ops.msbfs_jax import (bellman_ford_sparse,
+                                           bellman_ford_with_iters)
+
+    rng = np.random.default_rng(15)
+    v, e = 220, 1500
+    src = rng.integers(0, v, size=e).astype(np.int32)
+    dst = rng.integers(0, v, size=e).astype(np.int32)
+    w = rng.uniform(0.1, 2.0, size=e).astype(np.float32)
+    csr = build_weighted_bf_csr_on_device(
+        v, jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w))
+    L = 64
+    qs = jnp.asarray(rng.integers(0, v, size=L).astype(np.int32))
+    qd = jnp.asarray(rng.integers(0, v, size=L).astype(np.int32))
+    act = jnp.ones(L, bool)
+    want, wr = bellman_ford_with_iters(csr, qs, qd, act, v + 1)
+    got, gr = bellman_ford_sparse(csr, qs, qd, act, v + 1)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert gr == int(np.asarray(wr))
+    monkeypatch.setenv("DUCKPGQ_SPARSE_A", "16")
+    monkeypatch.setenv("DUCKPGQ_SPARSE_E", "128")
+    got2, _ = bellman_ford_sparse(csr, qs, qd, act, v + 1)
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(want))
