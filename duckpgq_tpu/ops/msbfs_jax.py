@@ -1895,7 +1895,11 @@ def bellman_ford_sparse(csr: DeviceCSR, src: jnp.ndarray,
     _, out_dst, out_w = jax.lax.sort(
         (csr.in_src, csr.in_dst, in_w), num_keys=1)
     deg = (csr.offsets[1:] - csr.offsets[:-1]).astype(jnp.int32)
-    tiers = _sparse_tail_caps(min(csr.epad, 1 << 20), max(L // 8, 1))
+    # budget width: a BF row is L floats (the cand/sorted/scanned bufs
+    # are [e_cap, L] f32), i.e. w == L in the 12*w-bytes/entry model —
+    # passing the BFS word width here once produced an 8x-over-budget
+    # e_cap whose per-round sort+scan made sparse SLOWER than dense
+    tiers = _sparse_tail_caps(min(csr.epad, 1 << 20), L)
     a_cap, e_cap = tiers[-1] if tiers else (0, 0)
 
     dist = jnp.full((Vp + 1, L), jnp.asarray(jnp.inf, wdt), dtype=wdt)

@@ -77,7 +77,12 @@ def main():
     qd = jnp.asarray(rng.integers(0, v, size=lanes).astype(np.int32))
     active = jnp.ones(lanes, dtype=bool)
 
-    use_sparse = os.environ.get("BENCH_BF_SPARSE", "1") == "1"
+    # dense is the right default at the RMAT-18 bench scale: its
+    # [Ep, L] sweep runs 0.33 s/round, under the sparse rounds' fixed
+    # sort cost (measured 2026-08-21: sparse 14.6 s vs dense 3.6 s to
+    # fixpoint). The sparse kernel is for bigger graphs, where the
+    # dense sweep itself is seconds per round.
+    use_sparse = os.environ.get("BENCH_BF_SPARSE", "0") == "1"
     bf = bellman_ford_sparse if use_sparse else bellman_ford_with_iters
     t0 = time.time()
     costs, it = bf(csr, qs, qd, active, max_iters)
