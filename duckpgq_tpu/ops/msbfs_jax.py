@@ -1839,6 +1839,70 @@ def _bf_sparse_segment(csr: DeviceCSR, out_dst, out_w, deg, it0, end,
 
 @functools.partial(jax.jit, static_argnames=("a_cap", "e_cap"),
                    donate_argnames=("dist", "ch"))
+def _bf_chunked_dense_segment(csr: DeviceCSR, plan: PackedWavePlan,
+                              in_w, deg, it0, end, dist, ch,
+                              a_cap: int, e_cap: int):
+    """Chunk-streamed dense Bellman-Ford rounds: the [Ep, L] candidate
+    buffer (17 GB at RMAT-20 x 256 lanes — the dense-BF scale wall) is
+    streamed in the SAME edge super-chunks as the BFS wave, reusing the
+    plan's rel/slot extraction tables with (f32, min) instead of
+    (u32, OR)."""
+    Vp = csr.vpad
+    Ep = csr.epad
+    L = dist.shape[1]
+    wdt = dist.dtype
+    INF = jnp.asarray(jnp.inf, dtype=wdt)
+    K = plan.n_chunks
+    Ec = Ep // K
+    heads, _, _ = _in_segments(csr)
+    block = _scan_block_size(Ec)
+
+    def sweep(dist):
+        def chunk_step(k, state):
+            compact, carry = state
+            off = k * Ec
+            idx = jax.lax.dynamic_slice(csr.in_src, (off,), (Ec,))
+            hds = jax.lax.dynamic_slice(heads, (off,), (Ec,))
+            wc = jax.lax.dynamic_slice(in_w, (off,), (Ec,))
+            g = dist[idx] + wc[:, None]                 # [Ec, L]
+            scanned, carry = _seg_min_scan_blocked(g, hds, carry, block,
+                                                   INF)
+            rel = jax.lax.dynamic_index_in_dim(plan.rel, k, 0,
+                                               keepdims=False)
+            vals = jnp.take(scanned, rel, axis=0)       # [bmax, L]
+            compact = jax.lax.dynamic_update_slice(
+                compact, vals, (k * plan.bmax, 0))
+            return compact, carry
+
+        compact0 = jnp.full((K * plan.bmax + 1, L), INF, wdt)
+        carry0 = jnp.full((1, L), INF, wdt)
+        compact, _ = jax.lax.fori_loop(0, K, chunk_step,
+                                       (compact0, carry0))
+        return jnp.take(compact, plan.slot, axis=0)     # [Vp + 1, L]
+
+    def cond(state):
+        it, dist, ch, occ, tot = state
+        ok = (it < end) & (occ > 0)
+        if a_cap:
+            ok &= ~((occ <= a_cap) & (tot <= e_cap))
+        return ok
+
+    def body(state):
+        it, dist, ch, occ, tot = state
+        new = jnp.minimum(dist, sweep(dist))
+        ch = (new < dist).any(axis=1)
+        occ = ch[:Vp].sum(dtype=jnp.int32)
+        tot = jnp.where(ch[:Vp], deg, 0).sum(dtype=jnp.int32)
+        return it + 1, new, ch, occ, tot
+
+    big = jnp.int32(2**31 - 1)
+    it, dist, ch, occ, tot = jax.lax.while_loop(
+        cond, body, (it0, dist, ch, big, big))
+    return it, dist, ch, occ, tot
+
+
+@functools.partial(jax.jit, static_argnames=("a_cap", "e_cap"),
+                   donate_argnames=("dist", "ch"))
 def _bf_dense_segment(csr: DeviceCSR, in_w, deg, it0, end, dist, ch,
                       a_cap: int, e_cap: int):
     """Dense Bellman-Ford rounds with change tracking; exits when the
@@ -1901,6 +1965,16 @@ def bellman_ford_sparse(csr: DeviceCSR, src: jnp.ndarray,
     # e_cap whose per-round sort+scan made sparse SLOWER than dense
     tiers = _sparse_tail_caps(min(csr.epad, 1 << 20), L)
     a_cap, e_cap = tiers[-1] if tiers else (0, 0)
+    # the one-shot dense sweep materializes ~3 [Ep, L] buffers; stream
+    # it in chunks (reusing the wave-plan extraction tables with f32/min)
+    # once that would exceed ~1.5 GB — the dense-BF wall was scale ~19
+    # at 256 lanes
+    item = 8 if wdt == jnp.float64 else 4
+    k = 1
+    while csr.epad // k * L * item * 3 > (1536 << 20) and \
+            csr.epad % (k * 2) == 0 and (csr.epad // (k * 2)) % 128 == 0:
+        k *= 2
+    plan = plan_packed_wave(csr, lanes=32, n_chunks=k) if k > 1 else None
 
     dist = jnp.full((Vp + 1, L), jnp.asarray(jnp.inf, wdt), dtype=wdt)
     dist = dist.at[src, lanes].set(
@@ -1922,6 +1996,11 @@ def bellman_ford_sparse(csr: DeviceCSR, src: jnp.ndarray,
             it, dist, ch, d_occ, d_tot = _bf_sparse_segment(
                 csr, out_dst, out_w, deg, it, jnp.int32(max_iters),
                 jnp.int32(occ), jnp.int32(tot), dist, ch, a_cap, e_cap)
+        elif plan is not None:
+            it, dist, ch, d_occ, d_tot = _bf_chunked_dense_segment(
+                csr, plan, in_w, deg, it,
+                jnp.int32(min(rounds + 4, max_iters)),
+                dist, ch, a_cap, e_cap)
         else:
             it, dist, ch, d_occ, d_tot = _bf_dense_segment(
                 csr, in_w, deg, it, jnp.int32(min(rounds + 4,

@@ -446,3 +446,39 @@ def test_bellman_ford_sparse_matches_dense(monkeypatch):
     monkeypatch.setenv("DUCKPGQ_SPARSE_E", "128")
     got2, _ = bellman_ford_sparse(csr, qs, qd, act, v + 1)
     np.testing.assert_array_equal(np.asarray(got2), np.asarray(want))
+
+
+def test_bellman_ford_chunked_dense_matches():
+    """Chunk-streamed dense BF sweep (wave-plan tables with f32/min) ==
+    the one-shot dense kernel, including round counts."""
+    import jax.numpy as jnp
+
+    from duckpgq_tpu.ops import msbfs_jax as m
+    from duckpgq_tpu.ops.csr_jax import build_weighted_bf_csr_on_device
+
+    rng = np.random.default_rng(9)
+    v, e = 300, 2048
+    src = rng.integers(0, v, size=e).astype(np.int32)
+    dst = rng.integers(0, v, size=e).astype(np.int32)
+    w = rng.uniform(0.1, 2.0, size=e).astype(np.float32)
+    csr = build_weighted_bf_csr_on_device(
+        v, jnp.asarray(src), jnp.asarray(dst), jnp.asarray(w))
+    L = 64
+    qs = jnp.asarray(rng.integers(0, v, size=L).astype(np.int32))
+    qd = jnp.asarray(rng.integers(0, v, size=L).astype(np.int32))
+    act = jnp.ones(L, bool)
+    want, wr = m.bellman_ford_with_iters(csr, qs, qd, act, v + 1)
+    plan = m.plan_packed_wave(csr, lanes=32, n_chunks=4)
+    deg = (csr.offsets[1:] - csr.offsets[:-1]).astype(jnp.int32)
+    in_w = csr.w[csr.in_pos]
+    lanes = jnp.arange(L)
+    dist = jnp.full((csr.vpad + 1, L), jnp.inf, jnp.float32)
+    dist = dist.at[qs, lanes].set(0.0)
+    ch = jnp.zeros(csr.vpad + 1, bool).at[qs].set(True).at[
+        csr.vpad].set(False)
+    it, dist, ch, occ, tot = m._bf_chunked_dense_segment(
+        csr, plan, in_w, deg, jnp.int32(0), jnp.int32(v + 1), dist, ch,
+        0, 0)
+    np.testing.assert_array_equal(np.asarray(dist[qd, lanes]),
+                                  np.asarray(want))
+    assert int(np.asarray(it)) == int(np.asarray(wr))
