@@ -88,9 +88,10 @@ def main():
     costs, it = bf(csr, qs, qd, active, max_iters)
     costs_np = np.asarray(costs)
     iters_actual = int(np.asarray(it))
-    if use_sparse:
-        # cross-check: the sparse rounds are bit-identical to the dense
-        # kernel (unchanged sources only yield no-op candidates)
+    if use_sparse and e * lanes * 4 * 3 <= (6 << 30):
+        # cross-check vs the monolithic dense kernel — only where its
+        # ~3 [Ep, L] buffers fit (the chunked path is itself
+        # bit-identity-tested in tests/test_device_kernels.py)
         dcosts, dit = bellman_ford_with_iters(csr, qs, qd, active,
                                               max_iters)
         assert (np.asarray(dcosts) == costs_np).all()
