@@ -427,6 +427,15 @@ class Executor:
         def rewrite(obj, in_set, top=False):
             if not isinstance(obj, a.Expression):
                 return obj
+            if isinstance(obj, a.FunctionCall) and \
+                    obj.name.lower() in ("grouping", "grouping_id"):
+                # grouping(e1, ..): bitmask, MSB-first, 1 for expressions
+                # NOT aggregated in this set (DuckDB/standard)
+                mask = 0
+                for arg in obj.args:
+                    mask = (mask << 1) | (
+                        0 if fingerprint(arg) in in_set else 1)
+                return a.Constant(value=mask, type=BIGINT, alias=obj.alias)
             fp = fingerprint(obj)
             if fp in all_fps and fp not in in_set:
                 alias = obj.alias or (self.derive_name(obj) if top else None)

@@ -416,3 +416,132 @@ def agg_approx_count_distinct(args, gids, n_groups, distinct):
             sets[gids[i]].add(a.value(i))
     out = np.array([len(s) for s in sets], dtype=np.int64)
     return Vector(BIGINT, out, np.ones(n_groups, dtype=bool))
+
+
+REGISTRY["arbitrary"] = REGISTRY["any_value"]
+
+
+def _moments(args, gids, n_groups):
+    a = args[0]
+    valid = a.validity
+    x = np.where(valid, a.data.astype(np.float64), 0.0)
+    n = np.bincount(gids[valid], minlength=n_groups).astype(np.float64)
+    s1 = np.bincount(gids, weights=x * valid, minlength=n_groups)
+    mean = np.divide(s1, n, out=np.zeros(n_groups), where=n > 0)
+    d = np.where(valid, x - mean[gids], 0.0)
+    m2 = np.bincount(gids, weights=d * d, minlength=n_groups)
+    m3 = np.bincount(gids, weights=d ** 3, minlength=n_groups)
+    m4 = np.bincount(gids, weights=d ** 4, minlength=n_groups)
+    return n, mean, m2, m3, m4
+
+
+@register("skewness")
+def agg_skewness(args, gids, n_groups, distinct):
+    """Sample skewness (DuckDB: g1 * sqrt(n(n-1))/(n-2))."""
+    n, _, m2, m3, _ = _moments(args, gids, n_groups)
+    out = np.zeros(n_groups)
+    ok = (n > 2) & (m2 > 0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        g1 = (m3 / n) / np.power(m2 / np.maximum(n, 1), 1.5)
+        out = np.where(ok, g1 * np.sqrt(n * (n - 1)) / np.maximum(
+            n - 2, 1), 0.0)
+    return Vector(DOUBLE, out, ok)
+
+
+@register("kurtosis")
+def agg_kurtosis(args, gids, n_groups, distinct):
+    """Sample excess kurtosis (DuckDB formula)."""
+    n, _, m2, _, m4 = _moments(args, gids, n_groups)
+    ok = (n > 3) & (m2 > 0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        g2 = n * m4 / np.maximum(m2 * m2, 1e-300)
+        out = ((n + 1) * g2 - 3 * (n - 1)) * (n - 1) / np.maximum(
+            (n - 2) * (n - 3), 1)
+    return Vector(DOUBLE, np.where(ok, out, 0.0), ok)
+
+
+def _pair_stats(args, gids, n_groups):
+    a, b = args[0], args[1]
+    valid = a.validity & b.validity
+    x = np.where(valid, a.data.astype(np.float64), 0.0)
+    y = np.where(valid, b.data.astype(np.float64), 0.0)
+    n = np.bincount(gids[valid], minlength=n_groups).astype(np.float64)
+    sx = np.bincount(gids, weights=x * valid, minlength=n_groups)
+    sy = np.bincount(gids, weights=y * valid, minlength=n_groups)
+    sxx = np.bincount(gids, weights=x * x * valid, minlength=n_groups)
+    syy = np.bincount(gids, weights=y * y * valid, minlength=n_groups)
+    sxy = np.bincount(gids, weights=x * y * valid, minlength=n_groups)
+    return n, sx, sy, sxx, syy, sxy
+
+
+@register("corr")
+def agg_corr(args, gids, n_groups, distinct):
+    n, sx, sy, sxx, syy, sxy = _pair_stats(args, gids, n_groups)
+    cov = sxy - sx * sy / np.maximum(n, 1)
+    vx = sxx - sx * sx / np.maximum(n, 1)
+    vy = syy - sy * sy / np.maximum(n, 1)
+    ok = (n > 1) & (vx > 0) & (vy > 0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = cov / np.sqrt(np.maximum(vx * vy, 1e-300))
+    return Vector(DOUBLE, np.where(ok, out, 0.0), ok)
+
+
+@register("covar_pop")
+def agg_covar_pop(args, gids, n_groups, distinct):
+    n, sx, sy, _, _, sxy = _pair_stats(args, gids, n_groups)
+    ok = n > 0
+    out = (sxy - sx * sy / np.maximum(n, 1)) / np.maximum(n, 1)
+    return Vector(DOUBLE, np.where(ok, out, 0.0), ok)
+
+
+@register("covar_samp")
+def agg_covar_samp(args, gids, n_groups, distinct):
+    n, sx, sy, _, _, sxy = _pair_stats(args, gids, n_groups)
+    ok = n > 1
+    out = (sxy - sx * sy / np.maximum(n, 1)) / np.maximum(n - 1, 1)
+    return Vector(DOUBLE, np.where(ok, out, 0.0), ok)
+
+
+@register("regr_slope")
+def agg_regr_slope(args, gids, n_groups, distinct):
+    # regr_slope(y, x): args are (y, x) in SQL order
+    n, sy, sx, syy, sxx, sxy = _pair_stats(args, gids, n_groups)
+    vx = sxx - sx * sx / np.maximum(n, 1)
+    cov = sxy - sx * sy / np.maximum(n, 1)
+    ok = (n > 1) & (vx > 0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = cov / np.maximum(vx, 1e-300)
+    return Vector(DOUBLE, np.where(ok, out, 0.0), ok)
+
+
+@register("regr_intercept")
+def agg_regr_intercept(args, gids, n_groups, distinct):
+    n, sy, sx, syy, sxx, sxy = _pair_stats(args, gids, n_groups)
+    vx = sxx - sx * sx / np.maximum(n, 1)
+    cov = sxy - sx * sy / np.maximum(n, 1)
+    ok = (n > 1) & (vx > 0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        slope = cov / np.maximum(vx, 1e-300)
+        out = sy / np.maximum(n, 1) - slope * sx / np.maximum(n, 1)
+    return Vector(DOUBLE, np.where(ok, out, 0.0), ok)
+
+
+@register("entropy")
+def agg_entropy(args, gids, n_groups, distinct):
+    """Shannon entropy in bits over the value distribution per group."""
+    a = args[0]
+    counts: list = [dict() for _ in range(n_groups)]
+    for i in range(len(gids)):
+        if a.validity[i]:
+            d = counts[gids[i]]
+            v = a.value(i)
+            d[v] = d.get(v, 0) + 1
+    out = np.zeros(n_groups)
+    ok = np.zeros(n_groups, dtype=bool)
+    for g, d in enumerate(counts):
+        tot = sum(d.values())
+        if tot:
+            ok[g] = True
+            p = np.array(list(d.values()), dtype=np.float64) / tot
+            out[g] = float(-(p * np.log2(p)).sum())
+    return Vector(DOUBLE, out, ok)

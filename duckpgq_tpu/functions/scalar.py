@@ -1954,3 +1954,46 @@ def fn_currval(args, ctx):
                 f'currval: sequence "{name.data[i]}" has not been used')
         out[i] = seq["cur"]
     return Vector(BIGINT, out, name.validity.copy())
+
+
+@register("string_split")
+@register("str_split")
+@register("string_to_array")
+@register("split")
+def fn_string_split(args):
+    from ..types import LIST
+    s, sep = args
+    n = len(s)
+    validity = _common_validity(args)
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        if validity[i]:
+            sp = str(sep.data[i])
+            out[i] = str(s.data[i]).split(sp) if sp else \
+                list(str(s.data[i]))
+    return Vector(LIST(VARCHAR), out, validity)
+
+
+@register("unicode")
+@register("ord")
+@register("ascii")
+def fn_unicode(args):
+    s = args[0]
+    n = len(s)
+    out = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        if s.validity[i]:
+            v = str(s.data[i])
+            out[i] = ord(v[0]) if v else -1
+    return Vector(BIGINT, out, s.validity.copy())
+
+
+@register("chr")
+def fn_chr(args):
+    x = args[0]
+    n = len(x)
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        if x.validity[i]:
+            out[i] = chr(int(x.data[i]))
+    return Vector(VARCHAR, out, x.validity.copy())

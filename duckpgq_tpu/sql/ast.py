@@ -101,6 +101,7 @@ class WindowCall(Expression):
     partition_by: List[Expression] = field(default_factory=list)
     order_by: List["OrderByNode"] = field(default_factory=list)
     frame: Optional[WindowFrame] = None
+    ref: Optional[str] = None   # OVER <name>, resolved from WINDOW clause
     alias: Optional[str] = None
 
 

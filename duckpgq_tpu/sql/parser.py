@@ -402,9 +402,62 @@ class Parser:
                     node.groups.append(self.parse_expression())
         if self.accept_kw("HAVING"):
             node.having = self.parse_expression()
+        windows = {}
+        if self.accept_kw("WINDOW"):
+            self._parse_window_clause(windows)
         if self.accept_kw("QUALIFY"):
             node.qualify = self.parse_expression()
+        if self.accept_kw("WINDOW"):
+            self._parse_window_clause(windows)
+        # always resolve: an OVER <name> with no (or missing) WINDOW
+        # definition must be a binder error, not a silent whole-partition
+        # window
+        self._resolve_window_refs(node, windows)
         return node
+
+    def _parse_window_clause(self, windows: dict):
+        """WINDOW w AS (spec) [, w2 AS (spec)] named-window definitions."""
+        while True:
+            wname = self.expect_ident().lower()
+            self.expect_kw("AS")
+            windows[wname] = self._parse_window_spec()
+            if not self.accept_op(","):
+                break
+
+    def _resolve_window_refs(self, node: a.SelectNode, windows: dict):
+        """Fill OVER <name> references from the WINDOW clause (in-place:
+        WindowCall nodes are mutable dataclasses)."""
+        def walk(e):
+            if isinstance(e, a.WindowCall) and e.ref is not None:
+                spec = windows.get(e.ref)
+                if spec is None:
+                    raise BinderException(
+                        f'window "{e.ref}" does not exist')
+                e.partition_by, e.order_by, e.frame = spec
+                e.ref = None
+            if not isinstance(e, a.Expression):
+                return
+            for f in getattr(e, "__dataclass_fields__", {}):
+                v = getattr(e, f)
+                if isinstance(v, a.Expression):
+                    walk(v)
+                elif isinstance(v, (list, tuple)):
+                    for x in v:
+                        if isinstance(x, a.Expression):
+                            walk(x)
+                        elif isinstance(x, a.OrderByNode) and \
+                                x.expr is not None:
+                            walk(x.expr)
+                        elif isinstance(x, tuple):
+                            for y in x:
+                                if isinstance(y, a.Expression):
+                                    walk(y)
+        for e in node.select_list:
+            walk(e)
+        if node.qualify is not None:
+            walk(node.qualify)
+        if node.having is not None:
+            walk(node.having)
 
     def _parse_grouping_set(self) -> List[a.Expression]:
         """One grouping set: ( e1, e2, ... ) or () or a bare expression."""
@@ -847,11 +900,21 @@ class Parser:
                     return left
             if tok.is_kw("BETWEEN"):
                 self.next()
+                symmetric = bool(self.accept_kw("SYMMETRIC"))
+                self.accept_kw("ASYMMETRIC")
                 lower = self.parse_additive()
                 self.expect_kw("AND")
                 upper = self.parse_additive()
-                left = a.Between(expr=left, lower=lower, upper=upper,
-                                 negated=negated)
+                if symmetric:
+                    # x BETWEEN SYMMETRIC a AND b == between(a,b) OR
+                    # between(b,a) (bound order-insensitive)
+                    both = a.Conjunction(op="OR", children=[
+                        a.Between(expr=left, lower=lower, upper=upper),
+                        a.Between(expr=left, lower=upper, upper=lower)])
+                    left = a.Not(child=both) if negated else both
+                else:
+                    left = a.Between(expr=left, lower=lower, upper=upper,
+                                     negated=negated)
                 continue
             if tok.is_kw("IN"):
                 self.next()
@@ -1012,7 +1075,9 @@ class Parser:
         "quantile_disc", "median", "stddev", "stddev_samp", "stddev_pop",
         "var_samp", "var_pop", "variance", "arg_min", "arg_max", "bit_and",
         "bit_or", "bit_xor", "product", "count_star", "favg", "fsum",
-        "mode", "approx_count_distinct",
+        "mode", "approx_count_distinct", "arbitrary", "skewness",
+        "kurtosis", "corr", "covar_pop", "covar_samp", "regr_slope",
+        "regr_intercept", "entropy",
     }
 
     def parse_primary(self) -> a.Expression:
@@ -1357,6 +1422,22 @@ class Parser:
     def _parse_over(self, lname: str, args: List[a.Expression]
                     ) -> a.WindowCall:
         self.expect_kw("OVER")
+        if lname == "count" and not args:
+            lname = "count_star"
+        if lname not in self._WINDOW_FUNCTIONS:
+            raise NotImplementedException(
+                f"window function {lname} is not supported")
+        if self.peek().kind == T.IDENT and not self.peek().is_op("("):
+            # OVER window_name: resolved against the WINDOW clause after
+            # the select node parses (select.gram WindowClause)
+            return a.WindowCall(name=lname, args=args,
+                                ref=self.next().text.lower())
+        partition, order_by, frame = self._parse_window_spec()
+        return a.WindowCall(name=lname, args=args, partition_by=partition,
+                            order_by=order_by, frame=frame)
+
+    def _parse_window_spec(self):
+        """Parenthesized window specification body."""
         self.expect_op("(")
         partition: List[a.Expression] = []
         order_by: List[a.OrderByNode] = []
@@ -1379,13 +1460,7 @@ class Parser:
         if self.peek().is_kw("ROWS", "RANGE", "GROUPS"):
             frame = self._parse_window_frame()
         self.expect_op(")")
-        if lname == "count" and not args:
-            lname = "count_star"
-        if lname not in self._WINDOW_FUNCTIONS:
-            raise NotImplementedException(
-                f"window function {lname} is not supported")
-        return a.WindowCall(name=lname, args=args, partition_by=partition,
-                            order_by=order_by, frame=frame)
+        return partition, order_by, frame
 
     def _parse_window_frame(self) -> "a.WindowFrame":
         """ROWS/RANGE/GROUPS [BETWEEN bound AND bound | bound]

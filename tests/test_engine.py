@@ -493,3 +493,35 @@ def test_round4_surface_batch2():
     assert n == 2
     with pytest.raises(DuckPGQError):
         con.execute("SELECT 170141183460469231731687303715884105727")
+
+
+def test_round4_surface_batch3():
+    """Third probe batch: grouping(), BETWEEN SYMMETRIC, statistical
+    aggregates, string_split/unicode/chr."""
+    import duckpgq_tpu
+    con = duckpgq_tpu.connect()
+    con.execute("CREATE TABLE b3(a BIGINT, g VARCHAR)")
+    con.execute("INSERT INTO b3 VALUES (1,'x'),(2,'x'),(3,'y'),(4,'y')")
+    assert con.execute(
+        "SELECT g, grouping(g), count(*) FROM b3 GROUP BY ROLLUP (g) "
+        "ORDER BY ALL").fetchall() == [("x", 0, 2), ("y", 0, 2),
+                                       (None, 1, 4)]
+    assert con.execute("SELECT 2 BETWEEN SYMMETRIC 3 AND 1"
+                       ).fetchall() == [(True,)]
+    assert con.execute(
+        "SELECT corr(a, b) FROM (VALUES (1,2),(2,4),(3,6)) v(a,b)"
+    ).fetchall() == [(1.0,)]
+    assert con.execute(
+        "SELECT regr_slope(y, x) FROM (VALUES (2,1),(4,2),(6,3)) v(y,x)"
+    ).fetchall() == [(2.0,)]
+    assert con.execute(
+        "SELECT entropy(a) FROM (VALUES (1),(1),(2),(2)) v(a)"
+    ).fetchall() == [(1.0,)]
+    assert con.execute("SELECT string_split('a,b,c', ',')"
+                       ).fetchall() == [(["a", "b", "c"],)]
+    assert con.execute("SELECT unicode('A'), chr(66), ascii('x')"
+                       ).fetchall() == [(65, "B", 120)]
+    # named WINDOW clause (already supported; pin it)
+    assert con.execute(
+        "SELECT a, sum(a) OVER w FROM b3 WINDOW w AS (PARTITION BY g) "
+        "ORDER BY a").fetchall() == [(1, 3), (2, 3), (3, 7), (4, 7)]
