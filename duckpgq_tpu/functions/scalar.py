@@ -1997,3 +1997,95 @@ def fn_chr(args):
         if x.validity[i]:
             out[i] = chr(int(x.data[i]))
     return Vector(VARCHAR, out, x.validity.copy())
+
+
+def _list_fn(name, impl):
+    def fn(args):
+        x = args[0]
+        n = len(x)
+        validity = _common_validity(args)
+        vals = []
+        for i in range(n):
+            if not validity[i] or x.data[i] is None:
+                vals.append(None)
+                continue
+            vals.append(impl(*[list(a.data[i])
+                               if isinstance(a.data[i], (list, tuple))
+                               else a.data[i] for a in args]))
+        return Vector.from_values(
+            vals, x.type if isinstance(vals[0] if vals else None, list)
+            else _infer_list_out(vals))
+    REGISTRY[name] = ScalarFunction(name, fn)
+
+
+def _infer_list_out(vals):
+    for v in vals:
+        if v is None:
+            continue
+        if isinstance(v, bool):
+            return BOOLEAN
+        if isinstance(v, int):
+            return BIGINT
+        if isinstance(v, float):
+            return DOUBLE
+        if isinstance(v, str):
+            return VARCHAR
+    return BIGINT
+
+
+_list_fn("flatten", lambda l: [x for sub in l
+                               for x in (sub if isinstance(sub, (list,
+                                                                 tuple))
+                                         else [sub])])
+_list_fn("list_position", lambda l, v: l.index(v) + 1 if v in l else 0)
+_list_fn("list_indexof", lambda l, v: l.index(v) + 1 if v in l else 0)
+_list_fn("list_min", lambda l: min((x for x in l if x is not None),
+                                   default=None))
+_list_fn("list_max", lambda l: max((x for x in l if x is not None),
+                                   default=None))
+_list_fn("list_sum", lambda l: sum(x for x in l if x is not None)
+         if any(x is not None for x in l) else None)
+_list_fn("list_avg", lambda l: (
+    sum(x for x in l if x is not None) /
+    max(sum(1 for x in l if x is not None), 1))
+    if any(x is not None for x in l) else None)
+_list_fn("list_reverse", lambda l: l[::-1])
+_list_fn("list_has_any", lambda a, b: bool(
+    {x for x in a if x is not None} & {x for x in b if x is not None}))
+_list_fn("list_has_all", lambda a, b: set(
+    x for x in b if x is not None) <= set(
+    x for x in a if x is not None))
+_list_fn("list_intersect", lambda a, b: [x for x in dict.fromkeys(a)
+                                         if x is not None and x in b])
+_list_fn("list_zip", lambda a, b: [(x, y) for x, y in zip(a, b)])
+
+
+@register("list_aggregate")
+@register("list_aggr")
+def fn_list_aggregate(args):
+    x, fname = args
+    name = str(fname.data[0]).lower()
+    impls = {"sum": lambda l: sum(v for v in l if v is not None),
+             "min": lambda l: min((v for v in l if v is not None),
+                                  default=None),
+             "max": lambda l: max((v for v in l if v is not None),
+                                  default=None),
+             "count": lambda l: sum(1 for v in l if v is not None),
+             "avg": lambda l: (sum(v for v in l if v is not None) /
+                               max(sum(1 for v in l if v is not None), 1))
+             if any(v is not None for v in l) else None}
+    impl = impls.get(name)
+    if impl is None:
+        raise BinderException(
+            f"list_aggregate: unsupported aggregate {name}")
+    vals = []
+    for i in range(len(x)):
+        if not x.validity[i] or x.data[i] is None:
+            vals.append(None)
+        else:
+            vals.append(impl(list(x.data[i])))
+    return Vector.from_values(vals, _infer_list_out(vals))
+
+
+REGISTRY["array_cat"] = REGISTRY["list_concat"] \
+    if "list_concat" in REGISTRY else REGISTRY.get("||")

@@ -525,3 +525,24 @@ def test_round4_surface_batch3():
     assert con.execute(
         "SELECT a, sum(a) OVER w FROM b3 WINDOW w AS (PARTITION BY g) "
         "ORDER BY a").fetchall() == [(1, 3), (2, 3), (3, 7), (4, 7)]
+
+
+def test_round4_list_family():
+    """List-function family (batch 4)."""
+    import duckpgq_tpu
+    con = duckpgq_tpu.connect()
+    checks = [
+        ("SELECT flatten([[1,2],[3]])", [([1, 2, 3],)]),
+        ("SELECT list_position([4,5], 5), list_position([4,5], 9)",
+         [(2, 0)]),
+        ("SELECT list_min([3,1]), list_max([3,1])", [(1, 3)]),
+        ("SELECT list_sum([1,2,3])", [(6,)]),
+        ("SELECT list_reverse([1,2,3])", [([3, 2, 1],)]),
+        ("SELECT list_has_any([1,2],[2,9])", [(True,)]),
+        ("SELECT list_has_all([1,2,3],[1,3])", [(True,)]),
+        ("SELECT list_aggregate([1,2,3], 'sum')", [(6,)]),
+        ("SELECT list_intersect([1,2,3],[2,3,4])", [([2, 3],)]),
+        ("SELECT array_cat([1],[2])", [([1, 2],)]),
+    ]
+    for q, want in checks:
+        assert con.execute(q).fetchall() == want, q
