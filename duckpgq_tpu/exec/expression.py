@@ -660,6 +660,27 @@ class Evaluator:
                 # named arguments (DuckDB)
                 return self.evaluate_struct_expr(
                     a.StructExpr(fields=list(e.kwargs)))
+            if name == "struct_insert" and len(e.args) == 1:
+                # struct_insert(s, b := 2): existing fields + new ones
+                base = self.evaluate(e.args[0])
+                if base.type.id != TypeId.STRUCT:
+                    raise BinderException(
+                        "struct_insert requires a STRUCT argument")
+                new = self.evaluate_struct_expr(
+                    a.StructExpr(fields=list(e.kwargs)))
+                names = [f[0] for f in base.type.fields] + \
+                    [f[0] for f in new.type.fields]
+                vals = []
+                for i in range(self.n):
+                    if base.validity[i] and new.validity[i]:
+                        vals.append(tuple(base.data[i]) +
+                                    tuple(new.data[i]))
+                    else:
+                        vals.append(None)
+                child_types = [f[1] for f in base.type.fields] + \
+                    [f[1] for f in new.type.fields]
+                return Vector.from_values(
+                    vals, STRUCT(list(zip(names, child_types))))
             # named arguments parse (select.gram:88-91) but no other
             # scalar builtin declares named parameters — clean binder
             # error, mirroring DuckDB's InvalidNamedParameter path
