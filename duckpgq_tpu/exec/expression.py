@@ -688,6 +688,8 @@ class Evaluator:
                 f'Invalid named parameter "{e.kwargs[0][0]}" for function '
                 f"{name}")
         if any(isinstance(x, a.Lambda) for x in e.args):
+            if name in ("list_reduce", "reduce"):
+                return self._evaluate_list_reduce(e)
             mode = self._LAMBDA_FUNCS.get(name)
             if mode is None:
                 raise BinderException(
@@ -704,6 +706,50 @@ class Evaluator:
             # supply row count to zero-arg functions (e.g. random())
             args = [Vector(BIGINT, np.zeros(self.n, dtype=np.int64))]
         return fn(args, self.executor.connection) if fn.needs_ctx else fn(args)
+
+    def _evaluate_list_reduce(self, e: a.FunctionCall) -> Vector:
+        """list_reduce(list, (acc, x) -> expr): left fold, seeded with
+        the first element (DuckDB; empty/NULL lists error there — here
+        they yield NULL). Evaluated per fold STEP, vectorized over rows:
+        step k combines every row's accumulator with its (k+1)-th
+        element."""
+        from .relation import Binding, Relation
+        lam = next(x for x in e.args if isinstance(x, a.Lambda))
+        if len(lam.params) != 2:
+            raise BinderException(
+                "list_reduce expects a two-parameter lambda")
+        list_args = [x for x in e.args if not isinstance(x, a.Lambda)]
+        lv = self.evaluate(list_args[0])
+        n = len(lv)
+        rows = [list(lv.data[i]) if lv.validity[i] and
+                lv.data[i] is not None else None for i in range(n)]
+        max_len = max((len(r) for r in rows if r), default=0)
+        acc = [r[0] if r else None for r in rows]
+        for k in range(1, max_len):
+            active = [r is not None and len(r) > k for r in rows]
+            if not any(active):
+                break
+            acc_vec = Vector.from_values(
+                [acc[i] if active[i] else None for i in range(n)],
+                _infer_constant_type(next(
+                    (acc[i] for i in range(n) if active[i]), None)))
+            x_vec = Vector.from_values(
+                [rows[i][k] if active[i] else None for i in range(n)],
+                _infer_constant_type(next(
+                    (rows[i][k] for i in range(n) if active[i]), None)))
+            cols = list(self.rel.columns) + [acc_vec, x_vec]
+            slots = [len(self.rel.columns), len(self.rel.columns) + 1]
+            child = Relation(
+                cols, self.rel.bindings + [
+                    Binding("", list(lam.params), slots)])
+            ev = Evaluator(self.executor, child, self.outer, env=self.env)
+            out = ev.evaluate(lam.body)
+            for i in range(n):
+                if active[i]:
+                    acc[i] = out.value(i)
+        typ = _infer_constant_type(next(
+            (v for v in acc if v is not None), None))
+        return Vector.from_values(acc, typ)
 
     def _evaluate_list_lambda(self, e: a.FunctionCall, mode: str) -> Vector:
         """list_transform / list_filter with a one-parameter lambda:

@@ -546,3 +546,19 @@ def test_round4_list_family():
     ]
     for q, want in checks:
         assert con.execute(q).fetchall() == want, q
+
+
+def test_list_reduce():
+    import duckpgq_tpu
+    con = duckpgq_tpu.connect()
+    assert con.execute(
+        "SELECT list_reduce([1,2,3,4], (x, y) -> x + y)"
+    ).fetchall() == [(10,)]
+    assert con.execute(
+        "SELECT list_reduce([5], (a, b) -> a * b)").fetchall() == [(5,)]
+    con.execute("CREATE TABLE lr(l BIGINT)")
+    con.execute("INSERT INTO lr VALUES (10),(20)")
+    # correlated lambda body sees the outer row
+    assert con.execute(
+        "SELECT l, list_reduce([1,2,3], (x, y) -> x + y + l) FROM lr "
+        "ORDER BY l").fetchall() == [(10, 26), (20, 46)]
