@@ -348,6 +348,64 @@ def fn_power(args):
     return Vector(DOUBLE, out, _common_validity(args))
 
 
+def _require_integral(args, op):
+    for v in args:
+        if v.type.id is not TypeId.SQLNULL and not v.type.is_integral:
+            raise BinderException(
+                f"No function matches the given name and argument types "
+                f"'{op}({', '.join(str(x.type) for x in args)})'")
+
+
+def _bitwise_binary(args, op, fn):
+    a, b = args
+    _require_integral(args, op)
+    typ = _arith_type(a, b)
+    null = _sqlnull_arith(args, typ)
+    if null is not None:
+        return null
+    out = fn(a.data.astype(np.int64), b.data.astype(np.int64))
+    return Vector(typ, out.astype(typ.numpy_dtype()), _common_validity(args))
+
+
+@register("&")
+def fn_bitand(args):
+    return _bitwise_binary(args, "&", np.bitwise_and)
+
+
+@register("|")
+def fn_bitor(args):
+    return _bitwise_binary(args, "|", np.bitwise_or)
+
+
+@register("<<")
+def fn_shl(args):
+    """Left shift (reference grammar binary op; shift counts outside
+    [0, 63] yield 0, matching DuckDB's zero-on-overflow shifts)."""
+    def shl(x, s):
+        ok = (s >= 0) & (s < 64)
+        return np.where(ok, x << np.where(ok, s, 0), 0)
+    return _bitwise_binary(args, "<<", shl)
+
+
+@register(">>")
+def fn_shr(args):
+    def shr(x, s):
+        ok = (s >= 0) & (s < 64)
+        return np.where(ok, x >> np.where(ok, s, 0), 0)
+    return _bitwise_binary(args, ">>", shr)
+
+
+@register("~")
+def fn_bitnot(args):
+    x = args[0]
+    _require_integral(args, "~")
+    null = _sqlnull_arith(args, x.type)
+    if null is not None:
+        return null
+    return Vector(x.type, np.bitwise_not(x.data.astype(np.int64)).astype(
+        x.type.numpy_dtype()), x.validity.copy())
+
+
 @register("sqrt")
 def fn_sqrt(args):
     a = args[0]
@@ -705,15 +763,36 @@ def fn_strlen(args):
     return _str_apply(args[0], lambda s: len(str(s)), BIGINT)
 
 
+def _regex_flags(options: str) -> int:
+    """DuckDB regexp options string -> re flags (reference follows RE2
+    options: i=case-insensitive, s=dotall, m/n=newline-sensitive,
+    c=case-sensitive default)."""
+    flags = 0
+    for ch in options:
+        if ch == "i":
+            flags |= re.IGNORECASE
+        elif ch == "s":
+            flags |= re.DOTALL
+        elif ch in ("m", "n", "p"):
+            flags |= re.MULTILINE
+        elif ch in ("c", "g", "l"):
+            pass
+        else:
+            raise InvalidInputException(f"Unrecognized Regex option {ch}")
+    return flags
+
+
 @register("regexp_matches")
 def fn_regexp_matches(args):
-    s, pat = args
+    s, pat = args[0], args[1]
+    flags = _regex_flags(str(args[2].data[0])) if len(args) > 2 else 0
     validity = _common_validity(args)
     n = len(s)
     out = np.zeros(n, dtype=bool)
     for i in range(n):
         if validity[i]:
-            out[i] = re.search(str(pat.data[i]), str(s.data[i])) is not None
+            out[i] = re.search(str(pat.data[i]), str(s.data[i]),
+                               flags) is not None
     return Vector(BOOLEAN, out, validity)
 
 
@@ -727,6 +806,103 @@ def fn_regexp_full_match(args):
         if validity[i]:
             out[i] = re.fullmatch(str(pat.data[i]), str(s.data[i])) is not None
     return Vector(BOOLEAN, out, validity)
+
+
+def _str_pair_apply(args, fn, out_type=BIGINT):
+    a, b = args
+    validity = _common_validity(args)
+    n = len(a)
+    out = np.zeros(n, dtype=out_type.numpy_dtype())
+    for i in range(n):
+        if validity[i]:
+            out[i] = fn(str(a.data[i]), str(b.data[i]))
+    return Vector(out_type, out, validity)
+
+
+@register("levenshtein")
+@register("editdist3")
+def fn_levenshtein(args):
+    return _str_pair_apply(args, _levenshtein)
+
+
+@register("damerau_levenshtein")
+def fn_damerau_levenshtein(args):
+    """Full Damerau-Levenshtein (with adjacent transpositions)."""
+    def dl(s, t):
+        ns, nt = len(s), len(t)
+        inf = ns + nt
+        d = [[inf] * (nt + 2) for _ in range(ns + 2)]
+        for i in range(ns + 1):
+            d[i + 1][1] = i
+        for j in range(nt + 1):
+            d[1][j + 1] = j
+        da = {}
+        for i in range(1, ns + 1):
+            db = 0
+            for j in range(1, nt + 1):
+                k = da.get(t[j - 1], 0)
+                l = db
+                if s[i - 1] == t[j - 1]:
+                    cost = 0
+                    db = j
+                else:
+                    cost = 1
+                d[i + 1][j + 1] = min(
+                    d[i][j] + cost,                       # substitute
+                    d[i + 1][j] + 1, d[i][j + 1] + 1,     # insert / delete
+                    d[k][l] + (i - k - 1) + 1 + (j - l - 1))  # transpose
+            da[s[i - 1]] = i
+        return d[ns + 1][nt + 1]
+    return _str_pair_apply(args, dl)
+
+
+@register("jaccard")
+def fn_jaccard(args):
+    """Jaccard similarity between the character sets of two strings."""
+    def jac(s, t):
+        a, b = set(s), set(t)
+        u = len(a | b)
+        return len(a & b) / u if u else 1.0
+    return _str_pair_apply(args, jac, DOUBLE)
+
+
+@register("hamming")
+@register("mismatches")
+def fn_hamming(args):
+    def ham(s, t):
+        if len(s) != len(t):
+            raise InvalidInputException(
+                "The two strings must be of equal length!")
+        return sum(c1 != c2 for c1, c2 in zip(s, t))
+    return _str_pair_apply(args, ham)
+
+
+@register("isnan")
+def fn_isnan(args):
+    x = args[0]
+    out = np.isnan(x.data.astype(np.float64))
+    return Vector(BOOLEAN, out, x.validity.copy())
+
+
+@register("isinf")
+def fn_isinf(args):
+    x = args[0]
+    out = np.isinf(x.data.astype(np.float64))
+    return Vector(BOOLEAN, out, x.validity.copy())
+
+
+@register("isfinite")
+def fn_isfinite(args):
+    x = args[0]
+    out = np.isfinite(x.data.astype(np.float64))
+    return Vector(BOOLEAN, out, x.validity.copy())
+
+
+@register("signbit")
+def fn_signbit(args):
+    x = args[0]
+    out = np.signbit(x.data.astype(np.float64))
+    return Vector(BOOLEAN, out, x.validity.copy())
 
 
 @register("regexp_replace")
@@ -1137,20 +1313,11 @@ def fn_timezone(args):
 # bitwise (used by the PGQ sub-label discriminator rewrite)
 # ---------------------------------------------------------------------------
 
-@register("bitand")
-@register("&")
-def fn_bitand(args):
-    x, y = args
-    out = x.data.astype(np.int64) & y.data.astype(np.int64)
-    return Vector(BIGINT, out, _common_validity(args))
-
-
-@register("bitor")
-@register("|")
-def fn_bitor(args):
-    x, y = args
-    out = x.data.astype(np.int64) | y.data.astype(np.int64)
-    return Vector(BIGINT, out, _common_validity(args))
+# bitand/bitor are the named forms of the '&'/'|' operator implementations
+# (defined with the arithmetic operators above; used by the PGQ sub-label
+# discriminator rewrite).
+register_alias("bitand", "&")
+register_alias("bitor", "|")
 
 
 @register("xor")
@@ -1344,6 +1511,7 @@ def fn_hash(args):
 
 @register("generate_uuid")
 @register("uuid")
+@register("gen_random_uuid")
 def fn_generate_uuid(args):
     import uuid as _uuid
     n = len(args[0]) if args else 1

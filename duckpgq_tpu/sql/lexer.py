@@ -46,7 +46,9 @@ class Token(NamedTuple):
 
 
 # multi-char operators, longest match first (note: no '->'/'<-' — see module doc)
-_MULTI_OPS = ["::", "<=", ">=", "<>", "!=", "==", "||", "**", "//"]
+_MULTI_OPS = ["!~~*", "~~*", "!~~", "~~", "!~*", "~*", "!~", "^@",
+              "::", "<=", ">=", "<>", "!=", "==", "||", "**", "//",
+              "<<", ">>"]
 _SINGLE_OPS = set("()[]{},;.*+-/%<>=|&~^?:$#@!")
 
 

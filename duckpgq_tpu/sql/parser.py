@@ -844,7 +844,7 @@ class Parser:
         return self.parse_comparison()
 
     def parse_comparison(self) -> a.Expression:
-        left = self.parse_additive()
+        left = self.parse_bitor()
         while True:
             tok = self.peek()
             if tok.is_op("=", "==", "<>", "!=", "<", "<=", ">", ">="):
@@ -863,8 +863,31 @@ class Parser:
                     left = a.SubqueryExpr(subquery=sub, kind=kind, child=left,
                                           comparison=op)
                     continue
-                right = self.parse_additive()
+                right = self.parse_bitor()
                 left = a.Comparison(op=op, left=left, right=right)
+                continue
+            if tok.is_op("~~", "!~~", "~~*", "!~~*"):
+                # Postgres-style LIKE operators (DuckDB supports them too)
+                op = self.next().text
+                pattern = self.parse_bitor()
+                left = a.Like(left=left, pattern=pattern,
+                              negated=op.startswith("!"),
+                              case_insensitive=op.endswith("*"))
+                continue
+            if tok.is_op("~", "!~", "~*", "!~*"):
+                # regex match operators: ~ / !~ (case-sensitive), ~* / !~*
+                op = self.next().text
+                pattern = self.parse_bitor()
+                fnargs = [left, pattern]
+                if op.endswith("*"):
+                    fnargs.append(a.Constant("i", tt.VARCHAR))
+                fn = a.FunctionCall(name="regexp_matches", args=fnargs)
+                left = a.Not(child=fn) if op.startswith("!") else fn
+                continue
+            if tok.is_op("^@"):
+                self.next()
+                right = self.parse_bitor()
+                left = a.FunctionCall(name="starts_with", args=[left, right])
                 continue
             if tok.is_kw("IS"):
                 self.next()
@@ -873,7 +896,7 @@ class Parser:
                     left = a.IsNull(child=left, negated=negated)
                 elif self.accept_kw("DISTINCT"):
                     self.expect_kw("FROM")
-                    right = self.parse_additive()
+                    right = self.parse_bitor()
                     cmp = a.FunctionCall(name="is_distinct_from",
                                          args=[left, right])
                     left = a.Not(child=cmp) if negated else cmp
@@ -902,9 +925,9 @@ class Parser:
                 self.next()
                 symmetric = bool(self.accept_kw("SYMMETRIC"))
                 self.accept_kw("ASYMMETRIC")
-                lower = self.parse_additive()
+                lower = self.parse_bitor()
                 self.expect_kw("AND")
-                upper = self.parse_additive()
+                upper = self.parse_bitor()
                 if symmetric:
                     # x BETWEEN SYMMETRIC a AND b == between(a,b) OR
                     # between(b,a) (bound order-insensitive)
@@ -934,7 +957,7 @@ class Parser:
                 continue
             if tok.is_kw("LIKE", "ILIKE", "GLOB"):
                 kw = self.next().upper
-                pattern = self.parse_additive()
+                pattern = self.parse_bitor()
                 left = a.Like(left=left, pattern=pattern, negated=negated,
                               case_insensitive=(kw == "ILIKE"),
                               glob=(kw == "GLOB"))
@@ -942,12 +965,36 @@ class Parser:
             if tok.is_kw("SIMILAR"):
                 self.next()
                 self.expect_kw("TO")
-                pattern = self.parse_additive()
+                pattern = self.parse_bitor()
                 fn = a.FunctionCall(name="regexp_full_match",
                                     args=[left, pattern])
                 left = a.Not(child=fn) if negated else fn
                 continue
             return left
+
+    def parse_bitor(self) -> a.Expression:
+        left = self.parse_bitand()
+        while self.peek().is_op("|"):
+            self.next()
+            left = a.FunctionCall(name="|", args=[left, self.parse_bitand()],
+                                  is_operator=True)
+        return left
+
+    def parse_bitand(self) -> a.Expression:
+        left = self.parse_shift()
+        while self.peek().is_op("&"):
+            self.next()
+            left = a.FunctionCall(name="&", args=[left, self.parse_shift()],
+                                  is_operator=True)
+        return left
+
+    def parse_shift(self) -> a.Expression:
+        left = self.parse_additive()
+        while self.peek().is_op("<<", ">>"):
+            op = self.next().text
+            left = a.FunctionCall(name=op, args=[left, self.parse_additive()],
+                                  is_operator=True)
+        return left
 
     def parse_additive(self) -> a.Expression:
         left = self.parse_multiplicative()
@@ -992,6 +1039,12 @@ class Parser:
             return a.FunctionCall(name="-", args=[child], is_operator=True)
         if self.accept_op("+"):
             return self.parse_unary()
+        if self.accept_op("~"):
+            return a.FunctionCall(name="~", args=[self.parse_unary()],
+                                  is_operator=True)
+        if self.accept_op("@"):
+            # Postgres/DuckDB @ operator: absolute value
+            return a.FunctionCall(name="abs", args=[self.parse_unary()])
         return self.parse_postfix(allow_at_tz)
 
     def parse_postfix(self, allow_at_tz: bool = True) -> a.Expression:

@@ -562,3 +562,48 @@ def test_list_reduce():
     assert con.execute(
         "SELECT l, list_reduce([1,2,3], (x, y) -> x + y + l) FROM lr "
         "ORDER BY l").fetchall() == [(10, 26), (20, 46)]
+
+
+def test_bitwise_and_pattern_operators():
+    """Postgres/DuckDB operator surface: bit ops, shifts, @ abs, ^@, ~~/~
+    pattern ops, and string-distance functions (reference inherits these
+    from DuckDB's expression grammar)."""
+    import duckpgq_tpu
+    con = duckpgq_tpu.connect()
+    checks = [
+        ("SELECT 7 & 3, 7 | 8, 1 << 3, 16 >> 2, ~5", [(3, 15, 8, 4, -6)]),
+        # out-of-range shift counts yield 0, not an overflow crash
+        ("SELECT 1 << 64, 1 << -1, 256 >> 70", [(0, 0, 0)]),
+        ("SELECT bitand(7, 3), bitor(7, 8), xor(7, 3)", [(3, 15, 4)]),
+        ("SELECT NULL & 3, 5 | NULL", [(None, None)]),
+        # precedence: & binds tighter than =, + tighter than <<
+        ("SELECT 1 | 2 = 3", [(True,)]),
+        ("SELECT 3 & 1 + 1", [(2,)]),
+        ("SELECT @-7, @(3 - 10)", [(7, 7)]),
+        ("SELECT 'abc' ^@ 'ab', 'abc' ^@ 'bc'", [(True, False)]),
+        ("SELECT 'abc' ~~ 'a%', 'abc' !~~ 'a%', 'ABC' ~~* 'a%'",
+         [(True, False, True)]),
+        ("SELECT 'abc' ~ 'a.c', 'abc' !~ 'a.c', 'ABC' ~* 'a.c'",
+         [(True, False, True)]),
+        ("SELECT x ~ 'a' FROM (VALUES ('a'), (NULL)) t(x)",
+         [(True,), (None,)]),
+        ("SELECT regexp_matches('ABC', 'a.c', 'i')", [(True,)]),
+        ("SELECT levenshtein('kitten', 'sitting'), editdist3('abc', 'abd')",
+         [(3, 1)]),
+        ("SELECT damerau_levenshtein('abc', 'acb'),"
+         " damerau_levenshtein('ca', 'abc')", [(1, 2)]),
+        ("SELECT jaccard('abc', 'abd')", [(0.5,)]),
+        ("SELECT hamming('abc', 'abd'), mismatches('karolin', 'kathrin')",
+         [(1, 3)]),
+        ("SELECT isnan('nan'::DOUBLE), isinf('inf'::DOUBLE), isfinite(1.5),"
+         " signbit(-1.0)", [(True, True, True, True)]),
+        ("SELECT length(gen_random_uuid())", [(36,)]),
+    ]
+    for q, want in checks:
+        assert con.execute(q).fetchall() == want, q
+    import pytest
+    from duckpgq_tpu.errors import BinderException, InvalidInputException
+    with pytest.raises(InvalidInputException):
+        con.execute("SELECT hamming('ab', 'abc')")
+    with pytest.raises(BinderException):
+        con.execute("SELECT 'a' & 'b'")
