@@ -51,6 +51,23 @@ def _parse_timestamp(s: str) -> int:
             f"Could not convert string '{s}' to TIMESTAMP") from e
 
 
+def _blob_from_string(s: str) -> bytes:
+    """VARCHAR -> BLOB cast: utf8 bytes with DuckDB \\xHH escapes decoded."""
+    buf = bytearray()
+    i, n = 0, len(s)
+    while i < n:
+        if s[i] == "\\" and i + 3 < n and s[i + 1] == "x":
+            try:
+                buf.append(int(s[i + 2:i + 4], 16))
+                i += 4
+                continue
+            except ValueError:
+                pass
+        buf.extend(s[i].encode("utf-8"))
+        i += 1
+    return bytes(buf)
+
+
 def cast_vector(vec: Vector, target: LogicalType, try_cast: bool = False
                 ) -> Vector:
     src = vec.type
@@ -159,6 +176,8 @@ def cast_vector(vec: Vector, target: LogicalType, try_cast: bool = False
                 elif target.id == TypeId.INTERVAL:
                     from ..types import interval_from_string
                     out[i] = interval_from_string(str(s))
+                elif target.id == TypeId.BLOB:
+                    out[i] = _blob_from_string(str(s))
                 else:
                     raise ConversionException(
                         f"Unimplemented cast VARCHAR -> {target}")

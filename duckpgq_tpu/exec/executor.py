@@ -2650,7 +2650,75 @@ class Executor:
         if stmt.kind == "PROPERTY_GRAPH":
             from ..pgq.ddl import execute_summarize_property_graph
             return execute_summarize_property_graph(self, stmt.target)
-        raise NotImplementedException("SUMMARIZE of tables not supported yet")
+        if stmt.kind == "QUERY":
+            res = self.execute_select(stmt.target)
+        else:
+            from ..sql.parser import parse_sql
+            sel = parse_sql(f'SELECT * FROM "{stmt.target}"')[0]
+            res = self.execute_select(sel)
+        return self._summarize_result(res)
+
+    def _summarize_result(self, res: QueryResult) -> QueryResult:
+        """DuckDB SUMMARIZE column layout (statement/summarize.md): per-column
+        min/max/approx_unique/avg/std/q25/q50/q75/count/null_percentage.
+        Quantiles here are exact (DuckDB uses approx_quantile)."""
+        from ..types import value_to_string
+        cnt = res.row_count
+        rows = {k: [] for k in ("name", "type", "mn", "mx", "uniq", "avg",
+                                "std", "q25", "q50", "q75", "nullpct")}
+        for name, col in zip(res.names, res.columns):
+            rows["name"].append(name)
+            rows["type"].append(str(col.type))
+            valid = col.validity
+            nvalid = int(valid.sum())
+            rows["nullpct"].append(
+                round(100.0 * (cnt - nvalid) / cnt, 2) if cnt else None)
+            if nvalid == 0:
+                for k in ("mn", "mx", "uniq", "avg", "std", "q25", "q50",
+                          "q75"):
+                    rows[k].append(0 if k == "uniq" else None)
+                continue
+            vals = [col.value(i) for i in range(cnt) if valid[i]]
+            try:
+                mn, mx = min(vals), max(vals)
+            except TypeError:       # unorderable mix (nested types)
+                mn = mx = None
+            rows["mn"].append(value_to_string(mn, col.type)
+                              if mn is not None else None)
+            rows["mx"].append(value_to_string(mx, col.type)
+                              if mx is not None else None)
+            try:
+                rows["uniq"].append(len(set(vals)))
+            except TypeError:
+                rows["uniq"].append(len(set(map(str, vals))))
+            if col.type.is_numeric and col.type.id != TypeId.BOOLEAN:
+                arr = col.data[valid].astype(np.float64)
+                rows["avg"].append(str(float(arr.mean())))
+                rows["std"].append(
+                    str(float(arr.std(ddof=1))) if nvalid > 1 else None)
+                for k, q in (("q25", 0.25), ("q50", 0.5), ("q75", 0.75)):
+                    rows[k].append(str(float(np.quantile(arr, q))))
+            else:
+                for k in ("avg", "std", "q25", "q50", "q75"):
+                    rows[k].append(None)
+        from ..types import BIGINT, DOUBLE, VARCHAR
+        names = ["column_name", "column_type", "min", "max", "approx_unique",
+                 "avg", "std", "q25", "q50", "q75", "count",
+                 "null_percentage"]
+        ncols = len(res.names)
+        return QueryResult(names, [
+            Vector.from_values(rows["name"], VARCHAR),
+            Vector.from_values(rows["type"], VARCHAR),
+            Vector.from_values(rows["mn"], VARCHAR),
+            Vector.from_values(rows["mx"], VARCHAR),
+            Vector.from_values(rows["uniq"], BIGINT),
+            Vector.from_values(rows["avg"], VARCHAR),
+            Vector.from_values(rows["std"], VARCHAR),
+            Vector.from_values(rows["q25"], VARCHAR),
+            Vector.from_values(rows["q50"], VARCHAR),
+            Vector.from_values(rows["q75"], VARCHAR),
+            Vector.from_values([cnt] * ncols, BIGINT),
+            Vector.from_values(rows["nullpct"], DOUBLE)])
 
     def execute_import_database(self, stmt: a.ImportDatabaseStatement
                                 ) -> QueryResult:

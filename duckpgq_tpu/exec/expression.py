@@ -400,6 +400,19 @@ class Evaluator:
             if hit is not None:
                 value, typ = hit
                 return Vector.constant(value, typ, self.n)
+        # row-as-struct: a bare table alias names the whole row (DuckDB
+        # `SELECT t FROM t` -> STRUCT of t's visible columns)
+        if len(e.parts) == 1:
+            b = self.rel.find_binding(e.parts[0])
+            if b is not None:
+                fields = [(nm, self.rel.columns[i]) for nm, i in b.visible()]
+                typ = STRUCT([(nm, v.type) for nm, v in fields])
+                n = self.n
+                data = np.empty(n, dtype=object)
+                validity = np.ones(n, dtype=bool)
+                for i in range(n):
+                    data[i] = tuple(v.value(i) for _, v in fields)
+                return Vector(typ, data, validity)
         name = ".".join(e.parts)
         raise BinderException(
             f'Referenced column "{name}" not found in FROM clause!')

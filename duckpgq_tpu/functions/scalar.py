@@ -905,6 +905,125 @@ def fn_signbit(args):
     return Vector(BOOLEAN, out, x.validity.copy())
 
 
+@register("bit_length")
+def fn_bit_length(args):
+    return _str_apply(args[0], lambda s: len(str(s).encode("utf-8")) * 8,
+                      BIGINT)
+
+
+@register("octet_length")
+def fn_octet_length(args):
+    def octets(v):
+        if isinstance(v, (bytes, bytearray)):
+            return len(v)
+        return len(str(v).encode("utf-8"))
+    return _str_apply(args[0], octets, BIGINT)
+
+
+@register("translate")
+def fn_translate(args):
+    s, frm, to = args
+    validity = _common_validity(args)
+    n = len(s)
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        if validity[i]:
+            f, t = str(frm.data[i]), str(to.data[i])
+            # chars in `from` beyond len(to) are deleted (SQL TRANSLATE)
+            table = str.maketrans(f[:len(t)], t[:len(f)], f[len(t):])
+            out[i] = str(s.data[i]).translate(table)
+    return Vector(VARCHAR, out, validity)
+
+
+@register("to_base64")
+@register("base64")
+def fn_to_base64(args):
+    import base64 as _b64
+    def enc(v):
+        b = v if isinstance(v, (bytes, bytearray)) else str(v).encode("utf-8")
+        return _b64.b64encode(b).decode("ascii")
+    return _str_apply(args[0], enc)
+
+
+@register("from_base64")
+def fn_from_base64(args):
+    import base64 as _b64
+    from ..types import BLOB
+    x = args[0]
+    n = len(x)
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        if x.validity[i]:
+            out[i] = _b64.b64decode(str(x.data[i]))
+    return Vector(BLOB, out, x.validity.copy())
+
+
+@register("strip_accents")
+def fn_strip_accents(args):
+    import unicodedata
+    def strip(s):
+        return "".join(c for c in unicodedata.normalize("NFD", str(s))
+                       if not unicodedata.combining(c))
+    return _str_apply(args[0], strip)
+
+
+@register("nfc_normalize")
+def fn_nfc_normalize(args):
+    import unicodedata
+    return _str_apply(args[0], lambda s: unicodedata.normalize("NFC", str(s)))
+
+
+@register("to_base")
+def fn_to_base(args):
+    x, radix = args[0], args[1]
+    minlen = args[2] if len(args) > 2 else None
+    validity = _common_validity(args)
+    n = len(x)
+    out = np.empty(n, dtype=object)
+    digits = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    for i in range(n):
+        if not validity[i]:
+            continue
+        r = int(radix.data[i])
+        if not 2 <= r <= 36:
+            raise InvalidInputException(
+                f"base must be between 2 and 36, got {r}")
+        v = int(x.data[i])
+        neg, v = v < 0, abs(v)
+        s = ""
+        while v:
+            s = digits[v % r] + s
+            v //= r
+        s = s or "0"
+        if minlen is not None:
+            s = s.rjust(int(minlen.data[i]), "0")
+        out[i] = ("-" + s) if neg else s
+    return Vector(VARCHAR, out, validity)
+
+
+@register("bar")
+def fn_bar(args):
+    """bar(x, min, max[, width=80]): unicode bar chart (DuckDB's bar
+    function; eighth-block partials)."""
+    x, lo, hi = args[0], args[1], args[2]
+    width = args[3] if len(args) > 3 else None
+    validity = _common_validity(args)
+    n = len(x)
+    out = np.empty(n, dtype=object)
+    partials = ["", "▏", "▎", "▍", "▌",
+                "▋", "▊", "▉"]
+    for i in range(n):
+        if not validity[i]:
+            continue
+        w = float(width.data[i]) if width is not None else 80.0
+        a, b = float(lo.data[i]), float(hi.data[i])
+        frac = 0.0 if b <= a else (float(x.data[i]) - a) / (b - a)
+        frac = min(max(frac, 0.0), 1.0)
+        eighths = int(round(frac * w * 8))
+        out[i] = "█" * (eighths // 8) + partials[eighths % 8]
+    return Vector(VARCHAR, out, validity)
+
+
 @register("regexp_replace")
 def fn_regexp_replace(args):
     s, pat, repl = args[:3]
@@ -1115,19 +1234,43 @@ def fn_len_list(args):
     return _str_apply(args[0], lambda v: len(v), BIGINT)
 
 
-@register("range")
-@register("generate_series_scalar")
-def fn_range_scalar(args):
-    # list-producing scalar range(a, b)
+def _series_scalar(args, inclusive):
     a = args[0]
     b = args[1] if len(args) > 1 else None
+    step = args[2] if len(args) > 2 else None
     n = len(a)
     out = np.empty(n, dtype=object)
     for i in range(n):
+        st = int(step.data[i]) if step is not None else 1
+        if st == 0:
+            raise InvalidInputException(
+                "interval cannot be 0 for range/generate_series")
         if b is None:
-            out[i] = list(range(int(a.data[i])))
+            lo, hi = 0, int(a.data[i])
         else:
-            out[i] = list(range(int(a.data[i]), int(b.data[i])))
+            lo, hi = int(a.data[i]), int(b.data[i])
+        if inclusive:
+            hi += 1 if st > 0 else -1
+        out[i] = list(range(lo, hi, st))
+    return out
+
+
+@register("generate_series")
+def fn_generate_series_scalar(args):
+    # list-producing scalar generate_series(a, b[, step]) — INCLUSIVE end
+    # (DuckDB: range is end-exclusive, generate_series end-inclusive)
+    a = args[0]
+    return Vector(LIST(BIGINT), _series_scalar(args, True),
+                  _common_validity(args))
+
+
+@register("range")
+@register("generate_series_scalar")
+def fn_range_scalar(args):
+    # list-producing scalar range([a,] b[, step]), end-exclusive
+    a = args[0]
+    n = len(a)
+    out = _series_scalar(args, False)
     return Vector(LIST(BIGINT), out, a.validity.copy())
 
 
@@ -2257,3 +2400,6 @@ def fn_list_aggregate(args):
 
 REGISTRY["array_cat"] = REGISTRY["list_concat"] \
     if "list_concat" in REGISTRY else REGISTRY.get("||")
+# substring_grapheme: code-point approximation of DuckDB's grapheme-cluster
+# substring (exact for strings without combining sequences)
+register_alias("substring_grapheme", "substring")

@@ -312,6 +312,12 @@ def value_to_string(value, typ: LogicalType) -> str:
         return repr(float(value))
     if t == TypeId.VARCHAR:
         return str(value)
+    if t == TypeId.BLOB:
+        # DuckDB Blob::ToString: printable ASCII as-is, rest as \xHH
+        b = value if isinstance(value, (bytes, bytearray)) \
+            else str(value).encode()
+        return "".join(chr(c) if 32 <= c <= 126 and c != 0x5C
+                       else f"\\x{c:02X}" for c in b)
     if t == TypeId.DATE:
         y, m, d = _civil_from_days(int(value))
         return f"{y:04d}-{m:02d}-{d:02d}"

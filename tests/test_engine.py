@@ -607,3 +607,48 @@ def test_bitwise_and_pattern_operators():
         con.execute("SELECT hamming('ab', 'abc')")
     with pytest.raises(BinderException):
         con.execute("SELECT 'a' & 'b'")
+
+
+def test_round4_surface_batch4():
+    """SUMMARIZE of tables/queries, BLOB casts, series scalars, encode and
+    misc string functions, row-as-struct references."""
+    import duckpgq_tpu
+    con = duckpgq_tpu.connect()
+    con.execute("CREATE TABLE st(a INT, b VARCHAR)")
+    con.execute("INSERT INTO st VALUES (1,'x'),(2,'y'),(4,NULL)")
+    rows = con.execute("SUMMARIZE st").fetchall()
+    assert [r[0] for r in rows] == ["a", "b"]
+    a = rows[0]
+    assert (a[1], a[2], a[3], a[4], a[10], a[11]) == \
+        ("INTEGER", "1", "4", 3, 3, 0.0)
+    b = rows[1]
+    assert (b[2], b[3], b[10], b[11]) == ("x", "y", 3, 33.33)
+    assert con.execute("SUMMARIZE SELECT a+1 AS c FROM st"
+                       ).fetchall()[0][:4] == ("c", "INTEGER", "2", "5")
+    checks = [
+        ("SELECT generate_series(1,5), generate_series(1,7,2),"
+         " generate_series(5,1,-2)", [([1, 2, 3, 4, 5], [1, 3, 5, 7],
+                                       [5, 3, 1])]),
+        ("SELECT range(1,4), range(4), range(1,8,3)",
+         [([1, 2, 3], [0, 1, 2, 3], [1, 4, 7])]),
+        ("SELECT bit_length('ab'), octet_length('ab'), octet_length('é')",
+         [(16, 2, 2)]),
+        ("SELECT translate('abcd','ac','x')", [("xbd",)]),
+        ("SELECT to_base64('ab'::BLOB), from_base64('YWI=')::VARCHAR",
+         [("YWI=", "ab")]),
+        ("SELECT 'ab'::BLOB::VARCHAR, '\\x41B'::BLOB::VARCHAR",
+         [("ab", "AB")]),
+        ("SELECT octet_length('\\x00\\xFF'::BLOB)", [(2,)]),
+        ("SELECT strip_accents('café'), nfc_normalize('abc')",
+         [("cafe", "abc")]),
+        ("SELECT to_base(255,16), to_base(255,2,10), to_base(-10,16)",
+         [("FF", "0011111111", "-A")]),
+        ("SELECT bar(5,0,10,10)", [("█████",)]),
+        ("SELECT substring_grapheme('abcde',2,3)", [("bcd",)]),
+        # row-as-struct
+        ("SELECT st FROM st WHERE a = 2", [((2, "y"),)]),
+        ("SELECT (st).a FROM st WHERE a = 1", [(1,)]),
+        ("SELECT tt FROM st tt WHERE tt.a = 2", [((2, "y"),)]),
+    ]
+    for q, want in checks:
+        assert con.execute(q).fetchall() == want, q
