@@ -647,6 +647,9 @@ class Evaluator:
                 from ..types import SQLNULL as _N
                 return Vector.empty(_N)
             return self._struct_field(base, str(idx.data[0]))
+        if base.type.id == TypeId.MAP:
+            # m[k] returns a LIST of matching values (DuckDB map semantics)
+            return get_function("map_extract")([base, idx])
         fn = get_function("list_element")
         return fn([base, idx])
 

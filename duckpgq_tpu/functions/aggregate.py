@@ -272,6 +272,74 @@ def agg_bool_or(args, gids, n_groups, distinct):
     return Vector(BOOLEAN, acc, has)
 
 
+def _bit_agg_impl(ufunc, init):
+    def impl(args, gids, n_groups, distinct):
+        a = args[0]
+        valid = a.validity
+        g = gids[valid]
+        v = a.data[valid].astype(np.int64)
+        if distinct and len(v):
+            pairs = np.unique(np.stack([g.astype(np.int64), v]), axis=1)
+            g, v = pairs[0], pairs[1]
+        acc = np.full(n_groups, init, dtype=np.int64)
+        ufunc.at(acc, g, v)
+        has = np.zeros(n_groups, dtype=bool)
+        has[g] = True
+        return Vector(BIGINT, acc, has)
+    return impl
+
+
+register("bit_and")(_bit_agg_impl(np.bitwise_and, -1))
+register("bit_or")(_bit_agg_impl(np.bitwise_or, 0))
+register("bit_xor")(_bit_agg_impl(np.bitwise_xor, 0))
+
+
+def _arg_minmax_impl(prefer_smaller: bool):
+    def impl(args, gids, n_groups, distinct):
+        arg, val = args[0], args[1]
+        best = [None] * n_groups
+        out = [None] * n_groups
+        for i in range(len(gids)):
+            if not val.validity[i]:
+                continue        # rows with a NULL ordering value are ignored
+            g = gids[i]
+            v = val.value(i)
+            if best[g] is None or (v < best[g] if prefer_smaller
+                                   else v > best[g]):
+                best[g] = v
+                out[g] = arg.value(i) if arg.validity[i] else None
+        return Vector.from_values(out, arg.type)
+    return impl
+
+
+register("arg_min")(_arg_minmax_impl(True))
+register("argmin")(_arg_minmax_impl(True))
+register("min_by")(_arg_minmax_impl(True))
+register("arg_max")(_arg_minmax_impl(False))
+register("argmax")(_arg_minmax_impl(False))
+register("max_by")(_arg_minmax_impl(False))
+
+
+@register("histogram")
+def agg_histogram(args, gids, n_groups, distinct):
+    """histogram(x) -> MAP(x_type, BIGINT) of value counts, keys sorted."""
+    from ..types import MAP
+    a = args[0]
+    counts = [dict() for _ in range(n_groups)]
+    for i in range(len(gids)):
+        if a.validity[i]:
+            d = counts[gids[i]]
+            v = a.value(i)
+            d[v] = d.get(v, 0) + 1
+    out = np.empty(n_groups, dtype=object)
+    has = np.zeros(n_groups, dtype=bool)
+    for g in range(n_groups):
+        if counts[g]:
+            out[g] = dict(sorted(counts[g].items()))
+            has[g] = True
+    return Vector(MAP(a.type, BIGINT), out, has)
+
+
 def _quantile_impl(mode: str):
     def impl(args, gids, n_groups, distinct):
         a = args[0]

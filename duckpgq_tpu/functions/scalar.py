@@ -2403,3 +2403,134 @@ REGISTRY["array_cat"] = REGISTRY["list_concat"] \
 # substring_grapheme: code-point approximation of DuckDB's grapheme-cluster
 # substring (exact for strings without combining sequences)
 register_alias("substring_grapheme", "substring")
+
+
+# ---------------------------------------------------------------------------
+# MAP family (reference inherits DuckDB's MAP type; values here are python
+# dicts, keys insertion-ordered)
+# ---------------------------------------------------------------------------
+
+@register("map")
+def fn_map(args):
+    from ..types import MAP
+    if len(args) < 2:
+        # map() -> empty map (zero-arg calls get the row-count dummy vector)
+        n = len(args[0]) if args else 1
+        return Vector.from_values([{}] * n, MAP(SQLNULL, SQLNULL))
+    keys, vals = args
+    kt = keys.type.child or SQLNULL
+    vt = vals.type.child or SQLNULL
+    n = len(keys)
+    out = np.empty(n, dtype=object)
+    validity = _common_validity(args)
+    for i in range(n):
+        if not validity[i]:
+            continue
+        ks, vs = keys.data[i], vals.data[i]
+        if len(ks) != len(vs):
+            raise InvalidInputException(
+                "Error in MAP creation: key list and value list do not "
+                "align. The map was not created.")
+        if len(set(ks)) != len(ks):
+            raise InvalidInputException(
+                "Map keys must be unique.")
+        out[i] = dict(zip(ks, vs))
+    return Vector(MAP(kt, vt), out, validity)
+
+
+@register("map_extract")
+@register("element_at")
+def fn_map_extract(args):
+    m, k = args
+    vt = m.type.fields[1][1] if m.type.id is TypeId.MAP else SQLNULL
+    n = len(m)
+    out = np.empty(n, dtype=object)
+    validity = _common_validity(args)
+    for i in range(n):
+        if validity[i]:
+            key = k.value(i)
+            d = m.data[i]
+            out[i] = [d[key]] if key in d else []
+    return Vector(LIST(vt), out, validity)
+
+
+@register("map_keys")
+def fn_map_keys(args):
+    m = args[0]
+    kt = m.type.fields[0][1] if m.type.id is TypeId.MAP else SQLNULL
+    n = len(m)
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        if m.validity[i]:
+            out[i] = list(m.data[i].keys())
+    return Vector(LIST(kt), out, m.validity.copy())
+
+
+@register("map_values")
+def fn_map_values(args):
+    m = args[0]
+    vt = m.type.fields[1][1] if m.type.id is TypeId.MAP else SQLNULL
+    n = len(m)
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        if m.validity[i]:
+            out[i] = list(m.data[i].values())
+    return Vector(LIST(vt), out, m.validity.copy())
+
+
+@register("map_contains")
+def fn_map_contains(args):
+    m, k = args
+    validity = _common_validity(args)
+    n = len(m)
+    out = np.zeros(n, dtype=bool)
+    for i in range(n):
+        if validity[i]:
+            out[i] = k.value(i) in m.data[i]
+    return Vector(BOOLEAN, out, validity)
+
+
+@register("map_entries")
+def fn_map_entries(args):
+    from ..types import STRUCT
+    m = args[0]
+    if m.type.id is TypeId.MAP:
+        kt, vt = m.type.fields[0][1], m.type.fields[1][1]
+    else:
+        kt = vt = SQLNULL
+    styp = STRUCT([("key", kt), ("value", vt)])
+    n = len(m)
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        if m.validity[i]:
+            out[i] = [tuple(kv) for kv in m.data[i].items()]
+    return Vector(LIST(styp), out, m.validity.copy())
+
+
+@register("map_from_entries")
+def fn_map_from_entries(args):
+    from ..types import MAP
+    lst = args[0]
+    el = lst.type.child
+    if el is not None and el.id is TypeId.STRUCT and el.fields \
+            and len(el.fields) == 2:
+        kt, vt = el.fields[0][1], el.fields[1][1]
+    else:
+        kt = vt = SQLNULL
+    n = len(lst)
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        if lst.validity[i]:
+            out[i] = {kv[0]: kv[1] for kv in lst.data[i]}
+    return Vector(MAP(kt, vt), out, lst.validity.copy())
+
+
+@register("cardinality")
+def fn_cardinality(args):
+    m = args[0]
+    n = len(m)
+    out = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        if m.validity[i]:
+            out[i] = len(m.data[i])
+    return Vector(BIGINT, out, m.validity.copy())

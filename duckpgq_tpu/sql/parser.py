@@ -1130,7 +1130,8 @@ class Parser:
         "bit_or", "bit_xor", "product", "count_star", "favg", "fsum",
         "mode", "approx_count_distinct", "arbitrary", "skewness",
         "kurtosis", "corr", "covar_pop", "covar_samp", "regr_slope",
-        "regr_intercept", "entropy",
+        "regr_intercept", "entropy", "argmin", "argmax", "min_by", "max_by",
+        "histogram",
     }
 
     def parse_primary(self) -> a.Expression:
@@ -1579,6 +1580,13 @@ class Parser:
                     break
             self.expect_op(")")
             typ = tt.STRUCT(fields)
+        elif name == "MAP" and self.peek().is_op("("):
+            self.next()
+            ktype = self.parse_type()
+            self.expect_op(",")
+            vtype = self.parse_type()
+            self.expect_op(")")
+            typ = tt.MAP(ktype, vtype)
         elif name in ("DECIMAL", "NUMERIC") and self.peek().is_op("("):
             self.next()
             width = int(self.next().text)

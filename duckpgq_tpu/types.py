@@ -44,6 +44,7 @@ class TypeId(Enum):
     INTERVAL = "INTERVAL"
     LIST = "LIST"
     STRUCT = "STRUCT"
+    MAP = "MAP"
 
 
 _INTEGRAL = {
@@ -129,7 +130,7 @@ class LogicalType:
 
     @property
     def is_nested(self) -> bool:
-        return self.id in (TypeId.LIST, TypeId.STRUCT)
+        return self.id in (TypeId.LIST, TypeId.STRUCT, TypeId.MAP)
 
     def numpy_dtype(self):
         return _NUMPY_DTYPE.get(self.id, object)
@@ -141,6 +142,8 @@ class LogicalType:
         if self.id == TypeId.STRUCT:
             inner = ", ".join(f"{n} {t}" for n, t in (self.fields or ()))
             return f"STRUCT({inner})"
+        if self.id == TypeId.MAP:
+            return f"MAP({self.fields[0][1]}, {self.fields[1][1]})"
         if self.id == TypeId.DECIMAL:
             return f"DECIMAL({self.width},{self.scale})"
         return self.id.value
@@ -178,6 +181,11 @@ def LIST(child: LogicalType) -> LogicalType:
 
 def STRUCT(fields) -> LogicalType:
     return LogicalType(TypeId.STRUCT, fields=tuple((n, t) for n, t in fields))
+
+
+def MAP(key: LogicalType, value: LogicalType) -> LogicalType:
+    """MAP type; values are stored as python dicts (insertion-ordered)."""
+    return LogicalType(TypeId.MAP, fields=(("key", key), ("value", value)))
 
 
 def DECIMAL(width: int, scale: int) -> LogicalType:
@@ -396,6 +404,13 @@ def value_to_string(value, typ: LogicalType) -> str:
         for (name, ft), v in zip(typ.fields or (), value):
             sv = "NULL" if v is None else value_to_string(v, ft)
             parts.append(f"'{name}': {sv}")
+        return "{" + ", ".join(parts) + "}"
+    if t == TypeId.MAP:
+        kt, vt = typ.fields[0][1], typ.fields[1][1]
+        parts = []
+        for k, v in value.items():
+            sv = "NULL" if v is None else value_to_string(v, vt)
+            parts.append(f"{value_to_string(k, kt)}={sv}")
         return "{" + ", ".join(parts) + "}"
     return str(value)
 

@@ -652,3 +652,48 @@ def test_round4_surface_batch4():
     ]
     for q, want in checks:
         assert con.execute(q).fetchall() == want, q
+
+
+def test_map_type_and_new_aggregates():
+    """MAP type family (map/map_extract/element_at/bracket/keys/values/
+    entries/cardinality/histogram) and bit/arg aggregates."""
+    import duckpgq_tpu
+    con = duckpgq_tpu.connect()
+    con.execute("CREATE TABLE mt(g INT, a INT, b VARCHAR)")
+    con.execute(
+        "INSERT INTO mt VALUES (1,3,'x'),(1,1,'y'),(2,5,'z'),(2,NULL,'w')")
+    checks = [
+        ("SELECT bit_and(a), bit_or(a), bit_xor(a) FROM mt", [(1, 7, 7)]),
+        ("SELECT bit_xor(x), bit_xor(DISTINCT x) FROM"
+         " (VALUES (3),(3),(5)) v(x)", [(5, 6)]),
+        ("SELECT g, arg_min(b, a), arg_max(b, a), min_by(b, a), max_by(b, a)"
+         " FROM mt GROUP BY g ORDER BY g",
+         [(1, "y", "x", "y", "x"), (2, "z", "z", "z", "z")]),
+        # rows whose ordering value is NULL are ignored
+        ("SELECT arg_min(a, a) FROM mt WHERE a IS NULL", [(None,)]),
+        ("SELECT map([1,2],[10,20])", [({1: 10, 2: 20},)]),
+        ("SELECT map([1,2],[10,20])[2], map_extract(map([1,2],[10,20]), 9)",
+         [([20], [])]),
+        ("SELECT element_at(map(['k'],[5]), 'k')", [([5],)]),
+        ("SELECT map_keys(map([1,2],[10,20])),"
+         " map_values(map([1,2],[10,20]))", [([1, 2], [10, 20])]),
+        ("SELECT map_contains(map([1],[2]), 1),"
+         " map_contains(map([1],[2]), 3)", [(True, False)]),
+        ("SELECT cardinality(map([1,2],[3,4])), cardinality(map())",
+         [(2, 0)]),
+        ("SELECT map_entries(map([1],[2]))", [([(1, 2)],)]),
+        ("SELECT map_from_entries(map_entries(map([1],[2])))", [({1: 2},)]),
+        ("SELECT map([1,2],[10,20])::VARCHAR", [("{1=10, 2=20}",)]),
+        ("SELECT histogram(a) FROM mt", [({1: 1, 3: 1, 5: 1},)]),
+        ("SELECT g, histogram(b) FROM mt GROUP BY g ORDER BY g",
+         [(1, {"x": 1, "y": 1}), (2, {"w": 1, "z": 1})]),
+        ("SELECT CAST(NULL AS MAP(INT, VARCHAR))", [(None,)]),
+    ]
+    for q, want in checks:
+        assert con.execute(q).fetchall() == want, q
+    import pytest
+    from duckpgq_tpu.errors import InvalidInputException
+    with pytest.raises(InvalidInputException):
+        con.execute("SELECT map([1,2],[3])")
+    with pytest.raises(InvalidInputException):
+        con.execute("SELECT map([1,1],[3,4])")
