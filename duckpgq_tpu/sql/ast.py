@@ -454,6 +454,60 @@ class CreateSequenceStatement(Statement):
 
 
 @dataclass
+class CreateMacroStatement(Statement):
+    """CREATE [OR REPLACE] MACRO name(p1, p2 := default) AS expr | TABLE sel
+    (DuckDB macro DDL; expansion happens by AST substitution at call time)."""
+    name: str = ""
+    params: List[str] = field(default_factory=list)
+    defaults: List[Tuple[str, "Expression"]] = field(default_factory=list)
+    body: Any = None          # Expression, or SelectStatement when is_table
+    is_table: bool = False
+    or_replace: bool = False
+
+
+def substitute_refs(node, mapping):
+    """Rebuild an AST with single-part ColumnRefs whose (lowercased) name is
+    in ``mapping`` replaced by the mapped expression — macro expansion. The
+    original tree is not mutated; replacement expressions are deep-copied per
+    site so repeated parameter uses stay independent."""
+    import copy
+    import dataclasses
+    from ..types import LogicalType
+
+    def walk(n):
+        if isinstance(n, ColumnRef) and len(n.parts) == 1:
+            rep = mapping.get(n.parts[0].lower())
+            if rep is not None:
+                rep = copy.deepcopy(rep)
+                if n.alias is not None:
+                    rep.alias = n.alias
+                return rep
+        if isinstance(n, LogicalType):
+            return n
+        if dataclasses.is_dataclass(n) and not isinstance(n, type):
+            changed = False
+            kwargs = {}
+            for f in dataclasses.fields(n):
+                v = getattr(n, f.name)
+                nv = walk(v)
+                kwargs[f.name] = nv
+                changed = changed or nv is not v
+            if not changed:
+                return n
+            out = type(n)(**kwargs)
+            return out
+        if isinstance(n, list):
+            return [walk(x) for x in n]
+        if isinstance(n, tuple):
+            return tuple(walk(x) for x in n)
+        if isinstance(n, dict):
+            return {k: walk(v) for k, v in n.items()}
+        return n
+
+    return walk(node)
+
+
+@dataclass
 class DropStatement(Statement):
     kind: str = "TABLE"  # TABLE / VIEW / SCHEMA / PROPERTY_GRAPH
     name: str = ""
