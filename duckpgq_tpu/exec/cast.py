@@ -51,6 +51,123 @@ def _parse_timestamp(s: str) -> int:
             f"Could not convert string '{s}' to TIMESTAMP") from e
 
 
+def _round_div_halfaway(x, d):
+    """x / d rounded half away from zero on integer arrays (int64 or object
+    Python ints); d is a positive Python int power of ten."""
+    ax = np.abs(x)
+    q = (ax + d // 2) // d
+    return np.where(x < 0, -q, q)
+
+
+def _decimal_overflow(value_repr, target):
+    return ConversionException(
+        f"Could not cast value {value_repr} to {target}")
+
+
+def _cast_to_decimal(vec: Vector, target: LogicalType, try_cast: bool
+                     ) -> Vector:
+    """numeric -> DECIMAL(p,s): scaled-integer conversion with
+    half-away-from-zero rounding and width enforcement (host DuckDB
+    decimal_cast semantics)."""
+    from ..types import value_to_string
+    p, s = target.width, target.scale
+    src = vec.type
+    validity = vec.validity.copy()
+    obj = target.numpy_dtype() is object or vec.data.dtype == object
+    lim = 10 ** p
+
+    if src.id == TypeId.DECIMAL:
+        s0 = src.scale
+        data = vec.data.astype(object) if obj else vec.data.astype(np.int64)
+        if s >= s0:
+            scaled = data * (10 ** (s - s0))
+        else:
+            scaled = _round_div_halfaway(data, 10 ** (s0 - s))
+    elif src.is_floating:
+        f = vec.data.astype(np.float64) * float(10 ** s)
+        bad = ~np.isfinite(f) & validity
+        if bad.any():
+            if not try_cast:
+                raise _decimal_overflow(
+                    repr(float(vec.data[np.flatnonzero(bad)[0]])), target)
+            validity &= ~bad
+            f = np.where(bad, 0.0, f)
+        rounded = np.where(f >= 0, np.floor(f + 0.5), np.ceil(f - 0.5))
+        over = (np.abs(rounded) >= float(lim)) & validity
+        if over.any():
+            if not try_cast:
+                i = int(np.flatnonzero(over)[0])
+                raise _decimal_overflow(repr(float(vec.data[i])), target)
+            validity &= ~over
+            rounded = np.where(over, 0.0, rounded)
+        if obj:
+            scaled = np.array([int(v) for v in rounded], dtype=object)
+        else:
+            scaled = rounded.astype(np.int64)
+        return Vector(target, scaled, validity)
+    else:  # integral / boolean
+        base = vec.data.astype(object) if obj else vec.data.astype(np.int64)
+        # check the integer part BEFORE scaling (avoids int64 overflow in
+        # the multiply)
+        int_lim = 10 ** (p - s)
+        over = (np.abs(base) >= int_lim) & validity
+        if over.any():
+            if not try_cast:
+                i = int(np.flatnonzero(over)[0])
+                raise _decimal_overflow(str(int(vec.data[i])), target)
+            validity &= ~over
+            base = np.where(over, 0, base)
+        scaled = base * (10 ** s)
+        return Vector(target, scaled, validity)
+
+    over = (np.abs(scaled) >= lim) & validity
+    if over.any():
+        if not try_cast:
+            i = int(np.flatnonzero(over)[0])
+            raise _decimal_overflow(value_to_string(vec.value(i), src), target)
+        validity &= ~over
+        scaled = np.where(over, 0, scaled)
+    if not obj and scaled.dtype == object:
+        scaled = scaled.astype(np.int64)
+    return Vector(target, scaled, validity)
+
+
+from ..types import INT_BOUNDS as _INT_BOUNDS  # noqa: E402
+
+
+def _cast_from_decimal(vec: Vector, target: LogicalType, try_cast: bool
+                       ) -> Vector:
+    """DECIMAL(p,s) -> integral/float/boolean."""
+    from ..types import value_to_string
+    s = vec.type.scale
+    den = 10 ** s
+    validity = vec.validity.copy()
+    if target.is_floating:
+        out = vec.data.astype(np.float64) / float(den)
+        return Vector(target, out.astype(target.numpy_dtype()), validity)
+    if target.id == TypeId.BOOLEAN:
+        return Vector(target, np.asarray(vec.data != 0, dtype=bool), validity)
+    if target.is_integral:
+        data = vec.data if vec.data.dtype == object \
+            else vec.data.astype(np.int64)
+        unscaled = _round_div_halfaway(data, den)
+        lo, hi = _INT_BOUNDS[target.id]
+        over = ((unscaled < lo) | (unscaled > hi)) & validity
+        if over.any():
+            if not try_cast:
+                i = int(np.flatnonzero(over)[0])
+                raise _decimal_overflow(
+                    value_to_string(vec.value(i), vec.type), target)
+            validity &= ~over
+            unscaled = np.where(over, 0, unscaled)
+        if target.numpy_dtype() is object:
+            out = unscaled.astype(object)
+        else:
+            out = unscaled.astype(target.numpy_dtype())
+        return Vector(target, out, validity)
+    raise ConversionException(f"Unimplemented cast {vec.type} -> {target}")
+
+
 def _blob_from_string(s: str) -> bytes:
     """VARCHAR -> BLOB cast: utf8 bytes with DuckDB \\xHH escapes decoded."""
     buf = bytearray()
@@ -131,12 +248,37 @@ def cast_vector(vec: Vector, target: LogicalType, try_cast: bool = False
                         raise ConversionException(
                             f"Could not convert string '{s}' to BOOLEAN")
                 elif target.is_integral:
-                    f = float(str(s).strip())
-                    if f != int(f):
+                    txt = str(s).strip()
+                    try:
+                        v = int(txt)        # exact (float corrupts >2^53)
+                    except ValueError:
+                        f = float(txt)
+                        if f != int(f):
+                            raise ConversionException(
+                                f"Could not convert string '{s}' to "
+                                f"{target}")
+                        v = int(f)
+                    lo, hi = _INT_BOUNDS[target.id]
+                    if not lo <= v <= hi:
                         raise ConversionException(
                             f"Could not convert string '{s}' to {target}")
-                    out[i] = int(f)
-                elif target.is_floating or target.id == TypeId.DECIMAL:
+                    out[i] = v
+                elif target.id == TypeId.DECIMAL:
+                    import decimal as _dec
+                    try:
+                        d = _dec.Decimal(str(s).strip())
+                    except _dec.InvalidOperation as exc:
+                        raise ConversionException(
+                            f"Could not convert string '{s}' to {target}"
+                        ) from exc
+                    v = int(d.scaleb(target.scale).to_integral_value(
+                        rounding=_dec.ROUND_HALF_UP))
+                    if abs(v) >= 10 ** target.width:
+                        raise ConversionException(
+                            f"Could not cast value {str(s).strip()} to "
+                            f"{target}")
+                    out[i] = v
+                elif target.is_floating:
                     out[i] = float(str(s).strip())
                 elif target.id == TypeId.DATE:
                     out[i] = _parse_date(str(s))
@@ -189,10 +331,44 @@ def cast_vector(vec: Vector, target: LogicalType, try_cast: bool = False
                         f"Could not convert string '{s}' to {target}")
         return Vector(target, out, validity)
 
+    # scaled-integer DECIMAL paths (before the generic numeric lattice)
+    if target.id == TypeId.DECIMAL and \
+            (src.is_numeric or src.id == TypeId.BOOLEAN):
+        return _cast_to_decimal(vec, target, try_cast)
+    if src.id == TypeId.DECIMAL and \
+            (target.is_numeric or target.id == TypeId.BOOLEAN):
+        return _cast_from_decimal(vec, target, try_cast)
+
     # numeric <-> numeric / boolean
     if (src.is_numeric or src.id == TypeId.BOOLEAN) and \
             (target.is_numeric or target.id == TypeId.BOOLEAN):
         dtype = target.numpy_dtype()
+        if target.id == TypeId.HUGEINT:
+            # object-backed exact ints
+            if src.is_floating:
+                f = vec.data.astype(np.float64)
+                r = np.where(f >= 0, np.floor(f + 0.5), np.ceil(f - 0.5))
+                out = np.array([int(v) for v in r], dtype=object)
+            else:
+                out = vec.data.astype(object)
+                out = np.array([int(v) for v in out], dtype=object)
+            return Vector(target, out, vec.validity.copy())
+        if src.id == TypeId.HUGEINT and target.is_integral:
+            lo, hi = _INT_BOUNDS[target.id]
+            validity = vec.validity.copy()
+            data = vec.data
+            over = np.zeros(n, dtype=bool)
+            for i in np.flatnonzero(validity):
+                if not lo <= data[i] <= hi:
+                    over[i] = True
+            if over.any():
+                if not try_cast:
+                    i = int(np.flatnonzero(over)[0])
+                    raise ConversionException(
+                        f"Could not cast value {data[i]} to {target}")
+                validity &= ~over
+            safe = np.where(over | ~validity, 0, data)
+            return Vector(target, safe.astype(dtype), validity)
         if target.is_integral and src.is_floating:
             # DuckDB rounds float->int casts HALF AWAY FROM ZERO
             # (8.5 -> 9, -7.5 -> -8); np.round would do banker's rounding

@@ -251,10 +251,21 @@ class Executor:
                 "number of result columns")
         rcols = []
         for lc, rc in zip(left.columns, right.columns):
-            if rc.type.id != lc.type.id:
+            if rc.type != lc.type:
                 if lc.type.id == TypeId.SQLNULL:
-                    lc_target = rc.type
                     # cast left lazily below by rebuilding
+                    rcols.append(rc)
+                    continue
+                if rc.type.id != TypeId.SQLNULL and \
+                        lc.type.is_numeric and rc.type.is_numeric:
+                    # unify to the covering numeric type (DECIMAL scales
+                    # must widen, not truncate to the left side's scale)
+                    from ..types import max_numeric_type
+                    try:
+                        rc = cast_vector(rc, max_numeric_type(lc.type,
+                                                              rc.type))
+                    except ConversionException:
+                        pass
                     rcols.append(rc)
                     continue
                 try:
@@ -262,10 +273,13 @@ class Executor:
                 except ConversionException:
                     pass
             rcols.append(rc)
-        # fix left NULL-typed columns
+        # unify left columns with the (possibly widened) right types
         lcols = []
         for lc, rc in zip(left.columns, rcols):
             if lc.type.id == TypeId.SQLNULL and rc.type.id != TypeId.SQLNULL:
+                lc = cast_vector(lc, rc.type)
+            elif lc.type != rc.type and lc.type.is_numeric and \
+                    rc.type.is_numeric and rc.type.id == TypeId.DECIMAL:
                 lc = cast_vector(lc, rc.type)
             lcols.append(lc)
         op = node.op
@@ -483,7 +497,7 @@ class Executor:
             casted = []
             for p in pieces:
                 c = p.columns[j]
-                if c.type.id != target.id:
+                if c.type != target and c.type.id != TypeId.SQLNULL:
                     c = cast_vector(c, target)
                 casted.append(c)
             out_cols.append(Vector.concat(casted))
@@ -638,6 +652,7 @@ class Executor:
         out_cols: List[Vector] = []
         out_fps: List[str] = []
         unnest_slots: List[int] = []
+        unnest_struct_slots: set = set()
         for e in node.select_list:
             if isinstance(e, a.Star):
                 repl = {nm.lower(): ex for ex, nm in e.replace}
@@ -659,9 +674,37 @@ class Executor:
                         "not found in table")
             elif isinstance(e, a.FunctionCall) and \
                     e.name.lower() == "unnest" and len(e.args) == 1:
-                # top-level UNNEST: expand rows after projection
+                # top-level UNNEST: lists expand rows (after projection),
+                # structs expand columns; recursive := true flattens
+                # nested lists fully and nested structs into columns
+                # (host semantics; the named-arg set is validated)
+                recursive = False
+                for k, v in e.kwargs:
+                    kl = k.lower()
+                    if kl == "recursive":
+                        rv = ev.evaluate(v).value(0)
+                        recursive = bool(rv)
+                    elif kl == "max_depth":
+                        pass  # accepted, only meaningful with recursive
+                    else:
+                        raise BinderException(
+                            f'Invalid named parameter "{k}" for function '
+                            f"unnest")
                 vec = ev.evaluate(e.args[0])
+                if recursive and vec.type.id == TypeId.LIST:
+                    vec = self._flatten_list_vector(vec)
+                if vec.type.id == TypeId.STRUCT:
+                    for nm, fvec in self._struct_unnest_columns(
+                            vec, recursive):
+                        out_names.append(nm)
+                        out_cols.append(fvec)
+                        out_fps.append(f"col:{nm.lower()}")
+                    continue
                 unnest_slots.append(len(out_cols))
+                if recursive and vec.type.id == TypeId.LIST and \
+                        vec.type.child is not None and \
+                        vec.type.child.id == TypeId.STRUCT:
+                    unnest_struct_slots.add(len(out_cols))
                 out_names.append(e.alias or "unnest")
                 out_cols.append(vec)
                 out_fps.append(fingerprint(e))
@@ -675,6 +718,13 @@ class Executor:
         # scalar select without FROM produces one row; handled by EmptyTableRef
         if unnest_slots:
             out_cols = self._expand_unnest(out_cols, unnest_slots)
+            # recursive unnest over a list of structs: the row-expanded
+            # struct column further expands into per-field columns
+            for s in sorted(unnest_struct_slots, reverse=True):
+                pieces = self._struct_unnest_columns(out_cols[s], True)
+                out_cols[s:s + 1] = [fv for _, fv in pieces]
+                out_names[s:s + 1] = [nm for nm, _ in pieces]
+                out_fps[s:s + 1] = [f"col:{nm.lower()}" for nm, _ in pieces]
 
         result = QueryResult(out_names, out_cols)
 
@@ -689,6 +739,55 @@ class Executor:
             "fps": out_fps,
         }
         return result, order_ctx
+
+    @staticmethod
+    def _flatten_list_vector(vec: Vector) -> Vector:
+        """unnest(.., recursive := true) on LIST: fully flatten nested
+        lists per row (host semantics: [[1,2],[3]] unnests to 1,2,3)."""
+        from ..types import LIST as _LIST
+
+        def flat(v):
+            out = []
+            for el in v:
+                if isinstance(el, list):        # nested list (structs are
+                    out.extend(flat(el))        # tuples — not flattened)
+                else:
+                    out.append(el)
+            return out
+
+        t = vec.type
+        depth = 0
+        while t.id == TypeId.LIST and t.child is not None and \
+                t.child.id == TypeId.LIST:
+            t = t.child
+            depth += 1
+        if depth == 0:
+            return vec
+        n = len(vec)
+        data = np.empty(n, dtype=object)
+        for i in range(n):
+            if vec.validity[i] and vec.data[i] is not None:
+                data[i] = flat(list(vec.data[i]))
+        return Vector(t, data, vec.validity.copy())
+
+    @staticmethod
+    def _struct_unnest_columns(vec: Vector, recursive: bool):
+        """unnest(STRUCT) expands into one column per field (no row
+        change); with recursive, nested structs flatten into columns
+        too."""
+        n = len(vec)
+        out = []
+        for k, (nm, ft) in enumerate(vec.type.fields or ()):
+            vals = []
+            for i in range(n):
+                v = vec.data[i] if vec.validity[i] else None
+                vals.append(None if v is None else v[k])
+            fvec = Vector.from_values(vals, ft)
+            if recursive and ft.id == TypeId.STRUCT:
+                out.extend(Executor._struct_unnest_columns(fvec, True))
+            else:
+                out.append((nm, fvec))
+        return out
 
     def _expand_unnest(self, out_cols: List[Vector], unnest_slots: List[int]
                        ) -> List[Vector]:
@@ -796,6 +895,10 @@ class Executor:
                     f"No function matches the given name and argument "
                     f"types '{call.name}()'")
             arg_vecs = [ev.evaluate(x) for x in call.args]
+            from ..functions.aggregate import DECIMAL_AWARE
+            if call.name.lower() not in DECIMAL_AWARE:
+                from ..functions.scalar import _decimal_to_double
+                arg_vecs = [_decimal_to_double(v) for v in arg_vecs]
             gids_c = gids
             row_sel = None
             if call.filter is not None:
@@ -1040,6 +1143,12 @@ class Executor:
                 if src.type.numpy_dtype() is not object else None
             valid = src.validity[perm]
             src_type = src.type
+        if src_type.id == TypeId.DECIMAL and sv is not None:
+            # numeric window aggregates run on DOUBLE (the scaled int
+            # would be off by 10^scale); value-picking windows below keep
+            # the raw decimal representation and type
+            sv = sv / float(10 ** src_type.scale)
+            src_type = DOUBLE
         if name in ("first_value", "last_value") or sv is None:
             # value-picking windows (work for any type); default frames:
             # first = partition first row; last = current peer-group last
@@ -1204,6 +1313,9 @@ class Executor:
                     raise BinderException(
                         "RANGE frames require a numeric ORDER BY "
                         "expression")
+                if kv.type.id == TypeId.DECIMAL:
+                    from ..functions.scalar import _decimal_to_double
+                    kv = _decimal_to_double(kv)
                 # ascending view of the key so PRECEDING/FOLLOWING share
                 # one searchsorted formulation for ASC and DESC orders
                 q = kv.data.astype(np.float64)[perm]
@@ -1275,6 +1387,9 @@ class Executor:
         if src.type.numpy_dtype() is object:
             raise BinderException(
                 f"window aggregate {name} requires numeric input")
+        if src.type.id == TypeId.DECIMAL:
+            from ..functions.scalar import _decimal_to_double
+            src = _decimal_to_double(src)
         sv = np.where(src.validity, src.data, 0).astype(np.float64)[perm]
         if name in ("sum", "avg"):
             pps = np.concatenate([[0.0], np.cumsum(sv)])
@@ -1979,11 +2094,11 @@ class Executor:
                     "VALUES rows must all have the same number of columns")
             for j, e in enumerate(row):
                 vec = ev.evaluate(e)
-                col_vals[j].append(vec.value(0))
+                col_vals[j].append((vec.value(0), vec.type))
                 if vec.type.id != TypeId.SQLNULL:
                     if col_types[j].id == TypeId.SQLNULL:
                         col_types[j] = vec.type
-                    elif col_types[j].id != vec.type.id and \
+                    elif col_types[j] != vec.type and \
                             col_types[j].is_numeric and vec.type.is_numeric:
                         from ..types import max_numeric_type
                         col_types[j] = max_numeric_type(col_types[j], vec.type)
@@ -1994,8 +2109,26 @@ class Executor:
         names = [f"col{j}" for j in range(n_cols)]
         if ref.column_aliases:
             names[:len(ref.column_aliases)] = list(ref.column_aliases)
-        cols = [Vector.from_values(vals, t)
-                for vals, t in zip(col_vals, col_types)]
+        cols = []
+        for vals, t in zip(col_vals, col_types):
+            if t.id == TypeId.DECIMAL:
+                # rescale each row from its source representation to the
+                # unified scale (raw scaled ints are scale-relative)
+                conv = []
+                for v, vt in vals:
+                    if v is None:
+                        conv.append(None)
+                    elif vt.id == TypeId.DECIMAL:
+                        d = t.scale - vt.scale
+                        conv.append(int(v) * 10 ** d if d >= 0 else
+                                    int(round(v / 10 ** (-d))))
+                    elif vt.is_floating:
+                        conv.append(int(round(float(v) * 10 ** t.scale)))
+                    else:
+                        conv.append(int(v) * 10 ** t.scale)
+                cols.append(Vector.from_values(conv, t))
+            else:
+                cols.append(Vector.from_values([v for v, _ in vals], t))
         return Relation.from_columns(ref.alias or "values", names, cols)
 
     # ----------------------------------------------------------------- joins
@@ -2170,7 +2303,9 @@ class Executor:
             return Relation.concat_horizontal(
                 left.take(li), right.take(ri))
         condition = ref.condition
+        using_cols: List[str] = []
         if ref.using:
+            using_cols = list(ref.using)
             conjs = []
             for col in ref.using:
                 conjs.append(a.Comparison(
@@ -2187,6 +2322,7 @@ class Executor:
                 for n, _ in b.visible():
                     if n.lower() in lnames:
                         shared.append(n)
+            using_cols = shared
             conjs = [a.Comparison(
                 op="=",
                 left=a.ColumnRef(parts=(self._binding_alias(left), c)),
@@ -2212,7 +2348,8 @@ class Executor:
             li, ri = li[mask], ri[mask]
             joined = joined.filter(mask)
         if jt == "INNER":
-            return joined
+            return self._using_dedup(joined, len(left.columns), left, right,
+                                     using_cols, jt)
         if jt == "SEMI":
             keep = np.zeros(left.row_count, dtype=bool)
             keep[li] = True
@@ -2243,7 +2380,8 @@ class Executor:
                 cols = [Vector.concat([c1, c2])
                         for c1, c2 in zip(out.columns, extra.columns)]
                 out = Relation(cols, out.bindings)
-            return out
+            return self._using_dedup(out, len(left.columns), left, right,
+                                     using_cols, jt)
         if jt == "RIGHT":
             matched_right = np.zeros(right.row_count, dtype=bool)
             matched_right[ri] = True
@@ -2252,10 +2390,64 @@ class Executor:
             pad_li = np.concatenate([li, np.zeros(len(un_r), dtype=np.int64)])
             null_l = np.concatenate([np.zeros(len(ri), dtype=bool),
                                      np.ones(len(un_r), dtype=bool)])
-            return Relation.concat_horizontal(
+            out = Relation.concat_horizontal(
                 left.take_with_nulls(pad_li, null_l),
                 right.take(pad_ri))
+            return self._using_dedup(out, len(left.columns), left, right,
+                                     using_cols, jt)
         raise InternalException(f"unhandled join type {jt}")
+
+    def _using_dedup(self, out: Relation, n_left_cols: int, left: Relation,
+                     right: Relation, using_cols: List[str], jt: str
+                     ) -> Relation:
+        """SQL USING/NATURAL join column semantics (host grammar
+        select.gram:110 UsingClause): each join column appears ONCE in
+        SELECT *, unqualified references bind to the coalesced column, and
+        qualified references to either side keep working. The left slot
+        holds the output column (coalesced with the right side for
+        RIGHT/FULL outer joins, where left padding is NULL); the right
+        binding's entry is marked using-hidden."""
+        if not using_cols:
+            return out
+        pairs = []   # (lower name, left slot, right slot)
+        for col in using_cols:
+            ls = left.resolve((col,))
+            rs = right.resolve((col,))
+            if ls is None or rs is None:
+                continue
+            pairs.append((col.lower(), ls, rs + n_left_cols))
+        if not pairs:
+            return out
+        if jt in ("RIGHT", "FULL"):
+            cols = list(out.columns)
+            for _, ls, rs in pairs:
+                lvec, rvec = cols[ls], cols[rs]
+                if rvec.type != lvec.type and \
+                        rvec.type.id != TypeId.SQLNULL:
+                    rvec = cast_vector(rvec, lvec.type)
+                data = np.where(lvec.validity, lvec.data, rvec.data)
+                if lvec.data.dtype == object:
+                    data = data.astype(object)
+                cols[ls] = Vector(lvec.type, data,
+                                  lvec.validity | rvec.validity)
+            out = Relation(cols, out.bindings)
+        hidden_names = {p[0] for p in pairs}
+        right_slots = {p[2] for p in pairs}
+        new_bindings = []
+        for b in out.bindings:
+            touched = [k for k, (nm, ix) in
+                       enumerate(zip(b.names, b.indices))
+                       if nm.lower() in hidden_names and ix in right_slots]
+            if touched:
+                hidden = list(b.hidden)
+                for k in touched:
+                    hidden[k] = True
+                new_bindings.append(Binding(
+                    b.alias, list(b.names), list(b.indices), hidden,
+                    b.using_hidden | {b.names[k].lower() for k in touched}))
+            else:
+                new_bindings.append(b)
+        return Relation(out.columns, new_bindings)
 
     @staticmethod
     def _binding_alias(rel: Relation) -> str:
@@ -2343,7 +2535,14 @@ class Executor:
             if star.relation is not None and \
                     b.alias.lower() != star.relation.lower():
                 continue
-            for name, slot in b.visible():
+            entries = b.visible()
+            if star.relation is not None and b.using_hidden:
+                # a QUALIFIED alias.* still includes this side's
+                # USING/NATURAL join columns (only bare * dedups them)
+                entries = [(n, i) for n, i, h in
+                           zip(b.names, b.indices, b.hidden)
+                           if not h or n.lower() in b.using_hidden]
+            for name, slot in entries:
                 if name.lower() in exclude:
                     continue
                 if rx is not None and not rx.search(name):

@@ -27,7 +27,9 @@ from .relation import Relation
 
 def fingerprint(e: a.Expression) -> str:
     if isinstance(e, a.Constant):
-        return f"const:{e.value!r}"
+        # include the type: the DECIMAL literal 0.1 stores scaled value 1,
+        # which must not collide with the INTEGER literal 1
+        return f"const:{e.value!r}:{e.type}"
     if isinstance(e, a.ColumnRef):
         return "col:" + ".".join(p.lower() for p in e.parts)
     if isinstance(e, a.FunctionCall):
@@ -578,8 +580,18 @@ class Evaluator:
             decided |= mask
             results.append((mask, self.evaluate(then)))
         else_vec = self.evaluate(e.else_expr) if e.else_expr is not None else None
-        typ = next((v.type for _, v in results if v.type.id != TypeId.SQLNULL),
-                   else_vec.type if else_vec is not None else SQLNULL)
+        branch_types = [v.type for _, v in results] + \
+            ([else_vec.type] if else_vec is not None else [])
+        typ = SQLNULL
+        for bt in branch_types:
+            if bt.id == TypeId.SQLNULL:
+                continue
+            if typ.id == TypeId.SQLNULL:
+                typ = bt
+            elif typ != bt and typ.is_numeric and bt.is_numeric:
+                # covering numeric type across branches (mixed DECIMAL
+                # scales must widen, not truncate to the first branch)
+                typ = max_numeric_type(typ, bt)
         out = Vector.constant(None, typ, n)
         for mask, vec in results:
             if mask.any():
@@ -588,7 +600,7 @@ class Evaluator:
                     # None — only the validity may be written
                     out.validity[mask] = False
                     continue
-                if vec.type.id != typ.id:
+                if vec.type != typ:
                     vec = cast_vector(vec, typ)
                 out.data[mask] = vec.data[mask]
                 out.validity[mask] = vec.validity[mask]
@@ -597,7 +609,7 @@ class Evaluator:
             if else_vec.type.id == TypeId.SQLNULL:
                 out.validity[rest] = False
             else:
-                if else_vec.type.id != typ.id:
+                if else_vec.type != typ:
                     else_vec = cast_vector(else_vec, typ)
                 out.data[rest] = else_vec.data[rest]
                 out.validity[rest] = else_vec.validity[rest]
@@ -663,6 +675,17 @@ class Evaluator:
         return Vector(typ, data, np.ones(n, dtype=bool))
 
     # ------------------------------------------------------------ functions
+    # scalar functions that understand the scaled-int DECIMAL representation
+    # (exact arithmetic/rescale) or are representation-agnostic (value
+    # movers: coalesce casts via cast_vector, list/struct builders render
+    # through the element type)
+    _DECIMAL_AWARE_SCALARS = frozenset({
+        "+", "-", "*", "/", "//", "%", "mod", "add", "subtract", "multiply",
+        "divide", "abs", "round", "floor", "ceil", "ceiling", "typeof",
+        "coalesce", "ifnull", "nullif", "greatest", "least", "list_value",
+        "struct_extract", "list_element", "map_extract", "first", "last",
+        "constant_or_null", "alias", "count",
+    })
     _LAMBDA_FUNCS = {"list_transform": "transform", "list_apply": "transform",
                      "array_transform": "transform", "apply": "transform",
                      "list_filter": "filter", "array_filter": "filter",
@@ -714,6 +737,12 @@ class Evaluator:
             return self._evaluate_list_lambda(e, mode)
         # unnest and star-arg functions unsupported here
         args = [self.evaluate(x) for x in e.args if not isinstance(x, a.Star)]
+        if any(v.type.id == TypeId.DECIMAL for v in args) and \
+                name not in self._DECIMAL_AWARE_SCALARS:
+            # decimal-unaware functions see DOUBLE (the scaled int would be
+            # off by 10^scale); the aware set keeps exact semantics
+            from ..functions.scalar import _decimal_to_double
+            args = [_decimal_to_double(v) for v in args]
         fn = get_function(name)
         if fn is None:
             from ..functions.scalar import function_not_found

@@ -21,14 +21,19 @@ from ..types import BIGINT
 class Binding:
     """One table alias visible in a relation: alias plus its column slots."""
 
-    __slots__ = ("alias", "names", "indices", "hidden")
+    __slots__ = ("alias", "names", "indices", "hidden", "using_hidden")
 
     def __init__(self, alias: str, names: List[str], indices: List[int],
-                 hidden: Optional[List[bool]] = None):
+                 hidden: Optional[List[bool]] = None,
+                 using_hidden: Optional[frozenset] = None):
         self.alias = alias
         self.names = names          # column names in binding order
         self.indices = indices      # physical column slots in Relation.columns
         self.hidden = hidden or [False] * len(names)
+        # names hidden by USING/NATURAL join dedup: excluded from bare
+        # SELECT * but still included by a qualified alias.* and always
+        # reachable by qualified reference (unlike rowid-style hidden)
+        self.using_hidden = using_hidden or frozenset()
 
     def visible(self) -> List[Tuple[str, int]]:
         return [(n, i) for n, i, h in zip(self.names, self.indices, self.hidden)
@@ -40,6 +45,13 @@ class Binding:
             if n.lower() == lcol:
                 return i
         return None
+
+    def is_hidden(self, col: str) -> bool:
+        lcol = col.lower()
+        for n, h in zip(self.names, self.hidden):
+            if n.lower() == lcol:
+                return h
+        return False
 
 
 class Relation:
@@ -63,13 +75,17 @@ class Relation:
             for b in self.bindings:
                 idx = b.find(col)
                 if idx is not None:
-                    matches.append((b.alias, idx))
+                    matches.append((b.alias, idx, b.is_hidden(col)))
             if not matches:
                 return None
             if len(matches) > 1:
-                # identical slot via multiple bindings is fine
+                # identical slot via multiple bindings is fine; a hidden
+                # duplicate (USING/NATURAL dedup) defers to the visible one
                 slots = {m[1] for m in matches}
                 if len(slots) > 1:
+                    vis = [m for m in matches if not m[2]]
+                    if len({m[1] for m in vis}) == 1:
+                        return vis[0][1]
                     raise BinderException(
                         f'Ambiguous reference to column name "{col}" '
                         f'(use: "{matches[0][0]}.{col}" or '
@@ -165,7 +181,7 @@ class Relation:
             existing.add(alias.lower())
             bindings.append(Binding(alias, list(b.names),
                                     [i + offset for i in b.indices],
-                                    list(b.hidden)))
+                                    list(b.hidden), b.using_hidden))
         return Relation(cols, bindings)
 
     @staticmethod

@@ -42,6 +42,17 @@ def get_aggregate(name: str) -> Optional[AggregateFunction]:
     return REGISTRY.get(name.lower())
 
 
+# Aggregates whose implementations understand the scaled-integer DECIMAL
+# representation (or are representation-agnostic value pickers). The
+# executor converts DECIMAL args to DOUBLE for everything else.
+DECIMAL_AWARE = {
+    "sum", "fsum", "min", "max", "avg", "favg", "mean", "count",
+    "count_star", "first", "arbitrary", "last", "any_value", "list",
+    "array_agg", "histogram", "mode", "arg_min", "arg_max", "argmin",
+    "argmax", "min_by", "max_by",
+}
+
+
 def _dedup(args: List[Vector], gids: np.ndarray):
     """Keep one row per distinct (gid, value) for DISTINCT aggregates."""
     a = args[0]
@@ -88,10 +99,34 @@ def _sum_impl(args, gids, n_groups, distinct):
         args, gids = _dedup(args, gids)
     a = args[0]
     valid = a.validity
-    if a.type.is_integral:
-        acc = np.zeros(n_groups, dtype=np.int64)
-        np.add.at(acc, gids[valid], a.data[valid].astype(np.int64))
-        typ = BIGINT if a.type.id != TypeId.HUGEINT else a.type
+    if a.type.id == TypeId.DECIMAL:
+        # exact scaled-int accumulate; result DECIMAL(38, s) (host DuckDB
+        # sum(DECIMAL) widens to the max width)
+        from ..types import DECIMAL
+        acc = np.zeros(n_groups, dtype=object)
+        np.add.at(acc, gids[valid], a.data[valid].astype(object))
+        typ = DECIMAL(38, a.type.scale)
+    elif a.type.is_integral:
+        # result is HUGEINT (host DuckDB sum(INT*) -> HUGEINT, immune to
+        # int64 wrap). Fast path: accumulate in int64 when the worst-case
+        # |sum| provably fits; otherwise exact object ints.
+        data = a.data[valid]
+        if a.type.numpy_dtype() is object:
+            acc = np.zeros(n_groups, dtype=object)
+            np.add.at(acc, gids[valid], data.astype(object))
+        else:
+            d64 = data.astype(np.int64)
+            bound = (float(np.abs(d64).max()) if len(d64) else 0.0) \
+                * max(len(d64), 1)
+            if bound < float(1 << 62):
+                acc64 = np.zeros(n_groups, dtype=np.int64)
+                np.add.at(acc64, gids[valid], d64)
+                acc = acc64.astype(object)
+            else:
+                acc = np.zeros(n_groups, dtype=object)
+                np.add.at(acc, gids[valid], d64.astype(object))
+        from ..types import HUGEINT
+        typ = HUGEINT
     else:
         acc = np.zeros(n_groups, dtype=np.float64)
         np.add.at(acc, gids[valid], a.data[valid].astype(np.float64))
@@ -115,6 +150,8 @@ def agg_avg(args, gids, n_groups, distinct):
     valid = a.validity
     acc = np.zeros(n_groups, dtype=np.float64)
     np.add.at(acc, gids[valid], a.data[valid].astype(np.float64))
+    if a.type.id == TypeId.DECIMAL:
+        acc /= float(10 ** a.type.scale)   # unscale (avg(DECIMAL) -> DOUBLE)
     cnt = np.bincount(gids[valid], minlength=n_groups)
     has = cnt > 0
     out = np.where(has, acc / np.maximum(cnt, 1), 0.0)
@@ -148,7 +185,10 @@ def _minmax(args, gids, n_groups, is_min):
             if key[i] == acc[gids[i]]:
                 out[gids[i]] = a.data[i]
         return Vector(a.type, out, has)
-    if a.type.is_integral or a.type.id == TypeId.BOOLEAN or a.type.is_temporal:
+    if a.type.is_integral or a.type.id == TypeId.BOOLEAN \
+            or a.type.is_temporal or a.type.id == TypeId.DECIMAL:
+        # (int64-backed DECIMAL included: scaled ints order correctly; a
+        # float64 path would corrupt scaled values above 2^53)
         init = np.iinfo(np.int64).max if is_min else np.iinfo(np.int64).min
         acc = np.full(n_groups, init, dtype=np.int64)
         op = np.minimum if is_min else np.maximum

@@ -101,8 +101,37 @@ def _num(vec: Vector) -> np.ndarray:
     return vec.data
 
 
+def _narrowed_const_type(vec: Vector) -> LogicalType:
+    """For an integer CONSTANT vector, the smallest signed integer type
+    holding its value (host DuckDB binds integer literals to the cheapest
+    overload, so 127::TINYINT + 1 resolves as TINYINT + TINYINT and
+    overflows rather than silently widening)."""
+    from ..types import (BIGINT as _B, INTEGER as _I, INT_BOUNDS,
+                         SMALLINT as _S, TINYINT as _T)
+    if not getattr(vec, "constant_hint", False) or not vec.type.is_integral \
+            or not len(vec) or not vec.validity[0]:
+        return vec.type
+    v = int(vec.data[0])
+    for t in (_T, _S, _I, _B):
+        lo, hi = INT_BOUNDS[t.id]
+        if lo <= v <= hi:
+            return t
+    return vec.type
+
+
 def _arith_type(a: Vector, b: Vector) -> LogicalType:
-    return max_numeric_type(a.type, b.type)
+    ta, tb = a.type, b.type
+    if ta.is_integral and tb.is_integral:
+        # narrow a CONSTANT operand to the smallest holding type so a
+        # literal never widens the other (column) operand; constant-only
+        # expressions keep their literal types (typeof(1+1) = INTEGER)
+        ca = getattr(a, "constant_hint", False)
+        cb = getattr(b, "constant_hint", False)
+        if ca and not cb:
+            ta = _narrowed_const_type(a)
+        elif cb and not ca:
+            tb = _narrowed_const_type(b)
+    return max_numeric_type(ta, tb)
 
 
 def _require_numeric(args, name):
@@ -130,6 +159,187 @@ def _sqlnull_arith(args, typ: LogicalType) -> "Vector | None":
 # ---------------------------------------------------------------------------
 # arithmetic
 # ---------------------------------------------------------------------------
+
+_OP_WORD = {"+": "addition", "-": "subtraction", "*": "multiplication"}
+
+
+def _int_overflow(opname, typ, x, y):
+    from ..types import INT_TYPE_NAME
+    return OutOfRangeException(
+        f"Overflow in {_OP_WORD[opname]} of {INT_TYPE_NAME[typ.id]} "
+        f"({x} {opname} {y})!")
+
+
+def _checked_int_binary(a: Vector, b: Vector, typ, opname: str) -> Vector:
+    """Integer +,-,* with DuckDB overflow errors instead of silent wrap
+    (host TryAddOperator / TrySubtractOperator / TryMultiplyOperator).
+    Narrow types compute exactly in int64; BIGINT uses sign-bit wrap
+    detection (add/sub) and a float prefilter + exact recheck (mul);
+    HUGEINT computes in exact Python ints."""
+    from ..types import INT_BOUNDS
+    validity = a.validity & b.validity
+    dt = typ.numpy_dtype()
+    n = len(a)
+    lo, hi = INT_BOUNDS[typ.id]
+    if dt is object:
+        ax, bx = a.data.astype(object), b.data.astype(object)
+        out = ax + bx if opname == "+" else \
+            ax - bx if opname == "-" else ax * bx
+        for i in np.flatnonzero(validity):
+            if not lo <= out[i] <= hi:
+                raise _int_overflow(opname, typ, ax[i], bx[i])
+        return Vector(typ, out, validity)
+    if np.issubdtype(dt, np.unsignedinteger):
+        ax = a.data.astype(np.uint64)
+        bx = b.data.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            if opname == "+":
+                out = ax + bx
+                ovf = out < ax
+            elif opname == "-":
+                out = ax - bx
+                ovf = bx > ax
+            else:
+                out = ax * bx
+                risk = ax.astype(np.float64) * bx.astype(np.float64) \
+                    >= 2.0 ** 62
+                ovf = np.zeros(n, dtype=bool)
+                for i in np.flatnonzero(risk & validity):
+                    if int(ax[i]) * int(bx[i]) > hi:
+                        ovf[i] = True
+            if np.uint64(hi) != np.iinfo(np.uint64).max:
+                ovf = ovf | (out > np.uint64(hi))
+        ovf &= validity
+        if ovf.any():
+            i = int(np.flatnonzero(ovf)[0])
+            raise _int_overflow(opname, typ, int(ax[i]), int(bx[i]))
+        return Vector(typ, out.astype(dt), validity)
+    ax = a.data.astype(np.int64)
+    bx = b.data.astype(np.int64)
+    with np.errstate(over="ignore"):
+        if opname == "+":
+            out = ax + bx
+            ovf = ((ax ^ out) & (bx ^ out)) < 0
+        elif opname == "-":
+            out = ax - bx
+            ovf = ((ax ^ bx) & (ax ^ out)) < 0
+        else:
+            out = ax * bx
+            risk = np.abs(ax.astype(np.float64)) * \
+                np.abs(bx.astype(np.float64)) >= 2.0 ** 62
+            ovf = np.zeros(n, dtype=bool)
+            for i in np.flatnonzero(risk & validity):
+                p = int(ax[i]) * int(bx[i])
+                if not lo <= p <= hi:
+                    ovf[i] = True
+    if typ.id != TypeId.BIGINT:
+        # int64 arithmetic was exact for narrow types: just bounds-check
+        ovf = (out < lo) | (out > hi)
+    ovf &= validity
+    if ovf.any():
+        i = int(np.flatnonzero(ovf)[0])
+        raise _int_overflow(opname, typ, int(ax[i]), int(bx[i]))
+    return Vector(typ, out.astype(dt), validity)
+
+
+def _decimal_to_double(v: Vector) -> Vector:
+    """DECIMAL vector -> DOUBLE (for float contexts and decimal-unaware
+    functions)."""
+    if v.type.id != TypeId.DECIMAL:
+        return v
+    out = v.data.astype(np.float64) / float(10 ** v.type.scale)
+    return Vector(DOUBLE, out, v.validity.copy())
+
+
+def _decimal_args_to_double(args):
+    return [_decimal_to_double(v) for v in args]
+
+
+def _dec_null_vector(typ, n):
+    dt = typ.numpy_dtype()
+    data = np.empty(n, dtype=object) if dt is object \
+        else np.zeros(n, dtype=dt)
+    return Vector(typ, data, np.zeros(n, dtype=bool))
+
+
+def _decimal_binary(a: Vector, b: Vector, op: str) -> "Vector | None":
+    """Exact scaled-integer +,-,*,% when at least one side is DECIMAL and
+    the other is DECIMAL/integral. Result-type rules follow the host's
+    decimal binder (BindDecimalAddSubtract / BindDecimalMultiply): add/sub
+    take scale=max(s1,s2), width=max(w1-s1,w2-s2)+1+scale; multiply takes
+    scale=s1+s2, width=w1+w2; widths that exceed int64 range but whose
+    inputs fit int64 stay at width 18 with a runtime overflow check."""
+    ta, tb = a.type, b.type
+    if TypeId.DECIMAL not in (ta.id, tb.id):
+        return None
+    if ta.id == TypeId.SQLNULL or tb.id == TypeId.SQLNULL:
+        other = tb if ta.id == TypeId.SQLNULL else ta
+        return _dec_null_vector(other, len(a))
+    if ta.is_floating or tb.is_floating:
+        return None          # caller converts the decimal side to DOUBLE
+    if not (ta.is_numeric and tb.is_numeric):
+        return None
+    from ..types import DECIMAL as _DEC, decimal_shape
+    wa, sa = decimal_shape(ta)
+    wb, sb = decimal_shape(tb)
+    check = False
+    if op == "*":
+        s = sa + sb
+        if s > 38:
+            raise OutOfRangeException(
+                f"Needed scale {s} to accurately represent the "
+                f"multiplication result, but this is out of range of the "
+                f"DECIMAL type. Max scale is 38; could not perform an "
+                f"accurate multiplication. Either add a cast to DOUBLE, "
+                f"or alter the types of the columns to lower the scale.")
+        w = wa + wb
+        if w > 18 and wa <= 18 and wb <= 18 and s <= 18:
+            w, check = 18, True
+        elif w > 38:
+            w, check = 38, True
+    else:
+        s = max(sa, sb)
+        w = max(wa - sa, wb - sb) + 1 + s
+        if w > 18 and wa <= 18 and wb <= 18:
+            w, check = 18, True
+        elif w > 38:
+            w, check = 38, True
+    typ = _DEC(w, s)
+    obj = check or typ.numpy_dtype() is object or \
+        a.data.dtype == object or b.data.dtype == object
+    ad = a.data.astype(object) if obj else a.data.astype(np.int64)
+    bd = b.data.astype(object) if obj else b.data.astype(np.int64)
+    validity = a.validity & b.validity
+    if op == "*":
+        out = ad * bd
+    else:
+        ad = ad * (10 ** (s - sa))
+        bd = bd * (10 ** (s - sb))
+        if op == "+":
+            out = ad + bd
+        elif op == "-":
+            out = ad - bd
+        else:   # % — C-style trunc-mod on the common scale
+            bz = bd == 0
+            bsafe = np.where(bz, 1, bd)
+            r = np.abs(ad) % np.abs(bsafe)
+            out = np.where(ad < 0, -r, r)
+            validity = validity & ~bz
+    if check:
+        lim = 10 ** w
+        bad = np.zeros(len(out), dtype=bool)
+        for i in np.flatnonzero(validity):
+            if not -lim < out[i] < lim:
+                bad[i] = True
+        if bad.any():
+            i = int(np.flatnonzero(bad)[0])
+            word = _OP_WORD.get(op, "modulo")
+            raise OutOfRangeException(
+                f"Overflow in {word} of DECIMAL({w},{s})!")
+    if typ.numpy_dtype() is not object and out.dtype == object:
+        out = out.astype(np.int64)
+    return Vector(typ, out, validity)
+
 
 def _int_like(t) -> bool:
     return t.is_numeric and t.numpy_dtype() is not object and \
@@ -215,13 +425,19 @@ def fn_add(args):
     dated = _date_arith(a, b, "+")
     if dated is not None:
         return dated
+    dec = _decimal_binary(a, b, "+")
+    if dec is not None:
+        return dec
+    a, b = _decimal_args_to_double(args)
     typ = _arith_type(a, b)
-    null = _sqlnull_arith(args, typ)
+    null = _sqlnull_arith([a, b], typ)
     if null is not None:
         return null
+    if typ.is_integral:
+        return _checked_int_binary(a, b, typ, "+")
     with np.errstate(over="ignore", invalid="ignore"):
         out = a.data.astype(typ.numpy_dtype()) + b.data.astype(typ.numpy_dtype())
-    return Vector(typ, out, _common_validity(args))
+    return Vector(typ, out, a.validity & b.validity)
 
 
 @register("-")
@@ -237,19 +453,33 @@ def fn_sub(args):
             for f in ("months", "days", "micros"):
                 out[f] = -a.data[f]
             return Vector(a.type, out, a.validity.copy())
+        if a.type.is_integral and a.type.numpy_dtype() is not object:
+            from ..types import INT_BOUNDS, INT_TYPE_NAME
+            lo, _ = INT_BOUNDS[a.type.id]
+            bad = (a.data == lo) & a.validity
+            if lo != 0 and bad.any():
+                raise OutOfRangeException(
+                    f"Overflow in negation of "
+                    f"{INT_TYPE_NAME[a.type.id]} ({lo})!")
         return Vector(a.type, -a.data, a.validity.copy())
     a, b = args
     _require_numeric(args, "-")
     dated = _date_arith(a, b, "-")
     if dated is not None:
         return dated
+    dec = _decimal_binary(a, b, "-")
+    if dec is not None:
+        return dec
+    a, b = _decimal_args_to_double(args)
     typ = _arith_type(a, b)
-    null = _sqlnull_arith(args, typ)
+    null = _sqlnull_arith([a, b], typ)
     if null is not None:
         return null
+    if typ.is_integral:
+        return _checked_int_binary(a, b, typ, "-")
     with np.errstate(over="ignore", invalid="ignore"):
         out = a.data.astype(typ.numpy_dtype()) - b.data.astype(typ.numpy_dtype())
-    return Vector(typ, out, _common_validity(args))
+    return Vector(typ, out, a.validity & b.validity)
 
 
 register_alias("subtract", "-")
@@ -260,24 +490,30 @@ register_alias("subtract", "-")
 def fn_mul(args):
     a, b = args
     _require_numeric(args, "*")
+    dec = _decimal_binary(a, b, "*")
+    if dec is not None:
+        return dec
+    a, b = _decimal_args_to_double(args)
     typ = _arith_type(a, b)
-    null = _sqlnull_arith(args, typ)
+    null = _sqlnull_arith([a, b], typ)
     if null is not None:
         return null
+    if typ.is_integral:
+        return _checked_int_binary(a, b, typ, "*")
     with np.errstate(over="ignore", invalid="ignore"):
         out = a.data.astype(typ.numpy_dtype()) * b.data.astype(typ.numpy_dtype())
-    return Vector(typ, out, _common_validity(args))
+    return Vector(typ, out, a.validity & b.validity)
 
 
 @register("/")
 @register("divide")
 def fn_div(args):
-    a, b = args
     _require_numeric(args, "/")
-    null = _sqlnull_arith(args, DOUBLE)
+    a, b = _decimal_args_to_double(args)
+    null = _sqlnull_arith([a, b], DOUBLE)
     if null is not None:
         return null
-    validity = _common_validity(args)
+    validity = a.validity & b.validity
     den = b.data.astype(np.float64)
     num = a.data.astype(np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -288,13 +524,13 @@ def fn_div(args):
 
 @register("//")
 def fn_intdiv(args):
-    a, b = args
     _require_numeric(args, "//")
+    a, b = _decimal_args_to_double(args)
     typ = _arith_type(a, b)
-    null = _sqlnull_arith(args, typ)
+    null = _sqlnull_arith([a, b], typ)
     if null is not None:
         return null
-    validity = _common_validity(args)
+    validity = a.validity & b.validity
     den = b.data.copy()
     zero = den == 0
     den = np.where(zero, 1, den)
@@ -313,15 +549,24 @@ def fn_intdiv(args):
 def fn_mod(args):
     a, b = args
     _require_numeric(args, "%")
+    dec = _decimal_binary(a, b, "%")
+    if dec is not None:
+        return dec
+    a, b = _decimal_args_to_double(args)
     typ = _arith_type(a, b)
-    null = _sqlnull_arith(args, typ)
+    null = _sqlnull_arith([a, b], typ)
     if null is not None:
         return null
-    validity = _common_validity(args)
+    validity = a.validity & b.validity
     den = b.data.copy()
     zero = den == 0
     den = np.where(zero, 1, den)
-    out = np.fmod(a.data.astype(typ.numpy_dtype()), den.astype(typ.numpy_dtype()))
+    if typ.numpy_dtype() is object:
+        r = np.abs(a.data.astype(object)) % np.abs(den.astype(object))
+        out = np.where(a.data.astype(object) < 0, -r, r)
+    else:
+        out = np.fmod(a.data.astype(typ.numpy_dtype()),
+                      den.astype(typ.numpy_dtype()))
     return Vector(typ, out, validity & ~zero)
 
 
@@ -332,6 +577,13 @@ def fn_abs(args):
     null = _sqlnull_arith(args, a.type)
     if null is not None:
         return null
+    if a.type.is_integral and a.type.numpy_dtype() is not object:
+        from ..types import INT_BOUNDS, INT_TYPE_NAME
+        lo, _ = INT_BOUNDS[a.type.id]
+        bad = (a.data == lo) & a.validity
+        if lo != 0 and bad.any():
+            raise OutOfRangeException(
+                f"Overflow in abs of {INT_TYPE_NAME[a.type.id]} ({lo})!")
     return Vector(a.type, np.abs(a.data), a.validity.copy())
 
 
@@ -414,9 +666,33 @@ def fn_sqrt(args):
     return Vector(DOUBLE, out, a.validity.copy())
 
 
+def _dec_rescale(data, s_from: int, s_to: int):
+    """Exact scaled-int rescale with half-away-from-zero rounding."""
+    if s_to >= s_from:
+        return data * (10 ** (s_to - s_from))
+    d = 10 ** (s_from - s_to)
+    ax = np.abs(data)
+    q = (ax + d // 2) // d
+    return np.where(data < 0, -q, q)
+
+
 @register("round")
 def fn_round(args):
     a = args[0]
+    if a.type.id == TypeId.DECIMAL:
+        # exact: round the scaled int to the target digit count, keep the
+        # declared scale (value 1.555 @ s=3, round(…,2) -> 1.560 @ s=3 is
+        # wrong — DuckDB narrows the scale: DECIMAL(w, min(s, n)))
+        from ..types import DECIMAL as _DEC
+        s = a.type.scale
+        nd = int(args[1].data[0]) if len(args) > 1 and len(args[1]) else 0
+        nd = max(0, min(s, nd))
+        data = a.data if a.data.dtype == object else a.data.astype(np.int64)
+        out = _dec_rescale(data, s, nd)
+        typ = _DEC(a.type.width, nd)
+        if typ.numpy_dtype() is not object and out.dtype == object:
+            out = out.astype(np.int64)
+        return Vector(typ, out, a.validity.copy())
     digits = args[1].data.astype(np.int64) if len(args) > 1 else 0
     x = a.data.astype(np.float64)
     # SQL rounds half away from zero; numpy rounds half to even
@@ -427,9 +703,23 @@ def fn_round(args):
     return Vector(DOUBLE, out, a.validity.copy())
 
 
+def _dec_floor_ceil(a: Vector, is_floor: bool) -> Vector:
+    from ..types import DECIMAL as _DEC
+    s = a.type.scale
+    den = 10 ** s
+    data = a.data if a.data.dtype == object else a.data.astype(np.int64)
+    q = data // den if is_floor else -((-data) // den)
+    typ = _DEC(a.type.width, 0)
+    if typ.numpy_dtype() is not object and q.dtype == object:
+        q = q.astype(np.int64)
+    return Vector(typ, q, a.validity.copy())
+
+
 @register("floor")
 def fn_floor(args):
     a = args[0]
+    if a.type.id == TypeId.DECIMAL:
+        return _dec_floor_ceil(a, True)
     out = np.floor(a.data.astype(np.float64))
     return Vector(a.type if a.type.is_integral else DOUBLE, out.astype(
         a.type.numpy_dtype() if a.type.is_integral else np.float64),
@@ -440,6 +730,8 @@ def fn_floor(args):
 @register("ceiling")
 def fn_ceil(args):
     a = args[0]
+    if a.type.id == TypeId.DECIMAL:
+        return _dec_floor_ceil(a, False)
     out = np.ceil(a.data.astype(np.float64))
     return Vector(a.type if a.type.is_integral else DOUBLE, out.astype(
         a.type.numpy_dtype() if a.type.is_integral else np.float64),
@@ -494,6 +786,11 @@ def _extreme(args, comb):
         if x.type.is_numeric:
             typ = max_numeric_type(typ, x.type) if typ.is_numeric \
                 else x.type
+    if typ.id == TypeId.DECIMAL:
+        # align scales so the raw scaled-int compare is meaningful
+        from ..exec.cast import cast_vector
+        args = [x if x.type.id == TypeId.SQLNULL else cast_vector(x, typ)
+                for x in args]
     n = len(args[0])
     if typ.numpy_dtype() is object or not typ.is_numeric:
         out = np.empty(n, dtype=object)
@@ -506,13 +803,29 @@ def _extreme(args, comb):
                 validity[i] = True
         return Vector(typ, out, validity)
     dt = typ.numpy_dtype()
-    fill = -np.inf if comb is np.maximum else np.inf
-    acc = np.full(n, fill, dtype=np.float64)
-    validity = np.zeros(n, dtype=bool)
-    for x in args:
-        xv = np.where(x.validity, x.data.astype(np.float64), fill)
-        acc = comb(acc, xv)
-        validity |= x.validity
+    if np.issubdtype(dt, np.integer):
+        # integral inputs stay integral: a float64 accumulator corrupts
+        # BIGINTs above 2^53 (greatest(9007199254740993, 1))
+        info = np.iinfo(np.int64)
+        fill = info.min if comb is np.maximum else info.max
+        acc = np.full(n, fill, dtype=np.int64)
+        validity = np.zeros(n, dtype=bool)
+        for x in args:
+            if x.type.id == TypeId.SQLNULL:
+                continue            # typed-NULL constant contributes nothing
+            xv = np.where(x.validity, x.data.astype(np.int64), fill)
+            acc = comb(acc, xv)
+            validity |= x.validity
+    else:
+        fill = -np.inf if comb is np.maximum else np.inf
+        acc = np.full(n, fill, dtype=np.float64)
+        validity = np.zeros(n, dtype=bool)
+        for x in args:
+            if x.type.id == TypeId.SQLNULL:
+                continue
+            xv = np.where(x.validity, x.data.astype(np.float64), fill)
+            acc = comb(acc, xv)
+            validity |= x.validity
     out = np.where(validity, acc, 0).astype(dt)
     return Vector(typ, out, validity)
 
@@ -571,10 +884,17 @@ def fn_coalesce(args):
 @register("nullif")
 def fn_nullif(args):
     a, b = args
-    valid = a.validity & b.validity
+    ac, bc = a, b
+    if a.type.is_numeric and b.type.is_numeric and a.type != b.type:
+        # coerce to a common numeric type so e.g. nullif(1.0, 1) compares
+        # values, not representations (scaled DECIMAL vs raw int)
+        from ..exec.cast import cast_vector
+        t = max_numeric_type(a.type, b.type)
+        ac, bc = cast_vector(a, t), cast_vector(b, t)
+    valid = ac.validity & bc.validity
     eq = np.zeros(len(a), dtype=bool)
     if valid.any():
-        eq[valid] = a.data[valid] == b.data[valid]
+        eq[valid] = ac.data[valid] == bc.data[valid]
     out = a.copy()
     out.validity = out.validity & ~eq
     return out
@@ -1552,18 +1872,28 @@ def _str_fn(name, impl, arity=None):
     REGISTRY[name] = ScalarFunction(name, fn)
 
 
-_str_fn("lpad", lambda s, n, p: str(s)[:int(n)] if int(n) <= len(str(s))
+_str_fn("lpad", lambda s, n, p: str(s)[:max(int(n), 0)]
+        if int(n) <= len(str(s))
         else (str(p) * int(n))[:int(n) - len(str(s))] + str(s))
-_str_fn("rpad", lambda s, n, p: str(s)[:int(n)] if int(n) <= len(str(s))
+_str_fn("rpad", lambda s, n, p: str(s)[:max(int(n), 0)]
+        if int(n) <= len(str(s))
         else str(s) + (str(p) * int(n))[:int(n) - len(str(s))])
 _str_fn("repeat", lambda s, n: str(s) * max(int(n), 0))
 _str_fn("left", lambda s, n: str(s)[:int(n)] if int(n) >= 0
         else str(s)[:max(len(str(s)) + int(n), 0)])
 _str_fn("right", lambda s, n: (str(s)[-int(n):] if int(n) > 0 else
                                str(s)[min(-int(n), len(str(s))):]))
-_str_fn("split_part", lambda s, sep, i:
-        (str(s).split(str(sep)) + [""] * 99)[int(i) - 1]
-        if str(sep) else str(s) if int(i) == 1 else "")
+def _split_part(s, sep, i):
+    i = int(i)
+    if i == 0:
+        raise InvalidInputException(
+            "Index starting from 1 and ending at the number of parts "
+            "expected, got 0")
+    parts = str(s).split(str(sep)) if str(sep) else [str(s)]
+    return parts[i - 1] if 1 <= i <= len(parts) else ""
+
+
+_str_fn("split_part", _split_part)
 
 
 @register("instr")

@@ -299,6 +299,15 @@ _pool_bytes = 0
 
 
 def _pool_buffer(n: int, dtype) -> np.ndarray:
+    """CONTRACT for callers: the returned array may be recycled for a later
+    query the moment no Python reference to the ndarray (or a numpy view of
+    it) remains. Consumers must hold the ndarray itself for as long as the
+    DATA must stay valid — a bare ctypes pointer, an early-released
+    memoryview, or a C-side copy of the address does NOT keep the buffer
+    reserved and will observe it being overwritten. Every in-repo caller
+    returns the ndarray into a Vector, which satisfies this; new callers
+    that pass the address to native code must keep the ndarray alive for
+    the duration of the native call (the gather() sites do)."""
     global _pool_bytes
     nbytes = n * dtype.itemsize
     if nbytes < _POOL_MIN_BYTES:

@@ -13,8 +13,8 @@ from __future__ import annotations
 from typing import List, Optional, Tuple
 
 from .. import types as tt
-from ..errors import (BinderException, NotImplementedException,
-                      ParserException)
+from ..errors import (BinderException, ConversionException,
+                      NotImplementedException, ParserException)
 from ..pgq import ast as past
 from . import ast as a
 from .lexer import T, Token, tokenize
@@ -973,28 +973,20 @@ class Parser:
             return left
 
     def parse_bitor(self) -> a.Expression:
-        left = self.parse_bitand()
-        while self.peek().is_op("|"):
-            self.next()
-            left = a.FunctionCall(name="|", args=[left, self.parse_bitand()],
-                                  is_operator=True)
-        return left
-
-    def parse_bitand(self) -> a.Expression:
-        left = self.parse_shift()
-        while self.peek().is_op("&"):
-            self.next()
-            left = a.FunctionCall(name="&", args=[left, self.parse_shift()],
-                                  is_operator=True)
-        return left
-
-    def parse_shift(self) -> a.Expression:
+        # Postgres/DuckDB "any other operator" level: |, &, <<, >>, || share
+        # ONE left-associative tier between comparison and additive
+        # (reference PEG grammar gives them no relative precedence), so
+        # `1 | 4 & 2` = (1|4)&2 = 0 and `1 | 2 << 3` = (1|2)<<3 = 24.
         left = self.parse_additive()
-        while self.peek().is_op("<<", ">>"):
-            op = self.next().text
-            left = a.FunctionCall(name=op, args=[left, self.parse_additive()],
-                                  is_operator=True)
-        return left
+        while True:
+            tok = self.peek()
+            if tok.is_op("|", "&", "<<", ">>", "||"):
+                op = self.next().text
+                left = a.FunctionCall(name=op,
+                                      args=[left, self.parse_additive()],
+                                      is_operator=True)
+            else:
+                return left
 
     def parse_additive(self) -> a.Expression:
         left = self.parse_multiplicative()
@@ -1004,11 +996,6 @@ class Parser:
                 op = self.next().text
                 right = self.parse_multiplicative()
                 left = a.FunctionCall(name=op, args=[left, right],
-                                      is_operator=True)
-            elif tok.is_op("||"):
-                self.next()
-                right = self.parse_multiplicative()
-                left = a.FunctionCall(name="||", args=[left, right],
                                       is_operator=True)
             else:
                 return left
@@ -1151,16 +1138,31 @@ class Parser:
         if tok.kind == T.NUMBER:
             self.next()
             text = tok.text
-            if "." in text or "e" in text or "E" in text:
+            if "e" in text or "E" in text:
+                return a.Constant(float(text), tt.DOUBLE)
+            if "." in text:
+                # decimal literals are DECIMAL, not DOUBLE (DuckDB
+                # Transformer::TransformValue): width = digit count,
+                # scale = digits after the point; value stored as the
+                # scaled integer. Too wide for DECIMAL -> DOUBLE.
+                digits = text.replace(".", "")
+                scale = len(text.split(".", 1)[1])
+                width = len(digits)
+                if width <= 38:
+                    return a.Constant(int(digits or "0"),
+                                      tt.DECIMAL(max(width, 1), scale))
                 return a.Constant(float(text), tt.DOUBLE)
             v = int(text)
             if -2147483648 <= v <= 2147483647:
                 return a.Constant(v, tt.INTEGER)
-            if not -(1 << 63) <= v < (1 << 63):
-                raise NotImplementedException(
-                    "HUGEINT literals (beyond the BIGINT range) are not "
-                    "supported")
-            return a.Constant(v, tt.BIGINT)
+            if -(1 << 63) <= v < (1 << 63):
+                return a.Constant(v, tt.BIGINT)
+            if -(1 << 127) < v < (1 << 127):
+                # HUGEINT literal (host DuckDB: beyond-BIGINT integer
+                # literals become HUGEINT)
+                return a.Constant(v, tt.HUGEINT)
+            raise ConversionException(
+                f'Could not convert string "{text}" to INT128')
         if tok.kind == T.STRING:
             self.next()
             return a.Constant(tok.text, tt.VARCHAR)

@@ -72,14 +72,20 @@ _NUMPY_DTYPE = {
     TypeId.SMALLINT: np.int16,
     TypeId.INTEGER: np.int32,
     TypeId.BIGINT: np.int64,
-    TypeId.HUGEINT: np.int64,  # approximated
+    # HUGEINT is a real 128-bit integer: object-dtype Python ints (exact
+    # arithmetic; numpy astype(object) yields Python int, so vectorized
+    # object math never wraps). Host DuckDB: common/types/hugeint.cpp.
+    TypeId.HUGEINT: object,
     TypeId.UTINYINT: np.uint8,
     TypeId.USMALLINT: np.uint16,
     TypeId.UINTEGER: np.uint32,
     TypeId.UBIGINT: np.uint64,
     TypeId.FLOAT: np.float32,
     TypeId.DOUBLE: np.float64,
-    TypeId.DECIMAL: np.float64,  # approximated; exactness via scale retained in type
+    # DECIMAL(p,s) is a SCALED INTEGER (value * 10^s): int64 for p<=18,
+    # object Python ints for p in (18, 38]. numpy_dtype() special-cases on
+    # width; this entry is the p<=18 default.
+    TypeId.DECIMAL: np.int64,
     TypeId.DATE: np.int32,        # days since epoch
     TypeId.TIME: np.int64,        # micros since midnight
     TypeId.TIMESTAMP: np.int64,   # micros since epoch
@@ -133,6 +139,8 @@ class LogicalType:
         return self.id in (TypeId.LIST, TypeId.STRUCT, TypeId.MAP)
 
     def numpy_dtype(self):
+        if self.id == TypeId.DECIMAL and self.width > 18:
+            return object          # int128-class widths: exact Python ints
         return _NUMPY_DTYPE.get(self.id, object)
 
     # ---- rendering --------------------------------------------------------
@@ -204,8 +212,8 @@ _NAME_TO_TYPE = {
     "UINTEGER": LogicalType(TypeId.UINTEGER),
     "UBIGINT": UBIGINT,
     "FLOAT": FLOAT, "FLOAT4": FLOAT, "REAL": FLOAT,
-    "DOUBLE": DOUBLE, "FLOAT8": DOUBLE, "NUMERIC": DOUBLE,
-    "DECIMAL": DECIMAL(18, 3),
+    "DOUBLE": DOUBLE, "FLOAT8": DOUBLE,
+    "DECIMAL": DECIMAL(18, 3), "NUMERIC": DECIMAL(18, 3),
     "VARCHAR": VARCHAR, "TEXT": VARCHAR, "STRING": VARCHAR, "CHAR": VARCHAR,
     "BPCHAR": VARCHAR,
     "BLOB": BLOB, "BYTEA": BLOB,
@@ -225,6 +233,48 @@ def type_from_name(name: str) -> Optional[LogicalType]:
     return _NAME_TO_TYPE.get(name.upper())
 
 
+# Value bounds of each integer type (HUGEINT is DuckDB's int128 whose
+# minimum is reserved as invalid, hence the +1).
+INT_BOUNDS = {
+    TypeId.TINYINT: (-(1 << 7), (1 << 7) - 1),
+    TypeId.SMALLINT: (-(1 << 15), (1 << 15) - 1),
+    TypeId.INTEGER: (-(1 << 31), (1 << 31) - 1),
+    TypeId.BIGINT: (-(1 << 63), (1 << 63) - 1),
+    TypeId.HUGEINT: (-(1 << 127) + 1, (1 << 127) - 1),
+    TypeId.UTINYINT: (0, (1 << 8) - 1),
+    TypeId.USMALLINT: (0, (1 << 16) - 1),
+    TypeId.UINTEGER: (0, (1 << 32) - 1),
+    TypeId.UBIGINT: (0, (1 << 64) - 1),
+}
+
+# Physical type names used in DuckDB's overflow messages
+# ("Overflow in addition of INT32 (...)").
+INT_TYPE_NAME = {
+    TypeId.TINYINT: "INT8", TypeId.SMALLINT: "INT16",
+    TypeId.INTEGER: "INT32", TypeId.BIGINT: "INT64",
+    TypeId.HUGEINT: "INT128", TypeId.UTINYINT: "UINT8",
+    TypeId.USMALLINT: "UINT16", TypeId.UINTEGER: "UINT32",
+    TypeId.UBIGINT: "UINT64",
+}
+
+
+# Decimal width needed to represent each integer type exactly (DuckDB
+# DecimalType / hugeint: TINYINT->3 ... BIGINT->19, HUGEINT->38-capped).
+_INT_DECIMAL_WIDTH = {
+    TypeId.BOOLEAN: 1, TypeId.TINYINT: 3, TypeId.UTINYINT: 3,
+    TypeId.SMALLINT: 5, TypeId.USMALLINT: 5, TypeId.INTEGER: 10,
+    TypeId.UINTEGER: 10, TypeId.BIGINT: 19, TypeId.UBIGINT: 20,
+    TypeId.HUGEINT: 38,
+}
+
+
+def decimal_shape(t: LogicalType):
+    """(width, scale) of a type viewed as a decimal (integers are scale-0)."""
+    if t.id == TypeId.DECIMAL:
+        return t.width, t.scale
+    return _INT_DECIMAL_WIDTH[t.id], 0
+
+
 def max_numeric_type(a: LogicalType, b: LogicalType) -> LogicalType:
     """Result type of arithmetic between numeric types (promotion lattice)."""
     if a.id == TypeId.SQLNULL:
@@ -234,6 +284,16 @@ def max_numeric_type(a: LogicalType, b: LogicalType) -> LogicalType:
     ra, rb = _NUMERIC_RANK.get(a.id, -1), _NUMERIC_RANK.get(b.id, -1)
     if ra < 0 or rb < 0:
         raise TypeError(f"non-numeric types {a} and {b}")
+    if TypeId.DECIMAL in (a.id, b.id):
+        # decimal vs float loses exactness -> DOUBLE; decimal vs decimal /
+        # integral widens to the covering DECIMAL (DuckDB MaxLogicalType)
+        if a.id in _FLOATING or b.id in _FLOATING:
+            return DOUBLE
+        wa, sa = decimal_shape(a)
+        wb, sb = decimal_shape(b)
+        s = max(sa, sb)
+        w = min(38, max(wa - sa, wb - sb) + s)
+        return DECIMAL(w, s)
     winner = a if ra >= rb else b
     # mixed signed/unsigned of same width promotes to next signed
     return winner
@@ -314,9 +374,19 @@ def value_to_string(value, typ: LogicalType) -> str:
         return "true" if value else "false"
     if t in _INTEGRAL:
         return str(int(value))
+    if t == TypeId.DECIMAL:
+        # scaled-integer rendering with the full declared scale (DuckDB
+        # Decimal::ToString: DECIMAL(4,2) 1.5 renders "1.50")
+        v = int(value)
+        s = typ.scale
+        if s == 0:
+            return str(v)
+        sign = "-" if v < 0 else ""
+        av = abs(v)
+        return f"{sign}{av // 10 ** s}.{av % 10 ** s:0{s}d}"
     if t == TypeId.FLOAT:
         return repr(float(np.float32(value)))
-    if t in (TypeId.DOUBLE, TypeId.DECIMAL):
+    if t == TypeId.DOUBLE:
         return repr(float(value))
     if t == TypeId.VARCHAR:
         return str(value)

@@ -491,8 +491,15 @@ def test_round4_surface_batch2():
     n = con.execute("SELECT count(*) FROM "
                     "(SELECT * FROM w4 TABLESAMPLE 50%)").fetchall()[0][0]
     assert n == 2
+    # HUGEINT literals are real since round 5 (object-backed int128)
+    assert con.execute(
+        "SELECT 170141183460469231731687303715884105727").fetchall() == \
+        [(170141183460469231731687303715884105727,)]
+    assert con.execute(
+        "SELECT typeof(170141183460469231731687303715884105727)"
+    ).fetchall() == [("HUGEINT",)]
     with pytest.raises(DuckPGQError):
-        con.execute("SELECT 170141183460469231731687303715884105727")
+        con.execute("SELECT 9999999999999999999999999999999999999999999")
 
 
 def test_round4_surface_batch3():
