@@ -1,11 +1,98 @@
-"""Query result: named columns + row accessors."""
+"""Query result: named columns + row accessors.
+
+``fetchall``/``fetchone`` return TYPED Python values, matching what the
+reference host's Python client yields (DATE -> datetime.date, TIMESTAMP ->
+datetime.datetime, TIMESTAMP_TZ tz-aware, TIME -> datetime.time, INTERVAL ->
+Interval, DECIMAL -> decimal.Decimal, STRUCT/MAP -> dict, LIST -> list).
+Pass raw=True (or use the column Vectors directly) for the engine's internal
+representations (epoch-day/epoch-micro ints, scaled decimal ints, tuples) —
+the sqllogictest runner renders through rows_as_strings, which is
+representation-level and unaffected.
+"""
 
 from __future__ import annotations
 
+import datetime
+import decimal
 from typing import Any, List, Optional, Tuple
 
 from ..storage.vector import Vector
-from ..types import LogicalType, value_to_string
+from ..types import Interval, LogicalType, TypeId, value_to_string
+
+_EPOCH_D = datetime.date(1970, 1, 1)
+_EPOCH_DT = datetime.datetime(1970, 1, 1)
+_EPOCH_UTC = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+
+_TS_TO_MICROS = {TypeId.TIMESTAMP: 1, TypeId.TIMESTAMP_MS: 1_000,
+                 TypeId.TIMESTAMP_S: 1_000_000}
+
+# types whose raw representation already IS the client value
+_PASSTHROUGH = {TypeId.BOOLEAN, TypeId.TINYINT, TypeId.SMALLINT,
+                TypeId.INTEGER, TypeId.BIGINT, TypeId.HUGEINT,
+                TypeId.UTINYINT, TypeId.USMALLINT, TypeId.UINTEGER,
+                TypeId.UBIGINT, TypeId.FLOAT, TypeId.DOUBLE,
+                TypeId.VARCHAR, TypeId.BLOB, TypeId.SQLNULL}
+
+
+def _needs_typing(t: LogicalType) -> bool:
+    if t.id in _PASSTHROUGH:
+        return False
+    if t.id == TypeId.LIST:
+        return t.child is None or _needs_typing(t.child)
+    return True
+
+
+def typed_value(v, t: LogicalType):
+    """Raw engine value -> typed Python client value (None passes)."""
+    if v is None:
+        return None
+    tid = t.id
+    if tid in _PASSTHROUGH:
+        return v
+    if tid == TypeId.DECIMAL:
+        return decimal.Decimal(int(v)).scaleb(-t.scale)
+    if tid == TypeId.DATE:
+        try:
+            return _EPOCH_D + datetime.timedelta(days=int(v))
+        except OverflowError:
+            return v                      # out of datetime range: raw
+    if tid == TypeId.TIME:
+        us = int(v)
+        secs, frac = divmod(us, 1_000_000)
+        hh, rest = divmod(secs, 3600)
+        mm, ss = divmod(rest, 60)
+        return datetime.time(hh % 24, mm, ss, frac)
+    if tid in _TS_TO_MICROS:
+        try:
+            return _EPOCH_DT + datetime.timedelta(
+                microseconds=int(v) * _TS_TO_MICROS[tid])
+        except OverflowError:
+            return v
+    if tid == TypeId.TIMESTAMP_NS:
+        try:
+            return _EPOCH_DT + datetime.timedelta(microseconds=int(v) // 1000)
+        except OverflowError:
+            return v
+    if tid == TypeId.TIMESTAMP_TZ:
+        try:
+            return _EPOCH_UTC + datetime.timedelta(microseconds=int(v))
+        except OverflowError:
+            return v
+    if tid == TypeId.INTERVAL:
+        from ..types import interval_parts
+        return Interval(*interval_parts(v))
+    if tid == TypeId.LIST:
+        child = t.child
+        return [typed_value(x, child) if child is not None else x
+                for x in v]
+    if tid == TypeId.STRUCT:
+        return {nm: typed_value(x, ft)
+                for (nm, ft), x in zip(t.fields or (), v)}
+    if tid == TypeId.MAP:
+        kt, vt = t.fields[0][1], t.fields[1][1]
+        return {typed_value(k, kt): typed_value(x, vt)
+                for k, x in v.items()}
+    return v
 
 
 class QueryResult:
@@ -21,14 +108,22 @@ class QueryResult:
     def types(self) -> List[LogicalType]:
         return [c.type for c in self.columns]
 
-    def fetchall(self) -> List[Tuple[Any, ...]]:
+    def fetchall(self, raw: bool = False) -> List[Tuple[Any, ...]]:
         n = self.row_count
-        return [tuple(c.value(i) for c in self.columns) for i in range(n)]
+        if raw or not any(_needs_typing(c.type) for c in self.columns):
+            return [tuple(c.value(i) for c in self.columns)
+                    for i in range(n)]
+        conv = [(_needs_typing(c.type), c.type) for c in self.columns]
+        return [tuple(typed_value(c.value(i), t) if need else c.value(i)
+                      for c, (need, t) in zip(self.columns, conv))
+                for i in range(n)]
 
-    def fetchone(self) -> Optional[Tuple[Any, ...]]:
+    def fetchone(self, raw: bool = False) -> Optional[Tuple[Any, ...]]:
         if self.row_count == 0:
             return None
-        return tuple(c.value(0) for c in self.columns)
+        if raw:
+            return tuple(c.value(0) for c in self.columns)
+        return tuple(typed_value(c.value(0), c.type) for c in self.columns)
 
     def fetchnumpy(self):
         """Column name -> numpy array (NULLs become NaN/None per dtype;

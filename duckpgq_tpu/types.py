@@ -507,6 +507,44 @@ DAY_MICROS = 86_400_000_000
 MONTH_DAYS = 30  # DuckDB Interval::GetMicro normalization for compare/sort
 
 
+class Interval:
+    """Client-side interval value (months, days, micros kept separate like
+    the host's interval_t — calendar parts never normalize to micros)."""
+
+    __slots__ = ("months", "days", "micros")
+
+    def __init__(self, months: int, days: int, micros: int):
+        self.months = int(months)
+        self.days = int(days)
+        self.micros = int(micros)
+
+    def _key(self):
+        return (self.months, self.days, self.micros)
+
+    def __eq__(self, other):
+        if isinstance(other, Interval):
+            return self._key() == other._key()
+        if isinstance(other, (tuple, list)) and len(other) == 3:
+            return self._key() == tuple(int(x) for x in other)
+        return NotImplemented
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __repr__(self):
+        return (f"Interval(months={self.months}, days={self.days}, "
+                f"micros={self.micros})")
+
+    def __str__(self):
+        return value_to_string(self._key(), INTERVAL)
+
+    def total_microseconds(self) -> int:
+        """Comparison normalization (months ~ 30 days), matching the
+        host's Interval::GetMicro."""
+        return int(interval_total_micros(self.months, self.days,
+                                         self.micros))
+
+
 def interval_parts(value):
     """(months, days, micros) from an interval value (structured numpy scalar,
     tuple, or legacy plain micros int)."""

@@ -479,7 +479,7 @@ def test_round4_surface_batch2():
                        ).fetchall() == [(3, "101", "FF")]
     assert con.execute("SELECT ARRAY[1,2,3]").fetchall() == [([1, 2, 3],)]
     assert con.execute("SELECT struct_pack(a := 1, b := 2)"
-                       ).fetchall() == [((1, 2),)]
+                       ).fetchall() == [({"a": 1, "b": 2},)]
     con.execute("CREATE SEQUENCE s4 START 10 INCREMENT BY 2")
     assert con.execute("SELECT nextval('s4')").fetchall() == [(10,)]
     assert con.execute("SELECT nextval('s4')").fetchall() == [(12,)]
@@ -653,9 +653,10 @@ def test_round4_surface_batch4():
         ("SELECT bar(5,0,10,10)", [("█████",)]),
         ("SELECT substring_grapheme('abcde',2,3)", [("bcd",)]),
         # row-as-struct
-        ("SELECT st FROM st WHERE a = 2", [((2, "y"),)]),
+        ("SELECT st FROM st WHERE a = 2", [({"a": 2, "b": "y"},)]),
         ("SELECT (st).a FROM st WHERE a = 1", [(1,)]),
-        ("SELECT tt FROM st tt WHERE tt.a = 2", [((2, "y"),)]),
+        ("SELECT tt FROM st tt WHERE tt.a = 2",
+         [({"a": 2, "b": "y"},)]),
     ]
     for q, want in checks:
         assert con.execute(q).fetchall() == want, q
@@ -688,7 +689,8 @@ def test_map_type_and_new_aggregates():
          " map_contains(map([1],[2]), 3)", [(True, False)]),
         ("SELECT cardinality(map([1,2],[3,4])), cardinality(map())",
          [(2, 0)]),
-        ("SELECT map_entries(map([1],[2]))", [([(1, 2)],)]),
+        ("SELECT map_entries(map([1],[2]))",
+         [([{"key": 1, "value": 2}],)]),
         ("SELECT map_from_entries(map_entries(map([1],[2])))", [({1: 2},)]),
         ("SELECT map([1,2],[10,20])::VARCHAR", [("{1=10, 2=20}",)]),
         ("SELECT histogram(a) FROM mt", [({1: 1, 3: 1, 5: 1},)]),
