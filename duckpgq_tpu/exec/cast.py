@@ -187,6 +187,9 @@ def _blob_from_string(s: str) -> bytes:
 
 def cast_vector(vec: Vector, target: LogicalType, try_cast: bool = False
                 ) -> Vector:
+    if target.id == TypeId.USERREF:
+        from ..types import resolve_user_type
+        target = resolve_user_type(target)
     src = vec.type
     if src.id == target.id and src == target:
         return vec
@@ -320,6 +323,26 @@ def cast_vector(vec: Vector, target: LogicalType, try_cast: bool = False
                     out[i] = interval_from_string(str(s))
                 elif target.id == TypeId.BLOB:
                     out[i] = _blob_from_string(str(s))
+                elif target.id == TypeId.ENUM:
+                    if str(s) not in (target.values or ()):
+                        raise ConversionException(
+                            f"Could not convert string '{s}' to {target}")
+                    out[i] = str(s)
+                elif target.id == TypeId.JSON:
+                    import json as _json
+                    try:
+                        _json.loads(str(s))
+                    except ValueError:
+                        raise ConversionException(
+                            f"Malformed JSON: could not convert string "
+                            f"'{s}' to JSON")
+                    out[i] = str(s)
+                elif target.id == TypeId.BIT:
+                    txt = str(s)
+                    if not txt or any(c not in "01" for c in txt):
+                        raise ConversionException(
+                            f"Could not convert string '{s}' to BIT")
+                    out[i] = txt
                 else:
                     raise ConversionException(
                         f"Unimplemented cast VARCHAR -> {target}")
@@ -402,6 +425,28 @@ def cast_vector(vec: Vector, target: LogicalType, try_cast: bool = False
         return Vector(target, out, vec.validity.copy())
     if src.is_temporal and target.id == TypeId.BIGINT:
         return Vector(target, vec.data.astype(np.int64), vec.validity.copy())
+
+    # ENUM <-> ENUM / string-ish (validate membership); JSON/BIT from their
+    # own kind pass through (text storage)
+    if target.id == TypeId.ENUM and src.id in (TypeId.ENUM, TypeId.JSON):
+        allowed = set(target.values or ())
+        validity = vec.validity.copy()
+        out = np.empty(n, dtype=object)
+        for i in range(n):
+            if validity[i]:
+                v = str(vec.data[i])
+                if v not in allowed:
+                    if try_cast:
+                        validity[i] = False
+                        continue
+                    raise ConversionException(
+                        f"Could not convert string '{v}' to {target}")
+                out[i] = v
+        return Vector(target, out, validity)
+    if src.id == TypeId.ENUM and target.id == TypeId.JSON:
+        return cast_vector(cast_vector(vec, VARCHAR), target, try_cast)
+    if src.id in (TypeId.JSON, TypeId.BIT) and target.id == src.id:
+        return Vector(target, vec.data, vec.validity.copy())
 
     # list -> list (element cast)
     if src.id == TypeId.LIST and target.id == TypeId.LIST:

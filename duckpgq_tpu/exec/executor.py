@@ -116,6 +116,23 @@ class Executor:
                 seqs[key] = {"next": stmt.start, "inc": stmt.increment,
                              "cur": None}
             return QueryResult([], [])
+        if isinstance(stmt, a.CreateTypeStatement):
+            from ..types import ENUM, USER_TYPES
+            key = stmt.name.lower()
+            if key in USER_TYPES and not (stmt.if_not_exists or
+                                          stmt.or_replace):
+                raise CatalogException(
+                    f'Type with name "{stmt.name}" already exists!')
+            if key not in USER_TYPES or stmt.or_replace:
+                seen = set()
+                for v in stmt.values:
+                    if v in seen:
+                        raise InvalidInputException(
+                            f"Enum type needs unique values, value "
+                            f"'{v}' was repeated")
+                    seen.add(v)
+                USER_TYPES[key] = ENUM(stmt.values, stmt.name)
+            return QueryResult([], [])
         if isinstance(stmt, a.InsertStatement):
             return self.execute_insert(stmt)
         if isinstance(stmt, a.UpdateStatement):
@@ -960,6 +977,15 @@ class Executor:
             else:
                 _, ranks = np.unique(kv.data[perm], return_inverse=True)
             key = ranks if ob.ascending else -ranks
+            # NULL placement is independent of direction (DuckDB default
+            # null order is NULLS LAST; NULLS FIRST/LAST overrides)
+            nulls_first = getattr(ob, "nulls_first", None)
+            nullmask = ~kv.validity[perm]
+            if nullmask.any():
+                big = np.int64(len(key) + 1)
+                key = np.where(nullmask,
+                               -big if nulls_first else big,
+                               key)
             s = np.argsort(key, kind="stable")
             perm = perm[s]
             key_ranks = [kr[s] for kr in key_ranks]
@@ -1072,10 +1098,25 @@ class Executor:
             # (peer-inclusive running window) reaches the nth row
             k = int(ev.evaluate(call.args[1]).value(0))
             src = ev.evaluate(call.args[0])
-            target = part_start + k - 1
             frame_end = peer_last[peer_gid] if call.order_by else part_end
-            ok = (k >= 1) & (target <= frame_end) & (target <= part_end)
             res = [None] * n
+            if call.ignore_nulls:
+                validp = src.validity[perm]
+                for i in range(n):
+                    if k < 1:
+                        continue
+                    seen = 0
+                    for j in range(int(part_start[i]),
+                                   min(int(frame_end[i]),
+                                       int(part_end[i])) + 1):
+                        if validp[j]:
+                            seen += 1
+                            if seen == k:
+                                res[int(perm[i])] = src.value(int(perm[j]))
+                                break
+                return Vector.from_values(res, src.type)
+            target = part_start + k - 1
+            ok = (k >= 1) & (target <= frame_end) & (target <= part_end)
             for i in range(n):
                 if ok[i]:
                     res[int(perm[i])] = src.value(int(perm[int(target[i])]))
@@ -1114,6 +1155,27 @@ class Executor:
                 dv = ev.evaluate(call.args[2])
                 default = dv.value(0) if len(dv) else None
             src = ev.evaluate(call.args[0])
+            if call.ignore_nulls:
+                # off-th NON-NULL row before/after within the partition:
+                # the nearest `off` valid sorted positions are in-partition
+                # iff the partition holds that many, so one global valid-
+                # position array + a partition check suffices
+                validp = src.validity[perm]
+                vpos = np.flatnonzero(validp)
+                before = np.cumsum(validp) - validp    # valid strictly before
+                upto = np.cumsum(validp)               # valid up to & incl.
+                out_vals = []
+                for i in range(n):
+                    r = (before[i] - off) if name == "lag" \
+                        else (upto[i] + off - 1)
+                    if 0 <= r < len(vpos) and spids[vpos[r]] == spids[i]:
+                        out_vals.append(src.value(int(perm[int(vpos[r])])))
+                    else:
+                        out_vals.append(default)
+                res = [None] * n
+                for i in range(n):
+                    res[int(perm[i])] = out_vals[i]
+                return Vector.from_values(res, src.type)
             step = off if name == "lead" else -off
             tgt = pos + step
             valid_t = (tgt >= 0) & (tgt < n) if n else np.zeros(0, bool)
@@ -1168,6 +1230,28 @@ class Executor:
                 raise BinderException(
                     f"window aggregate {name} requires numeric input")
             res = [None] * n
+            if call.ignore_nulls:
+                # scan the default frame [part_start, frame_end] for the
+                # first/last NON-NULL row
+                if call.order_by:
+                    fend = peer_last[peer_gid]
+                else:
+                    pg2 = np.cumsum(new_part.astype(np.int64)) - 1
+                    lp2 = np.empty(int(pg2[-1]) + 1 if n else 1,
+                                   dtype=np.int64)
+                    if n:
+                        lp2[pg2] = pos
+                    fend = lp2[pg2] if n else pos
+                validp = src.validity[perm]
+                for i in range(n):
+                    lo, hi = int(part_start[i]), int(fend[i])
+                    rng = range(lo, hi + 1) if name == "first_value" \
+                        else range(hi, lo - 1, -1)
+                    for j in rng:
+                        if validp[j]:
+                            res[int(perm[i])] = src.value(int(perm[j]))
+                            break
+                return Vector.from_values(res, src.type)
             for i in range(n):
                 res[int(perm[i])] = src.value(int(perm[int(pick[i])]))
             return Vector.from_values(res, src.type)
@@ -1367,6 +1451,19 @@ class Executor:
             src = ev.evaluate(call.args[0])
             pick = s if name == "first_value" else e
             res = [None] * n
+            if call.ignore_nulls:
+                validp2 = src.validity[perm]
+                for i in range(n):
+                    if empty[i]:
+                        continue
+                    rng = range(int(s[i]), int(e[i]) + 1) \
+                        if name == "first_value" \
+                        else range(int(e[i]), int(s[i]) - 1, -1)
+                    for j in rng:
+                        if validp2[j]:
+                            res[int(perm[i])] = src.value(int(perm[j]))
+                            break
+                return Vector.from_values(res, src.type)
             for i in range(n):
                 if not empty[i]:
                     res[int(perm[i])] = src.value(int(perm[int(pick[i])]))
@@ -1647,6 +1744,22 @@ class Executor:
         # lexsort: last key is primary
         sort_cols = []
         for ob, vec in zip(order_by, key_vecs):
+            if vec.type.id == TypeId.ENUM and vec.type.values:
+                # enums order by DEFINITION position, not alphabetically
+                posmap = {v: k for k, v in enumerate(vec.type.values)}
+                arr = np.array([
+                    posmap.get(vec.data[i], -1) if vec.validity[i] else 0
+                    for i in range(n)], dtype=np.float64)
+                if not ob.ascending:
+                    arr = -arr
+                nulls_last = True if ob.nulls_first is None \
+                    else not ob.nulls_first
+                nullkey = (~vec.validity).astype(np.float64)
+                if not nulls_last:
+                    nullkey = -nullkey
+                sort_cols.append(nullkey)
+                sort_cols.append(arr)
+                continue
             if vec.type.numpy_dtype() is object:
                 vals = np.array([
                     "" if not vec.validity[i] else str(vec.data[i])
@@ -2622,7 +2735,8 @@ class Executor:
             catalog.create_table(table, or_replace=stmt.or_replace,
                                  if_not_exists=stmt.if_not_exists)
             return QueryResult([], [])
-        defs = [ColumnDefinition(nm, t, nn, default)
+        from ..types import resolve_user_type
+        defs = [ColumnDefinition(nm, resolve_user_type(t), nn, default)
                 for nm, t, nn, default in stmt.columns]
         table = DataTable(stmt.name, defs,
                           schema=stmt.schema or self.default_schema())
@@ -2775,6 +2889,13 @@ class Executor:
                 raise CatalogException(
                     f'Sequence with name "{stmt.name}" does not exist!')
             seqs.pop(stmt.name.lower(), None)
+            return QueryResult([], [])
+        if stmt.kind == "TYPE":
+            from ..types import USER_TYPES
+            if stmt.name.lower() not in USER_TYPES and not stmt.if_exists:
+                raise CatalogException(
+                    f'Type with name "{stmt.name}" does not exist!')
+            USER_TYPES.pop(stmt.name.lower(), None)
             return QueryResult([], [])
         catalog = self.connection.resolve_catalog(None)
         if stmt.kind == "TABLE":

@@ -364,6 +364,15 @@ class Evaluator:
         if isinstance(e, a.Like):
             return self.evaluate_like(e)
         if isinstance(e, a.ListExpr):
+            if not e.values:
+                # empty list literal [] — one empty list per row (the
+                # zero-arg path otherwise yields a zero-length vector)
+                from ..types import LIST
+                data = np.empty(self.n, dtype=object)
+                for i in range(self.n):
+                    data[i] = []
+                return Vector(LIST(SQLNULL), data,
+                              np.ones(self.n, dtype=bool))
             fn = get_function("list_value")
             return fn([self.evaluate(v) for v in e.values])
         if isinstance(e, a.StructExpr):
@@ -429,6 +438,11 @@ class Evaluator:
     def coerce_pair(left: Vector, right: Vector) -> Tuple[Vector, Vector]:
         lt, rt = left.type, right.type
         if lt.id == rt.id:
+            if lt.id == TypeId.DECIMAL and lt != rt:
+                # same TypeId is NOT same representation: different scales
+                # must rescale to the covering type before comparing
+                target = max_numeric_type(lt, rt)
+                return cast_vector(left, target), cast_vector(right, target)
             return left, right
         if lt.id == TypeId.SQLNULL:
             return cast_vector(left, rt), right
@@ -451,6 +465,13 @@ class Evaluator:
             return cast_vector(left, rt), right
         if rt.id == TypeId.BOOLEAN and lt.is_numeric:
             return left, cast_vector(right, lt)
+        if TypeId.ENUM in (lt.id, rt.id) and \
+                {lt.id, rt.id} <= {TypeId.ENUM, TypeId.VARCHAR}:
+            # enum vs string (or two enums): compare as text
+            return cast_vector(left, VARCHAR), cast_vector(right, VARCHAR)
+        if TypeId.JSON in (lt.id, rt.id) and \
+                {lt.id, rt.id} <= {TypeId.JSON, TypeId.VARCHAR}:
+            return cast_vector(left, VARCHAR), cast_vector(right, VARCHAR)
         raise ConversionException(f"cannot compare {lt} and {rt}")
 
     def evaluate_comparison(self, e: a.Comparison) -> Vector:
@@ -660,8 +681,19 @@ class Evaluator:
                 return Vector.empty(_N)
             return self._struct_field(base, str(idx.data[0]))
         if base.type.id == TypeId.MAP:
-            # m[k] returns a LIST of matching values (DuckDB map semantics)
-            return get_function("map_extract")([base, idx])
+            # m[k] returns the BARE value, NULL when the key is absent
+            # (host DuckDB >= 1.2 breaking change; map_extract keeps the
+            # one-element-list form)
+            vt = base.type.fields[1][1]
+            vals = []
+            for i in range(len(base)):
+                v = None
+                if base.validity[i] and idx.validity[i]:
+                    key = idx.value(i)
+                    d = base.data[i]
+                    v = d.get(key)
+                vals.append(v)
+            return Vector.from_values(vals, vt)
         fn = get_function("list_element")
         return fn([base, idx])
 

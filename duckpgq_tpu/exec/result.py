@@ -31,7 +31,8 @@ _PASSTHROUGH = {TypeId.BOOLEAN, TypeId.TINYINT, TypeId.SMALLINT,
                 TypeId.INTEGER, TypeId.BIGINT, TypeId.HUGEINT,
                 TypeId.UTINYINT, TypeId.USMALLINT, TypeId.UINTEGER,
                 TypeId.UBIGINT, TypeId.FLOAT, TypeId.DOUBLE,
-                TypeId.VARCHAR, TypeId.BLOB, TypeId.SQLNULL}
+                TypeId.VARCHAR, TypeId.BLOB, TypeId.SQLNULL,
+                TypeId.JSON, TypeId.BIT, TypeId.ENUM}
 
 
 def _needs_typing(t: LogicalType) -> bool:
@@ -86,6 +87,10 @@ def typed_value(v, t: LogicalType):
         return [typed_value(x, child) if child is not None else x
                 for x in v]
     if tid == TypeId.STRUCT:
+        if t.fields and all(not nm for nm, _ in t.fields):
+            # unnamed struct (row(...)): tuple, like the host client
+            return tuple(typed_value(x, ft)
+                         for (_, ft), x in zip(t.fields, v))
         return {nm: typed_value(x, ft)
                 for (nm, ft), x in zip(t.fields or (), v)}
     if tid == TypeId.MAP:

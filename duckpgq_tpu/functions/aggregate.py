@@ -653,3 +653,48 @@ def agg_entropy(args, gids, n_groups, distinct):
             p = np.array(list(d.values()), dtype=np.float64) / tot
             out[g] = float(-(p * np.log2(p)).sum())
     return Vector(DOUBLE, out, ok)
+
+
+@register("bitstring_agg")
+def agg_bitstring(args, gids, n_groups, distinct):
+    """Host bitstring_agg: a BIT with one position per value in
+    [min, max] of the whole input (explicit bounds via the 3-arg form),
+    set where the group contains that value."""
+    from ..errors import OutOfRangeException
+    from ..types import BIT
+    a = args[0]
+    if not a.type.is_integral:
+        raise BinderException(
+            "No function matches the given name and argument types "
+            f"'bitstring_agg({a.type})'")
+    valid = a.validity
+    vals = a.data[valid].astype(np.int64)
+    has = np.zeros(n_groups, dtype=bool)
+    has[gids[valid]] = True
+    out = np.empty(n_groups, dtype=object)
+    if len(args) >= 3:
+        lo = int(args[1].data[0])
+        hi = int(args[2].data[0])
+    elif len(vals):
+        lo, hi = int(vals.min()), int(vals.max())
+    else:
+        return Vector(BIT, out, has)
+    width = hi - lo + 1
+    if width <= 0 or width > (1 << 24):
+        raise OutOfRangeException(
+            "bitstring_agg range is invalid or too large")
+    bits = [None] * n_groups
+    for i in np.flatnonzero(valid):
+        g = int(gids[i])
+        v = int(a.data[i])
+        if not lo <= v <= hi:
+            raise OutOfRangeException(
+                f"Value {v} is outside of provided min and max range "
+                f"({lo} <-> {hi})")
+        if bits[g] is None:
+            bits[g] = bytearray(b"0" * width)
+        bits[g][v - lo] = 0x31
+    for g in range(n_groups):
+        if bits[g] is not None:
+            out[g] = bits[g].decode()
+    return Vector(BIT, out, has)

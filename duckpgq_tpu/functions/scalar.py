@@ -2178,6 +2178,14 @@ def fn_epoch(args):
 def fn_epoch_ms(args):
     x = args[0]
     n = len(x)
+    if x.type.is_integral or x.type.id == TypeId.SQLNULL:
+        # epoch_ms(BIGINT) -> TIMESTAMP (host overload: millis since epoch)
+        from ..types import TIMESTAMP
+        if x.type.id == TypeId.SQLNULL:
+            return Vector(TIMESTAMP, np.zeros(n, dtype=np.int64),
+                          np.zeros(n, dtype=bool))
+        out = x.data.astype(np.int64) * 1000
+        return Vector(TIMESTAMP, out, x.validity.copy())
     out = np.zeros(n, dtype=np.int64)
     for i in range(n):
         if x.validity[i]:
@@ -2864,3 +2872,336 @@ def fn_cardinality(args):
         if m.validity[i]:
             out[i] = len(m.data[i])
     return Vector(BIGINT, out, m.validity.copy())
+
+
+# ---------------------------------------------------------------------------
+# row() — unnamed struct constructor (host grammar expression.gram `row`)
+# ---------------------------------------------------------------------------
+
+@register("row")
+def fn_row(args):
+    from ..types import STRUCT
+    typ = STRUCT([("", a.type) for a in args])
+    n = len(args[0]) if args else 0
+    data = np.empty(n, dtype=object)
+    for i in range(n):
+        data[i] = tuple(a.value(i) for a in args)
+    return Vector(typ, data, np.ones(n, dtype=bool))
+
+
+# ---------------------------------------------------------------------------
+# JSON function family (host autoloads the json extension; core subset here:
+# to_json / json_extract / json_extract_string (-> and ->> operators) /
+# json_valid / json_array_length / json_keys / json_type / json_array /
+# json_object / json_merge_patch). JSON values are text with logical type
+# JSON (VARCHAR storage), like the host.
+# ---------------------------------------------------------------------------
+
+def _json_default(o):
+    import decimal as _d
+    if isinstance(o, _d.Decimal):
+        return int(o) if o == o.to_integral_value() else float(o)
+    if isinstance(o, (bytes, bytearray)):
+        return o.decode("utf-8", "replace")
+    return str(o)
+
+
+def _py_to_jsonable(v, t):
+    """Engine value -> JSON-serializable python object using the client
+    conversion (dates/decimals handled by _json_default)."""
+    from ..exec.result import typed_value
+    out = typed_value(v, t)
+
+    def conv(x):
+        if isinstance(x, dict):
+            return {str(k): conv(val) for k, val in x.items()}
+        if isinstance(x, (list, tuple)):
+            return [conv(e) for e in x]
+        return x
+    return conv(out)
+
+
+def _json_dumps(obj) -> str:
+    import json
+    return json.dumps(obj, default=_json_default, separators=(",", ":"))
+
+
+def _json_loads(s):
+    import json
+    return json.loads(s)
+
+
+@register("to_json")
+@register("json_quote")
+def fn_to_json(args):
+    from ..types import JSON
+    a = args[0]
+    n = len(a)
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        if a.validity[i]:
+            out[i] = _json_dumps(_py_to_jsonable(a.value(i), a.type))
+    return Vector(JSON, out, a.validity.copy())
+
+
+@register("json")
+def fn_json(args):
+    """json(x): parse/normalize a JSON string (minified), erroring on
+    invalid input like the host."""
+    from ..types import JSON
+    a = args[0]
+    n = len(a)
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        if a.validity[i]:
+            try:
+                out[i] = _json_dumps(_json_loads(str(a.data[i])))
+            except ValueError:
+                raise InvalidInputException(
+                    f"Malformed JSON at byte 0 of input: {a.data[i]!r}")
+    return Vector(JSON, out, a.validity.copy())
+
+
+def _json_path_steps(path):
+    """'$.a[0].b', '/a/0', 'a', or an integer index -> list of str/int
+    steps."""
+    if isinstance(path, (int, np.integer)):
+        return [int(path)]
+    p = str(path)
+    steps = []
+    if p.startswith("$"):
+        i = 1
+        while i < len(p):
+            if p[i] == ".":
+                j = i + 1
+                while j < len(p) and p[j] not in ".[":
+                    j += 1
+                steps.append(p[i + 1:j])
+                i = j
+            elif p[i] == "[":
+                j = p.index("]", i)
+                tok = p[i + 1:j].strip()
+                if tok == "#":
+                    steps.append(-1)
+                elif tok.startswith("#-"):
+                    steps.append(-int(tok[2:]))
+                else:
+                    steps.append(int(tok) if tok.lstrip("-").isdigit()
+                                 else tok.strip("\"'"))
+                i = j + 1
+            else:
+                i += 1
+        return steps
+    if p.startswith("/"):
+        return [int(s) if s.lstrip("-").isdigit() else s
+                for s in p.split("/")[1:]]
+    return [int(p) if p.lstrip("-").isdigit() else p]
+
+
+def _json_walk(doc, steps):
+    cur = doc
+    for s in steps:
+        if isinstance(s, str):
+            if not isinstance(cur, dict) or s not in cur:
+                return None, False
+            cur = cur[s]
+        else:
+            if not isinstance(cur, list):
+                return None, False
+            idx = s if s >= 0 else len(cur) + s
+            if not 0 <= idx < len(cur):
+                return None, False
+            cur = cur[idx]
+    return cur, True
+
+
+def _json_extract_impl(args, as_string: bool):
+    from ..types import JSON
+    j, p = args
+    n = len(j)
+    out = np.empty(n, dtype=object)
+    validity = _common_validity(args)
+    for i in range(n):
+        if not validity[i]:
+            continue
+        try:
+            doc = _json_loads(str(j.data[i]))
+        except ValueError:
+            raise InvalidInputException(
+                f"Malformed JSON at byte 0 of input: {j.data[i]!r}")
+        val, found = _json_walk(doc, _json_path_steps(p.value(i)))
+        if not found:
+            validity[i] = False
+            continue
+        if as_string:
+            if val is None:
+                validity[i] = False
+            elif isinstance(val, bool):
+                out[i] = "true" if val else "false"
+            elif isinstance(val, str):
+                out[i] = val
+            else:
+                out[i] = _json_dumps(val)
+        else:
+            out[i] = _json_dumps(val)
+    return Vector(VARCHAR if as_string else JSON, out, validity)
+
+
+@register("json_extract")
+@register("json_extract_path")
+def fn_json_extract(args):
+    return _json_extract_impl(args, as_string=False)
+
+
+@register("json_extract_string")
+@register("json_extract_path_text")
+@register("json_value")
+def fn_json_extract_string(args):
+    return _json_extract_impl(args, as_string=True)
+
+
+@register("json_valid")
+def fn_json_valid(args):
+    a = args[0]
+    n = len(a)
+    out = np.zeros(n, dtype=bool)
+    for i in range(n):
+        if a.validity[i]:
+            try:
+                _json_loads(str(a.data[i]))
+                out[i] = True
+            except ValueError:
+                out[i] = False
+    return Vector(BOOLEAN, out, a.validity.copy())
+
+
+@register("json_array_length")
+def fn_json_array_length(args):
+    a = args[0]
+    n = len(a)
+    out = np.zeros(n, dtype=np.int64)
+    validity = a.validity.copy()
+    for i in range(n):
+        if validity[i]:
+            try:
+                doc = _json_loads(str(a.data[i]))
+            except ValueError:
+                validity[i] = False
+                continue
+            if len(args) > 1 and args[1].validity[i]:
+                doc, found = _json_walk(
+                    doc, _json_path_steps(args[1].value(i)))
+                if not found:
+                    validity[i] = False
+                    continue
+            out[i] = len(doc) if isinstance(doc, list) else 0
+    return Vector(BIGINT, out, validity)
+
+
+@register("json_keys")
+def fn_json_keys(args):
+    a = args[0]
+    n = len(a)
+    out = np.empty(n, dtype=object)
+    validity = a.validity.copy()
+    for i in range(n):
+        if validity[i]:
+            try:
+                doc = _json_loads(str(a.data[i]))
+            except ValueError:
+                validity[i] = False
+                continue
+            out[i] = list(doc.keys()) if isinstance(doc, dict) else []
+    return Vector(LIST(VARCHAR), out, validity)
+
+
+@register("json_type")
+def fn_json_type(args):
+    a = args[0]
+    n = len(a)
+    out = np.empty(n, dtype=object)
+    validity = a.validity.copy()
+    for i in range(n):
+        if not validity[i]:
+            continue
+        try:
+            doc = _json_loads(str(a.data[i]))
+        except ValueError:
+            validity[i] = False
+            continue
+        if len(args) > 1 and args[1].validity[i]:
+            doc, found = _json_walk(doc, _json_path_steps(args[1].value(i)))
+            if not found:
+                validity[i] = False
+                continue
+        out[i] = ("NULL" if doc is None else
+                  "BOOLEAN" if isinstance(doc, bool) else
+                  "BIGINT" if isinstance(doc, int) else
+                  "DOUBLE" if isinstance(doc, float) else
+                  "VARCHAR" if isinstance(doc, str) else
+                  "ARRAY" if isinstance(doc, list) else "OBJECT")
+    return Vector(VARCHAR, out, validity)
+
+
+@register("json_array")
+def fn_json_array(args):
+    from ..types import JSON
+    n = len(args[0]) if args else 0
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        out[i] = _json_dumps([
+            _py_to_jsonable(a.value(i), a.type) if a.validity[i] else None
+            for a in args])
+    return Vector(JSON, out, np.ones(n, dtype=bool))
+
+
+@register("json_object")
+def fn_json_object(args):
+    from ..types import JSON
+    if len(args) % 2:
+        raise BinderException(
+            "json_object requires an even number of arguments")
+    n = len(args[0]) if args else 0
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        obj = {}
+        for k in range(0, len(args), 2):
+            key = args[k].value(i)
+            if key is None:
+                continue
+            v = args[k + 1]
+            obj[str(key)] = _py_to_jsonable(v.value(i), v.type) \
+                if v.validity[i] else None
+        out[i] = _json_dumps(obj)
+    return Vector(JSON, out, np.ones(n, dtype=bool))
+
+
+@register("json_merge_patch")
+def fn_json_merge_patch(args):
+    from ..types import JSON
+    a, b = args
+    n = len(a)
+    out = np.empty(n, dtype=object)
+    validity = _common_validity(args)
+
+    def merge(x, y):
+        if not isinstance(y, dict):
+            return y
+        if not isinstance(x, dict):
+            x = {}
+        out_d = dict(x)
+        for k, v in y.items():
+            if v is None:
+                out_d.pop(k, None)
+            else:
+                out_d[k] = merge(out_d.get(k), v)
+        return out_d
+
+    for i in range(n):
+        if validity[i]:
+            try:
+                out[i] = _json_dumps(merge(_json_loads(str(a.data[i])),
+                                           _json_loads(str(b.data[i]))))
+            except ValueError:
+                validity[i] = False
+    return Vector(JSON, out, validity)

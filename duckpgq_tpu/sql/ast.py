@@ -103,6 +103,7 @@ class WindowCall(Expression):
     frame: Optional[WindowFrame] = None
     ref: Optional[str] = None   # OVER <name>, resolved from WINDOW clause
     alias: Optional[str] = None
+    ignore_nulls: bool = False  # fn(args) IGNORE NULLS OVER (...)
 
 
 @dataclass
@@ -449,6 +450,15 @@ class CreateSequenceStatement(Statement):
     name: str = ""
     start: int = 1
     increment: int = 1
+    if_not_exists: bool = False
+    or_replace: bool = False
+
+
+@dataclass
+class CreateTypeStatement(Statement):
+    """CREATE TYPE name AS ENUM (...) — statements/create_type.gram."""
+    name: str = ""
+    values: List[str] = field(default_factory=list)
     if_not_exists: bool = False
     or_replace: bool = False
 

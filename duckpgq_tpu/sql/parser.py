@@ -985,6 +985,17 @@ class Parser:
                 left = a.FunctionCall(name=op,
                                       args=[left, self.parse_additive()],
                                       is_operator=True)
+            elif tok.is_op("-") and self.peek(1).is_op(">", ">>") and \
+                    self.peek(1).start == tok.end:
+                # JSON -> / ->> operators (the lexer keeps '-' separate
+                # for PGQ edge patterns, and '->>' lexes as '-' + '>>';
+                # adjacency disambiguates from subtraction)
+                self.next()
+                gt = self.next()
+                name = "json_extract_string" if gt.text == ">>" \
+                    else "json_extract"
+                left = a.FunctionCall(name=name,
+                                      args=[left, self.parse_additive()])
             else:
                 return left
 
@@ -992,6 +1003,9 @@ class Parser:
         left = self.parse_multiplicative()
         while True:
             tok = self.peek()
+            if tok.is_op("-") and self.peek(1).is_op(">", ">>") and \
+                    self.peek(1).start == tok.end:
+                return left      # JSON '->'/'->>' belong to the op level
             if tok.is_op("+", "-"):
                 op = self.next().text
                 right = self.parse_multiplicative()
@@ -1118,7 +1132,7 @@ class Parser:
         "mode", "approx_count_distinct", "arbitrary", "skewness",
         "kurtosis", "corr", "covar_pop", "covar_samp", "regr_slope",
         "regr_intercept", "entropy", "argmin", "argmax", "min_by", "max_by",
-        "histogram",
+        "histogram", "bitstring_agg",
     }
 
     def parse_primary(self) -> a.Expression:
@@ -1399,6 +1413,22 @@ class Parser:
                 self.expect_op(")")
                 return a.FunctionCall(name="instr", args=[hay, needle])
             self.pos = save
+        if lname in ("substring", "substr"):
+            # SQL-standard SUBSTRING(x FROM i [FOR n]) / SUBSTRING(x FOR n)
+            # (reference grammar expression.gram:306-308)
+            save = self.pos
+            s_expr = self.parse_bitor()
+            if self.peek().is_kw("FROM", "FOR"):
+                if self.accept_kw("FROM"):
+                    start = self.parse_bitor()
+                else:
+                    start = a.Constant(1, tt.INTEGER)
+                fargs = [s_expr, start]
+                if self.accept_kw("FOR"):
+                    fargs.append(self.parse_bitor())
+                self.expect_op(")")
+                return a.FunctionCall(name="substring", args=fargs)
+            self.pos = save
         distinct = False
         args: List[a.Expression] = []
         kwargs: List[tuple] = []
@@ -1440,7 +1470,15 @@ class Parser:
                     asc = not self.accept_kw("DESC")
                     if asc:
                         self.accept_kw("ASC")
-                    order_by.append(a.OrderByNode(expr=e, ascending=asc))
+                    nf = None
+                    if self.accept_kw("NULLS"):
+                        if self.accept_kw("FIRST"):
+                            nf = True
+                        else:
+                            self.expect_kw("LAST")
+                            nf = False
+                    order_by.append(a.OrderByNode(expr=e, ascending=asc,
+                                                  nulls_first=nf))
                     if not self.accept_op(","):
                         break
         self.expect_op(")")
@@ -1451,11 +1489,21 @@ class Parser:
             self.expect_kw("WHERE")
             filt = self.parse_expression()
             self.expect_op(")")
+        ignore_nulls = False
+        if self.peek().is_kw("IGNORE", "RESPECT") and \
+                self.peek(1).is_kw("NULLS"):
+            # fn(args) IGNORE|RESPECT NULLS OVER (...) — reference grammar
+            # expression.gram:22-24
+            ignore_nulls = self.next().upper == "IGNORE"
+            self.next()
+            if not self.peek().is_kw("OVER"):
+                raise BinderException(
+                    "IGNORE NULLS can only be used with window functions")
         if self.peek().is_kw("OVER"):
             if filt is not None:
                 raise NotImplementedException(
                     "FILTER on window functions is not supported")
-            return self._parse_over(lname, args)
+            return self._parse_over(lname, args, ignore_nulls)
         if lname in self._AGGREGATES:
             if lname == "count" and not args:
                 lname = "count_star"    # DuckDB: count() == count(*)
@@ -1475,8 +1523,8 @@ class Parser:
         "sum", "count", "count_star", "avg", "min", "max",
     }
 
-    def _parse_over(self, lname: str, args: List[a.Expression]
-                    ) -> a.WindowCall:
+    def _parse_over(self, lname: str, args: List[a.Expression],
+                    ignore_nulls: bool = False) -> a.WindowCall:
         self.expect_kw("OVER")
         if lname == "count" and not args:
             lname = "count_star"
@@ -1487,10 +1535,12 @@ class Parser:
             # OVER window_name: resolved against the WINDOW clause after
             # the select node parses (select.gram WindowClause)
             return a.WindowCall(name=lname, args=args,
-                                ref=self.next().text.lower())
+                                ref=self.next().text.lower(),
+                                ignore_nulls=ignore_nulls)
         partition, order_by, frame = self._parse_window_spec()
         return a.WindowCall(name=lname, args=args, partition_by=partition,
-                            order_by=order_by, frame=frame)
+                            order_by=order_by, frame=frame,
+                            ignore_nulls=ignore_nulls)
 
     def _parse_window_spec(self):
         """Parenthesized window specification body."""
@@ -1509,7 +1559,15 @@ class Parser:
                 asc = not self.accept_kw("DESC")
                 if asc:
                     self.accept_kw("ASC")
-                order_by.append(a.OrderByNode(expr=e, ascending=asc))
+                nf = None
+                if self.accept_kw("NULLS"):
+                    if self.accept_kw("FIRST"):
+                        nf = True
+                    else:
+                        self.expect_kw("LAST")
+                        nf = False
+                order_by.append(a.OrderByNode(expr=e, ascending=asc,
+                                              nulls_first=nf))
                 if not self.accept_op(","):
                     break
         frame = None
@@ -1607,7 +1665,10 @@ class Parser:
                 self.expect_kw("ZONE")
             typ = tt.type_from_name(name)
             if typ is None:
-                raise ParserException(f"unknown type {name}")
+                # defer to bind time (host: type names are catalog lookups,
+                # so CREATE TYPE in the same batch works and a typo is a
+                # Catalog Error)
+                typ = tt.LogicalType(tt.TypeId.USERREF, type_name=name)
             if self.peek().is_op("(") and name in ("VARCHAR", "CHAR", "BPCHAR"):
                 self.next()
                 self.next()  # width, ignored
@@ -1661,6 +1722,30 @@ class Parser:
                 else:
                     break
             return stmt
+        if tok.is_kw("TYPE"):
+            # CREATE TYPE name AS ENUM ('a', 'b', ...) — reference grammar
+            # statements/create_type.gram
+            self.next()
+            if_not_exists = self._parse_if_not_exists()
+            name = self.expect_ident()
+            self.expect_kw("AS")
+            if not self.accept_kw("ENUM"):
+                raise NotImplementedException(
+                    "CREATE TYPE only supports AS ENUM")
+            self.expect_op("(")
+            values = []
+            if not self.peek().is_op(")"):
+                while True:
+                    v = self.next()
+                    if v.kind != T.STRING:
+                        self.error("expected string literal in ENUM")
+                    values.append(v.text)
+                    if not self.accept_op(","):
+                        break
+            self.expect_op(")")
+            return a.CreateTypeStatement(name=name, values=values,
+                                         or_replace=or_replace,
+                                         if_not_exists=if_not_exists)
         if tok.is_kw("INDEX", "UNIQUE"):
             # accepted and ignored
             while self.peek().kind != T.EOF and not self.peek().is_op(";"):
@@ -1882,13 +1967,13 @@ class Parser:
 
     def parse_drop(self) -> a.DropStatement:
         self.expect_kw("DROP")
-        if self.peek().is_kw("SEQUENCE"):
-            self.next()
+        if self.peek().is_kw("SEQUENCE", "TYPE"):
+            kind = self.next().upper
             if_exists = False
             if self.accept_kw("IF"):
                 self.expect_kw("EXISTS")
                 if_exists = True
-            return a.DropStatement(kind="SEQUENCE",
+            return a.DropStatement(kind=kind,
                                    name=self.expect_ident(),
                                    if_exists=if_exists)
         tok = self.peek()

@@ -45,6 +45,10 @@ class TypeId(Enum):
     LIST = "LIST"
     STRUCT = "STRUCT"
     MAP = "MAP"
+    JSON = "JSON"    # host: JSON logical type over VARCHAR storage
+    BIT = "BIT"      # host: bitstring (stored as '0'/'1' text here)
+    ENUM = "ENUM"    # CREATE TYPE ... AS ENUM
+    USERREF = "USERREF"  # unresolved user-type name (bound at execution)
 
 
 _INTEGRAL = {
@@ -97,6 +101,9 @@ _NUMPY_DTYPE = {
     TypeId.VARCHAR: object,
     TypeId.BLOB: object,
     TypeId.SQLNULL: object,
+    TypeId.JSON: object,
+    TypeId.BIT: object,
+    TypeId.ENUM: object,
 }
 
 # Promotion lattice for binary numeric ops (smaller rank promotes to larger).
@@ -116,6 +123,8 @@ class LogicalType:
     fields: Optional[Tuple[Tuple[str, "LogicalType"], ...]] = None  # STRUCT
     width: int = 0     # DECIMAL width
     scale: int = 0     # DECIMAL scale
+    values: Optional[Tuple[str, ...]] = None   # ENUM members (defn order)
+    type_name: str = ""                        # ENUM catalog name
 
     # ---- predicates -------------------------------------------------------
     @property
@@ -154,6 +163,11 @@ class LogicalType:
             return f"MAP({self.fields[0][1]}, {self.fields[1][1]})"
         if self.id == TypeId.DECIMAL:
             return f"DECIMAL({self.width},{self.scale})"
+        if self.id == TypeId.ENUM:
+            if self.type_name:
+                return self.type_name
+            inner = ", ".join(f"'{v}'" for v in (self.values or ()))
+            return f"ENUM({inner})"
         return self.id.value
 
     def __repr__(self) -> str:
@@ -200,6 +214,36 @@ def DECIMAL(width: int, scale: int) -> LogicalType:
     return LogicalType(TypeId.DECIMAL, width=width, scale=scale)
 
 
+JSON = LogicalType(TypeId.JSON)
+BIT = LogicalType(TypeId.BIT)
+
+
+def ENUM(values, name: str = "") -> LogicalType:
+    return LogicalType(TypeId.ENUM, values=tuple(values), type_name=name)
+
+
+# User-defined types created via CREATE TYPE ... AS ENUM. Process-global
+# (the hand parser resolves type names without a catalog handle); names are
+# lower-cased. CREATE TYPE re-registration follows DuckDB conflict rules at
+# the executor level.
+USER_TYPES: dict = {}
+
+
+def resolve_user_type(t: LogicalType) -> LogicalType:
+    """Late-bind a USERREF placeholder (unknown type name at parse time)
+    against the user-type catalog — host semantics: type names resolve at
+    bind time, so CREATE TYPE + use in one batch works and a typo is a
+    Catalog Error, not a parse error."""
+    if t.id != TypeId.USERREF:
+        return t
+    real = USER_TYPES.get(t.type_name.lower())
+    if real is None:
+        from .errors import CatalogException
+        raise CatalogException(
+            f"Type with name {t.type_name} does not exist!")
+    return real
+
+
 _NAME_TO_TYPE = {
     "BOOLEAN": BOOLEAN, "BOOL": BOOLEAN, "LOGICAL": BOOLEAN,
     "TINYINT": TINYINT, "INT1": TINYINT,
@@ -217,6 +261,8 @@ _NAME_TO_TYPE = {
     "VARCHAR": VARCHAR, "TEXT": VARCHAR, "STRING": VARCHAR, "CHAR": VARCHAR,
     "BPCHAR": VARCHAR,
     "BLOB": BLOB, "BYTEA": BLOB,
+    "JSON": JSON,
+    "BIT": BIT, "BITSTRING": BIT,
     "DATE": DATE,
     "TIME": TIME,
     "TIMESTAMP": TIMESTAMP, "DATETIME": TIMESTAMP,
@@ -230,7 +276,10 @@ _NAME_TO_TYPE = {
 
 
 def type_from_name(name: str) -> Optional[LogicalType]:
-    return _NAME_TO_TYPE.get(name.upper())
+    t = _NAME_TO_TYPE.get(name.upper())
+    if t is None:
+        t = USER_TYPES.get(name.lower())
+    return t
 
 
 # Value bounds of each integer type (HUGEINT is DuckDB's int128 whose
@@ -470,6 +519,11 @@ def value_to_string(value, typ: LogicalType) -> str:
         )
         return f"[{inner}]"
     if t == TypeId.STRUCT:
+        if typ.fields and all(not name for name, _ in typ.fields):
+            # unnamed struct (row(...)): host renders (v1, v2, ...)
+            parts = ["NULL" if v is None else value_to_string(v, ft)
+                     for (_, ft), v in zip(typ.fields, value)]
+            return "(" + ", ".join(parts) + ")"
         parts = []
         for (name, ft), v in zip(typ.fields or (), value):
             sv = "NULL" if v is None else value_to_string(v, ft)

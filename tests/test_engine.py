@@ -680,8 +680,10 @@ def test_map_type_and_new_aggregates():
         # rows whose ordering value is NULL are ignored
         ("SELECT arg_min(a, a) FROM mt WHERE a IS NULL", [(None,)]),
         ("SELECT map([1,2],[10,20])", [({1: 10, 2: 20},)]),
+        # m[k] yields the BARE value since the host's 1.2 breaking change;
+        # map_extract keeps the list form
         ("SELECT map([1,2],[10,20])[2], map_extract(map([1,2],[10,20]), 9)",
-         [([20], [])]),
+         [(20, [])]),
         ("SELECT element_at(map(['k'],[5]), 'k')", [([5],)]),
         ("SELECT map_keys(map([1,2],[10,20])),"
          " map_values(map([1,2],[10,20]))", [([1, 2], [10, 20])]),
