@@ -228,6 +228,8 @@ def _bench_runs_csr(scale, edge_factor, v, n_runs, max_iters, rng, t0):
     e = int(src_d.shape[0])
     np.asarray(src_d[:1])
     print(f"# gen synced: {time.time() - t0:.3f}s", file=sys.stderr)
+    from duckpgq_tpu.ops.csr_jax import runs_with_head_bits
+
     runs_csr = build_lengths_csr_runs_on_device(v, src_d, dst_d, n_runs)
     del src_d, dst_d                        # donated into the run sorts
     np.asarray(runs_csr.run_offsets[0, -1:])
@@ -235,10 +237,18 @@ def _bench_runs_csr(scale, edge_factor, v, n_runs, max_iters, rng, t0):
     print(f"# runs-csr build ({n_runs} runs): {build_s:.1f}s "
           f"({e / max(build_s, 1e-9) / 1e6:.1f} Medges/s)",
           file=sys.stderr)
-    lanes = int(os.environ.get("BENCH_RUNS_LANES", "32"))
-    plans = plan_runs_wave(runs_csr, lanes=lanes)
+    lanes_env = int(os.environ.get("BENCH_RUNS_LANES", "0"))
+    plans = plan_runs_wave(runs_csr, lanes=lanes_env or None)
+    lanes = plans[0].lanes
+    # slim the CSR for the wave: packed head bits replace in_dst, and the
+    # planner is done with run_offsets — together ~5.4 GB freed at
+    # scale 26, which the auto plan above spends on wave width
+    runs_csr = runs_with_head_bits(runs_csr, drop_in_dst=True,
+                                   drop_run_offsets=True)
+    np.asarray(runs_csr.heads[:1])
     print(f"# runs plan: {lanes} lanes (W={lanes // 32}), "
-          f"{plans[0].n_chunks} chunks/run x {n_runs} runs",
+          f"{plans[0].n_chunks} chunks/run x {n_runs} runs, "
+          f"slimmed CSR (head bits): {time.time() - t0:.1f}s",
           file=sys.stderr)
     qs = jnp.asarray(rng.integers(0, v, size=lanes).astype(np.int32))
     qd = jnp.asarray(rng.integers(0, v, size=lanes).astype(np.int32))

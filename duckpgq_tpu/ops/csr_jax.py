@@ -370,29 +370,36 @@ class RunsCSR:
     multi-run wave ORs the per-run expansions."""
 
     in_src: jnp.ndarray       # int32 [Ep]  src, dst-sorted WITHIN runs
-    in_dst: jnp.ndarray       # int32 [Ep]
-    run_offsets: jnp.ndarray  # int32 [R, Vp+1] per-run dst offsets
+    in_dst: Optional[jnp.ndarray]       # int32 [Ep]; None once `heads` built
+    run_offsets: Optional[jnp.ndarray]  # int32 [R, Vp+1]; None post-planning
     offsets: jnp.ndarray      # int32 [Vp+1] forward (out-degree) offsets
     vcount: int
     ecount: int
     n_runs: int
+    # packed per-edge segment-head bits (bit j of word w = edge w*32+j):
+    # lets the wave drop the 4*Ep-byte in_dst array (RMAT-26: -4.3 GB of
+    # resident HBM; the bits cost Ep/8 bytes = 134 MB)
+    heads: Optional[jnp.ndarray] = None   # uint32 [Ep // 32]
 
     @property
     def vpad(self) -> int:
-        return int(self.run_offsets.shape[1]) - 1
+        return int(self.offsets.shape[0]) - 1
 
     @property
     def epad(self) -> int:
-        return int(self.in_dst.shape[0])
+        return int(self.in_src.shape[0])
 
     def tree_flatten(self):
         return ((self.in_src, self.in_dst, self.run_offsets,
-                 self.offsets),
+                 self.offsets, self.heads),
                 (self.vcount, self.ecount, self.n_runs))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        in_src, in_dst, run_offsets, offsets, heads = children
+        vcount, ecount, n_runs = aux
+        return cls(in_src, in_dst, run_offsets, offsets,
+                   vcount, ecount, n_runs, heads)
 
 
 @functools.partial(jax.jit, static_argnames=("ec",),
@@ -442,6 +449,45 @@ def build_lengths_csr_runs_on_device(vcount: int, src, dst,
     return RunsCSR(in_src=src, in_dst=dst, run_offsets=run_offs,
                    offsets=offsets, vcount=vcount, ecount=e,
                    n_runs=n_runs)
+
+
+@functools.partial(jax.jit, static_argnames=("ec", "rl"))
+def _head_bits_chunk(in_dst, off, ec: int, rl: int):
+    """Packed segment-head bits for edge positions [off, off+ec): head iff
+    the position starts a run (off % rl == 0 — ec divides rl, so only the
+    chunk's first position can be one) or dst changes."""
+    d = jax.lax.dynamic_slice(in_dst, (off,), (ec,))
+    prev = jax.lax.dynamic_slice(in_dst,
+                                 (jnp.maximum(off - 1, 0),), (1,))
+    first = jnp.where(off % jnp.int32(rl) == 0, True, d[0] != prev[0])
+    h = jnp.concatenate([first[None], d[1:] != d[:-1]])
+    return (h.reshape(ec // 32, 32).astype(jnp.uint32)
+            << jnp.arange(32, dtype=jnp.uint32)[None, :]).sum(
+        axis=1, dtype=jnp.uint32)
+
+
+def runs_with_head_bits(runs_csr: RunsCSR, drop_in_dst: bool = True,
+                        drop_run_offsets: bool = False,
+                        chunk: int = 1 << 24) -> RunsCSR:
+    """Precompute packed segment-head bits and (optionally) drop the
+    arrays the wave no longer needs: in_dst (4*Ep bytes — only its
+    change-points matter to the expansion) and run_offsets (R*4*(Vp+1)
+    bytes — only the planner reads them). At RMAT-26 this frees ~5.4 GB
+    of resident HBM, which the planner converts into wave width."""
+    Ep = runs_csr.epad
+    rl = Ep // runs_csr.n_runs
+    ec = min(chunk, rl)
+    while rl % ec or ec % 32:
+        ec //= 2
+    parts = [_head_bits_chunk(runs_csr.in_dst, np.int32(k * ec), ec, rl)
+             for k in range(Ep // ec)]
+    heads = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    return RunsCSR(
+        in_src=runs_csr.in_src,
+        in_dst=None if drop_in_dst else runs_csr.in_dst,
+        run_offsets=None if drop_run_offsets else runs_csr.run_offsets,
+        offsets=runs_csr.offsets, vcount=runs_csr.vcount,
+        ecount=runs_csr.ecount, n_runs=runs_csr.n_runs, heads=heads)
 
 
 @functools.partial(jax.jit, static_argnames=("vpad", "epad", "ecount"))

@@ -1134,6 +1134,33 @@ def _take_cols_chunked(table, idx, chunk: int = _GATHER_CHUNK):
     return out
 
 
+def _or_take_cols_chunked(acc, table, idx, chunk: int = _GATHER_CHUNK):
+    """acc[:, j] |= table[:, idx[j]] without materializing a second
+    [W, n] buffer: per index chunk, gather the table columns, OR with the
+    matching acc slice, and write back (the fori_loop carry aliases acc
+    in place under XLA)."""
+    W = table.shape[0]
+    n = idx.shape[0]
+    nb, rem = n // chunk, n % chunk
+
+    def step(c, acc):
+        sl = jax.lax.dynamic_slice(idx, (c * chunk,), (chunk,))
+        vals = jnp.take(table, sl, axis=1)
+        cur = jax.lax.dynamic_slice(acc, (0, c * chunk), (W, chunk))
+        return jax.lax.dynamic_update_slice(acc, cur | vals,
+                                            (0, c * chunk))
+
+    if nb:
+        acc = jax.lax.fori_loop(0, nb, step, acc)
+    if rem:
+        sl = jax.lax.dynamic_slice(idx, (nb * chunk,), (rem,))
+        vals = jnp.take(table, sl, axis=1)
+        cur = jax.lax.dynamic_slice(acc, (0, nb * chunk), (W, rem))
+        acc = jax.lax.dynamic_update_slice(acc, cur | vals,
+                                           (0, nb * chunk))
+    return acc
+
+
 def _take_rows_chunked(table, idx, chunk: int = _GATHER_CHUNK):
     """Edge-major mirror of _take_cols_chunked (axis 0)."""
     W = table.shape[1]
@@ -1341,9 +1368,15 @@ def _msbfs_chunked_stepped(csr: DeviceCSR, plan: PackedWavePlan,
 # multi-run wave (RunsCSR): single-chip RMAT-26-class graphs
 # ---------------------------------------------------------------------------
 
-def plan_runs_wave(runs_csr, lanes: int = 32, ec_cap: int = 1 << 20):
+def plan_runs_wave(runs_csr, lanes: Optional[int] = 32,
+                   ec_cap: int = 1 << 20,
+                   hbm_budget: Optional[int] = None):
     """Per-run PackedWavePlans for the multi-run wave (equal-length runs
-    share K; tables built on device, one bmax scalar pulled per run)."""
+    share K; tables built on device, one bmax scalar pulled per run).
+    ``lanes=None`` picks the widest HBM-feasible width from a fit model
+    of the slimmed wave (head bits instead of in_dst, run_offsets freed,
+    in-place OR accumulation — see runs_with_head_bits)."""
+    import os
     plans = []
     R = runs_csr.n_runs
     rl = runs_csr.epad // R
@@ -1352,10 +1385,40 @@ def plan_runs_wave(runs_csr, lanes: int = 32, ec_cap: int = 1 << 20):
             (rl // (K * 2)) % 128 == 0:
         K *= 2
     Ec = rl // K
+    tables = []
     for r in range(R):
         offs = runs_csr.run_offsets[r]
         bmax = max(int(_plan_chunk_bmax(offs, Ec, K)), 1)
         rel, slot = _plan_tables_device(offs, Ec, K, bmax)
+        tables.append((rel, slot, bmax))
+    if lanes is None:
+        Vp, Ep = runs_csr.vpad, runs_csr.epad
+        if hbm_budget is None:
+            # 7/8 of the limit: the per-W model already carries its own
+            # 30% XLA-temp margin on the state term
+            hbm_budget = 14 << 30
+            try:
+                stats = jax.devices()[0].memory_stats()
+                if stats and stats.get("bytes_limit"):
+                    hbm_budget = int(stats["bytes_limit"] * 7) // 8
+            except Exception:
+                pass
+        bmax_hi = max(b for _, _, b in tables)
+        # resident after slimming: in_src + head bits + forward offsets +
+        # per-run slot/rel tables
+        fixed = 4 * Ep + Ep // 8 + 4 * (Vp + 1) + \
+            sum(4 * (Vp + 1) + 4 * K * b for _, _, b in tables)
+        # per word of width: frontier + seen + acc (the take-OR is
+        # in-place) + 30% XLA-temp margin on the state (RMAT-23 lesson),
+        # one [W, K*bmax] compact, 4 [W, Ec] chunk buffers
+        per_w = (4 * (Vp + 1) * 3) * 13 // 10 + \
+            4 * (K * bmax_hi + 1) + 4 * Ec * 4
+        w_fit = max(int((hbm_budget - fixed) // per_w), 1)
+        for w in (16, 12, 8, 6, 4, 3, 2, 1):
+            if w <= w_fit:
+                break
+        lanes = int(os.environ.get("BENCH_RUNS_LANES", "0")) or w * 32
+    for rel, slot, bmax in tables:
         plans.append(PackedWavePlan(rel=rel, slot=slot, lanes=lanes,
                                     n_chunks=K, bmax=bmax))
     return plans
@@ -1376,21 +1439,33 @@ def _runs_wave_body(runs_csr, plans, src, dst, word_of_lane, bit_of_lane,
     Ec = rl // K
     scan_block = _scan_block_size(Ec)
 
-    def expand_run(frontier, r, plan):
+    heads_bits = getattr(runs_csr, "heads", None)
+
+    def expand_run(frontier, acc, r, plan):
         base = r * rl
 
         def chunk_step(k, state):
             compact, carry = state
             off = base + k * Ec
             idx = jax.lax.dynamic_slice(runs_csr.in_src, (off,), (Ec,))
-            dsts = jax.lax.dynamic_slice(runs_csr.in_dst, (off,), (Ec,))
-            # on-the-fly segment heads; the first row of chunk 0 is a
-            # head, later chunks continue the open segment via the carry
-            prev = jax.lax.dynamic_slice(
-                runs_csr.in_dst, (jnp.maximum(off - 1, base),), (1,))
-            first_head = jnp.where(k == 0, True, dsts[0] != prev[0])
-            hds = jnp.concatenate(
-                [first_head[None], dsts[1:] != dsts[:-1]])
+            if heads_bits is not None:
+                # precomputed packed head bits (in_dst itself is freed —
+                # RMAT-26: -4.3 GB resident)
+                hw = jax.lax.dynamic_slice(heads_bits, (off // 32,),
+                                           (Ec // 32,))
+                hds = (((hw[:, None] >>
+                         jnp.arange(32, dtype=jnp.uint32)) & 1)
+                       .astype(bool).reshape(Ec))
+            else:
+                dsts = jax.lax.dynamic_slice(runs_csr.in_dst, (off,),
+                                             (Ec,))
+                # on-the-fly segment heads; the first row of chunk 0 is a
+                # head, later chunks continue the open segment via carry
+                prev = jax.lax.dynamic_slice(
+                    runs_csr.in_dst, (jnp.maximum(off - 1, base),), (1,))
+                first_head = jnp.where(k == 0, True, dsts[0] != prev[0])
+                hds = jnp.concatenate(
+                    [first_head[None], dsts[1:] != dsts[:-1]])
             g = jnp.take(frontier, idx, axis=1)          # [W, Ec]
             scanned, carry = _seg_or_scan_blocked_rows(
                 g, hds, carry, scan_block)
@@ -1405,13 +1480,16 @@ def _runs_wave_body(runs_csr, plans, src, dst, word_of_lane, bit_of_lane,
         carry0 = jnp.zeros((W, 1), jnp.uint32)
         compact, _ = jax.lax.fori_loop(0, K, chunk_step,
                                        (compact0, carry0))
-        return _take_cols_chunked(compact, plan.slot)    # [W, Vp+1]
+        # OR into the accumulator IN PLACE (chunked take+or+update): a
+        # separate [W, Vp+1] take output would double the largest live
+        # buffer and halve the feasible width at RMAT-26
+        return _or_take_cols_chunked(acc, compact, plan.slot)
 
     def body(state):
         it, frontier, seen, result = state
-        acc = expand_run(frontier, 0, plans[0])
-        for r in range(1, R):
-            acc = acc | expand_run(frontier, r, plans[r])
+        acc = jnp.zeros((W, Vp + 1), jnp.uint32)
+        for r in range(R):
+            acc = expand_run(frontier, acc, r, plans[r])
         nxt = acc & ~seen
         seen = seen | nxt
         found = ((nxt[word_of_lane, dst] & bit_of_lane) != 0) \

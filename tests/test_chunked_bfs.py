@@ -474,3 +474,30 @@ def test_runs_csr_wave_matches_host():
     assert float(np.asarray(trav)[0]) > 0
     # trivial lane (src == dst) traverses its own component too
     assert np.asarray(trav).shape == (L,)
+
+    # SLIMMED CSR (round 5, the RMAT-26 memory lever): packed head bits
+    # replace in_dst, run_offsets freed post-planning — bit-identical
+    from duckpgq_tpu.ops.csr_jax import runs_with_head_bits
+    slim = runs_with_head_bits(runs, drop_in_dst=True,
+                               drop_run_offsets=True, chunk=256)
+    assert slim.in_dst is None and slim.run_offsets is None
+    got2, trav2 = dev.msbfs_lengths_runs(
+        slim, plans, jnp.asarray(qs), jnp.asarray(qd), jnp.asarray(act),
+        v, seg_iters=3)
+    np.testing.assert_array_equal(np.asarray(got2), want)
+    np.testing.assert_array_equal(np.asarray(trav2), np.asarray(trav))
+
+    # auto width: the fit model must return a usable plan on tiny graphs
+    plans_auto = dev.plan_runs_wave(runs, lanes=None, ec_cap=128)
+    assert plans_auto[0].lanes >= 32
+    La = plans_auto[0].lanes
+    qs_a = np.resize(qs, La).astype(np.int32)
+    qd_a = np.resize(qd, La).astype(np.int32)
+    act_a = np.ones(La, bool)
+    got3, _ = dev.msbfs_lengths_runs(
+        slim, plans_auto, jnp.asarray(qs_a), jnp.asarray(qd_a),
+        jnp.asarray(act_a), v, seg_iters=3)
+    want3, valid3 = host_msbfs.iterative_length(
+        csr, qs_a.astype(np.int64), qd_a.astype(np.int64))
+    np.testing.assert_array_equal(
+        np.asarray(got3), np.where(valid3, want3, -1))
