@@ -608,11 +608,40 @@ class Executor:
         return final
 
     # --------------------------------------------------------- SELECT node
+    def _try_triangle_count_node(self, node: a.SelectNode):
+        """SELECT count(*) FROM GRAPH_TABLE (<undirected 3-cycle>) — route
+        to the closed-triangle counting kernel instead of the O(E^2/V)
+        wedge join (pgq/triangle.py; reference workload bi.test BI17).
+        Returns (QueryResult, order_ctx) or None for the generic plan."""
+        if not isinstance(node.from_table, a.GraphTableRef):
+            return None
+        if node.where is not None or node.groups or node.group_all or \
+                node.having is not None or node.qualify is not None or \
+                node.distinct or node.grouping_sets is not None or \
+                len(node.select_list) != 1:
+            return None
+        agg = node.select_list[0]
+        if not isinstance(agg, a.AggregateCall) or \
+                agg.name != "count_star" or agg.filter is not None:
+            return None
+        from ..pgq.triangle import try_triangle_count
+        cnt = try_triangle_count(self, node.from_table)
+        if cnt is None:
+            return None
+        result = QueryResult([self.derive_name(agg)],
+                             [Vector.from_values([cnt], BIGINT)])
+        order_ctx = {"rel": Relation([], []), "replacements": {},
+                     "fps": [fingerprint(agg)]}
+        return result, order_ctx
+
     def execute_select_node(self, node: a.SelectNode, outer, env,
                             order_exprs=()
                             ) -> Tuple[QueryResult, Optional[dict]]:
         if node.grouping_sets is not None:
             return self._execute_grouping_sets(node, outer, env)
+        tri = self._try_triangle_count_node(node)
+        if tri is not None:
+            return tri
         rel = self.execute_from_filtered(node.from_table, node.where, outer,
                                          env)
         if getattr(node, "sample", None):
