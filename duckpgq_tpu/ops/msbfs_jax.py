@@ -2295,11 +2295,13 @@ def lcc_device(csr: DeviceCSR, block: int = 64) -> jnp.ndarray:
 
 
 def triangle_closures_device(csr: DeviceCSR, block: int = 64) -> int:
-    """Total wedge closures Σ_v Σ_{x∈N(v)} |N(x) ∩ N(v)| == trace(M^3)
-    over a symmetrized deduplicated CSR — the binding count of an
-    undirected 3-cycle MATCH (6x the triangle count). Same blocked
-    masked-matmul as lcc_device; per-row sums are small integers, exact
-    in float32, accumulated in float64 on host."""
+    """Total multigraph wedge closures trace(M^3) over a symmetrized CSR
+    (M[x,y] = number of parallel edge rows between x and y) — the binding
+    count of an undirected 3-cycle MATCH (6x the triangle count on a
+    simple graph). Same blocked masked-matmul as lcc_device, but the
+    block bitmap ACCUMULATES multiplicities, so duplicate edge rows are
+    counted the way the join plan counts them. Per-row sums are small
+    integers, exact in float32, accumulated in float64 on host."""
     import numpy as np
     Vp = csr.vpad
     assert Vp % block == 0, (Vp, block)
@@ -2310,7 +2312,7 @@ def triangle_closures_device(csr: DeviceCSR, block: int = 64) -> int:
         safe_row = jnp.where((local_row >= 0) & (local_row < block),
                              local_row, block)
         bitmap = jnp.zeros((block + 1, Vp + 1), jnp.float32)
-        bitmap = bitmap.at[safe_row, csr.e].max(1.0)
+        bitmap = bitmap.at[safe_row, csr.e].add(1.0)
         bitmap = bitmap[:block]
         src_in_nbr = jax.vmap(lambda row: row[csr.edge_src])(bitmap)
         dst_in_nbr = jax.vmap(lambda row: row[csr.e])(bitmap)

@@ -200,12 +200,16 @@ def try_triangle_count(executor, ref: "a.GraphTableRef") -> Optional[int]:
     lo = np.minimum(s, d)
     hi = np.maximum(s, d)
     pair = lo * np.int64(nv) + hi
-    if len(np.unique(pair)) != len(pair):
-        return None                     # duplicate undirected pairs
+    has_dups = len(np.unique(pair)) != len(pair)
     sym_s = np.concatenate([s, d])
     sym_d = np.concatenate([d, s])
-    if len(sym_s) >= _DEVICE_MIN_EDGES and \
-            os.environ.get("DUCKPGQ_TRIANGLE_DEVICE", "1") == "1":
+    device_ok = os.environ.get("DUCKPGQ_TRIANGLE_DEVICE", "1") == "1"
+    if has_dups or (len(sym_s) >= _DEVICE_MIN_EDGES and device_ok):
+        # duplicate pairs need the multiplicity-weighted kernel (the
+        # bitset sweep undercounts parallel rows); large graphs prefer
+        # the MXU either way
+        if not device_ok:
+            return None
         try:
             from ..ops.csr import build_csr
             from ..ops.csr_jax import from_host_csr
@@ -214,5 +218,6 @@ def try_triangle_count(executor, ref: "a.GraphTableRef") -> Optional[int]:
                             np.arange(len(sym_s), dtype=np.int64))
             return int(triangle_closures_device(from_host_csr(csr)))
         except Exception:
-            pass                        # device trouble: host sweep below
+            if has_dups:
+                return None             # no exact host path for dups
     return _host_closures(sym_s, sym_d, nv)

@@ -169,7 +169,14 @@ def build_dataset(sf: float, n_messages: int, n_members: int, rng):
     src, dst = rmat_edges(scale, max(4 * K_target // (1 << scale), 1),
                           seed=7)
     keep = (src < P) & (dst < P) & (src != dst)
-    src, dst = src[keep][:K_target], dst[keep][:K_target]
+    src, dst = src[keep], dst[keep]
+    # LDBC knows is one row per unordered friend pair — dedupe the RMAT
+    # sample the same way (duplicate pairs would also change triangle
+    # binding multiplicities vs the real workload)
+    lo, hi = np.minimum(src, dst), np.maximum(src, dst)
+    _, first = np.unique(lo * np.int64(P) + hi, return_index=True)
+    first.sort()
+    src, dst = src[first][:K_target], dst[first][:K_target]
     data["Person_knows_person"] = (
         ["creationDate", "Person1Id", "Person2Id"],
         [_ts(rng, len(src), start=EPOCH_2010 + 365 * DAY_MS,

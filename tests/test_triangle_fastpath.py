@@ -79,6 +79,22 @@ def test_fast_path_engages_on_bi17_shape():
     assert try_triangle_count(con.executor, ref) is not None
 
 
+def test_fast_path_engages_on_multigraph():
+    """Duplicate pairs route to the multiplicity-weighted device kernel
+    (NOT a silent fallback) and still count exactly."""
+    con = duckpgq_tpu.connect()
+    _setup(con, dups=True, n_e=150)
+    ref = parse_sql(Q_PLAIN)[0].node.from_table
+    fast = try_triangle_count(con.executor, ref)
+    assert fast is not None
+    os.environ["DUCKPGQ_TRIANGLE"] = "0"
+    try:
+        slow = con.execute(Q_PLAIN).fetchall()[0][0]
+    finally:
+        os.environ["DUCKPGQ_TRIANGLE"] = "1"
+    assert fast == slow
+
+
 def test_fast_path_declines_non_triangles():
     con = duckpgq_tpu.connect()
     _setup(con)
