@@ -789,6 +789,21 @@ def write_parquet(path: str, names: List[str], columns: List[Vector]):
     num_rows = len(columns[0]) if columns else 0
     chunk_metas = []
     for name, vec in zip(names, columns):
+        if vec.type.id == tt.TypeId.DECIMAL:
+            # scaled-int representation: unscale to DOUBLE for the plain
+            # encoding (this writer's DECIMAL physical type is f8)
+            from ..exec.cast import cast_vector
+            vec = cast_vector(vec, tt.DOUBLE)
+        elif vec.type.id == tt.TypeId.HUGEINT:
+            # parquet has no int128 here: int64 when every value fits,
+            # DOUBLE otherwise
+            from ..exec.cast import cast_vector
+            from ..types import INT_BOUNDS, TypeId as _T
+            lo, hi = INT_BOUNDS[_T.BIGINT]
+            vals = [vec.value(i) for i in range(len(vec))
+                    if vec.validity[i]]
+            fits = all(lo <= v <= hi for v in vals)
+            vec = cast_vector(vec, tt.BIGINT if fits else tt.DOUBLE)
         ptype = _ENGINE_TO_PHYSICAL.get(vec.type.id)
         if ptype is None:
             # render unsupported types as strings

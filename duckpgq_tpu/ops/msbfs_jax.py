@@ -438,13 +438,21 @@ class PackedWavePlan:
     lanes: int
     n_chunks: int
     bmax: int
+    # vids[k, j] = vertex whose segment-final value chunk k's j-th
+    # extraction row holds (pad rows -> Vp). Lets the scatter-accumulate
+    # runs-wave variant OR chunk results straight into the [W, Vp+1]
+    # accumulator — no [W, K*bmax] compact buffer and no slot pass.
+    vids: Optional[jnp.ndarray] = None   # int32 [K, bmax]
 
     def tree_flatten(self):
-        return (self.rel, self.slot), (self.lanes, self.n_chunks, self.bmax)
+        return (self.rel, self.slot, self.vids), \
+            (self.lanes, self.n_chunks, self.bmax)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        rel, slot, vids = children
+        lanes, n_chunks, bmax = aux
+        return cls(rel, slot, lanes, n_chunks, bmax, vids)
 
 
 def plan_packed_wave(csr: DeviceCSR, lanes: Optional[int] = None,
@@ -581,9 +589,9 @@ def plan_packed_wave(csr: DeviceCSR, lanes: Optional[int] = None,
     if host_off is None:
         bmax = int(_plan_chunk_bmax(csr.in_offsets, Ec, K))
         bmax = max(bmax, 1)
-        rel, slot = _plan_tables_device(csr.in_offsets, Ec, K, bmax)
+        rel, slot, vids = _plan_tables_device(csr.in_offsets, Ec, K, bmax)
         return PackedWavePlan(rel=rel, slot=slot, lanes=lanes,
-                              n_chunks=K, bmax=bmax)
+                              n_chunks=K, bmax=bmax, vids=vids)
     in_off = np.asarray(host_off).astype(np.int64)  # [Vp + 1]
     deg_in = in_off[1:] - in_off[:-1]
     has = deg_in > 0
@@ -654,11 +662,16 @@ def _plan_tables_device(in_offsets, Ec: int, K: int, bmax: int):
     relv = last_sorted - chunk_sorted * Ec
     rel_flat = jnp.zeros(K * bmax, jnp.int32).at[p].set(
         jnp.where(valid, relv, 0), mode="drop")
+    # vids: which vertex each extraction row belongs to (pad rows -> Vp,
+    # the accumulator's dead column) — the scatter-accumulate wave needs
+    # the slot INVERSE per chunk
+    vids_flat = jnp.full(K * bmax, Vp, jnp.int32).at[p].set(
+        jnp.where(valid, order, Vp), mode="drop")
     slot_sorted = jnp.where(valid, p, jnp.int32(K * bmax))
     # invert the permutation with a second sort (scatter-free)
     _, slot = jax.lax.sort((order, slot_sorted), num_keys=1)
     slot = jnp.concatenate([slot, jnp.full((1,), K * bmax, jnp.int32)])
-    return rel_flat.reshape(K, bmax), slot
+    return rel_flat.reshape(K, bmax), slot, vids_flat.reshape(K, bmax)
 
 
 def msbfs_lengths_packed_planned(csr: DeviceCSR, plan: PackedWavePlan,
@@ -1389,8 +1402,8 @@ def plan_runs_wave(runs_csr, lanes: Optional[int] = 32,
     for r in range(R):
         offs = runs_csr.run_offsets[r]
         bmax = max(int(_plan_chunk_bmax(offs, Ec, K)), 1)
-        rel, slot = _plan_tables_device(offs, Ec, K, bmax)
-        tables.append((rel, slot, bmax))
+        rel, slot, vids = _plan_tables_device(offs, Ec, K, bmax)
+        tables.append((rel, slot, vids, bmax))
     if lanes is None:
         Vp, Ep = runs_csr.vpad, runs_csr.epad
         if hbm_budget is None:
@@ -1403,24 +1416,33 @@ def plan_runs_wave(runs_csr, lanes: Optional[int] = 32,
                     hbm_budget = int(stats["bytes_limit"] * 7) // 8
             except Exception:
                 pass
-        bmax_hi = max(b for _, _, b in tables)
-        # resident after slimming: in_src + head bits + forward offsets +
-        # per-run slot/rel tables
-        fixed = 4 * Ep + Ep // 8 + 4 * (Vp + 1) + \
-            sum(4 * (Vp + 1) + 4 * K * b for _, _, b in tables)
-        # per word of width: frontier + seen + acc (the take-OR is
-        # in-place) + 30% XLA-temp margin on the state (RMAT-23 lesson),
-        # one [W, K*bmax] compact, 4 [W, Ec] chunk buffers
-        per_w = (4 * (Vp + 1) * 3) * 13 // 10 + \
-            4 * (K * bmax_hi + 1) + 4 * Ec * 4
+        bmax_hi = max(b for *_, b in tables)
+        scatter = os.environ.get("DUCKPGQ_RUNS_SCATTER", "1") == "1"
+        if scatter:
+            # scatter-accumulate wave: rel+vids per run (slot unused, no
+            # compact buffer) — the [W, K*bmax] saving is what unlocks
+            # W=8 at RMAT-26
+            fixed = 4 * Ep + Ep // 8 + 4 * (Vp + 1) + \
+                sum(2 * 4 * K * b for *_, b in tables)
+            per_w = (4 * (Vp + 1) * 3) * 13 // 10 + 4 * Ec * 4
+        else:
+            # resident after slimming: in_src + head bits + forward
+            # offsets + per-run slot/rel tables
+            fixed = 4 * Ep + Ep // 8 + 4 * (Vp + 1) + \
+                sum(4 * (Vp + 1) + 4 * K * b for *_, b in tables)
+            # per word of width: frontier + seen + acc (the take-OR is
+            # in-place) + 30% XLA-temp margin on the state (RMAT-23
+            # lesson), one [W, K*bmax] compact, 4 [W, Ec] chunk buffers
+            per_w = (4 * (Vp + 1) * 3) * 13 // 10 + \
+                4 * (K * bmax_hi + 1) + 4 * Ec * 4
         w_fit = max(int((hbm_budget - fixed) // per_w), 1)
         for w in (16, 12, 8, 6, 4, 3, 2, 1):
             if w <= w_fit:
                 break
         lanes = int(os.environ.get("BENCH_RUNS_LANES", "0")) or w * 32
-    for rel, slot, bmax in tables:
+    for rel, slot, vids, bmax in tables:
         plans.append(PackedWavePlan(rel=rel, slot=slot, lanes=lanes,
-                                    n_chunks=K, bmax=bmax))
+                                    n_chunks=K, bmax=bmax, vids=vids))
     return plans
 
 
@@ -1439,36 +1461,64 @@ def _runs_wave_body(runs_csr, plans, src, dst, word_of_lane, bit_of_lane,
     Ec = rl // K
     scan_block = _scan_block_size(Ec)
 
+    import os
     heads_bits = getattr(runs_csr, "heads", None)
+    use_scatter = os.environ.get("DUCKPGQ_RUNS_SCATTER", "1") == "1" and \
+        all(p.vids is not None for p in plans)
+
+    def scan_chunk(frontier, carry, base, k):
+        """Shared per-chunk gather + segmented OR-scan."""
+        off = base + k * Ec
+        idx = jax.lax.dynamic_slice(runs_csr.in_src, (off,), (Ec,))
+        if heads_bits is not None:
+            # precomputed packed head bits (in_dst itself is freed —
+            # RMAT-26: -4.3 GB resident)
+            hw = jax.lax.dynamic_slice(heads_bits, (off // 32,),
+                                       (Ec // 32,))
+            hds = (((hw[:, None] >>
+                     jnp.arange(32, dtype=jnp.uint32)) & 1)
+                   .astype(bool).reshape(Ec))
+        else:
+            dsts = jax.lax.dynamic_slice(runs_csr.in_dst, (off,), (Ec,))
+            # on-the-fly segment heads; the first row of chunk 0 is a
+            # head, later chunks continue the open segment via carry
+            prev = jax.lax.dynamic_slice(
+                runs_csr.in_dst, (jnp.maximum(off - 1, base),), (1,))
+            first_head = jnp.where(k == 0, True, dsts[0] != prev[0])
+            hds = jnp.concatenate(
+                [first_head[None], dsts[1:] != dsts[:-1]])
+        g = jnp.take(frontier, idx, axis=1)          # [W, Ec]
+        return _seg_or_scan_blocked_rows(g, hds, carry, scan_block)
 
     def expand_run(frontier, acc, r, plan):
         base = r * rl
 
+        if use_scatter:
+            # scatter-accumulate: OR each chunk's segment-final rows
+            # straight into the [W, Vp+1] accumulator at their vertex
+            # columns (unique within a chunk; pad rows target the dead
+            # column with value 0). No [W, K*bmax] compact buffer, no
+            # slot pass — the width lever at RMAT-26.
+            def chunk_step_sc(k, state):
+                acc, carry = state
+                scanned, carry = scan_chunk(frontier, carry, base, k)
+                rel = jax.lax.dynamic_index_in_dim(plan.rel, k, 0,
+                                                   keepdims=False)
+                vid = jax.lax.dynamic_index_in_dim(plan.vids, k, 0,
+                                                   keepdims=False)
+                vals = jnp.take(scanned, rel, axis=1)     # [W, bmax]
+                vals = jnp.where(vid[None, :] == Vp, jnp.uint32(0), vals)
+                cur = jnp.take(acc, vid, axis=1)          # [W, bmax]
+                acc = acc.at[:, vid].set(cur | vals)
+                return acc, carry
+
+            carry0 = jnp.zeros((W, 1), jnp.uint32)
+            acc, _ = jax.lax.fori_loop(0, K, chunk_step_sc, (acc, carry0))
+            return acc
+
         def chunk_step(k, state):
             compact, carry = state
-            off = base + k * Ec
-            idx = jax.lax.dynamic_slice(runs_csr.in_src, (off,), (Ec,))
-            if heads_bits is not None:
-                # precomputed packed head bits (in_dst itself is freed —
-                # RMAT-26: -4.3 GB resident)
-                hw = jax.lax.dynamic_slice(heads_bits, (off // 32,),
-                                           (Ec // 32,))
-                hds = (((hw[:, None] >>
-                         jnp.arange(32, dtype=jnp.uint32)) & 1)
-                       .astype(bool).reshape(Ec))
-            else:
-                dsts = jax.lax.dynamic_slice(runs_csr.in_dst, (off,),
-                                             (Ec,))
-                # on-the-fly segment heads; the first row of chunk 0 is a
-                # head, later chunks continue the open segment via carry
-                prev = jax.lax.dynamic_slice(
-                    runs_csr.in_dst, (jnp.maximum(off - 1, base),), (1,))
-                first_head = jnp.where(k == 0, True, dsts[0] != prev[0])
-                hds = jnp.concatenate(
-                    [first_head[None], dsts[1:] != dsts[:-1]])
-            g = jnp.take(frontier, idx, axis=1)          # [W, Ec]
-            scanned, carry = _seg_or_scan_blocked_rows(
-                g, hds, carry, scan_block)
+            scanned, carry = scan_chunk(frontier, carry, base, k)
             rel = jax.lax.dynamic_index_in_dim(plan.rel, k, 0,
                                                keepdims=False)
             vals = jnp.take(scanned, rel, axis=1)        # [W, bmax]
