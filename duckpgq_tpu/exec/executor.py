@@ -1809,6 +1809,19 @@ class Executor:
                     vec.data["micros"]).astype(np.float64)
             else:
                 arr = vec.data.astype(np.float64)
+                if np.issubdtype(vec.data.dtype, np.integer) and \
+                        len(vec.data) and \
+                        np.abs(vec.data.astype(np.int64)).max() > (1 << 53):
+                    # float64 collapses >2^53 integers (BIGINT ids, wide
+                    # DECIMAL scaled ints): keep the exact int64 key.
+                    # ~x is the overflow-free descending map.
+                    key = vec.data.astype(np.int64)
+                    nl = True if ob.nulls_first is None \
+                        else not ob.nulls_first
+                    nk = (~vec.validity).astype(np.int64)
+                    sort_cols.append(nk if nl else -nk)
+                    sort_cols.append(key if ob.ascending else ~key)
+                    continue
             if not ob.ascending:
                 arr = -arr
             # NULLS LAST default (DuckDB default null order)
@@ -1845,6 +1858,10 @@ class Executor:
         NaN threshold) and the caller should full-sort. sort_cols is the
         [nullkey0, arr0, nullkey1, arr1, ...] layout of apply_order."""
         nullkey, arr = sort_cols[0], sort_cols[1]
+        if np.issubdtype(arr.dtype, np.integer):
+            # exact-int key path (>2^53 values): inf sentinels would
+            # demote it back to lossy float — full-sort instead
+            return None
         primary = np.where(nullkey > 0, np.inf,
                            np.where(nullkey < 0, -np.inf, arr))
         part = np.argpartition(primary, k - 1)[:k]

@@ -387,3 +387,27 @@ def test_map_nested_oracle(con):
     (bare,), = con.execute(
         "SELECT map([1, 2], [[10], [20, 21]])[2]").fetchall()
     assert bare == [20, 21]
+
+
+def test_order_by_exact_above_2_53(con):
+    """float64 sort keys collapse >2^53 integers — the exact int64 key
+    path must keep BIGINT and wide-DECIMAL ordering correct."""
+    rows = con.execute(
+        "SELECT x FROM (VALUES (9007199254740993), (9007199254740992)) "
+        "t(x) ORDER BY x").fetchall()
+    assert rows == [(9007199254740992,), (9007199254740993,)]
+    rows = con.execute(
+        "SELECT x FROM (VALUES (9007199254740993), (9007199254740992), "
+        "(NULL)) t(x) ORDER BY x DESC").fetchall()
+    assert rows == [(9007199254740993,), (9007199254740992,), (None,)]
+    rows = con.execute(
+        "SELECT x FROM (VALUES (-9223372036854775808), "
+        "(9223372036854775807)) t(x) ORDER BY x DESC").fetchall()
+    assert rows == [(9223372036854775807,), (-9223372036854775808,)]
+    rows = con.execute(
+        "SELECT x FROM (VALUES "
+        "(CAST('123456789012345.03' AS DECIMAL(18,2))), "
+        "(CAST('123456789012345.02' AS DECIMAL(18,2)))) t(x) "
+        "ORDER BY x").fetchall()
+    assert [str(r[0]) for r in rows] == ["123456789012345.02",
+                                        "123456789012345.03"]
