@@ -1420,11 +1420,12 @@ def plan_runs_wave(runs_csr, lanes: Optional[int] = 32,
         scatter = os.environ.get("DUCKPGQ_RUNS_SCATTER", "1") == "1"
         if scatter:
             # scatter-accumulate wave: rel+vids per run (slot unused, no
-            # compact buffer) — the [W, K*bmax] saving is what unlocks
-            # W=8 at RMAT-26
+            # compact buffer). The column scatter keeps an extra [W, Vp+1]
+            # output alive (measured: W=6 OOMed at RMAT-26 under a
+            # 3-buffer model, 2026-08-22) — charge 4 state buffers.
             fixed = 4 * Ep + Ep // 8 + 4 * (Vp + 1) + \
                 sum(2 * 4 * K * b for *_, b in tables)
-            per_w = (4 * (Vp + 1) * 3) * 13 // 10 + 4 * Ec * 4
+            per_w = (4 * (Vp + 1) * 4) * 13 // 10 + 4 * Ec * 4
         else:
             # resident after slimming: in_src + head bits + forward
             # offsets + per-run slot/rel tables
