@@ -1417,7 +1417,11 @@ def plan_runs_wave(runs_csr, lanes: Optional[int] = 32,
             except Exception:
                 pass
         bmax_hi = max(b for *_, b in tables)
-        scatter = os.environ.get("DUCKPGQ_RUNS_SCATTER", "1") == "1"
+        # scatter default OFF: measured at RMAT-26 (2026-08-22) the
+        # column-scatter wave OOMs HBM even at W=4 where the
+        # compact+take path runs (the axis-1 gather/scatter pair
+        # keeps multiple [W, Vp+1]-scale temps alive)
+        scatter = os.environ.get("DUCKPGQ_RUNS_SCATTER", "0") == "1"
         if scatter:
             # scatter-accumulate wave: rel+vids per run (slot unused, no
             # compact buffer). The column scatter keeps an extra [W, Vp+1]
@@ -1464,7 +1468,11 @@ def _runs_wave_body(runs_csr, plans, src, dst, word_of_lane, bit_of_lane,
 
     import os
     heads_bits = getattr(runs_csr, "heads", None)
-    use_scatter = os.environ.get("DUCKPGQ_RUNS_SCATTER", "1") == "1" and \
+    use_# scatter default OFF: measured at RMAT-26 (2026-08-22) the
+        # column-scatter wave OOMs HBM even at W=4 where the
+        # compact+take path runs (the axis-1 gather/scatter pair
+        # keeps multiple [W, Vp+1]-scale temps alive)
+        scatter = os.environ.get("DUCKPGQ_RUNS_SCATTER", "0") == "1" and \
         all(p.vids is not None for p in plans)
 
     def scan_chunk(frontier, carry, base, k):
