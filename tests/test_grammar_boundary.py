@@ -35,8 +35,9 @@ def con():
 
 
 # Each row: (name, sql, expected, ordered)
-# Dates fetch as epoch-days, timestamps as epoch-micros, intervals as
-# (months, days, micros) and structs as value tuples in the raw Python API.
+# fetchall() is TYPED since round 5 (datetime.date/datetime, Interval —
+# which compares equal to its (months, days, micros) tuple — Decimal,
+# dict structs/maps); raw engine representations live behind raw=True.
 SUPPORTED = [
     ("window-partition-order",
      "SELECT a, sum(a) OVER (PARTITION BY b ORDER BY a) FROM t",
