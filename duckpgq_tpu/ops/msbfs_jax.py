@@ -1468,11 +1468,11 @@ def _runs_wave_body(runs_csr, plans, src, dst, word_of_lane, bit_of_lane,
 
     import os
     heads_bits = getattr(runs_csr, "heads", None)
-    use_# scatter default OFF: measured at RMAT-26 (2026-08-22) the
-        # column-scatter wave OOMs HBM even at W=4 where the
-        # compact+take path runs (the axis-1 gather/scatter pair
-        # keeps multiple [W, Vp+1]-scale temps alive)
-        scatter = os.environ.get("DUCKPGQ_RUNS_SCATTER", "0") == "1" and \
+    # scatter default OFF: measured at RMAT-26 (2026-08-22) the
+    # column-scatter wave OOMs HBM even at W=4 where the compact+take
+    # path runs (the axis-1 gather/scatter pair keeps multiple
+    # [W, Vp+1]-scale temps alive)
+    use_scatter = os.environ.get("DUCKPGQ_RUNS_SCATTER", "0") == "1" and \
         all(p.vids is not None for p in plans)
 
     def scan_chunk(frontier, carry, base, k):
