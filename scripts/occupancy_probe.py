@@ -64,8 +64,12 @@ def main():
                                   bit_of_lane, searching,
                                   use_pallas=False)
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state):
+        # donated: at W=2048 each state buffer is 2.15 GB — in/out copies
+        # without donation OOM the chip at iteration 2
         return body(state)
 
     @jax.jit
