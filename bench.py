@@ -97,6 +97,12 @@ def main():
             print(f"# gen synced: {time.time() - t0:.3f}s",
                   file=sys.stderr)
         csr = build_lengths_csr_on_device(v, src_d, dst_d)
+        if scale >= 22:
+            # SLIM the wave CSR (round 5): packed head bits + prebuilt
+            # out_dst replace in_dst, freeing 4*Ep bytes the planner
+            # converts into wave width at the [Vp, W]-state-bound scales
+            from duckpgq_tpu.ops.csr_jax import csr_slim_waves
+            csr = csr_slim_waves(csr)
         if scale >= 25:
             np.asarray(csr.in_offsets[-1:])
             print(f"# build synced: {time.time() - t0:.3f}s",

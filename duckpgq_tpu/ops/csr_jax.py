@@ -60,6 +60,11 @@ class DeviceCSR:
     vcount: int               # real V (static)
     ecount: int               # real E (static)
     lengths_only: bool = False
+    # packed in-edge segment-head bits (bit j of word w = edge w*32+j);
+    # when present the chunked waves read these instead of deriving heads
+    # from in_dst, and a slimmed CSR may carry in_dst=None (csr_slim_waves:
+    # frees 4*Ep bytes of HBM — the width lever at RMAT-23+)
+    heads: Optional[jnp.ndarray] = None   # uint32 [Ep // 32]
 
     @property
     def vpad(self) -> int:
@@ -67,18 +72,22 @@ class DeviceCSR:
 
     @property
     def epad(self) -> int:
-        return int(self.in_dst.shape[0])
+        return int(self.in_src.shape[0])
 
     def tree_flatten(self):
         children = (self.offsets, self.e, self.edge_src, self.edge_ids,
                     self.in_src, self.in_dst, self.in_pos, self.in_offsets,
-                    self.w)
+                    self.w, self.heads)
         aux = (self.vcount, self.ecount, self.lengths_only)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        (offsets, e, edge_src, edge_ids, in_src, in_dst, in_pos,
+         in_offsets, w, heads) = children
+        vcount, ecount, lengths_only = aux
+        return cls(offsets, e, edge_src, edge_ids, in_src, in_dst, in_pos,
+                   in_offsets, w, vcount, ecount, lengths_only, heads)
 
 
 @functools.partial(jax.jit, static_argnames=("vpad", "epad"))
@@ -468,6 +477,34 @@ def build_lengths_csr_runs_on_device(vcount: int, src, dst,
     return RunsCSR(in_src=src, in_dst=dst, run_offsets=run_offs,
                    offsets=offsets, vcount=vcount, ecount=e,
                    n_runs=n_runs)
+
+
+def csr_slim_waves(csr: DeviceCSR, keep_out_dst: bool = True) -> DeviceCSR:
+    """Slim a lengths-only CSR for the chunked waves: pack the in-edge
+    segment-head bits (Ep/8 bytes), optionally materialize the sparse
+    tail's forward dst list into ``e`` FIRST (it is derived by sorting the
+    in-edge view, which needs in_dst), then DROP in_dst — freeing 4*Ep
+    bytes of HBM that the wave planner converts into width (RMAT-23+:
+    the [Vp, W] state plus the edge arrays set the width cap)."""
+    if csr.heads is not None and csr.in_dst is None:
+        return csr
+    e = csr.e
+    if keep_out_dst and e is None:
+        from .msbfs_jax import build_out_dst_device
+        e = build_out_dst_device(csr)
+    Ep = csr.epad
+    chunk = min(1 << 24, Ep)
+    while Ep % chunk or chunk % 32:
+        chunk //= 2
+    parts = [_head_bits_chunk(csr.in_dst, np.int32(k * chunk), chunk, Ep)
+             for k in range(Ep // chunk)]
+    heads = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+    return DeviceCSR(
+        offsets=csr.offsets, e=e, edge_src=csr.edge_src,
+        edge_ids=csr.edge_ids, in_src=csr.in_src, in_dst=None,
+        in_pos=csr.in_pos, in_offsets=csr.in_offsets, w=csr.w,
+        vcount=csr.vcount, ecount=csr.ecount,
+        lengths_only=csr.lengths_only, heads=heads)
 
 
 @functools.partial(jax.jit, static_argnames=("ec", "rl"))

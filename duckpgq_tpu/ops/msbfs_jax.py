@@ -543,8 +543,12 @@ def plan_packed_wave(csr: DeviceCSR, lanes: Optional[int] = None,
             # arrays drove the model to a degenerate W=1 single-dispatch
             # plan whose [Ep, 1] buffers then compile-OOMed (2026-08-21)
             sparse_on = os.environ.get("DUCKPGQ_SPARSE_TAIL", "1") == "1"
-            for w_try in (96, 64, 48, 32, 16, 8, 4, 2, 1):
-                extra = 8 * Ep
+            slim = getattr(csr, "heads", None) is not None
+            for w_try in (96, 80, 64, 56, 48, 40, 32, 24, 20, 16, 12,
+                          8, 6, 4, 3, 2, 1):
+                # slimmed CSRs (csr_slim_waves) keep in_src + packed head
+                # bits instead of in_src + in_dst
+                extra = (4 * Ep + Ep // 8) if slim else 8 * Ep
                 if sparse_on:
                     tiers = _sparse_tail_caps(min(Ep, 1 << 20), w_try)
                     e_hi = tiers[-1][1] if tiers else 0
@@ -758,6 +762,24 @@ def _msbfs_lengths_packed_chunked(csr: DeviceCSR, plan: PackedWavePlan,
     return result, traversed
 
 
+def _wave_heads(csr):
+    """(dense heads or None, packed head bits or None) — slimmed CSRs
+    carry packed bits and no in_dst (csr_slim_waves)."""
+    if getattr(csr, "heads", None) is not None:
+        return None, csr.heads
+    heads, _, _ = _in_segments(csr)
+    return heads, None
+
+
+def _heads_slice(heads_dense, heads_bits, off, Ec: int):
+    """[Ec] bool segment heads for edge positions [off, off+Ec)."""
+    if heads_bits is not None:
+        hw = jax.lax.dynamic_slice(heads_bits, (off // 32,), (Ec // 32,))
+        return (((hw[:, None] >> jnp.arange(32, dtype=jnp.uint32)) & 1)
+                .astype(bool).reshape(Ec))
+    return jax.lax.dynamic_slice(heads_dense, (off,), (Ec,))
+
+
 def _chunked_wave_body(csr, plan, src, dst, word_of_lane, bit_of_lane,
                        searching, use_pallas):
     """Build the per-iteration ``body(state)`` of the chunked packed wave
@@ -777,7 +799,7 @@ def _chunked_wave_body(csr, plan, src, dst, word_of_lane, bit_of_lane,
     Ec = Ep // K
     bmax = plan.bmax
 
-    heads, _, _ = _in_segments(csr)
+    heads, heads_bits = _wave_heads(csr)
 
     # VMEM-block cap by PADDED width: blocks tile to (8,128) vregs, so a
     # (chunk, W) block occupies chunk * max(W, 128) lanes — at W < 128 the
@@ -795,7 +817,7 @@ def _chunked_wave_body(csr, plan, src, dst, word_of_lane, bit_of_lane,
             compact, carry = state
             off = k * Ec
             idx = jax.lax.dynamic_slice(csr.in_src, (off,), (Ec,))
-            hds = jax.lax.dynamic_slice(heads, (off,), (Ec,))
+            hds = _heads_slice(heads, heads_bits, off, Ec)
             g = jnp.take(frontier, idx, axis=0)          # [Ec, W]
             if use_pallas:
                 from ..kernels.segscan_pallas import seg_or_scan_packed_carry
@@ -858,7 +880,7 @@ def _chunked_wave_body_lm(csr, plan, src, dst, word_of_lane, bit_of_lane,
     Ec = Ep // K
     bmax = plan.bmax
 
-    heads, _, _ = _in_segments(csr)
+    heads, heads_bits = _wave_heads(csr)
     chunk_cap = max(128, (2048 * 128) // max(W, 128))
     scan_chunk = 1
     while scan_chunk * 2 <= min(Ec, chunk_cap) and Ec % (scan_chunk * 2) == 0:
@@ -879,7 +901,7 @@ def _chunked_wave_body_lm(csr, plan, src, dst, word_of_lane, bit_of_lane,
             compact, carry = state
             off = k * Ec
             idx = jax.lax.dynamic_slice(csr.in_src, (off,), (Ec,))
-            hds = jax.lax.dynamic_slice(heads, (off,), (Ec,))
+            hds = _heads_slice(heads, heads_bits, off, Ec)
             g = jnp.take(frontier, idx, axis=1)      # [W, Ec]
             if use_pallas:
                 from ..kernels.segscan_pallas import seg_or_scan_rows_carry

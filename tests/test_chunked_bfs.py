@@ -411,6 +411,61 @@ def test_sparse_tail_matches_monolithic(monkeypatch):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_slim_csr_wave_bit_identical(monkeypatch):
+    """csr_slim_waves (round 5): packed head bits + prebuilt out_dst
+    replace in_dst — the chunked waves (both layouts, sparse tail on)
+    must be bit-identical to the unslimmed CSR."""
+    import jax.numpy as jnp
+
+    from duckpgq_tpu.ops import msbfs_jax as dev
+    from duckpgq_tpu.ops.csr_jax import (build_device_csr,
+                                         build_lengths_csr_on_device,
+                                         csr_slim_waves)
+
+    monkeypatch.setenv("DUCKPGQ_SCAN_BLOCK", "64")
+    rng = np.random.default_rng(92)
+    v, e = 300, 2200
+    src = rng.integers(0, v, size=e).astype(np.int64)
+    dst = rng.integers(0, v, size=e).astype(np.int64)
+    dcsr = build_lengths_csr_on_device(
+        v, jnp.asarray(src.astype(np.int32)),
+        jnp.asarray(dst.astype(np.int32)))
+    slim = csr_slim_waves(dcsr)
+    assert slim.in_dst is None and slim.heads is not None
+    assert slim.e is not None            # sparse-tail out_dst prebuilt
+    # packed head bits must decode to exactly segment_heads(in_dst)
+    from duckpgq_tpu.ops.segscan import segment_heads
+    want_heads = np.asarray(segment_heads(dcsr.in_dst))
+    hw = np.asarray(slim.heads)
+    got_heads = ((hw[:, None] >> np.arange(32)) & 1).astype(bool).reshape(-1)
+    np.testing.assert_array_equal(got_heads[:len(want_heads)], want_heads)
+
+    lanes = 16 * 32
+    plan = dev.plan_packed_wave(dcsr, lanes=lanes, n_chunks=4)
+    qs = jnp.asarray(rng.integers(0, v, size=lanes).astype(np.int32))
+    qd = jnp.asarray(rng.integers(0, v, size=lanes).astype(np.int32))
+    act = jnp.ones(lanes, dtype=bool)
+    want, tw = dev._msbfs_lengths_packed_chunked(
+        dcsr, plan, qs, qd, act, v, False)
+    for lane_major in (True, False):
+        got, tg = dev._msbfs_chunked_stepped(
+            slim, plan, qs, qd, act, v, False, 2, lane_major=lane_major)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        np.testing.assert_allclose(np.asarray(tg), np.asarray(tw))
+    # monolithic chunked kernel on the slim CSR too
+    got, tg = dev._msbfs_lengths_packed_chunked(
+        slim, plan, qs, qd, act, v, False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # full (non-lengths) CSR slims too and keeps its e
+    full = build_device_csr(v, src, dst)
+    slim_full = csr_slim_waves(full)
+    assert slim_full.e is full.e
+    got, _ = dev._msbfs_lengths_packed_chunked(
+        slim_full, plan, qs, qd, act, v, False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_build_out_dst_device_lengths_only():
     """build_out_dst_device on a lengths-only CSR reproduces the full
     build's forward-view destinations (same multiset per source; the
