@@ -12,9 +12,10 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ..errors import (BinderException, CatalogException, ConversionException,
-                      InternalException, InvalidInputException,
-                      NotImplementedException, ParserException)
+from ..errors import (BinderException, CatalogException, ConstraintException,
+                      ConversionException, InternalException,
+                      InvalidInputException, NotImplementedException,
+                      ParserException)
 from ..functions.aggregate import get_aggregate
 from ..sql import ast as a
 from ..storage.catalog import View
@@ -103,6 +104,14 @@ class Executor:
                         schema=stmt.schema or "main")
             self.catalog.create_view(view, or_replace=stmt.or_replace)
             return QueryResult([], [])
+        if isinstance(stmt, a.CreateMacroStatement):
+            from ..storage.catalog import Macro
+            macro = Macro(name=stmt.name, params=stmt.params,
+                          defaults=stmt.defaults, body=stmt.body,
+                          query=stmt.query, schema=stmt.schema or "main")
+            self.catalog.create_macro(macro, or_replace=stmt.or_replace,
+                                      if_not_exists=stmt.if_not_exists)
+            return QueryResult([], [])
         if isinstance(stmt, a.CreateSchemaStatement):
             self.catalog.create_schema(stmt.name, stmt.if_not_exists)
             return QueryResult([], [])
@@ -185,7 +194,7 @@ class Executor:
             self.connection.default_catalog = stmt.name
             return QueryResult([], [])
         if isinstance(stmt, a.TransactionStatement):
-            return QueryResult([], [])
+            return self._execute_transaction(stmt)
         if isinstance(stmt, a.PivotStatement):
             return self._execute_pivot(stmt)
         if isinstance(stmt, a.UnpivotStatement):
@@ -210,7 +219,8 @@ class Executor:
         # ORDER BY / LIMIT / OFFSET
         if stmt.order_by:
             limit_hint = None
-            if stmt.limit is not None:
+            if stmt.limit is not None and \
+                    not getattr(stmt, "limit_percent", False):
                 try:
                     limit_hint = int(self._const_scalar(stmt.limit)) + \
                         (int(self._const_scalar(stmt.offset))
@@ -226,7 +236,11 @@ class Executor:
                 off = int(self._const_scalar(stmt.offset))
             lim = n
             if stmt.limit is not None:
-                lim = int(self._const_scalar(stmt.limit))
+                if getattr(stmt, "limit_percent", False):
+                    lim = int(float(self._const_scalar(stmt.limit))
+                              * n / 100.0)
+                else:
+                    lim = int(self._const_scalar(stmt.limit))
             idx = np.arange(off, min(off + lim, n))
             result = QueryResult(result.names,
                                  [c.take(idx) for c in result.columns])
@@ -1475,7 +1489,53 @@ class Executor:
             s = np.clip(s, 0, n - 1)
             e = np.clip(e, 0, n - 1)
 
+        # ---- frame EXCLUDE (expression.gram WindowExcludeClause):
+        # the excluded set is contiguous in sorted coordinates (the
+        # current row or its peer group), so every prefix-sum/extrema
+        # formulation below subtracts the clipped sub-range [xs, xe];
+        # TIES re-adds the current row itself.
+        excl = getattr(frame, "exclude", None)
+        pos64 = pos.astype(np.int64)
+        if excl:
+            if excl == "current":
+                xs = pos64.copy()
+                xe = pos64.copy()
+            else:                         # group / ties
+                xs = peer_first.astype(np.int64)
+                xe = peer_last[peer_gid].astype(np.int64)
+            xs = np.maximum(xs, s)
+            xe = np.minimum(xe, e)
+            has_x = (~empty) & (xs <= xe)
+            xs = np.where(has_x, xs, 0)
+            xe = np.where(has_x, xe, -1)
+            ties_add = (excl == "ties") & has_x & (s <= pos64) & \
+                (pos64 <= e)
+        else:
+            has_x = np.zeros(n, dtype=bool)
+            xs = np.zeros(n, dtype=np.int64)
+            xe = np.full(n, -1, dtype=np.int64)
+            ties_add = np.zeros(n, dtype=bool)
+
         # ---- aggregate the inclusive sorted-index ranges [s, e] ----
+        if name in ("first_value", "last_value") and excl:
+            src = ev.evaluate(call.args[0])
+            validp2 = src.validity[perm]
+            res = [None] * n
+            for i in range(n):
+                if empty[i]:
+                    continue
+                fwd = name == "first_value"
+                rng = range(int(s[i]), int(e[i]) + 1) if fwd \
+                    else range(int(e[i]), int(s[i]) - 1, -1)
+                for j in rng:
+                    if has_x[i] and xs[i] <= j <= xe[i] and \
+                            not (ties_add[i] and j == pos64[i]):
+                        continue
+                    if call.ignore_nulls and not validp2[j]:
+                        continue
+                    res[int(perm[i])] = src.value(int(perm[j]))
+                    break
+            return Vector.from_values(res, src.type)
         if name in ("first_value", "last_value"):
             src = ev.evaluate(call.args[0])
             pick = s if name == "first_value" else e
@@ -1499,6 +1559,8 @@ class Executor:
             return Vector.from_values(res, src.type)
         if name == "count_star":
             cnt = np.where(empty, 0, e - s + 1).astype(np.int64)
+            cnt -= (xe - xs + 1)
+            cnt += ties_add.astype(np.int64)
             out = np.zeros(n, dtype=np.int64)
             out[perm] = cnt
             return Vector(BIGINT, out, np.ones(n, dtype=bool))
@@ -1506,6 +1568,8 @@ class Executor:
         svalid_s = src.validity[perm]
         ppv = np.concatenate([[0], np.cumsum(svalid_s.astype(np.int64))])
         cnt_valid = np.where(empty, 0, ppv[e + 1] - ppv[s])
+        cnt_valid = cnt_valid - (ppv[xe + 1] - ppv[xs]) + \
+            (ties_add & svalid_s[pos64]).astype(np.int64)
         if name == "count":
             out = np.zeros(n, dtype=np.int64)
             out[perm] = cnt_valid
@@ -1520,6 +1584,8 @@ class Executor:
         if name in ("sum", "avg"):
             pps = np.concatenate([[0.0], np.cumsum(sv)])
             tot = np.where(empty, 0.0, pps[e + 1] - pps[s])
+            tot = tot - (pps[xe + 1] - pps[xs]) + \
+                np.where(ties_add, sv[pos64], 0.0)
             valid_out = cnt_valid > 0
             if name == "avg":
                 vals = np.where(valid_out, tot / np.maximum(cnt_valid, 1),
@@ -1540,7 +1606,28 @@ class Executor:
         if name in ("min", "max"):
             pad = np.inf if name == "min" else -np.inf
             vals = np.where(svalid_s, sv, pad)
-            res = self._range_extrema(vals, s, e, name == "min")
+            is_min = name == "min"
+            comb = np.minimum if is_min else np.maximum
+            if excl:
+                # two sub-ranges around the excluded interval; with the
+                # sanitized no-exclusion sentinels (xs=0, xe=-1) the left
+                # half degenerates to pad and the right half is [s, e]
+                ls, le = s, np.minimum(xs - 1, e)
+                rs, re_ = np.maximum(xe + 1, s), e
+                lempty = ls > le
+                rempty = rs > re_
+                lres = self._range_extrema(
+                    vals, np.where(lempty, 0, ls),
+                    np.where(lempty, 0, le), is_min)
+                lres = np.where(lempty, pad, lres)
+                rres = self._range_extrema(
+                    vals, np.where(rempty, 0, rs),
+                    np.where(rempty, 0, re_), is_min)
+                rres = np.where(rempty, pad, rres)
+                res = comb(lres, rres)
+                res = np.where(ties_add, comb(res, vals[pos64]), res)
+            else:
+                res = self._range_extrema(vals, s, e, is_min)
             valid_out = (cnt_valid > 0) & np.isfinite(res)
             out = np.zeros(n, dtype=np.float64)
             out[perm] = np.where(valid_out, res, 0.0)
@@ -2097,7 +2184,12 @@ class Executor:
         if isinstance(ref, a.BaseTableRef):
             return self.scan_base_table(ref, outer, env)
         if isinstance(ref, a.SubqueryRef):
-            res = self.execute_select(ref.subquery, outer, env)
+            if isinstance(ref.subquery, a.SelectStatement):
+                res = self.execute_select(ref.subquery, outer, env)
+            else:
+                # FROM (DESCRIBE t) / (SHOW ...) / (PIVOT ...) —
+                # statement-as-subquery (DuckDB)
+                res = self.execute_statement(ref.subquery)
             alias = ref.alias or "unnamed_subquery"
             names = list(res.names)
             if ref.column_aliases:
@@ -2817,6 +2909,15 @@ class Executor:
         table = catalog.get_table(stmt.table, stmt.schema)
         res = self.execute_select(stmt.query)
         n = res.row_count
+        if stmt.by_name and not stmt.columns:
+            # INSERT INTO t BY NAME query: the query's output column names
+            # select the target columns (DuckDB)
+            for nm in res.names:
+                if table.column_index(nm) is None:
+                    raise BinderException(
+                        f'Column "{nm}" of the INSERT source does not '
+                        f"exist in the target table")
+            stmt.columns = tuple(res.names)
         if stmt.columns:
             name_to_vec = {}
             if len(stmt.columns) != len(res.columns):
@@ -2848,6 +2949,11 @@ class Executor:
             if vec.type.id != cdef.type.id:
                 vec = cast_vector(vec, cdef.type)
             casted.append(vec)
+        pk = next((c[1] for c in getattr(table, "constraints", ())
+                   if c and c[0] == "pk"), None)
+        if stmt.on_conflict or pk:
+            casted = self._insert_conflicts(stmt, table, casted)
+            n = len(casted[0]) if casted else 0
         table.append(casted)
         self.connection.database.invalidate_graph_caches(table.name)
         if stmt.returning:
@@ -2855,6 +2961,94 @@ class Executor:
                                           stmt.returning)
         cnt = Vector.from_values([n], BIGINT)
         return QueryResult(["Count"], [cnt])
+
+    def _insert_conflicts(self, stmt: a.InsertStatement, table,
+                          vectors: List[Vector]) -> List[Vector]:
+        """Primary-key enforcement + ON CONFLICT resolution for INSERT
+        (DuckDB): without an ON CONFLICT clause a duplicate key raises a
+        Constraint Error; DO NOTHING drops conflicting rows; DO UPDATE /
+        OR REPLACE update the existing row in place. Returns the vectors
+        of the rows that should actually be appended."""
+        pk = next((list(c[1]) for c in getattr(table, "constraints", ())
+                   if c and c[0] == "pk"), None)
+        target = [c.lower() for c in stmt.conflict_target] or \
+            ([c.lower() for c in pk] if pk else None)
+        if target is None:
+            if stmt.on_conflict:
+                raise BinderException(
+                    "There are no UNIQUE/PRIMARY KEY Indexes that refer "
+                    "to this table, ON CONFLICT is a no-op")
+            return vectors
+        key_idx = [table.column_index(c) for c in target]
+        n = len(vectors[0]) if vectors else 0
+        existing = {}
+        for row in range(table.row_count):
+            existing[tuple(table.columns[k].value(row)
+                           for k in key_idx)] = row
+        keep = np.ones(n, dtype=bool)
+        update_pairs = []                  # (existing_row, incoming_pos)
+        batch_seen = {}
+        for i in range(n):
+            key = tuple(vectors[k].value(i) for k in key_idx)
+            if key in batch_seen:
+                if stmt.on_conflict in ("update", "replace_all"):
+                    raise ConstraintException(
+                        "ON CONFLICT DO UPDATE can not update the same "
+                        "row twice in the same command")
+                if stmt.on_conflict == "nothing":
+                    keep[i] = False
+                    continue
+                raise ConstraintException(
+                    f'Duplicate key "{target[0]}: {key[0]}" violates '
+                    f"primary key constraint.")
+            if key in existing:
+                if stmt.on_conflict is None:
+                    raise ConstraintException(
+                        f'Duplicate key "{target[0]}: {key[0]}" violates '
+                        f"primary key constraint.")
+                keep[i] = False
+                if stmt.on_conflict in ("update", "replace_all"):
+                    update_pairs.append((existing[key], i))
+            else:
+                batch_seen[key] = i
+        if update_pairs:
+            ex_rows = np.array([p[0] for p in update_pairs], dtype=np.int64)
+            in_rows = np.array([p[1] for p in update_pairs], dtype=np.int64)
+            names = list(table.column_names)
+            k = len(names)
+            ex_cols = [table.columns[j].take(ex_rows) for j in range(k)]
+            in_cols = [v.take(in_rows) for v in vectors]
+            rel = Relation(
+                ex_cols + in_cols,
+                [Binding(stmt.table, list(names), list(range(k))),
+                 Binding("excluded", list(names), list(range(k, 2 * k)))])
+            ev = Evaluator(self, rel)
+            upd_mask = np.ones(len(ex_rows), dtype=bool)
+            if stmt.conflict_where is not None:
+                cond = ev.as_bool(ev.evaluate(stmt.conflict_where))
+                upd_mask = cond.data.astype(bool) & cond.validity
+            if stmt.on_conflict == "replace_all":
+                assignments = [(nm, a.ColumnRef(parts=("excluded", nm)))
+                               for nm in names if nm.lower() not in target]
+            else:
+                assignments = stmt.conflict_updates
+            for col_name, expr in assignments:
+                j = table.column_index(col_name)
+                if j is None:
+                    raise BinderException(
+                        f"Referenced update column {col_name} not found")
+                new_vec = ev.evaluate(expr)
+                cdef = table.column_defs[j]
+                if new_vec.type.id != cdef.type.id:
+                    new_vec = cast_vector(new_vec, cdef.type)
+                cur = table.columns[j].copy()
+                rows = ex_rows[upd_mask]
+                cur.data[rows] = new_vec.data[upd_mask]
+                cur.validity[rows] = new_vec.validity[upd_mask]
+                table.update_column(j, cur)
+        if keep.all():
+            return vectors
+        return [v.filter(keep) for v in vectors]
 
     def _returning_result(self, table, alias: str,
                           row_vectors: List[Vector],
@@ -2878,6 +3072,8 @@ class Executor:
     def execute_update(self, stmt: a.UpdateStatement) -> QueryResult:
         catalog = self.connection.resolve_catalog(None)
         table = catalog.get_table(stmt.table, stmt.schema)
+        if getattr(stmt, "from_ref", None) is not None:
+            return self._execute_update_from(stmt, table)
         rel = Relation.from_table(table, stmt.table)
         mask = np.ones(rel.row_count, dtype=bool)
         if stmt.where is not None:
@@ -2925,6 +3121,125 @@ class Executor:
         return QueryResult(["Count"],
                            [Vector.from_values([int(mask.sum())], BIGINT)])
 
+    def _execute_update_from(self, stmt: a.UpdateStatement,
+                             table) -> QueryResult:
+        """UPDATE t SET ... FROM src WHERE cond (DuckDB): join target
+        against the FROM sources on the WHERE predicate; each matched
+        target row takes its FIRST match's assignment values."""
+        from ..types import BOOLEAN as _B
+        join = a.JoinRef(
+            left=a.BaseTableRef(table=stmt.table, schema=stmt.schema),
+            right=stmt.from_ref, join_type="INNER",
+            condition=stmt.where if stmt.where is not None
+            else a.Constant(True, _B))
+        rel = self.execute_join(join, None, None)
+        slot = rel.resolve((stmt.table, "rowid"))
+        if slot is None:
+            raise InternalException("update target lost its rowid")
+        rows = np.asarray(rel.columns[slot].data, dtype=np.int64)
+        _, first_idx = np.unique(rows, return_index=True)
+        ev = Evaluator(self, rel)
+        tgt_rows = rows[first_idx]
+        for col_name, expr in stmt.assignments:
+            j = table.column_index(col_name)
+            if j is None:
+                raise BinderException(
+                    f'Referenced update column {col_name} not found')
+            new_vec = ev.evaluate(expr)
+            cdef = table.column_defs[j]
+            if new_vec.type.id != cdef.type.id:
+                new_vec = cast_vector(new_vec, cdef.type)
+            cur = table.columns[j].copy()
+            cur.data[tgt_rows] = new_vec.data[first_idx]
+            cur.validity[tgt_rows] = new_vec.validity[first_idx]
+            table.update_column(j, cur)
+        self.connection.database.invalidate_graph_caches(table.name)
+        if stmt.returning:
+            rel2 = Relation.from_table(table, stmt.table)
+            rows_v = [c.take(tgt_rows) for c in
+                      rel2.columns[:len(table.columns)]]
+            return self._returning_result(table, stmt.table, rows_v,
+                                          stmt.returning)
+        return QueryResult(["Count"],
+                           [Vector.from_values([len(tgt_rows)], BIGINT)])
+
+    def _execute_transaction(self, stmt: a.TransactionStatement
+                             ) -> QueryResult:
+        """BEGIN snapshots the catalogs; ROLLBACK restores them. Every
+        mutation path replaces Vector/column-list objects rather than
+        writing into them (DataTable.append/update_column/delete_rows and
+        the catalog dicts), so a shallow snapshot of the object graph is a
+        complete undo image — a TPU-friendly analog of DuckDB's MVCC
+        (readers of old refs stay valid)."""
+        db = self.connection.database
+        if stmt.action == "BEGIN":
+            if getattr(self.connection, "_txn", None) is not None:
+                raise InvalidInputException(
+                    "cannot start a transaction within a transaction")
+            snap = {"catalogs": {}, "sequences":
+                    {k: dict(v) for k, v in db.sequences.items()}}
+            for cname, cat in self._all_catalogs().items():
+                schemas = {}
+                for sname, schema in cat.schemas.items():
+                    schemas[sname] = {
+                        "tables": dict(schema.tables),
+                        "views": dict(schema.views),
+                        "macros": dict(schema.macros),
+                        "data": {key: (list(t.columns), t.version,
+                                       list(t.column_defs),
+                                       list(t.constraints))
+                                 for key, t in schema.tables.items()},
+                    }
+                snap["catalogs"][cname] = schemas
+            self.connection._txn = snap
+            return QueryResult([], [])
+        txn = getattr(self.connection, "_txn", None)
+        if txn is None:
+            raise InvalidInputException(
+                f"cannot {stmt.action.lower()} - no transaction is active")
+        self.connection._txn = None
+        if stmt.action == "COMMIT":
+            return QueryResult([], [])
+        # ROLLBACK: restore schema dicts and per-table column lists
+        db.sequences.clear()
+        db.sequences.update(txn["sequences"])
+        cats = self._all_catalogs()
+        for cname, schemas in txn["catalogs"].items():
+            cat = cats.get(cname)
+            if cat is None:
+                continue
+            for sname, simg in schemas.items():
+                schema = cat.schemas.get(sname)
+                if schema is None:
+                    cat.schemas[sname] = schema = type(
+                        next(iter(cat.schemas.values())))(sname)
+                schema.tables.clear()
+                schema.tables.update(simg["tables"])
+                schema.views.clear()
+                schema.views.update(simg["views"])
+                schema.macros.clear()
+                schema.macros.update(simg["macros"])
+                for key, (cols, ver, cdefs, cons) in simg["data"].items():
+                    t = schema.tables.get(key)
+                    if t is not None:
+                        t.columns = list(cols)
+                        t.version = ver + 1
+                        t.column_defs = list(cdefs)
+                        t.constraints = list(cons)
+                        self.connection.database.invalidate_graph_caches(
+                            t.name)
+        return QueryResult([], [])
+
+    def _all_catalogs(self) -> dict:
+        db = self.connection.database
+        cats = {}
+        main = getattr(db, "catalog", None)
+        if main is not None:
+            cats[main.name] = main
+        for nm, cat in getattr(db, "attached", {}).items():
+            cats.setdefault(nm, cat)
+        return cats
+
     def execute_drop(self, stmt: a.DropStatement) -> QueryResult:
         if stmt.kind == "PROPERTY_GRAPH":
             from ..pgq.ddl import execute_drop_property_graph
@@ -2952,6 +3267,8 @@ class Executor:
                               missing_ok=stmt.if_exists)
         elif stmt.kind == "SCHEMA":
             catalog.schemas.pop(stmt.name.lower(), None)
+        elif stmt.kind == "MACRO":
+            catalog.drop_macro(stmt.name, "main", if_exists=stmt.if_exists)
         return QueryResult([], [])
 
     def execute_alter(self, stmt: a.AlterStatement) -> QueryResult:

@@ -717,6 +717,16 @@ class Evaluator:
         "coalesce", "ifnull", "nullif", "greatest", "least", "list_value",
         "struct_extract", "list_element", "map_extract", "first", "last",
         "constant_or_null", "alias", "count",
+        # structure movers: never interpret element payloads, so the raw
+        # scaled ints stay exact end-to-end
+        "list_pack", "list_extract", "array_extract", "element_at",
+        "list_sort", "array_sort", "list_reverse_sort", "list_distinct",
+        "list_unique", "list_reverse", "list_slice", "array_slice",
+        "array_pop_front", "array_pop_back", "list_concat", "array_concat",
+        "flatten", "list_append", "array_append", "array_push_back",
+        "list_prepend", "array_prepend", "array_push_front", "list_zip",
+        "array_length", "len", "len_list", "cardinality", "list_resize",
+        "map_keys", "map_values", "map_entries", "unnest",
     })
     _LAMBDA_FUNCS = {"list_transform": "transform", "list_apply": "transform",
                      "array_transform": "transform", "apply": "transform",
@@ -725,6 +735,17 @@ class Evaluator:
 
     def evaluate_function(self, e: a.FunctionCall) -> Vector:
         name = e.name.lower()
+        if name == "alias" and len(e.args) == 1:
+            # alias(expr) -> the expression's output name (DuckDB)
+            from .executor import Executor
+            nm = Executor.derive_name(e.args[0])
+            out = np.empty(self.n, dtype=object)
+            out[:] = nm
+            return Vector(VARCHAR, out, np.ones(self.n, dtype=bool))
+        if get_function(name) is None:
+            out = self._try_macro_call(e, name)
+            if out is not None:
+                return out
         if e.kwargs:
             if name == "struct_pack":
                 # struct_pack(a := 1, b := 'x') builds a struct from its
@@ -769,12 +790,14 @@ class Evaluator:
             return self._evaluate_list_lambda(e, mode)
         # unnest and star-arg functions unsupported here
         args = [self.evaluate(x) for x in e.args if not isinstance(x, a.Star)]
-        if any(v.type.id == TypeId.DECIMAL for v in args) and \
-                name not in self._DECIMAL_AWARE_SCALARS:
-            # decimal-unaware functions see DOUBLE (the scaled int would be
-            # off by 10^scale); the aware set keeps exact semantics
-            from ..functions.scalar import _decimal_to_double
-            args = [_decimal_to_double(v) for v in args]
+        if name not in self._DECIMAL_AWARE_SCALARS:
+            from ..functions.scalar import _decimal_to_double, \
+                _type_has_decimal
+            if any(_type_has_decimal(v.type) for v in args):
+                # decimal-unaware functions see DOUBLE, including inside
+                # LIST/STRUCT/MAP payloads (the scaled int would be off by
+                # 10^scale); the aware set keeps exact semantics
+                args = [_decimal_to_double(v) for v in args]
         fn = get_function(name)
         if fn is None:
             from ..functions.scalar import function_not_found
@@ -783,6 +806,35 @@ class Evaluator:
             # supply row count to zero-arg functions (e.g. random())
             args = [Vector(BIGINT, np.zeros(self.n, dtype=np.int64))]
         return fn(args, self.executor.connection) if fn.needs_ctx else fn(args)
+
+    def _try_macro_call(self, e: a.FunctionCall, name: str):
+        """Expand a user macro call (CREATE MACRO): substitute the stored
+        body's parameter ColumnRefs with the call's argument ASTs and
+        evaluate in place (DuckDB binds macros by AST substitution too)."""
+        ex = getattr(self, "executor", None)
+        con = getattr(ex, "connection", None) if ex is not None else None
+        if con is None:
+            return None
+        macro = con.resolve_catalog(None).get_macro(name)
+        if macro is None or macro.body is None:
+            return None
+        if len(e.args) != len(macro.params):
+            raise BinderException(
+                f"Macro function '{macro.name}' requires "
+                f"{len(macro.params)} positional arguments, but "
+                f"{len(e.args)} were provided")
+        mapping = {dn: de for dn, de in macro.defaults}
+        for p, arg in zip(macro.params, e.args):
+            mapping[p] = arg
+        declared = {dn for dn, _ in macro.defaults}
+        for kn, ke in e.kwargs:
+            if kn.lower() not in declared:
+                raise BinderException(
+                    f'Invalid named parameter "{kn}" for macro '
+                    f"{macro.name}")
+            mapping[kn.lower()] = ke
+        from ..sql.ast import substitute_refs
+        return self.evaluate(substitute_refs(macro.body, mapping))
 
     def _evaluate_list_reduce(self, e: a.FunctionCall) -> Vector:
         """list_reduce(list, (acc, x) -> expr): left fold, seeded with

@@ -276,9 +276,15 @@ def agg_string_agg(args, gids, n_groups, distinct):
     sep_vec = args[1] if len(args) > 1 else None
     lists = [[] for _ in range(n_groups)]
     seps = [","] * n_groups
+    seen = [set() for _ in range(n_groups)] if distinct else None
     for i in range(len(gids)):
         if a.validity[i]:
-            lists[gids[i]].append(str(a.data[i]))
+            v = str(a.data[i])
+            if distinct:
+                if v in seen[gids[i]]:
+                    continue
+                seen[gids[i]].add(v)
+            lists[gids[i]].append(v)
             if sep_vec is not None and sep_vec.validity[i]:
                 seps[gids[i]] = str(sep_vec.data[i])
     out = np.empty(n_groups, dtype=object)

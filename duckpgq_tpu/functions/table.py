@@ -41,9 +41,46 @@ def execute_table_function(executor, ref: a.TableFunctionRef, outer, env
     name = ref.name.lower()
     handler = REGISTRY.get(name)
     if handler is None:
+        rel = _try_table_macro(executor, ref, outer, env, name)
+        if rel is not None:
+            return rel
         raise CatalogException(
             f"Table Function with name {name} does not exist!")
     return handler(executor, ref, outer, env)
+
+
+def _try_table_macro(executor, ref, outer, env, name):
+    """CREATE MACRO ... AS TABLE expansion: substitute the call's argument
+    ASTs into the stored query and run it as a derived table."""
+    con = getattr(executor, "connection", None)
+    if con is None:
+        return None
+    macro = con.resolve_catalog(None).get_macro(name)
+    if macro is None or macro.query is None:
+        return None
+    if len(ref.args) != len(macro.params):
+        raise BinderException(
+            f"Macro function '{macro.name}' requires "
+            f"{len(macro.params)} positional arguments, but "
+            f"{len(ref.args)} were provided")
+    mapping = {dn: de for dn, de in macro.defaults}
+    for p, arg in zip(macro.params, ref.args):
+        mapping[p] = arg
+    declared = {dn for dn, _ in macro.defaults}
+    for kn, ke in getattr(ref, "kwargs", ()):
+        if kn.lower() not in declared:
+            raise BinderException(
+                f'Invalid named parameter "{kn}" for macro {macro.name}')
+        mapping[kn.lower()] = ke
+    from ..sql.ast import substitute_refs
+    stmt = substitute_refs(macro.query, mapping)
+    res = executor.execute_select(stmt, outer, env)
+    alias = ref.alias or macro.name
+    names = list(res.names)
+    if ref.column_aliases:
+        names[:len(ref.column_aliases)] = list(ref.column_aliases)
+    return Relation.from_columns(alias, names, res.columns,
+                                 with_rowid=True)
 
 
 def _bind_replace(bind_fn):
@@ -109,6 +146,120 @@ def _fn_generate_series(executor, args):
         lo, hi, step = int(args[0]), int(args[1]), int(args[2])
     data = np.arange(lo, hi + (1 if step > 0 else -1), step, dtype=np.int64)
     return ["generate_series"], [Vector(BIGINT, data)]
+
+
+def _temporal_series(vecs, name, inclusive):
+    """range/generate_series over DATE/TIMESTAMP bounds with an INTERVAL
+    step (DuckDB: the series is TIMESTAMP-typed; range is end-exclusive,
+    generate_series end-inclusive)."""
+    from ..types import (TIMESTAMP, TypeId, interval_parts,
+                         add_months_to_days)
+    DAY_US = 86_400_000_000
+    def to_us(v):
+        if v.type.id == TypeId.DATE:
+            return int(v.data[0]) * DAY_US
+        if v.type.id == TypeId.TIMESTAMP_S:
+            return int(v.data[0]) * 1_000_000
+        if v.type.id == TypeId.TIMESTAMP_MS:
+            return int(v.data[0]) * 1_000
+        return int(v.data[0])
+    start, stop = to_us(vecs[0]), to_us(vecs[1])
+    months, days, micros = interval_parts(vecs[2].data[0])
+    months, step_rest = int(months), int(days) * DAY_US + int(micros)
+    if months == 0 and step_rest == 0:
+        raise InvalidInputException(f"{name}: step size cannot be zero")
+    ascending = months > 0 or (months == 0 and step_rest > 0)
+    out = []
+    cur = start
+    k = 0
+    while (cur < stop or (inclusive and cur == stop)) if ascending else \
+            (cur > stop or (inclusive and cur == stop)):
+        out.append(cur)
+        k += 1
+        if k >= 1 << 24:
+            raise InvalidInputException(
+                f"{name}: series exceeds the 16M-row cap")
+        if months:
+            # month stepping composes from the ORIGIN (DuckDB): Jan 31 +
+            # 1 month repeatedly gives Feb 29, Mar 31, ... not Feb 29,
+            # Mar 29
+            d0, tod0 = divmod(start, DAY_US)
+            cur = int(add_months_to_days(np.int64(d0),
+                                         np.int64(months * k))) * DAY_US \
+                + tod0 + step_rest * k
+        else:
+            cur = start + step_rest * k
+    return [name], [Vector(TIMESTAMP, np.array(out, dtype=np.int64))]
+
+
+def _unnest_table_fn(executor, ref, outer, env):
+    """FROM unnest(list) — one row per element; FROM unnest(struct) —
+    one column per field (DuckDB table-function unnest)."""
+    from ..exec.expression import Evaluator
+    from ..exec.relation import Binding
+    from ..types import TypeId, SQLNULL
+    rel = Relation([Vector(BIGINT, np.zeros(1, dtype=np.int64))],
+                   [Binding("", ["__row__"], [0], [True])])
+    ev = Evaluator(executor, rel, outer)
+    vecs = [ev.evaluate(x) for x in ref.args]
+    if not vecs:
+        raise BinderException("unnest requires an argument")
+    alias = ref.alias or "unnest"
+    if vecs[0].type.id == TypeId.STRUCT:
+        sv = vecs[0]
+        names = [nm for nm, _ in (sv.type.fields or ())]
+        vals = sv.data[0] if sv.validity[0] else None
+        cols = [Vector.from_values(
+            [None if vals is None else vals[j]], ft)
+            for j, (nm, ft) in enumerate(sv.type.fields or ())]
+        if ref.column_aliases:
+            names[:len(ref.column_aliases)] = list(ref.column_aliases)
+        return Relation.from_columns(alias, names, cols, with_rowid=True)
+    cols = []
+    names = []
+    ln = 0
+    for k, v in enumerate(vecs):
+        if v.type.id != TypeId.LIST and v.type.id != TypeId.SQLNULL:
+            raise BinderException(
+                f"UNNEST() can only be applied to lists, structs and "
+                f"NULL, not {v.type}")
+        elems = list(v.data[0]) if v.validity[0] and \
+            v.data[0] is not None else []
+        ln = max(ln, len(elems))
+        child = v.type.child if v.type.id == TypeId.LIST and \
+            v.type.child is not None else SQLNULL
+        cols.append((elems, child))
+        names.append("unnest" if len(vecs) == 1 else f"unnest_{k + 1}")
+    out = [Vector.from_values(
+        elems + [None] * (ln - len(elems)), child)
+        for elems, child in cols]
+    if ref.column_aliases:
+        names[:len(ref.column_aliases)] = list(ref.column_aliases)
+    return Relation.from_columns(alias, names, out, with_rowid=True)
+
+
+def _series_handler(name, inclusive, int_fn):
+    """Dispatch range/generate_series between the integer and the
+    temporal forms by argument type."""
+    def handler(executor, ref, outer, env):
+        from ..exec.expression import Evaluator
+        from ..exec.relation import Binding
+        from ..types import TypeId
+        rel = Relation([Vector(BIGINT, np.zeros(1, dtype=np.int64))],
+                       [Binding("", ["__row__"], [0], [True])])
+        ev = Evaluator(executor, rel, outer)
+        vecs = [ev.evaluate(x) for x in ref.args]
+        if len(vecs) == 3 and vecs[2].type.id == TypeId.INTERVAL:
+            names, cols = _temporal_series(vecs, name, inclusive)
+        else:
+            names, cols = int_fn(executor,
+                                 [v.value(0) for v in vecs])
+        alias = ref.alias or name
+        if ref.column_aliases:
+            names = list(names)
+            names[:len(ref.column_aliases)] = list(ref.column_aliases)
+        return Relation.from_columns(alias, names, cols, with_rowid=True)
+    return handler
 
 
 def _fn_read_parquet(executor, args):
@@ -343,8 +494,10 @@ def _register_all():
             alg.bind_weakly_connected_component),
         "local_clustering_coefficient": _bind_replace(
             alg.bind_local_clustering_coefficient),
-        "range": _relation_fn(_fn_range),
-        "generate_series": _relation_fn(_fn_generate_series),
+        "unnest": _unnest_table_fn,
+        "range": _series_handler("range", False, _fn_range),
+        "generate_series": _series_handler("generate_series", True,
+                                           _fn_generate_series),
         "read_parquet": _relation_fn(_fn_read_parquet),
         "parquet_scan": _relation_fn(_fn_read_parquet),
         "read_csv": _relation_fn(_fn_read_csv),

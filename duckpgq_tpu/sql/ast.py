@@ -88,6 +88,7 @@ class WindowFrame:
     start_expr: Optional[Expression] = None
     end_type: str = "current"
     end_expr: Optional[Expression] = None
+    exclude: Optional[str] = None  # None / "current" / "group" / "ties"
 
 
 @dataclass
@@ -387,6 +388,7 @@ class SelectStatement(Statement):
     order_by: List[OrderByNode] = field(default_factory=list)
     limit: Optional[Expression] = None
     offset: Optional[Expression] = None
+    limit_percent: bool = False        # LIMIT n% (DuckDB percent limit)
 
 
 @dataclass
@@ -413,6 +415,20 @@ class CreateViewStatement(Statement):
 
 
 @dataclass
+class CreateMacroStatement(Statement):
+    """CREATE [OR REPLACE] MACRO name(params...) AS expr | AS TABLE query
+    (DuckDB macros; FUNCTION is a synonym for MACRO)."""
+    schema: Optional[str] = None
+    name: str = ""
+    params: List[str] = field(default_factory=list)
+    defaults: List[Tuple[str, Expression]] = field(default_factory=list)
+    body: Optional[Expression] = None            # scalar macro
+    query: Optional[SelectStatement] = None      # table macro
+    or_replace: bool = False
+    if_not_exists: bool = False
+
+
+@dataclass
 class CreateSchemaStatement(Statement):
     name: str = ""
     if_not_exists: bool = False
@@ -426,6 +442,13 @@ class InsertStatement(Statement):
     columns: Tuple[str, ...] = ()
     query: SelectStatement = None       # VALUES parsed as SelectStatement over ValuesRef
     returning: List[Expression] = field(default_factory=list)
+    by_name: bool = False               # INSERT INTO t BY NAME query
+    # ON CONFLICT clause (DuckDB): None / "nothing" / "update"
+    on_conflict: Optional[str] = None
+    conflict_target: Tuple[str, ...] = ()
+    conflict_updates: List[Tuple[str, Expression]] = \
+        field(default_factory=list)
+    conflict_where: Optional[Expression] = None
 
 
 @dataclass
@@ -435,6 +458,7 @@ class UpdateStatement(Statement):
     assignments: List[Tuple[str, Expression]] = field(default_factory=list)
     where: Optional[Expression] = None
     returning: List[Expression] = field(default_factory=list)
+    from_ref: Optional[TableRef] = None   # UPDATE ... SET ... FROM src
 
 
 @dataclass
@@ -460,18 +484,6 @@ class CreateTypeStatement(Statement):
     name: str = ""
     values: List[str] = field(default_factory=list)
     if_not_exists: bool = False
-    or_replace: bool = False
-
-
-@dataclass
-class CreateMacroStatement(Statement):
-    """CREATE [OR REPLACE] MACRO name(p1, p2 := default) AS expr | TABLE sel
-    (DuckDB macro DDL; expansion happens by AST substitution at call time)."""
-    name: str = ""
-    params: List[str] = field(default_factory=list)
-    defaults: List[Tuple[str, "Expression"]] = field(default_factory=list)
-    body: Any = None          # Expression, or SelectStatement when is_table
-    is_table: bool = False
     or_replace: bool = False
 
 
@@ -645,3 +657,4 @@ class UnpivotStatement(Statement):
     order_by: List[OrderByNode] = field(default_factory=list)
     limit: Optional[Expression] = None
     offset: Optional[Expression] = None
+

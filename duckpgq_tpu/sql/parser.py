@@ -234,11 +234,12 @@ class Parser:
             self.next()
             self.expect_kw("DATABASE")
             return a.ExportDatabaseStatement(path=self.next().text)
-        if kw in ("BEGIN", "COMMIT", "ROLLBACK", "START"):
+        if kw in ("BEGIN", "COMMIT", "ROLLBACK", "START", "ABORT"):
             self.next()
             self.accept_kw("TRANSACTION")
             return a.TransactionStatement(
-                action="BEGIN" if kw == "START" else kw)
+                action="BEGIN" if kw == "START" else
+                "ROLLBACK" if kw == "ABORT" else kw)
         if kw == "CHECKPOINT":
             self.next()
             return a.CheckpointStatement()
@@ -605,9 +606,35 @@ class Parser:
                 if order_all or not self.accept_op(","):
                     break
         if self.accept_kw("LIMIT"):
-            stmt.limit = self.parse_expression()
+            # LIMIT n% (DuckDB percent limit): '%' here is a postfix, not
+            # modulo — detect NUMBER '%' followed by a clause boundary
+            if self.peek().kind == T.NUMBER and self.peek(1).is_op("%"):
+                t2 = self.peek(2)
+                if t2.kind == T.EOF or t2.is_op(")", ";") or t2.is_kw(
+                        "OFFSET", "ORDER", "UNION", "EXCEPT", "INTERSECT"):
+                    stmt.limit = a.Constant(float(self.next().text),
+                                            tt.DOUBLE)
+                    self.next()              # '%'
+                    stmt.limit_percent = True
+            if stmt.limit is None:
+                if self.accept_kw("ALL"):
+                    pass                    # LIMIT ALL = no limit
+                else:
+                    stmt.limit = self.parse_expression()
         if self.accept_kw("OFFSET"):
             stmt.offset = self.parse_expression()
+            self.accept_kw("ROWS", "ROW")
+        if self.peek().is_kw("FETCH"):
+            # FETCH FIRST|NEXT [n] ROWS|ROW ONLY (SQL standard)
+            self.next()
+            if not self.accept_kw("FIRST"):
+                self.expect_kw("NEXT")
+            if not self.peek().is_kw("ROWS", "ROW"):
+                stmt.limit = self.parse_expression()
+            else:
+                stmt.limit = a.Constant(1, tt.INTEGER)
+            self.accept_kw("ROWS", "ROW")
+            self.accept_kw("ONLY")
 
     # ------------------------------------------------------------------- FROM
     def parse_from_list(self) -> a.TableRef:
@@ -720,6 +747,15 @@ class Parser:
             # subquery or parenthesized join
             if self.peek().is_kw("SELECT", "WITH", "VALUES", "FROM"):
                 sub = self.parse_select_statement()
+                self.expect_op(")")
+                ref = a.SubqueryRef(subquery=sub)
+                self._parse_table_alias(ref)
+                return ref
+            if self.peek().is_kw("DESCRIBE", "SUMMARIZE", "SHOW",
+                                 "PIVOT", "UNPIVOT"):
+                # FROM (DESCRIBE t) / (SUMMARIZE t) / (SHOW TABLES) /
+                # (PIVOT ...) — statement-as-subquery (DuckDB)
+                sub = self.parse_statement()
                 self.expect_op(")")
                 ref = a.SubqueryRef(subquery=sub)
                 self._parse_table_alias(ref)
@@ -1056,6 +1092,11 @@ class Parser:
                 self.next()
                 target = self.parse_type()
                 expr = a.Cast(child=expr, target=target)
+            elif tok.is_op("!") and not self.peek(1).is_op("=") and \
+                    not self.peek(1).is_op("~"):
+                # postfix factorial 5! (DuckDB); '!=' and '!~' are infix
+                self.next()
+                expr = a.FunctionCall(name="factorial", args=[expr])
             elif tok.is_op("."):
                 self.next()
                 # struct field extract or qualified function call chain
@@ -1281,6 +1322,16 @@ class Parser:
                     self.peek(1).kind == T.STRING:
                 self.next()
                 lit = self.next().text
+                if kw == "INTERVAL" and self.peek().kind == T.IDENT and \
+                        self.peek().upper not in _ALIAS_STOP:
+                    # INTERVAL '90' SECOND: quoted quantity + unit ident
+                    unit = self.expect_ident()
+                    try:
+                        qty = float(lit)
+                    except ValueError:
+                        self.error(f"invalid interval quantity '{lit}'")
+                    return a.Constant(tt.interval_value(qty, unit),
+                                      tt.INTERVAL)
                 typ = tt.type_from_name(kw)
                 return a.Cast(child=a.Constant(lit, tt.VARCHAR), target=typ)
             if kw == "INTERVAL" and (
@@ -1412,6 +1463,45 @@ class Parser:
                 hay = self.parse_expression()
                 self.expect_op(")")
                 return a.FunctionCall(name="instr", args=[hay, needle])
+            self.pos = save
+        if lname == "extract":
+            # SQL-standard EXTRACT(field FROM expr) (reference grammar
+            # expression.gram ExtractExpr); field is a bare keyword or a
+            # string literal
+            save = self.pos
+            tok = self.peek()
+            from .lexer import T as _T
+            if self.peek(1).is_kw("FROM") and tok.kind in (
+                    _T.IDENT, _T.STRING):
+                part = self.next().text
+                self.next()                      # FROM
+                expr = self.parse_expression()
+                self.expect_op(")")
+                return a.FunctionCall(
+                    name="date_part",
+                    args=[a.Constant(part.lower(), tt.VARCHAR), expr])
+            self.pos = save
+        if lname == "trim":
+            # SQL-standard TRIM([BOTH|LEADING|TRAILING] [chars] FROM s)
+            save = self.pos
+            mode = None
+            if self.peek().is_kw("BOTH", "LEADING", "TRAILING"):
+                mode = self.next().upper
+            chars = None
+            if not self.peek().is_kw("FROM") and not self.peek().is_op(")"):
+                try:
+                    chars = self.parse_bitor()
+                except ParserException:
+                    self.pos = save
+                    chars = None
+            if (mode is not None or chars is not None) and \
+                    self.accept_kw("FROM"):
+                sexpr = self.parse_expression()
+                self.expect_op(")")
+                fname = {"LEADING": "ltrim",
+                         "TRAILING": "rtrim"}.get(mode, "trim")
+                fargs = [sexpr] + ([chars] if chars is not None else [])
+                return a.FunctionCall(name=fname, args=fargs)
             self.pos = save
         if lname in ("substring", "substr"):
             # SQL-standard SUBSTRING(x FROM i [FOR n]) / SUBSTRING(x FOR n)
@@ -1605,11 +1695,24 @@ class Parser:
         else:
             st, se = bound()
             et, ee = "current", None
-        if self.peek().is_kw("EXCLUDE"):
-            raise NotImplementedException(
-                "EXCLUDE in window frames is not supported")
+        exclude = None
+        if self.accept_kw("EXCLUDE"):
+            # EXCLUDE CURRENT ROW | GROUP | TIES | NO OTHERS
+            # (expression.gram WindowExcludeClause)
+            if self.accept_kw("CURRENT"):
+                self.expect_kw("ROW")
+                exclude = "current"
+            elif self.accept_kw("GROUP"):
+                exclude = "group"
+            elif self.accept_kw("TIES"):
+                exclude = "ties"
+            elif self.accept_kw("NO"):
+                self.expect_kw("OTHERS")
+            else:
+                self.error("expected CURRENT ROW, GROUP, TIES or "
+                           "NO OTHERS after EXCLUDE")
         return a.WindowFrame(kind=kind, start_type=st, start_expr=se,
-                             end_type=et, end_expr=ee)
+                             end_type=et, end_expr=ee, exclude=exclude)
 
     def parse_case(self) -> a.Expression:
         self.expect_kw("CASE")
@@ -1746,6 +1849,37 @@ class Parser:
             return a.CreateTypeStatement(name=name, values=values,
                                          or_replace=or_replace,
                                          if_not_exists=if_not_exists)
+        if tok.is_kw("MACRO", "FUNCTION"):
+            # CREATE MACRO name(p1, p2 := default, ...) AS expr
+            # CREATE MACRO name(...) AS TABLE query   (DuckDB macros)
+            self.next()
+            if_not_exists = self._parse_if_not_exists()
+            parts = [self.expect_ident()]
+            while self.accept_op("."):
+                parts.append(self.expect_ident())
+            stmt = a.CreateMacroStatement(
+                name=parts[-1],
+                schema=parts[-2] if len(parts) >= 2 else None,
+                or_replace=or_replace, if_not_exists=if_not_exists)
+            self.expect_op("(")
+            if not self.peek().is_op(")"):
+                while True:
+                    pname = self.expect_ident()
+                    if self.peek().is_op(":") and self.peek(1).is_op("="):
+                        self.next(); self.next()
+                        stmt.defaults.append(
+                            (pname.lower(), self.parse_expression()))
+                    else:
+                        stmt.params.append(pname.lower())
+                    if not self.accept_op(","):
+                        break
+            self.expect_op(")")
+            self.expect_kw("AS")
+            if self.accept_kw("TABLE"):
+                stmt.query = self.parse_select_statement()
+            else:
+                stmt.body = self.parse_expression()
+            return stmt
         if tok.is_kw("INDEX", "UNIQUE"):
             # accepted and ignored
             while self.peek().kind != T.EOF and not self.peek().is_op(";"):
@@ -1906,14 +2040,25 @@ class Parser:
     # --------------------------------------------------------------- DML etc.
     def parse_insert(self) -> a.InsertStatement:
         self.expect_kw("INSERT")
-        self.expect_kw("INTO")
         stmt = a.InsertStatement()
+        if self.accept_kw("OR"):
+            # INSERT OR REPLACE / OR IGNORE shorthands (DuckDB)
+            if self.accept_kw("REPLACE"):
+                stmt.on_conflict = "replace_all"
+            elif self.accept_kw("IGNORE"):
+                stmt.on_conflict = "nothing"
+            else:
+                self.error("expected REPLACE or IGNORE after INSERT OR")
+        self.expect_kw("INTO")
         parts = [self.expect_ident()]
         while self.accept_op("."):
             parts.append(self.expect_ident())
         stmt.table = parts[-1]
         if len(parts) >= 2:
             stmt.schema = parts[-2]
+        if self.peek().is_kw("BY") and self.peek(1).is_kw("NAME"):
+            self.next(); self.next()
+            stmt.by_name = True
         if self.peek().is_op("(") and not self.peek(1).is_kw(
                 "SELECT", "WITH", "VALUES", "FROM"):
             self.next()
@@ -1923,6 +2068,31 @@ class Parser:
             self.expect_op(")")
             stmt.columns = tuple(cols)
         stmt.query = self.parse_select_statement()
+        if self.accept_kw("ON"):
+            # ON CONFLICT [(cols)] DO NOTHING | DO UPDATE SET ... [WHERE]
+            self.expect_kw("CONFLICT")
+            if self.accept_op("("):
+                tgt = [self.expect_ident()]
+                while self.accept_op(","):
+                    tgt.append(self.expect_ident())
+                self.expect_op(")")
+                stmt.conflict_target = tuple(tgt)
+            self.expect_kw("DO")
+            if self.accept_kw("NOTHING"):
+                stmt.on_conflict = "nothing"
+            else:
+                self.expect_kw("UPDATE")
+                self.expect_kw("SET")
+                stmt.on_conflict = "update"
+                while True:
+                    col = self.expect_ident()
+                    self.expect_op("=")
+                    stmt.conflict_updates.append(
+                        (col, self.parse_expression()))
+                    if not self.accept_op(","):
+                        break
+                if self.accept_kw("WHERE"):
+                    stmt.conflict_where = self.parse_expression()
         if self.accept_kw("RETURNING"):
             stmt.returning = self.parse_select_list()
         return stmt
@@ -1943,6 +2113,9 @@ class Parser:
             stmt.assignments.append((col, self.parse_expression()))
             if not self.accept_op(","):
                 break
+        if self.accept_kw("FROM"):
+            # UPDATE t SET ... FROM src [WHERE join-cond] (DuckDB)
+            stmt.from_ref = self.parse_from_list()
         if self.accept_kw("WHERE"):
             stmt.where = self.parse_expression()
         if self.accept_kw("RETURNING"):
@@ -1989,6 +2162,16 @@ class Parser:
                                               missing_ok=missing_ok)
             return a.DropStatement(kind="PROPERTY_GRAPH", name=name,
                                    if_exists=missing_ok, info=info)
+        if tok.is_kw("MACRO", "FUNCTION"):
+            self.next()
+            self.accept_kw("TABLE")       # DROP MACRO TABLE name
+            if_exists = False
+            if self.accept_kw("IF"):
+                self.expect_kw("EXISTS")
+                if_exists = True
+            return a.DropStatement(kind="MACRO",
+                                   name=self.expect_ident(),
+                                   if_exists=if_exists)
         kind = self.next().upper
         if kind not in ("TABLE", "VIEW", "SCHEMA", "INDEX"):
             self.error("unsupported DROP")

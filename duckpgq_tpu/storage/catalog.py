@@ -26,11 +26,28 @@ class View:
         self.column_aliases = column_aliases
 
 
+class Macro:
+    """A DuckDB-style macro: positional params + named defaults wrapping
+    either a scalar expression (``body``) or a query (``query`` — table
+    macro)."""
+    __slots__ = ("name", "schema", "params", "defaults", "body", "query")
+
+    def __init__(self, name: str, params, defaults, body=None, query=None,
+                 schema: str = "main"):
+        self.name = name
+        self.schema = schema
+        self.params = list(params)
+        self.defaults = list(defaults)   # [(name, Expression), ...]
+        self.body = body
+        self.query = query
+
+
 class Schema:
     def __init__(self, name: str):
         self.name = name
         self.tables: Dict[str, DataTable] = {}   # keys lower-cased
         self.views: Dict[str, View] = {}
+        self.macros: Dict[str, Macro] = {}
 
 
 class Catalog:
@@ -81,6 +98,39 @@ class Catalog:
             schema.tables.pop(key, None)
         view.catalog = self.name
         schema.views[key] = view
+
+    def create_macro(self, macro: Macro, or_replace: bool = False,
+                     if_not_exists: bool = False):
+        schema = self.get_schema(macro.schema)
+        key = macro.name.lower()
+        if key in schema.macros:
+            if if_not_exists:
+                return
+            if not or_replace:
+                raise CatalogException(
+                    f'Macro with name "{macro.name}" already exists!')
+        schema.macros[key] = macro
+
+    def get_macro(self, name: str,
+                  schema: Optional[str] = None) -> Optional[Macro]:
+        if schema is not None:
+            s = self.get_schema(schema, missing_ok=True)
+            return s.macros.get(name.lower()) if s else None
+        for s in self.schemas.values():
+            m = s.macros.get(name.lower())
+            if m is not None:
+                return m
+        return None
+
+    def drop_macro(self, name: str, schema: str = "main",
+                   if_exists: bool = False):
+        s = self.get_schema(schema, missing_ok=True)
+        if s is None or name.lower() not in s.macros:
+            if if_exists:
+                return
+            raise CatalogException(
+                f"Macro with name {name} does not exist!")
+        del s.macros[name.lower()]
 
     def drop_table(self, name: str, schema: str = "main",
                    missing_ok: bool = False):

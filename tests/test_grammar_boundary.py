@@ -256,10 +256,6 @@ UNSUPPORTED = [
     # error, not a parse crash (select.gram:88-91)
     ("named-arg-scalar", "SELECT abs(x := 1)"),
     ("named-arg-fat-arrow", "SELECT abs(x => 1)"),
-    # EXCLUDE clause inside explicit window frames
-    ("window-frame-exclude",
-     "SELECT sum(a) OVER (ORDER BY a ROWS BETWEEN 1 PRECEDING AND "
-     "CURRENT ROW EXCLUDE CURRENT ROW) FROM t"),
     # unknown collation names are a catalog error
     ("unknown-collation", "SELECT 'a' = 'b' COLLATE NOSUCH"),
 ]
