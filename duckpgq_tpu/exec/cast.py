@@ -371,10 +371,23 @@ def cast_vector(vec: Vector, target: LogicalType, try_cast: bool = False
             if src.is_floating:
                 f = vec.data.astype(np.float64)
                 r = np.where(f >= 0, np.floor(f + 0.5), np.ceil(f - 0.5))
-                out = np.array([int(v) for v in r], dtype=object)
-            else:
-                out = vec.data.astype(object)
-                out = np.array([int(v) for v in out], dtype=object)
+                out = np.array([int(v) if np.isfinite(v) else 0
+                                for v in r], dtype=object)
+                validity = vec.validity.copy()
+                h_lo, h_hi = -(1 << 127) + 1, (1 << 127) - 1
+                bad = np.array([(validity[i] and
+                                 (not np.isfinite(f[i]) or
+                                  not h_lo <= out[i] <= h_hi))
+                                for i in range(len(out))], dtype=bool)
+                if bad.any():
+                    if not try_cast:
+                        i = int(np.flatnonzero(bad)[0])
+                        raise ConversionException(
+                            f"Could not cast value {f[i]} to INT128")
+                    validity &= ~bad
+                return Vector(target, out, validity)
+            out = vec.data.astype(object)
+            out = np.array([int(v) for v in out], dtype=object)
             return Vector(target, out, vec.validity.copy())
         if src.id == TypeId.HUGEINT and target.is_integral:
             lo, hi = _INT_BOUNDS[target.id]

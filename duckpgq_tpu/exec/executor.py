@@ -163,6 +163,13 @@ class Executor:
             from ..pgq.pragma import execute_pragma
             return execute_pragma(self, stmt)
         if isinstance(stmt, a.SetStatement):
+            if stmt.name == "__reset_all__":
+                self.connection.settings.clear()
+                return QueryResult([], [])
+            if stmt.name.startswith("__reset__:"):
+                self.connection.settings.pop(
+                    stmt.name[len("__reset__:"):], None)
+                return QueryResult([], [])
             if stmt.name != "__noop__":
                 if stmt.name.lower() == "pgq_mesh_devices":
                     # SQL -> distributed-mesh kernel routing (process-wide,
@@ -1097,7 +1104,8 @@ class Executor:
                                  dtype=np.int64)
             peer_last[peer_gid] = pos            # last write wins
         name = call.name
-        if name in ("ntile", "percent_rank", "cume_dist", "nth_value"):
+        if name in ("ntile", "percent_rank", "cume_dist") or \
+                (name == "nth_value" and call.frame is None):
             pgid2 = np.cumsum(new_part.astype(np.int64)) - 1 if n else \
                 np.zeros(0, np.int64)
             nparts = int(pgid2[-1]) + 1 if n else 0
@@ -1164,6 +1172,18 @@ class Executor:
                 if ok[i]:
                     res[int(perm[i])] = src.value(int(perm[int(target[i])]))
             return Vector.from_values(res, src.type)
+        _SPECIAL_WINDOWS = (
+            "row_number", "rank", "dense_rank", "lead", "lag",
+            "first_value", "last_value", "ntile", "percent_rank",
+            "cume_dist", "nth_value", "sum", "count", "count_star",
+            "avg", "min", "max")
+        if call.frame is None and name not in _SPECIAL_WINDOWS:
+            # generic aggregate-as-window over the DEFAULT frame: the
+            # standard default is RANGE UNBOUNDED PRECEDING..CURRENT ROW
+            # (peer-inclusive), which the framed generic path implements
+            import dataclasses
+            call = dataclasses.replace(call, frame=a.WindowFrame(
+                kind="RANGE"))
         if call.frame is not None and name not in (
                 "row_number", "rank", "dense_rank", "lead", "lag"):
             # explicit ROWS/RANGE/GROUPS frame (expression.gram:70-76);
@@ -1516,25 +1536,64 @@ class Executor:
             xe = np.full(n, -1, dtype=np.int64)
             ties_add = np.zeros(n, dtype=bool)
 
-        # ---- aggregate the inclusive sorted-index ranges [s, e] ----
-        if name in ("first_value", "last_value") and excl:
-            src = ev.evaluate(call.args[0])
-            validp2 = src.validity[perm]
+        def _generic_frame():
+            # generic aggregate over the frame: run the aggregate
+            # implementation per row over its [s, e] range minus
+            # exclusions (string_agg/list/median/mode/stddev/... as
+            # window functions)
+            agg_fn = get_aggregate(name)
+            if agg_fn is None:
+                raise BinderException(
+                    f"window function {name} does not exist")
+            argv = [ev.evaluate(x) for x in call.args]
+            from ..functions.aggregate import DECIMAL_AWARE
+            if name not in DECIMAL_AWARE:
+                from ..functions.scalar import _decimal_to_double
+                argv = [_decimal_to_double(v) for v in argv]
+            argv_sorted = [v.take(perm) for v in argv]
             res = [None] * n
+            out_type = None
             for i in range(n):
                 if empty[i]:
                     continue
-                fwd = name == "first_value"
+                idx = [j for j in range(int(s[i]), int(e[i]) + 1)
+                       if not (has_x[i] and xs[i] <= j <= xe[i] and
+                               not (ties_add[i] and j == pos64[i]))]
+                if not idx:
+                    continue
+                ii = np.asarray(idx, dtype=np.int64)
+                sub = [v.take(ii) for v in argv_sorted]
+                out = agg_fn(sub, np.zeros(len(ii), dtype=np.int64), 1)
+                res[int(perm[i])] = out.value(0)
+                out_type = out.type
+            from ..types import SQLNULL as _SN
+            return Vector.from_values(res, out_type or _SN)
+
+        # ---- aggregate the inclusive sorted-index ranges [s, e] ----
+        if name == "nth_value" or (
+                name in ("first_value", "last_value") and excl):
+            src = ev.evaluate(call.args[0])
+            k = int(ev.evaluate(call.args[1]).value(0)) \
+                if name == "nth_value" else 1
+            validp2 = src.validity[perm]
+            res = [None] * n
+            for i in range(n):
+                if empty[i] or k < 1:
+                    continue
+                fwd = name != "last_value"
                 rng = range(int(s[i]), int(e[i]) + 1) if fwd \
                     else range(int(e[i]), int(s[i]) - 1, -1)
+                seen = 0
                 for j in rng:
                     if has_x[i] and xs[i] <= j <= xe[i] and \
                             not (ties_add[i] and j == pos64[i]):
                         continue
                     if call.ignore_nulls and not validp2[j]:
                         continue
-                    res[int(perm[i])] = src.value(int(perm[j]))
-                    break
+                    seen += 1
+                    if seen == k:
+                        res[int(perm[i])] = src.value(int(perm[j]))
+                        break
             return Vector.from_values(res, src.type)
         if name in ("first_value", "last_value"):
             src = ev.evaluate(call.args[0])
@@ -1574,6 +1633,8 @@ class Executor:
             out = np.zeros(n, dtype=np.int64)
             out[perm] = cnt_valid
             return Vector(BIGINT, out, np.ones(n, dtype=bool))
+        if name not in ("sum", "avg", "min", "max"):
+            return _generic_frame()
         if src.type.numpy_dtype() is object:
             raise BinderException(
                 f"window aggregate {name} requires numeric input")
@@ -1629,15 +1690,18 @@ class Executor:
             else:
                 res = self._range_extrema(vals, s, e, is_min)
             valid_out = (cnt_valid > 0) & np.isfinite(res)
-            out = np.zeros(n, dtype=np.float64)
-            out[perm] = np.where(valid_out, res, 0.0)
-            ov = np.zeros(n, dtype=bool)
-            ov[perm] = valid_out
-            if src.type.is_numeric and src.type.is_integral:
-                return Vector(BIGINT, out.astype(np.int64), ov)
-            return Vector(DOUBLE, out, ov)
-        raise BinderException(
-            f"window function {name} does not support explicit frames")
+            return self._minmax_frame_result(src, res, valid_out, perm, n)
+        return _generic_frame()
+
+    @staticmethod
+    def _minmax_frame_result(src, res, valid_out, perm, n):
+        out = np.zeros(n, dtype=np.float64)
+        out[perm] = np.where(valid_out, res, 0.0)
+        ov = np.zeros(n, dtype=bool)
+        ov[perm] = valid_out
+        if src.type.is_numeric and src.type.is_integral:
+            return Vector(BIGINT, out.astype(np.int64), ov)
+        return Vector(DOUBLE, out, ov)
 
     @staticmethod
     def _range_extrema(vals: np.ndarray, s: np.ndarray, e: np.ndarray,
@@ -1868,6 +1932,31 @@ class Executor:
                     for i in range(n)], dtype=np.float64)
                 if not ob.ascending:
                     arr = -arr
+                nulls_last = True if ob.nulls_first is None \
+                    else not ob.nulls_first
+                nullkey = (~vec.validity).astype(np.float64)
+                if not nulls_last:
+                    nullkey = -nullkey
+                sort_cols.append(nullkey)
+                sort_cols.append(arr)
+                continue
+            if vec.type.id in (TypeId.LIST, TypeId.STRUCT, TypeId.MAP):
+                # nested types order ELEMENT-WISE (DuckDB): a string key
+                # would put [1, 5] before [1] ('[1, 5]' < '[1]')
+                from functools import cmp_to_key
+                vals_n = [vec.data[i] if vec.validity[i] else None
+                          for i in range(n)]
+                idx_sorted = sorted(
+                    range(n), key=cmp_to_key(
+                        lambda i, j: _nested_cmp(vals_n[i], vals_n[j])))
+                codes = np.zeros(n, dtype=np.float64)
+                rank = 0
+                for k, i in enumerate(idx_sorted):
+                    if k and _nested_cmp(vals_n[idx_sorted[k - 1]],
+                                         vals_n[i]) != 0:
+                        rank += 1
+                    codes[i] = rank
+                arr = codes if ob.ascending else -codes
                 nulls_last = True if ob.nulls_first is None \
                     else not ob.nulls_first
                 nullkey = (~vec.validity).astype(np.float64)
@@ -2836,6 +2925,8 @@ class Executor:
         if isinstance(e, a.Constant):
             if isinstance(e.value, str):
                 return f"'{e.value}'"
+            if isinstance(e.value, bool):
+                return "true" if e.value else "false"
             return str(e.value)
         if isinstance(e, a.FunctionCall):
             return f"{e.name}(" + ", ".join(
@@ -2848,7 +2939,45 @@ class Executor:
                     f"{Executor._render(e.right)})")
         if isinstance(e, a.Star):
             return "*"
-        return fingerprint(e)
+        if isinstance(e, a.ListExpr):
+            return "list_value(" + ", ".join(
+                Executor._render(x) for x in e.values) + ")"
+        if isinstance(e, a.ArrayIndex):
+            base = Executor._render(e.child)
+            if e.is_slice:
+                stop = Executor._render(e.slice_stop) \
+                    if e.slice_stop is not None else ""
+                start = Executor._render(e.index) \
+                    if e.index is not None else ""
+                return f"{base}[{start}:{stop}]"
+            return f"{base}[{Executor._render(e.index)}]"
+        if isinstance(e, a.StructExtract):
+            return f"{Executor._render(e.child)}.{e.field_name}"
+        if isinstance(e, a.Cast):
+            return f"CAST({Executor._render(e.child)} AS {e.target})"
+        if isinstance(e, a.Not):
+            return f"(NOT {Executor._render(e.child)})"
+        if isinstance(e, a.Conjunction):
+            return "(" + f" {e.op} ".join(
+                Executor._render(c) for c in e.children) + ")"
+        if isinstance(e, a.Between):
+            return (f"({Executor._render(e.expr)} BETWEEN "
+                    f"{Executor._render(e.lower)} AND "
+                    f"{Executor._render(e.upper)})")
+        if isinstance(e, a.IsNull):
+            return (f"({Executor._render(e.child)} IS "
+                    f"{'NOT ' if e.negated else ''}NULL)")
+        if isinstance(e, a.Case):
+            return "CASE"
+        if isinstance(e, a.WindowCall):
+            return f"{e.name}(" + ", ".join(
+                Executor._render(x) for x in e.args) + ") OVER (...)"
+        if isinstance(e, a.SubqueryExpr):
+            return "SUBQUERY"
+        if isinstance(e, a.StructExpr):
+            return ("struct_pack(" +
+                    ", ".join(k for k, _ in e.fields) + ")")
+        return type(e).__name__.lower()
 
     # ==================================================================== DML
     def execute_create_table(self, stmt: a.CreateTableStatement) -> QueryResult:
@@ -3444,3 +3573,29 @@ class Executor:
             ["explain_key", "explain_value"],
             [Vector.from_values(keys, VARCHAR),
              Vector.from_values(vals, VARCHAR)])
+
+
+def _nested_cmp(a, b) -> int:
+    """Total order over nested values (lists element-wise then by length,
+    structs/maps by field sequence); NULL sorts AFTER any value, matching
+    the host's nested-comparison semantics."""
+    if a is None and b is None:
+        return 0
+    if a is None:
+        return 1
+    if b is None:
+        return -1
+    if isinstance(a, dict) or isinstance(b, dict):
+        a = list(a.items()) if isinstance(a, dict) else a
+        b = list(b.items()) if isinstance(b, dict) else b
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        for x, y in zip(a, b):
+            c = _nested_cmp(x, y)
+            if c:
+                return c
+        return (len(a) > len(b)) - (len(a) < len(b))
+    try:
+        return (a > b) - (a < b)
+    except TypeError:
+        sa, sb = str(a), str(b)
+        return (sa > sb) - (sa < sb)

@@ -889,9 +889,10 @@ class Evaluator:
         from ..types import LIST
         from .relation import Binding, Relation
         lam = next(x for x in e.args if isinstance(x, a.Lambda))
-        if len(lam.params) != 1:
+        if len(lam.params) not in (1, 2):
+            # two-parameter form: (x, i) with the 1-based element index
             raise BinderException(
-                f"{e.name} expects a one-parameter lambda")
+                f"{e.name} expects a one- or two-parameter lambda")
         list_args = [x for x in e.args if not isinstance(x, a.Lambda)]
         if len(list_args) != 1:
             raise BinderException(
@@ -907,18 +908,25 @@ class Evaluator:
         pcol = Vector.from_values(flat, child_t)
         rep = np.repeat(np.arange(n), counts)
         base = self.rel.take(rep)
-        param = lam.params[0].lower()
+        params = {p.lower() for p in lam.params}
         bindings = []
         for b in base.bindings:
             kept = [(nm, idx, h) for nm, idx, h in
                     zip(b.names, b.indices, b.hidden)
-                    if nm.lower() != param]       # param shadows
+                    if nm.lower() not in params]  # params shadow
             bindings.append(Binding(b.alias, [x[0] for x in kept],
                                     [x[1] for x in kept],
                                     [x[2] for x in kept]))
         cols = list(base.columns) + [pcol]
         bindings.append(Binding(lam.params[0], [lam.params[0]],
                                 [len(cols) - 1]))
+        if len(lam.params) == 2:
+            idx_flat = np.concatenate(
+                [np.arange(1, c + 1, dtype=np.int64) for c in counts
+                 if c > 0]) if counts.sum() else np.zeros(0, np.int64)
+            cols.append(Vector(BIGINT, idx_flat))
+            bindings.append(Binding(lam.params[1], [lam.params[1]],
+                                    [len(cols) - 1]))
         ev2 = Evaluator(self.executor, Relation(cols, bindings),
                         self.outer, env=self.env)
         body = ev2.evaluate(lam.body)

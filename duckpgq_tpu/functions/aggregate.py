@@ -12,7 +12,7 @@ from typing import Callable, Dict, List, Optional
 
 import numpy as np
 
-from ..errors import BinderException
+from ..errors import BinderException, InvalidInputException
 from ..storage.vector import Vector
 from ..types import (BIGINT, BOOLEAN, DOUBLE, LIST, LogicalType, TypeId,
                      VARCHAR, SQLNULL)
@@ -203,12 +203,29 @@ def _minmax(args, gids, n_groups, is_min):
 
 @register("min")
 def agg_min(args, gids, n_groups, distinct):
+    if len(args) > 1:
+        return _minmax_topn(args, gids, n_groups, True)
     return _minmax(args, gids, n_groups, True)
 
 
 @register("max")
 def agg_max(args, gids, n_groups, distinct):
+    if len(args) > 1:
+        return _minmax_topn(args, gids, n_groups, False)
     return _minmax(args, gids, n_groups, False)
+
+
+def _minmax_topn(args, gids, n_groups, is_min):
+    """min/max(x, n) -> LIST of the n smallest/largest (DuckDB)."""
+    from ..errors import InvalidInputException
+    a = args[0]
+    k = int(args[1].value(0)) if args[1].validity[0] else 0
+    if k < 1:
+        raise InvalidInputException(
+            ("min" if is_min else "max") + ": n must be greater than 0")
+    pairs = [(gids[i], a.value(i), a.value(i))
+             for i in range(len(gids)) if a.validity[i]]
+    return _topn_list(pairs, n_groups, is_min, k, a.type)
 
 
 def _first_impl(args, gids, n_groups, distinct):
@@ -455,9 +472,39 @@ register("variance")(_stddev_impl(False, True))
 register("var_pop")(_stddev_impl(True, True))
 
 
+def _topn_list(pairs, n_groups, is_min, k, elem_type):
+    """Top-k helper for min/max/arg_min/arg_max with an n argument
+    (DuckDB 'top-N' overloads): per group, the k best values ordered
+    best-first, as a LIST."""
+    from ..types import LIST
+    buckets = [[] for _ in range(n_groups)]
+    for g, key, val in pairs:
+        buckets[g].append((key, val))
+    out = np.empty(n_groups, dtype=object)
+    has = np.zeros(n_groups, dtype=bool)
+    for g in range(n_groups):
+        if buckets[g]:
+            ordered = sorted(buckets[g], key=lambda t: t[0],
+                             reverse=not is_min)[:k]
+            out[g] = [v for _, v in ordered]
+            has[g] = True
+    return Vector(LIST(elem_type), out, has)
+
+
 def _arg_minmax(is_min):
     def impl(args, gids, n_groups, distinct):
-        a, by = args
+        a, by = args[0], args[1]
+        if len(args) > 2:
+            # arg_min/arg_max(a, by, n) -> LIST of the n best 'a' values
+            k = int(args[2].value(0)) if args[2].validity[0] else 0
+            if k < 1:
+                raise InvalidInputException(
+                    ("arg_min" if is_min else "arg_max") +
+                    ": n must be greater than 0")
+            pairs = [(gids[i], by.value(i), a.value(i))
+                     for i in range(len(gids))
+                     if by.validity[i] and a.validity[i]]
+            return _topn_list(pairs, n_groups, is_min, k, a.type)
         out = Vector.constant(None, a.type, n_groups)
         best = [None] * n_groups
         for i in range(len(gids)):

@@ -1562,18 +1562,19 @@ def fn_list_value(args):
 @register("list_concat")
 @register("array_concat")
 def fn_list_concat(args):
-    a, b = args
-    n = len(a)
+    # variadic (DuckDB): NULL operands are treated as empty; all-NULL
+    # rows are NULL
+    n = len(args[0]) if args else 0
     out = np.empty(n, dtype=object)
     validity = np.ones(n, dtype=bool)
     for i in range(n):
-        av = a.data[i] if a.validity[i] else None
-        bv = b.data[i] if b.validity[i] else None
-        if av is None and bv is None:
+        vals = [v.data[i] if v.validity[i] else None for v in args]
+        if all(x is None for x in vals):
             validity[i] = False
         else:
-            out[i] = list(av or []) + list(bv or [])
-    typ = a.type if a.type.id == TypeId.LIST else b.type
+            out[i] = [e for x in vals if x is not None for e in list(x)]
+    typ = next((v.type for v in args if v.type.id == TypeId.LIST),
+               args[0].type if args else SQLNULL)
     return Vector(typ, out, validity)
 
 
@@ -3730,3 +3731,120 @@ def fn_current_setting(args, ctx):
                 f"unrecognized configuration parameter \"{key}\"")
         out[i] = str(out[i])
     return Vector(VARCHAR, out, name.validity.copy())
+
+_list_fn("list_any_value", lambda l: next(
+    (x for x in l if x is not None), None))
+_list_fn("list_count", lambda l: sum(1 for x in l if x is not None))
+_list_fn("list_select", lambda l, idx: [
+    l[int(j) - 1] if 1 <= int(j) <= len(l) else None for j in idx])
+_list_fn("list_where", lambda l, mask: [
+    v for v, m in zip(l, mask) if m])
+_list_fn("list_grade_up", lambda l: [
+    int(j) + 1 for j in sorted(
+        range(len(l)),
+        key=lambda i: (l[i] is None, l[i] if l[i] is not None else 0))])
+
+
+def _vec_pairs(a, b, name):
+    if len(a) != len(b):
+        raise InvalidInputException(
+            f"{name}: list dimensions must match, got {len(a)} and "
+            f"{len(b)}")
+    return [(float(x), float(y)) for x, y in zip(a, b)]
+
+
+def _cosine_sim(a, b):
+    import math
+    ps = _vec_pairs(a, b, "list_cosine_similarity")
+    dot = sum(x * y for x, y in ps)
+    na = math.sqrt(sum(x * x for x, _ in ps))
+    nb = math.sqrt(sum(y * y for _, y in ps))
+    return dot / (na * nb) if na and nb else float("nan")
+
+
+_list_fn("list_cosine_similarity", _cosine_sim)
+_list_fn("list_cosine_distance", lambda a, b: 1.0 - _cosine_sim(a, b))
+_list_fn("list_dot_product", lambda a, b: sum(
+    x * y for x, y in _vec_pairs(a, b, "list_dot_product")))
+_list_fn("list_inner_product", lambda a, b: sum(
+    x * y for x, y in _vec_pairs(a, b, "list_inner_product")))
+_list_fn("list_negative_inner_product", lambda a, b: -sum(
+    x * y for x, y in _vec_pairs(a, b, "list_negative_inner_product")))
+_list_fn("list_distance", lambda a, b: sum(
+    (x - y) ** 2 for x, y in _vec_pairs(a, b, "list_distance")) ** 0.5)
+
+
+@register("current_schemas")
+def fn_current_schemas(args):
+    from ..types import LIST
+    n = len(args[0]) if args else 1
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        inc = bool(args[0].data[i]) if args and args[0].validity[i] else True
+        out[i] = (["main", "main", "main"] if inc else ["main"])
+    return Vector(LIST(VARCHAR), out, np.ones(n, dtype=bool))
+
+
+_TXID = [0]
+
+
+@register("txid_current")
+def fn_txid_current(args):
+    n = len(args[0]) if args else 1
+    _TXID[0] += 1
+    return Vector(BIGINT, np.full(n, _TXID[0], dtype=np.int64),
+                  np.ones(n, dtype=bool))
+
+
+def _float1_fn(name, np_fn):
+    def fn(args):
+        x = args[0]
+        if x.type.id == TypeId.SQLNULL:
+            return _dec_null_vector(DOUBLE, len(x))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np_fn(x.data.astype(np.float64))
+        return Vector(DOUBLE, out, x.validity.copy())
+    REGISTRY[name] = ScalarFunction(name, fn)
+
+
+for _nm, _f in [
+    ("sin", np.sin), ("cos", np.cos), ("tan", np.tan),
+    ("asin", np.arcsin), ("acos", np.arccos), ("atan", np.arctan),
+    ("sinh", np.sinh), ("cosh", np.cosh), ("tanh", np.tanh),
+    ("asinh", np.arcsinh), ("acosh", np.arccosh), ("atanh", np.arctanh),
+    ("cot", lambda v: 1.0 / np.tan(v)), ("cbrt", np.cbrt),
+    ("gamma", lambda v: np.vectorize(math.gamma, otypes=[np.float64])(v)
+     if len(v) else v),
+    ("lgamma", lambda v: np.vectorize(math.lgamma,
+                                      otypes=[np.float64])(v)
+     if len(v) else v),
+]:
+    _float1_fn(_nm, _f)
+
+
+@register("atan2")
+def fn_atan2(args):
+    y, x = args
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.arctan2(y.data.astype(np.float64),
+                         x.data.astype(np.float64))
+    return Vector(DOUBLE, out, _common_validity(args))
+
+
+@register("even")
+def fn_even(args):
+    """Round to the next even integer away from zero (DuckDB)."""
+    x = args[0]
+    v = x.data.astype(np.float64)
+    up = np.where(v >= 0, np.ceil(v), np.floor(v))
+    odd = np.abs(up) % 2 == 1
+    out = np.where(odd, up + np.sign(np.where(up == 0, 1, up)), up)
+    return Vector(DOUBLE, out, x.validity.copy())
+
+
+@register("nextafter")
+def fn_nextafter(args):
+    a, b = args
+    out = np.nextafter(a.data.astype(np.float64),
+                       b.data.astype(np.float64))
+    return Vector(DOUBLE, out, _common_validity(args))

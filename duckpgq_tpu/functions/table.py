@@ -277,7 +277,7 @@ def _fn_read_csv(executor, args, kwargs=None):
                 kwargs.get("delimiter") or ",")
     header = kwargs.get("header")
     names, cols = read_csv(path, delimiter=delim,
-                           header=True if header is None else bool(header))
+                           header=None if header is None else bool(header))
     return names, cols
 
 
@@ -516,8 +516,146 @@ def _register_all():
         "summarize_property_graph": _fn_summarize_pg,
         "describe_property_graph": _fn_describe_pg,
         "duckdb_databases": _relation_fn(_fn_duckdb_databases),
+        "duckdb_views": _relation_fn(_fn_duckdb_views),
+        "duckdb_functions": _relation_fn(_fn_duckdb_functions),
+        "duckdb_settings": _relation_fn(_fn_duckdb_settings),
+        "duckdb_schemas": _relation_fn(_fn_duckdb_schemas),
+        "duckdb_sequences": _relation_fn(_fn_duckdb_sequences),
+        "pragma_table_info": _relation_fn(_fn_pragma_table_info),
+        "pragma_version": _relation_fn(_fn_pragma_version),
+        "pragma_database_size": _relation_fn(_fn_pragma_database_size),
     }
     return registry
+
+
+def _fn_duckdb_views(executor, args):
+    rows = []
+    db = executor.connection.database
+    for schema in db.catalog.schemas.values():
+        for v in schema.views.values():
+            rows.append(["memory", schema.name, v.name])
+    names = ["database_name", "schema_name", "view_name"]
+    return names, [Vector.from_values([r[j] for r in rows], VARCHAR)
+                   for j in range(3)]
+
+
+def _fn_duckdb_functions(executor, args):
+    from . import scalar as _s, aggregate as _a
+    rows = []
+    for nm in sorted(_s.REGISTRY):
+        rows.append(["memory", "main", nm, "scalar"])
+    for nm in sorted(_a.REGISTRY):
+        rows.append(["memory", "main", nm, "aggregate"])
+    for nm in sorted(REGISTRY):
+        rows.append(["memory", "main", nm, "table"])
+    for cat in [executor.connection.database.catalog]:
+        for schema in cat.schemas.values():
+            for m in schema.macros.values():
+                rows.append(["memory", schema.name, m.name,
+                             "table_macro" if m.query is not None
+                             else "macro"])
+    names = ["database_name", "schema_name", "function_name",
+             "function_type"]
+    return names, [Vector.from_values([r[j] for r in rows], VARCHAR)
+                   for j in range(4)]
+
+
+def _fn_duckdb_settings(executor, args):
+    settings = dict(executor.connection.settings)
+    for k, v in (("threads", 1), ("memory_limit", "14.0 GiB")):
+        settings.setdefault(k, v)
+    names = ["name", "value", "description", "input_type", "scope"]
+    keys = sorted(settings)
+    return names, [
+        Vector.from_values(keys, VARCHAR),
+        Vector.from_values([str(settings[k]) for k in keys], VARCHAR),
+        Vector.from_values(["" for _ in keys], VARCHAR),
+        Vector.from_values(["VARCHAR" for _ in keys], VARCHAR),
+        Vector.from_values(["GLOBAL" for _ in keys], VARCHAR),
+    ]
+
+
+def _fn_duckdb_schemas(executor, args):
+    db = executor.connection.database
+    rows = [["memory", s.name] for s in db.catalog.schemas.values()]
+    names = ["database_name", "schema_name"]
+    return names, [Vector.from_values([r[j] for r in rows], VARCHAR)
+                   for j in range(2)]
+
+
+def _fn_duckdb_sequences(executor, args):
+    db = executor.connection.database
+    rows = [["memory", "main", nm, seq["next"], seq["inc"]]
+            for nm, seq in db.sequences.items()]
+    names = ["database_name", "schema_name", "sequence_name",
+             "last_value", "increment_by"]
+    return names, [
+        Vector.from_values([r[0] for r in rows], VARCHAR),
+        Vector.from_values([r[1] for r in rows], VARCHAR),
+        Vector.from_values([r[2] for r in rows], VARCHAR),
+        Vector.from_values([r[3] for r in rows], BIGINT),
+        Vector.from_values([r[4] for r in rows], BIGINT),
+    ]
+
+
+def _fn_pragma_table_info(executor, args):
+    """pragma_table_info('t'): cid, name, type, notnull, dflt_value, pk
+    (DuckDB/SQLite pragma shape)."""
+    from ..types import BOOLEAN
+    tname = str(args[0])
+    table = executor.connection.resolve_catalog(None).get_table(tname,
+                                                                None)
+    pk = next((set(c.lower() for c in cons[1])
+               for cons in getattr(table, "constraints", ())
+               if cons and cons[0] == "pk"), set())
+    names = ["cid", "name", "type", "notnull", "dflt_value", "pk"]
+    cids, cnames, types, notn, dflt, pks = [], [], [], [], [], []
+    for i, cdef in enumerate(table.column_defs):
+        cids.append(i)
+        cnames.append(cdef.name)
+        types.append(str(cdef.type))
+        notn.append(bool(cdef.not_null))
+        dflt.append(None)
+        pks.append(cdef.name.lower() in pk)
+    return names, [
+        Vector.from_values(cids, BIGINT),
+        Vector.from_values(cnames, VARCHAR),
+        Vector.from_values(types, VARCHAR),
+        Vector.from_values(notn, BOOLEAN),
+        Vector.from_values(dflt, VARCHAR),
+        Vector.from_values(pks, BOOLEAN),
+    ]
+
+
+def _fn_pragma_version(executor, args):
+    return (["library_version", "source_id"],
+            [Vector.from_values(["v1.1.3"], VARCHAR),
+             Vector.from_values(["duckpgq_tpu"], VARCHAR)])
+
+
+def _fn_pragma_database_size(executor, args):
+    db = executor.connection.database
+    nbytes = 0
+    for schema in db.catalog.schemas.values():
+        for t in schema.tables.values():
+            for c in t.columns:
+                nbytes += getattr(c.data, "nbytes", 0)
+    names = ["database_name", "database_size", "block_size",
+             "total_blocks", "used_blocks", "free_blocks", "wal_size",
+             "memory_usage", "memory_limit"]
+    vals = ["memory", f"{nbytes} bytes", 0, 0, 0, 0, "0 bytes",
+            f"{nbytes} bytes", "14.0 GiB"]
+    return names, [
+        Vector.from_values([vals[0]], VARCHAR),
+        Vector.from_values([vals[1]], VARCHAR),
+        Vector.from_values([vals[2]], BIGINT),
+        Vector.from_values([vals[3]], BIGINT),
+        Vector.from_values([vals[4]], BIGINT),
+        Vector.from_values([vals[5]], BIGINT),
+        Vector.from_values([vals[6]], VARCHAR),
+        Vector.from_values([vals[7]], VARCHAR),
+        Vector.from_values([vals[8]], VARCHAR),
+    ]
 
 
 REGISTRY = _register_all()

@@ -69,7 +69,11 @@ def execute_copy(executor, stmt: a.CopyStatement) -> QueryResult:
         from .csv import write_csv
         delim = str(stmt.options.get("DELIMITER",
                                      stmt.options.get("DELIM", ",")))
-        header = bool(stmt.options.get("HEADER", True))
+        hv = stmt.options.get("HEADER", True)
+        # option values arrive as raw token text: 'false'/'0'/'off'
+        # must disable (HEADER false previously coerced to True)
+        header = hv if isinstance(hv, bool) else \
+            str(hv).lower() not in ("false", "0", "off", "no")
         write_csv(path, res.names, res.columns, delimiter=delim,
                   header=header)
     return QueryResult(["Count"],

@@ -34,7 +34,33 @@ def _sniff_type(values: List[str]):
     return VARCHAR
 
 
-def read_csv(path: str, delimiter: str = ",", header: bool = True
+def _sniff_header(rows) -> bool:
+    """DuckDB-style header detection: the first row is a header when it
+    does NOT fit the types the remaining rows sniff to (a numeric data
+    column under a non-numeric first cell), and is data when it contains
+    numeric-looking cells itself. All-text single-row files default to
+    header (the old fixed behavior)."""
+    def is_num(s):
+        try:
+            float(s)
+            return True
+        except ValueError:
+            return False
+    first = rows[0]
+    if len(rows) > 1:
+        for j in range(len(first)):
+            body = [r[j] for r in rows[1:] if j < len(r)]
+            t = _sniff_type(body)
+            if t is not VARCHAR and first[j] not in ("", "NULL") and \
+                    not is_num(first[j]):
+                return True
+    if any(is_num(c) for c in first):
+        return False
+    return True
+
+
+def read_csv(path: str, delimiter: str = ",",
+             header: "bool | None" = None
              ) -> Tuple[List[str], List[Vector]]:
     import os
 
@@ -51,6 +77,8 @@ def read_csv(path: str, delimiter: str = ",", header: bool = True
         rows = list(reader)
     if not rows:
         return [], []
+    if header is None:
+        header = _sniff_header(rows)
     if header:
         names = rows[0]
         rows = rows[1:]

@@ -109,6 +109,80 @@ def tokenize(sql: str) -> List[Token]:
             tokens.append(Token(T.QIDENT, "".join(buf), i, j + 1))
             i = j + 1
             continue
+        # E'...' escape string (host grammar EscapeStringConstant)
+        if c in "eE" and i + 1 < n and sql[i + 1] == "'":
+            j = i + 2
+            buf = []
+            while True:
+                if j >= n:
+                    raise ParserException("unterminated string literal")
+                ch = sql[j]
+                if ch == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        buf.append("'")
+                        j += 2
+                        continue
+                    break
+                if ch == "\\" and j + 1 < n:
+                    esc = sql[j + 1]
+                    simple = {"n": "\n", "t": "\t", "r": "\r", "b": "\b",
+                              "f": "\f", "\\": "\\", "'": "'", '"': '"',
+                              "0": "\0"}
+                    if esc in simple:
+                        buf.append(simple[esc])
+                        j += 2
+                        continue
+                    if esc in "xX" and j + 3 < n:
+                        hx = sql[j + 2:j + 4]
+                        try:
+                            buf.append(chr(int(hx, 16)))
+                            j += 4
+                            continue
+                        except ValueError:
+                            pass
+                    if esc == "u" and j + 5 < n:
+                        try:
+                            buf.append(chr(int(sql[j + 2:j + 6], 16)))
+                            j += 6
+                            continue
+                        except ValueError:
+                            pass
+                    buf.append(esc)
+                    j += 2
+                    continue
+                buf.append(ch)
+                j += 1
+            tokens.append(Token(T.STRING, "".join(buf), i, j + 1))
+            i = j + 1
+            continue
+        # $tag$ ... $tag$ dollar-quoted string (host grammar
+        # DollarQuotedString); must not swallow $N parameters
+        if c == "$":
+            k = i + 1
+            while k < n and (sql[k].isalnum() or sql[k] == "_"):
+                k += 1
+            if k < n and sql[k] == "$" and not sql[i + 1:k].isdigit():
+                tag = sql[i:k + 1]
+                close = sql.find(tag, k + 1)
+                if close < 0:
+                    raise ParserException("unterminated string literal")
+                tokens.append(Token(T.STRING, sql[k + 1:close], i,
+                                    close + len(tag)))
+                i = close + len(tag)
+                continue
+        # hex / binary integer literals (0x1A, 0b101)
+        if c == "0" and i + 1 < n and sql[i + 1] in "xXbB":
+            digits = "0123456789abcdefABCDEF_" if sql[i + 1] in "xX" \
+                else "01_"
+            j = i + 2
+            while j < n and sql[j] in digits:
+                j += 1
+            if j > i + 2:
+                base = 16 if sql[i + 1] in "xX" else 2
+                v = int(sql[i + 2:j].replace("_", ""), base)
+                tokens.append(Token(T.NUMBER, str(v), i, j))
+                i = j
+                continue
         # number (digit, or '.' followed by digit)
         if c.isdigit() or (c == "." and i + 1 < n and sql[i + 1].isdigit()):
             j = i

@@ -25,7 +25,7 @@ from .lexer import T, Token, tokenize
 _RESERVED_EXPR = {
     "SELECT", "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
     "UNION", "EXCEPT", "INTERSECT", "ON", "USING", "WHEN", "THEN",
-    "ELSE", "END",
+    "ELSE", "END", "SYMMETRIC", "ASYMMETRIC",
 }
 
 # words that terminate an implicit alias position
@@ -213,6 +213,14 @@ class Parser:
             return self.parse_pragma()
         if kw == "SET":
             return self.parse_set()
+        if kw == "RESET":
+            # RESET name / RESET ALL: restore the setting's default
+            self.next()
+            if self.accept_kw("ALL"):
+                return a.SetStatement(name="__reset_all__")
+            self.accept_kw("SESSION", "GLOBAL", "LOCAL")
+            return a.SetStatement(
+                name="__reset__:" + self.expect_ident().lower())
         if kw in ("DESCRIBE", "DESC", "SHOW"):
             return self.parse_describe()
         if kw == "SUMMARIZE":
@@ -1216,8 +1224,10 @@ class Parser:
                 # HUGEINT literal (host DuckDB: beyond-BIGINT integer
                 # literals become HUGEINT)
                 return a.Constant(v, tt.HUGEINT)
-            raise ConversionException(
-                f'Could not convert string "{text}" to INT128')
+            # beyond-HUGEINT integer literals become DOUBLE (the host
+            # transformer's last resort; -(hugeint min) lands here too
+            # because the parser sees the positive magnitude first)
+            return a.Constant(float(text), tt.DOUBLE)
         if tok.kind == T.STRING:
             self.next()
             return a.Constant(tok.text, tt.VARCHAR)
@@ -1619,8 +1629,12 @@ class Parser:
         if lname == "count" and not args:
             lname = "count_star"
         if lname not in self._WINDOW_FUNCTIONS:
-            raise NotImplementedException(
-                f"window function {lname} is not supported")
+            # any registered aggregate can run as a window function
+            # (DuckDB); the executor has a generic per-frame fallback
+            from ..functions.aggregate import REGISTRY as _AGG
+            if lname not in _AGG:
+                raise NotImplementedException(
+                    f"window function {lname} is not supported")
         if self.peek().kind == T.IDENT and not self.peek().is_op("("):
             # OVER window_name: resolved against the WINDOW clause after
             # the select node parses (select.gram WindowClause)
@@ -1750,7 +1764,7 @@ class Parser:
             vtype = self.parse_type()
             self.expect_op(")")
             typ = tt.MAP(ktype, vtype)
-        elif name in ("DECIMAL", "NUMERIC") and self.peek().is_op("("):
+        elif name in ("DECIMAL", "NUMERIC", "DEC") and self.peek().is_op("("):
             self.next()
             width = int(self.next().text)
             scale = 0

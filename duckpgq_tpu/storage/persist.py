@@ -82,6 +82,10 @@ def save_database(db, path: str) -> None:
             np.savez(os.path.join(path, "data", rel), **arrays)
         for view in schema.views.values():
             views[f"{schema.name}.{view.name}"] = view
+    macros = {}
+    for schema in db.catalog.schemas.values():
+        for macro in schema.macros.values():
+            macros[f"{schema.name}.{macro.name}"] = macro
     registry = [_pg_to_dict(info)
                 for info in db.registered_property_graphs.values()]
     catalog = {
@@ -98,6 +102,12 @@ def save_database(db, path: str) -> None:
             pickle.dump(views, f)
     elif os.path.exists(views_path):
         os.remove(views_path)
+    macros_path = os.path.join(path, "macros.pkl")
+    if macros:
+        with open(macros_path, "wb") as f:
+            pickle.dump(macros, f)
+    elif os.path.exists(macros_path):
+        os.remove(macros_path)
 
 
 # ------------------------------------------------------------------ load
@@ -130,6 +140,12 @@ def load_database(db, path: str) -> None:
             views = pickle.load(f)
         for view in views.values():
             db.catalog.create_view(view, or_replace=True)
+    macros_path = os.path.join(path, "macros.pkl")
+    if os.path.exists(macros_path):
+        with open(macros_path, "rb") as f:
+            macros = pickle.load(f)
+        for macro in macros.values():
+            db.catalog.create_macro(macro, or_replace=True)
     for d in catalog.get("property_graphs", []):
         info = _pg_from_dict(d)
         db.registered_property_graphs[

@@ -470,6 +470,123 @@ case("SELECT * FROM unnest([1, 2]) ORDER BY 1", [(1,), (2,)])
 case("SELECT * FROM unnest([10, 20]) t(v) ORDER BY v", [(10,), (20,)])
 
 
+
+# ===================== wave 4 =========================================
+case("SELECT list_transform([10, 20], (x, i) -> x + i)", [([11, 22],)])
+case("SELECT list_filter([10, 5, 30], (x, i) -> i < 3 AND x > 6)",
+     [([10],)])
+case("SELECT nth_value(v, 2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED "
+     "PRECEDING AND UNBOUNDED FOLLOWING) FROM (VALUES (5), (6), (7)) "
+     "t(v) LIMIT 1", [(6,)])
+case("SELECT arg_max(a, b, 2) FROM (VALUES ('x', 1), ('y', 3), "
+     "('z', 2)) t(a, b)", [(['y', 'z'],)])
+case("SELECT max(b, 2), min(b, 2) FROM (VALUES (1), (3), (2)) t(b)",
+     [([3, 2], [1, 2])])
+case("SELECT list_concat([1], [2], [3])", [([1, 2, 3],)])
+case("SELECT list_any_value([NULL, 3]), list_count([1, NULL, 2])",
+     [(3, 2)])
+case("SELECT list_select([10, 20, 30], [1, 3]), "
+     "list_where([1, 2, 3], [true, false, true])", [([10, 30], [1, 3])])
+case("SELECT list_grade_up([3, 1, 2])", [([2, 3, 1],)])
+case("SELECT list_cosine_similarity([1.0, 0.0], [1.0, 0.0]), "
+     "list_dot_product([1.0, 2.0], [3.0, 4.0]), "
+     "list_distance([0.0, 0.0], [3.0, 4.0])", [(1.0, 11.0, 5.0)])
+case("SELECT map_from_entries([{'k': 1, 'v': 'a'}])", [({1: 'a'},)])
+case("SELECT map_entries(map([1], ['a']))",
+     [([{'key': 1, 'value': 'a'}],)])
+
+
+
+# ===================== wave 5 =========================================
+case("CREATE TABLE w5t(a INT PRIMARY KEY, b VARCHAR); "
+     "SELECT count(*) > 100 FROM duckdb_functions()", [(True,)])
+case("SELECT name IS NOT NULL FROM duckdb_settings() LIMIT 1", [(True,)])
+case("SELECT count(*) FROM duckdb_views()", [(0,)])
+case("SELECT * FROM pragma_table_info('w5t')",
+     [(0, 'a', 'INTEGER', True, None, True),
+      (1, 'b', 'VARCHAR', False, None, False)])
+case("SELECT library_version FROM pragma_version()", [('v1.1.3',)])
+case("SELECT * FROM duckdb_schemas()", [('memory', 'main')])
+case("SELECT current_schemas(false), txid_current() > 0",
+     [(['main'], True)])
+case("COPY (SELECT 1 a, 'xy' b) TO '/tmp/probe_w5.csv' "
+     "(DELIMITER '|', HEADER false); SELECT * FROM "
+     "read_csv('/tmp/probe_w5.csv', delim := '|', header := false)",
+     [(1, 'xy')], "the naive ';' statement split forbids ';' literals")
+
+
+
+# ===================== wave 6 =========================================
+# --- any aggregate as a window function ------------------------------
+case("SELECT string_agg(v, ',') OVER (ORDER BY v) FROM "
+     "(VALUES ('a'), ('b')) t(v) ORDER BY 1", [('a',), ('a,b',)])
+case("SELECT median(v) OVER (ORDER BY v ROWS BETWEEN 1 PRECEDING AND "
+     "CURRENT ROW) FROM (VALUES (1.0), (2.0), (3.0)) t(v)",
+     [(1.0,), (1.5,), (2.5,)])
+case("SELECT stddev(v) OVER () FROM (VALUES (2.0), (4.0)) t(v) LIMIT 1",
+     [(2 ** 0.5,)])
+case("SELECT bool_and(v) OVER () FROM (VALUES (true), (false)) t(v) "
+     "LIMIT 1", [(False,)])
+case("SELECT product(v) OVER (ORDER BY v) FROM (VALUES (2.0), (3.0)) "
+     "t(v) ORDER BY 1", [(2.0,), (6.0,)])
+case("SELECT mode(v) OVER () FROM (VALUES (1), (1), (2)) t(v) LIMIT 1",
+     [(1,)])
+case("SELECT bit_xor(v) OVER () FROM (VALUES (3), (5)) t(v) LIMIT 1",
+     [(6,)])
+# --- trig family ------------------------------------------------------
+case("SELECT sin(0.0), cos(0.0), atan2(1.0, 1.0) = pi() / 4",
+     [(0.0, 1.0, True)])
+case("SELECT round(asin(1.0), 10) = round(pi() / 2, 10), "
+     "acos(1.0), atan(0.0)", [(True, 0.0, 0.0)])
+case("SELECT sinh(0.0), cosh(0.0), tanh(0.0), cbrt(27.0)",
+     [(0.0, 1.0, 0.0, 3.0)])
+case("SELECT gamma(5), even(2.5), even(-2.5)", [(24.0, 4.0, -4.0)])
+# --- nested ORDER BY --------------------------------------------------
+case("SELECT v FROM (VALUES ([2, 1]), ([1, 5]), ([1])) t(v) ORDER BY v",
+     [([1],), ([1, 5],), ([2, 1],)])
+case("SELECT v FROM (VALUES ([1, NULL]), ([1, 2])) t(v) ORDER BY v",
+     [([1, 2],), ([1, None],)])
+case("SELECT v FROM (VALUES ({'a': 2}), ({'a': 1})) t(v) "
+     "ORDER BY v DESC", [({'a': 2},), ({'a': 1},)])
+
+
+
+# ===================== wave 7 =========================================
+case("SELECT 1 NOT IN (SELECT NULL::INT), 1 IN (SELECT NULL::INT)",
+     [(None, None)])
+case("SET threads = 4; SELECT current_setting('threads')", [('4',)])
+case("RESET threads; SELECT current_setting('threads')", [('1',)])
+case("SELECT typeof(-170141183460469231731687303715884105728), "
+     "typeof(340282366920938463463374607431768211456)",
+     [('DOUBLE', 'DOUBLE')])
+case("SELECT typeof(170141183460469231731687303715884105727)",
+     [('HUGEINT',)])
+case("SELECT TRY_CAST(1e39 AS HUGEINT)", [(None,)])
+case("SELECT * EXCLUDE (y) REPLACE (x*2 AS x) FROM "
+     "(SELECT 1 x, 2 y, 3 z)", [(2, 3)])
+case("SELECT t.* EXCLUDE (a) FROM (SELECT 1 a, 2 b) t", [(2,)])
+case("SELECT a FROM (VALUES (1), (2), (3)) t(a) UNION SELECT 9 "
+     "INTERSECT SELECT a FROM (VALUES (1)) s(a) ORDER BY 1", [(1,)])
+case("DESCRIBE SELECT 1 AS x",
+     [('x', 'INTEGER', 'YES', None, None, None)])
+case("SELECT sum(x) FROM (VALUES (1), (2)) t(x) HAVING sum(x) > 10", [])
+case("SELECT (VALUES (7))", [(7,)])
+
+
+
+# ===================== wave 8 =========================================
+case("SELECT 0x1A, 0b101, 0xff, 1_000_000", [(26, 5, 255, 1000000)])
+case("SELECT e'a\\tb'", [('a\tb',)])
+case("SELECT $tag$dollar 'quoted'$tag$, $$plain$$",
+     [("dollar 'quoted'", 'plain')])
+case("SELECT CAST(1.25 AS DEC(4,1))", "1.3")
+case("PREPARE w8p AS SELECT $1 * 2; EXECUTE w8p(21); DEALLOCATE w8p",
+     [])
+case("SELECT count(*) FROM generate_series(1, 100) USING SAMPLE "
+     "reservoir(20 ROWS)", [(20,)])
+case("SELECT col0 FROM (VALUES (1))", [(1,)])
+
+
 def render(rows):
     return rows
 

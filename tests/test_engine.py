@@ -498,8 +498,11 @@ def test_round4_surface_batch2():
     assert con.execute(
         "SELECT typeof(170141183460469231731687303715884105727)"
     ).fetchall() == [("HUGEINT",)]
-    with pytest.raises(DuckPGQError):
-        con.execute("SELECT 9999999999999999999999999999999999999999999")
+    # beyond-HUGEINT integer literals fall back to DOUBLE (the host
+    # transformer's last resort: int64 -> hugeint -> double)
+    assert con.execute(
+        "SELECT typeof(9999999999999999999999999999999999999999999)"
+    ).fetchall() == [("DOUBLE",)]
 
 
 def test_round4_surface_batch3():

@@ -62,3 +62,16 @@ def test_memory_checkpoint_noop():
     con.execute("CREATE TABLE t AS SELECT 1 AS x")
     con.execute("CHECKPOINT")   # must not raise or write anywhere
     assert con.execute("SELECT x FROM t").fetchall() == [(1,)]
+
+
+def test_macros_persist(tmp_path):
+    path = str(tmp_path / "db")
+    con = duckpgq_tpu.connect(path)
+    con.execute("CREATE MACRO add1(a, b := 10) AS a + b")
+    con.execute("CREATE MACRO t7() AS TABLE SELECT 7 v")
+    con.execute("CHECKPOINT")
+    con.close()
+    con2 = duckpgq_tpu.connect(path)
+    assert con2.execute("SELECT add1(2), add1(2, b := 5)").fetchall() == \
+        [(12, 7)]
+    assert con2.execute("SELECT * FROM t7()").fetchall() == [(7,)]
