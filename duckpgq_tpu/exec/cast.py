@@ -42,7 +42,15 @@ def _parse_timestamp(s: str) -> int:
             time_part, frac_s = time_part.split(".", 1)
             frac = int(frac_s.ljust(6, "0")[:6])
         hh, mm, ss = (time_part.split(":") + ["0", "0"])[:3]
-        micros = ((int(hh) * 60 + int(mm)) * 60 + int(ss)) * 1_000_000 + frac
+        hh, mm, ss = int(hh), int(mm), int(ss)
+        if not (0 <= mm < 60 and 0 <= ss < 60 and
+                (0 <= hh < 24 or (hh == 24 and mm == 0 and ss == 0
+                                  and frac == 0))):
+            # out-of-range time fields error like the host (24:00:00
+            # exactly is the one allowed overflow form)
+            raise ConversionException(
+                f"Could not convert string '{s}' to TIMESTAMP")
+        micros = ((hh * 60 + mm) * 60 + ss) * 1_000_000 + frac
         return days * 86_400_000_000 + micros
     except ConversionException:
         raise
@@ -216,6 +224,26 @@ def cast_vector(vec: Vector, target: LogicalType, try_cast: bool = False
         return Vector(target, data, vec.validity.copy())
 
     # from VARCHAR: parse
+    if src.id == TypeId.VARCHAR and target.id in (
+            TypeId.LIST, TypeId.STRUCT, TypeId.MAP):
+        # nested-literal parse ('[1, 2]', "{'a': 1}") — must run before
+        # the scalar from-VARCHAR lattice below
+        out = np.empty(n, dtype=object)
+        validity = vec.validity.copy()
+        for i in range(n):
+            if not validity[i]:
+                continue
+            try:
+                parsed = _parse_nested_text(str(vec.data[i]))
+                out[i] = _text_to_raw(parsed, target, try_cast)
+            except (ConversionException, ValueError) as exc:
+                if try_cast:
+                    validity[i] = False
+                    continue
+                raise ConversionException(
+                    f"Could not convert string '{vec.data[i]}' to "
+                    f"{target}") from exc
+        return Vector(target, out, validity)
     if src.id == TypeId.VARCHAR:
         out = np.zeros(n, dtype=target.numpy_dtype()) \
             if target.numpy_dtype() is not object else np.empty(n, dtype=object)
@@ -463,6 +491,133 @@ def cast_vector(vec: Vector, target: LogicalType, try_cast: bool = False
 
     # list -> list (element cast)
     if src.id == TypeId.LIST and target.id == TypeId.LIST:
-        return Vector(target, vec.data, vec.validity.copy())
+        sc, tc = src.child, target.child
+        if sc is None or tc is None or sc == tc or \
+                sc.id == TypeId.SQLNULL:
+            return Vector(target, vec.data, vec.validity.copy())
+        out = np.empty(n, dtype=object)
+        for i in range(n):
+            if vec.validity[i] and vec.data[i] is not None:
+                elems = list(vec.data[i])
+                ev = cast_vector(Vector.from_values(elems, sc), tc,
+                                 try_cast)
+                out[i] = [ev.value(j) for j in range(len(elems))]
+        return Vector(target, out, vec.validity.copy())
 
     raise ConversionException(f"Unimplemented cast {src} -> {target}")
+
+
+def _parse_nested_text(s: str):
+    """Parse a DuckDB nested-value literal ('[1, 2]', "{'a': {'b': 3}}",
+    'NULL') into str atoms / lists / dicts / None."""
+    pos = [0]
+    n = len(s)
+
+    def skip_ws():
+        while pos[0] < n and s[pos[0]] in " \t\r\n":
+            pos[0] += 1
+
+    def parse_value():
+        skip_ws()
+        if pos[0] >= n:
+            raise ValueError("unexpected end of nested literal")
+        c = s[pos[0]]
+        if c == "[":
+            pos[0] += 1
+            items = []
+            skip_ws()
+            if pos[0] < n and s[pos[0]] == "]":
+                pos[0] += 1
+                return items
+            while True:
+                items.append(parse_value())
+                skip_ws()
+                if pos[0] < n and s[pos[0]] == ",":
+                    pos[0] += 1
+                    continue
+                if pos[0] < n and s[pos[0]] == "]":
+                    pos[0] += 1
+                    return items
+                raise ValueError("expected ',' or ']'")
+        if c == "{":
+            pos[0] += 1
+            fields = {}
+            skip_ws()
+            if pos[0] < n and s[pos[0]] == "}":
+                pos[0] += 1
+                return fields
+            while True:
+                key = parse_value()
+                skip_ws()
+                if pos[0] >= n or s[pos[0]] != ":":
+                    raise ValueError("expected ':' in struct literal")
+                pos[0] += 1
+                fields[str(key)] = parse_value()
+                skip_ws()
+                if pos[0] < n and s[pos[0]] == ",":
+                    pos[0] += 1
+                    continue
+                if pos[0] < n and s[pos[0]] == "}":
+                    pos[0] += 1
+                    return fields
+                raise ValueError("expected ',' or '}'")
+        if c in "'\"":
+            q = c
+            pos[0] += 1
+            buf = []
+            while pos[0] < n:
+                if s[pos[0]] == q:
+                    if pos[0] + 1 < n and s[pos[0] + 1] == q:
+                        buf.append(q)
+                        pos[0] += 2
+                        continue
+                    pos[0] += 1
+                    return "".join(buf)
+                buf.append(s[pos[0]])
+                pos[0] += 1
+            raise ValueError("unterminated string in nested literal")
+        # bare atom up to a delimiter
+        j = pos[0]
+        while j < n and s[j] not in ",]}:":
+            j += 1
+        atom = s[pos[0]:j].strip()
+        pos[0] = j
+        if atom.upper() == "NULL":
+            return None
+        return atom
+
+    v = parse_value()
+    skip_ws()
+    if pos[0] != n:
+        raise ValueError("trailing characters in nested literal")
+    return v
+
+
+def _text_to_raw(v, typ, try_cast: bool):
+    """Convert a parsed nested-literal node to the RAW storage value of
+    ``typ`` (scalar leaves cast through cast_vector)."""
+    if v is None:
+        return None
+    if typ.id == TypeId.LIST:
+        if not isinstance(v, list):
+            raise ValueError("expected a list")
+        child = typ.child or VARCHAR
+        return [_text_to_raw(x, child, try_cast) for x in v]
+    if typ.id == TypeId.STRUCT:
+        if not isinstance(v, dict):
+            raise ValueError("expected a struct")
+        lower = {k.lower(): x for k, x in v.items()}
+        out = []
+        for nm, ft in (typ.fields or ()):
+            out.append(_text_to_raw(lower.get(nm.lower()), ft, try_cast))
+        return tuple(out)
+    if typ.id == TypeId.MAP:
+        if not isinstance(v, dict):
+            raise ValueError("expected a map")
+        kt, vt = typ.fields[0][1], typ.fields[1][1]
+        return {_text_to_raw(k, kt, try_cast): _text_to_raw(x, vt,
+                                                            try_cast)
+                for k, x in v.items()}
+    sv = Vector.from_values([str(v)], VARCHAR)
+    cv = cast_vector(sv, typ, try_cast)
+    return cv.value(0)

@@ -335,25 +335,40 @@ class Executor:
                     seen[row] = True
             rows = list(seen)
         elif op in ("EXCEPT", "EXCEPT_ALL"):
-            rset = set(rrows)
             if op == "EXCEPT":
+                rset = set(rrows)
                 seen = {}
                 for row in lrows:
                     if row not in rset and row not in seen:
                         seen[row] = True
                 rows = list(seen)
             else:
-                rows = [row for row in lrows if row not in rset]
+                # bag semantics: each row keeps count_l - count_r copies
+                from collections import Counter
+                remaining = Counter(rrows)
+                rows = []
+                for row in lrows:
+                    if remaining.get(row, 0) > 0:
+                        remaining[row] -= 1
+                    else:
+                        rows.append(row)
         elif op in ("INTERSECT", "INTERSECT_ALL"):
-            rset = set(rrows)
             if op == "INTERSECT":
+                rset = set(rrows)
                 seen = {}
                 for row in lrows:
                     if row in rset and row not in seen:
                         seen[row] = True
                 rows = list(seen)
             else:
-                rows = [row for row in lrows if row in rset]
+                # bag semantics: min(count_l, count_r) copies per row
+                from collections import Counter
+                remaining = Counter(rrows)
+                rows = []
+                for row in lrows:
+                    if remaining.get(row, 0) > 0:
+                        remaining[row] -= 1
+                        rows.append(row)
         else:
             raise InternalException(f"bad set op {op}")
         cols = []
@@ -667,6 +682,7 @@ class Executor:
                                          env)
         if getattr(node, "sample", None):
             rel = self._apply_sample(rel, node.sample)
+        node = self._expand_columns_in_exprs(node, rel)
 
         # aggregate detection; ORDER BY may use aggregates not in the
         # select list (SELECT g FROM t GROUP BY g ORDER BY count(*)) — they
@@ -2860,6 +2876,81 @@ class Executor:
         return ev.evaluate(e)
 
     # ------------------------------------------------------------------ stars
+    def _expand_columns_in_exprs(self, node: a.SelectNode,
+                                 rel: Relation) -> a.SelectNode:
+        """COLUMNS(...) nested inside select-list expressions expands the
+        whole expression once per matched column (DuckDB star expressions:
+        ``min(COLUMNS(*))``, ``COLUMNS('a.*') + 1``)."""
+        def find(e, out):
+            if isinstance(e, a.FunctionCall):
+                if e.name.lower() == "columns":
+                    out.append(e)
+                    return
+                for x in e.args:
+                    find(x, out)
+            elif isinstance(e, a.AggregateCall):
+                for x in e.args:
+                    find(x, out)
+            elif isinstance(e, (a.Comparison,)):
+                find(e.left, out)
+                find(e.right, out)
+            elif isinstance(e, a.Conjunction):
+                for c in e.children:
+                    find(c, out)
+            elif isinstance(e, a.Cast):
+                find(e.child, out)
+            elif isinstance(e, a.Not):
+                find(e.child, out)
+        if not any(find(e, hits := []) or hits
+                   for e in node.select_list):
+            return node
+        import copy
+        import dataclasses
+        new_list: List[a.Expression] = []
+        for e in node.select_list:
+            hits: List[a.FunctionCall] = []
+            find(e, hits)
+            if not hits:
+                new_list.append(e)
+                continue
+            call = hits[0]
+            arg = call.args[0] if call.args else a.Star()
+            if isinstance(arg, a.Star):
+                star = arg
+            elif isinstance(arg, a.Constant) and isinstance(arg.value, str):
+                star = a.Star(name_regex=arg.value)
+            else:
+                raise BinderException(
+                    "COLUMNS expects * or a regex string argument")
+            hit_ids = {id(h) for h in hits}
+
+            def substitute(x, ref):
+                if id(x) in hit_ids:
+                    return ref
+                if dataclasses.is_dataclass(x) and not isinstance(x, type):
+                    clone = copy.copy(x)
+                    for f in dataclasses.fields(x):
+                        v = getattr(x, f.name)
+                        if isinstance(v, list):
+                            setattr(clone, f.name,
+                                    [substitute(i, ref) for i in v])
+                        elif dataclasses.is_dataclass(v) and \
+                                not isinstance(v, type):
+                            setattr(clone, f.name, substitute(v, ref))
+                    return clone
+                return x
+            for b_alias, name, _ in self.expand_star(rel, star):
+                # unqualified when unambiguous (DuckDB headers: min(a))
+                if rel.resolve((name,)) is not None or not b_alias:
+                    ref = a.ColumnRef(parts=(name,))
+                else:
+                    ref = a.ColumnRef(parts=(b_alias, name))
+                clone = substitute(e, ref)
+                if clone.alias is None:
+                    clone.alias = Executor._render(clone)
+                new_list.append(clone)
+        return dataclasses.replace(node, select_list=new_list)
+
     def expand_star(self, rel: Relation, star: a.Star):
         out = []
         exclude = {x.lower() for x in star.exclude}

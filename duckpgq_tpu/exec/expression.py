@@ -645,7 +645,13 @@ class Evaluator:
         out = np.zeros(n, dtype=bool)
         cache = {}
         flags = _re.IGNORECASE if e.case_insensitive else 0
-        to_regex = glob_to_regex if e.glob else like_to_regex
+        esc = None
+        if getattr(e, "escape", None) is not None:
+            ev_esc = self.evaluate(e.escape)
+            esc = str(ev_esc.data[0]) if len(ev_esc) and \
+                ev_esc.validity[0] else None
+        to_regex = glob_to_regex if e.glob else (
+            (lambda p: like_to_regex(p, esc)) if esc else like_to_regex)
         for i in range(n):
             if validity[i]:
                 p = str(pat.data[i])

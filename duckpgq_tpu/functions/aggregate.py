@@ -406,6 +406,20 @@ def agg_histogram(args, gids, n_groups, distinct):
 def _quantile_impl(mode: str):
     def impl(args, gids, n_groups, distinct):
         a = args[0]
+        if len(args) > 1 and args[1].type.id == TypeId.LIST:
+            # quantile(x, [q1, q2, ...]) -> LIST of quantiles (DuckDB)
+            qs = [float(v) for v in (args[1].data[0] or [])]
+            single = _quantile_impl(mode)
+            parts = [single([a, Vector.from_values([qv], DOUBLE)],
+                            gids, n_groups, distinct) for qv in qs]
+            out = np.empty(n_groups, dtype=object)
+            has = np.zeros(n_groups, dtype=bool)
+            for g in range(n_groups):
+                if parts and parts[0].validity[g]:
+                    out[g] = [p.value(g) for p in parts]
+                    has[g] = True
+            elem_t = parts[0].type if parts else DOUBLE
+            return Vector(LIST(elem_t), out, has)
         q = float(args[1].data[0]) if len(args) > 1 else 0.5
         valid = a.validity
         out = np.zeros(n_groups, dtype=np.float64)

@@ -1481,15 +1481,23 @@ def fn_regexp_replace(args):
     return Vector(VARCHAR, out, validity)
 
 
-def like_to_regex(pattern: str) -> str:
+def like_to_regex(pattern: str, escape: "str | None" = None) -> str:
     out = []
-    for ch in pattern:
+    i, n = 0, len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if escape and ch == escape and i + 1 < n:
+            # ESCAPE char: the next character is literal (LIKE ... ESCAPE)
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
         if ch == "%":
             out.append(".*")
         elif ch == "_":
             out.append(".")
         else:
             out.append(re.escape(ch))
+        i += 1
     return "".join(out)
 
 
@@ -1553,6 +1561,21 @@ def fn_list_value(args):
     n = len(args[0]) if args else 0
     child_type = next((a.type for a in args if a.type.id != TypeId.SQLNULL),
                       SQLNULL)
+    if any(a.type.id not in (child_type.id, TypeId.SQLNULL) or
+           (a.type.id == TypeId.DECIMAL and a.type != child_type)
+           for a in args):
+        # unify mixed element types BEFORE storing raw payloads (mixed
+        # DECIMAL scales: [0.25, 0.5] must not store raw 5 at scale 2)
+        from ..exec.cast import cast_vector
+        for a in args:
+            if a.type.id == TypeId.SQLNULL:
+                continue
+            if child_type.is_numeric and a.type.is_numeric:
+                child_type = max_numeric_type(child_type, a.type)
+            elif child_type != a.type:
+                child_type = VARCHAR
+        args = [a if a.type.id == TypeId.SQLNULL or a.type == child_type
+                else cast_vector(a, child_type) for a in args]
     out = np.empty(n, dtype=object)
     for i in range(n):
         out[i] = [a.value(i) for a in args]
@@ -1898,6 +1921,19 @@ for _part in ("year", "month", "day", "hour", "minute", "second", "week",
 @register("date_part")
 @register("datepart")
 def fn_date_part(args):
+    if args[0].type.id == TypeId.LIST:
+        # date_part(['year', 'month'], d) -> STRUCT of the parts (DuckDB)
+        from ..types import STRUCT
+        parts = [str(p).lower() for p in (args[0].data[0] or [])]
+        vecs = [_date_part_fn(p)([args[1]]) for p in parts]
+        n = len(args[1])
+        out = np.empty(n, dtype=object)
+        validity = args[1].validity.copy()
+        for i in range(n):
+            if validity[i]:
+                out[i] = tuple(v.value(i) for v in vecs)
+        return Vector(STRUCT([(p, v.type) for p, v in zip(parts, vecs)]),
+                      out, validity)
     part = str(args[0].data[0]).lower()
     return _date_part_fn(part)([args[1]])
 
@@ -2650,6 +2686,26 @@ def fn_make_timestamp(args):
         out[i] = (td.days * 86_400 + td.seconds) * 1_000_000 + \
             int(round(sec * 1e6))
     return Vector(_TS, out, validity)
+
+
+@register("make_time")
+def fn_make_time(args):
+    from ..types import TIME as _TIME
+    h, m, s = args
+    validity = _common_validity(args)
+    n = len(h)
+    out = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        if validity[i]:
+            hh, mm = int(h.data[i]), int(m.data[i])
+            sec = float(s.data[i])
+            if not (0 <= hh < 24 and 0 <= mm < 60 and 0 <= sec < 60):
+                raise ConversionException(
+                    f"Time field value out of range: "
+                    f'"{hh}:{mm}:{sec}"')
+            out[i] = (hh * 3600 + mm * 60) * 1_000_000 + \
+                int(round(sec * 1e6))
+    return Vector(_TIME, out, validity)
 
 
 @register("last_day")
@@ -3848,3 +3904,21 @@ def fn_nextafter(args):
     out = np.nextafter(a.data.astype(np.float64),
                        b.data.astype(np.float64))
     return Vector(DOUBLE, out, _common_validity(args))
+
+
+@register("map_concat")
+def fn_map_concat(args):
+    """Concatenate maps left-to-right; later keys overwrite earlier ones
+    (DuckDB map_concat)."""
+    n = len(args[0]) if args else 0
+    out = np.empty(n, dtype=object)
+    validity = _common_validity(args)
+    for i in range(n):
+        if validity[i]:
+            m = {}
+            for v in args:
+                m.update(v.data[i] or {})
+            out[i] = m
+    typ = next((v.type for v in args if v.type.id == TypeId.MAP),
+               args[0].type if args else SQLNULL)
+    return Vector(typ, out, validity)

@@ -226,6 +226,7 @@ class Like(Expression):
     negated: bool = False
     case_insensitive: bool = False
     glob: bool = False     # GLOB: * / ? / [...] wildcards, case-sensitive
+    escape: Optional[Expression] = None   # LIKE ... ESCAPE ch
     alias: Optional[str] = None
 
 

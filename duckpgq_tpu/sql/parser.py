@@ -1002,9 +1002,12 @@ class Parser:
             if tok.is_kw("LIKE", "ILIKE", "GLOB"):
                 kw = self.next().upper
                 pattern = self.parse_bitor()
+                esc = None
+                if self.accept_kw("ESCAPE"):
+                    esc = self.parse_bitor()
                 left = a.Like(left=left, pattern=pattern, negated=negated,
                               case_insensitive=(kw == "ILIKE"),
-                              glob=(kw == "GLOB"))
+                              glob=(kw == "GLOB"), escape=esc)
                 continue
             if tok.is_kw("SIMILAR"):
                 self.next()
@@ -1791,6 +1794,10 @@ class Parser:
                 self.next()  # width, ignored
                 self.expect_op(")")
         while self.accept_op("["):
+            if self.peek().kind == T.NUMBER:
+                # fixed-size ARRAY type INT[3]: capability-mapped to LIST
+                # (same element access/functions surface)
+                self.next()
             self.expect_op("]")
             typ = tt.LIST(typ)
         return typ

@@ -587,6 +587,51 @@ case("SELECT count(*) FROM generate_series(1, 100) USING SAMPLE "
 case("SELECT col0 FROM (VALUES (1))", [(1,)])
 
 
+
+# ===================== wave 9 =========================================
+case("SELECT x FROM (VALUES (1), (1), (2)) t(x) EXCEPT ALL SELECT 1 "
+     "ORDER BY 1", [(1,), (2,)])
+case("SELECT x FROM (VALUES (1), (1)) t(x) INTERSECT ALL SELECT 1",
+     [(1,)])
+case("SELECT 'a%c' LIKE 'a!%c' ESCAPE '!', 'abc' LIKE 'a!%c' "
+     "ESCAPE '!'", [(True, False)])
+case("SELECT quantile_cont(x, [0.25, 0.5]) FROM (VALUES (1.0), (2.0), "
+     "(3.0), (4.0)) t(x)", [([1.75, 2.5],)])
+case("SELECT date_part(['year', 'month'], DATE '2024-05-01')",
+     [({'year': 2024, 'month': 5},)])
+case("SELECT CAST(make_time(11, 30, 59.5) AS VARCHAR)",
+     "11:30:59.5")
+case("SELECT typeof([0.25, 0.5]), [0.25, 0.5]",
+     [('DECIMAL(3,2)[]',
+       [__import__('decimal').Decimal('0.25'),
+        __import__('decimal').Decimal('0.50')])], "mixed-scale unify")
+case("SELECT typeof([1, 'a'])", [('VARCHAR[]',)])
+case("SELECT g, count(*) FROM (VALUES ([1, 2]), ([1, 2]), ([3])) t(g) "
+     "GROUP BY g ORDER BY 2 DESC", [([1, 2], 2), ([3], 1)])
+case("SELECT a FROM (VALUES (1), (2)) t(a) ANTI JOIN (VALUES (1)) s(a) "
+     "USING (a)", [(2,)])
+
+
+
+# ===================== wave 10 ========================================
+case("SELECT min(COLUMNS(*)) FROM (SELECT 3 a, 5 b)", [(3, 5)])
+case("SELECT COLUMNS(*) + 1 FROM (SELECT 1 a, 5 b)", [(2, 6)])
+case("SELECT max(COLUMNS('a.*')) FROM (SELECT 1 ab, 2 ac, 3 bz)",
+     [(1, 2)])
+case("SELECT CAST('[1,2]' AS INT[])", [([1, 2],)])
+case("SELECT CAST('[[1],[2,3]]' AS INT[][])", [([[1], [2, 3]],)])
+case("SELECT CAST('[NULL, 2]' AS INT[])", [([None, 2],)])
+case("SELECT TRY_CAST('[1,x]' AS INT[])", [([1, None],)])
+case("SELECT CAST('{1: one}' AS MAP(INT, VARCHAR))", [({1: 'one'},)])
+case("SELECT [1.5]::INT[]", [([2],)])
+case("SELECT map_concat(map([1], ['a']), map([2], ['b']))",
+     [({1: 'a', 2: 'b'},)])
+case("CREATE TABLE w10arr(v INT[3]); INSERT INTO w10arr VALUES "
+     "([1, 2, 3]); SELECT v[2] FROM w10arr", [(2,)])
+case("SELECT {'A': 1}.a", [(1,)], "struct fields case-insensitive")
+case("SELECT ([1,2,3,4,5])[1:4:2]", [([1, 3],)])
+
+
 def render(rows):
     return rows
 
