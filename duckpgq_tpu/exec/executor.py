@@ -3397,7 +3397,8 @@ class Executor:
                 raise InvalidInputException(
                     "cannot start a transaction within a transaction")
             snap = {"catalogs": {}, "sequences":
-                    {k: dict(v) for k, v in db.sequences.items()}}
+                    {k: dict(v) for k, v in db.sequences.items()},
+                    "pgs": dict(db.registered_property_graphs)}
             for cname, cat in self._all_catalogs().items():
                 schemas = {}
                 for sname, schema in cat.schemas.items():
@@ -3423,6 +3424,8 @@ class Executor:
         # ROLLBACK: restore schema dicts and per-table column lists
         db.sequences.clear()
         db.sequences.update(txn["sequences"])
+        db.registered_property_graphs.clear()
+        db.registered_property_graphs.update(txn.get("pgs", {}))
         cats = self._all_catalogs()
         for cname, schemas in txn["catalogs"].items():
             cat = cats.get(cname)

@@ -765,3 +765,21 @@ def agg_bitstring(args, gids, n_groups, distinct):
         if bits[g] is not None:
             out[g] = bits[g].decode()
     return Vector(BIT, out, has)
+
+
+@register("mad")
+def agg_mad(args, gids, n_groups, distinct):
+    """Median absolute deviation (DuckDB mad)."""
+    a = args[0]
+    valid = a.validity
+    out = np.zeros(n_groups, dtype=np.float64)
+    has = np.zeros(n_groups, dtype=bool)
+    data = a.data.astype(np.float64)
+    for g in range(n_groups):
+        sel = valid & (gids == g)
+        if sel.any():
+            vals = data[sel]
+            med = np.median(vals)
+            out[g] = np.median(np.abs(vals - med))
+            has[g] = True
+    return Vector(DOUBLE, out, has)

@@ -1184,7 +1184,7 @@ class Parser:
         "mode", "approx_count_distinct", "arbitrary", "skewness",
         "kurtosis", "corr", "covar_pop", "covar_samp", "regr_slope",
         "regr_intercept", "entropy", "argmin", "argmax", "min_by", "max_by",
-        "histogram", "bitstring_agg",
+        "histogram", "bitstring_agg", "mad",
     }
 
     def parse_primary(self) -> a.Expression:

@@ -632,6 +632,27 @@ case("SELECT {'A': 1}.a", [(1,)], "struct fields case-insensitive")
 case("SELECT ([1,2,3,4,5])[1:4:2]", [([1, 3],)])
 
 
+
+# ===================== wave 11 ========================================
+case("SELECT json_structure('{\"a\": 1, \"b\": [2.5]}')",
+     [('{"a":"BIGINT","b":["DOUBLE"]}',)])
+case("SELECT json_contains('{\"a\": {\"b\": 7}}', '7')", [(True,)])
+case("SELECT row_to_json(r) FROM (SELECT 1 a, 'x' b) r",
+     [('{\"a\":1,\"b\":\"x\"}',)])
+case("SELECT from_json('{\"a\": \"7\"}', '{\"a\": \"INTEGER\"}')",
+     [({'a': 7},)])
+case("SELECT datesub('day', DATE '2024-01-01', DATE '2024-01-05'), "
+     "weekday(DATE '2024-01-07')", [(4, 0)])
+case("SELECT epoch_ns(TIMESTAMP '1970-01-01 00:00:01'), "
+     "regexp_escape('a.b'), glob('abc', 'a*')",
+     [(1000000000, 'a\\.b', True)])
+case("SELECT round(jaro_similarity('MARTHA', 'MARHTA'), 4), "
+     "round(jaro_winkler_similarity('MARTHA', 'MARHTA'), 4)",
+     [(0.9444, 0.9611)])
+case("SELECT mad(v) FROM (VALUES (1.0), (2.0), (3.0), (9.0)) t(v)",
+     [(1.0,)])
+
+
 def render(rows):
     return rows
 
