@@ -2577,8 +2577,7 @@ def fn_strftime(args):
     return Vector(VARCHAR, out, validity)
 
 
-@register("strptime")
-def fn_strptime(args):
+def _strptime_impl(args, try_mode: bool):
     import datetime as _dt
     from ..types import TIMESTAMP as _TS
     s, fmt = args
@@ -2586,19 +2585,42 @@ def fn_strptime(args):
     validity = _common_validity(args)
     out = np.zeros(n, dtype=np.int64)
     epoch = _dt.datetime(1970, 1, 1)
+    fmt_is_list = fmt.type.id == TypeId.LIST
     for i in range(n):
         if not validity[i]:
             continue
-        try:
-            d = _dt.datetime.strptime(str(s.data[i]), str(fmt.data[i]))
-        except ValueError as e:
+        fmts = [str(f) for f in fmt.data[i]] if fmt_is_list \
+            else [str(fmt.data[i])]
+        d = None
+        for f in fmts:
+            try:
+                d = _dt.datetime.strptime(str(s.data[i]), f)
+                break
+            except ValueError:
+                continue
+        if d is None:
+            if try_mode:
+                validity[i] = False
+                continue
             raise InvalidInputException(
                 f"Could not parse string \"{s.data[i]}\" according to "
-                f"format specifier \"{fmt.data[i]}\"") from e
+                f"format specifier \"{fmt.data[i]}\"")
         td = d - epoch
         out[i] = (td.days * 86_400 + td.seconds) * 1_000_000 + \
             td.microseconds
     return Vector(_TS, out, validity)
+
+
+@register("strptime")
+def fn_strptime(args):
+    """strptime(s, fmt) / strptime(s, [fmt, ...]) — with a format LIST
+    the first parsing format wins (DuckDB)."""
+    return _strptime_impl(args, try_mode=False)
+
+
+@register("try_strptime")
+def fn_try_strptime(args):
+    return _strptime_impl(args, try_mode=True)
 
 
 @register("epoch")
@@ -4140,3 +4162,55 @@ def fn_jaro_winkler(args):
             prefix += 1
         return j + prefix * 0.1 * (1 - j)
     return _str_pair_apply(args, jw, DOUBLE)
+
+
+# interval constructor family (DuckDB to_years/to_days/...)
+def _interval_ctor(name, months=0, days=0, micros=0):
+    def fn(args):
+        from ..types import INTERVAL, INTERVAL_DTYPE
+        x = args[0]
+        n = len(x)
+        out = np.zeros(n, dtype=INTERVAL_DTYPE)
+        v = x.data.astype(np.int64)
+        out["months"] = v * months
+        out["days"] = v * days
+        out["micros"] = v * micros
+        return Vector(INTERVAL, out, x.validity.copy())
+    REGISTRY[name] = ScalarFunction(name, fn)
+
+
+for _nm, _m, _d, _us in [
+    ("to_years", 12, 0, 0), ("to_months", 1, 0, 0),
+    ("to_decades", 120, 0, 0), ("to_centuries", 1200, 0, 0),
+    ("to_millennia", 12000, 0, 0),
+    ("to_weeks", 0, 7, 0), ("to_days", 0, 1, 0),
+    ("to_hours", 0, 0, 3_600_000_000),
+    ("to_minutes", 0, 0, 60_000_000),
+    ("to_seconds", 0, 0, 1_000_000),
+    ("to_milliseconds", 0, 0, 1_000),
+    ("to_microseconds", 0, 0, 1),
+]:
+    _interval_ctor(_nm, _m, _d, _us)
+
+REGISTRY["dayofmonth"] = REGISTRY["day"]
+
+
+@register("current_localtimestamp")
+def fn_current_localtimestamp(args):
+    import datetime as _dt
+    from ..types import TIMESTAMP as _TS
+    n = len(args[0]) if args else 1
+    td = _dt.datetime.utcnow() - _dt.datetime(1970, 1, 1)
+    us = (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+    return Vector.constant(us, _TS, n)
+
+
+@register("current_localtime")
+def fn_current_localtime(args):
+    import datetime as _dt
+    from ..types import TIME as _TIME
+    n = len(args[0]) if args else 1
+    now = _dt.datetime.utcnow()
+    us = ((now.hour * 60 + now.minute) * 60 + now.second) * 1_000_000 \
+        + now.microsecond
+    return Vector.constant(us, _TIME, n)

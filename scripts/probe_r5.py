@@ -653,6 +653,21 @@ case("SELECT mad(v) FROM (VALUES (1.0), (2.0), (3.0), (9.0)) t(v)",
      [(1.0,)])
 
 
+
+# ===================== wave 12 ========================================
+case("SELECT CAST(to_years(2) AS VARCHAR), CAST(to_days(5) AS VARCHAR),"
+     " CAST(to_hours(4) AS VARCHAR)", [('2 years', '5 days', '04:00:00')])
+case("SELECT strptime('2024-03-05', ['%d/%m/%Y', '%Y-%m-%d'])",
+     "2024-03-05 00:00:00")
+case("SELECT try_strptime('bogus', '%Y-%m-%d')", [(None,)])
+case("SELECT dayofmonth(DATE '2024-03-05'), "
+     "dayofyear(DATE '2024-03-05')", [(5, 65)])
+case("SELECT current_localtimestamp() IS NOT NULL, "
+     "current_localtime() IS NOT NULL", [(True, True)])
+case("SELECT strftime(DATE '2024-03-05', '%-d/%-m/%Y')",
+     [('5/3/2024',)])
+
+
 def render(rows):
     return rows
 
