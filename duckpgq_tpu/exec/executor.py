@@ -164,11 +164,18 @@ class Executor:
             return execute_pragma(self, stmt)
         if isinstance(stmt, a.SetStatement):
             if stmt.name == "__reset_all__":
+                if "pgq_mesh_devices" in self.connection.settings:
+                    from ..parallel import sql_mesh
+                    sql_mesh.configure(None)
                 self.connection.settings.clear()
                 return QueryResult([], [])
             if stmt.name.startswith("__reset__:"):
-                self.connection.settings.pop(
-                    stmt.name[len("__reset__:"):], None)
+                key = stmt.name[len("__reset__:"):]
+                self.connection.settings.pop(key, None)
+                if key == "pgq_mesh_devices":
+                    # undo the routing side effect too
+                    from ..parallel import sql_mesh
+                    sql_mesh.configure(None)
                 return QueryResult([], [])
             if stmt.name != "__noop__":
                 if stmt.name.lower() == "pgq_mesh_devices":
@@ -210,7 +217,7 @@ class Executor:
             self.connection.database.checkpoint()
             return QueryResult([], [])
         if isinstance(stmt, a.ExportDatabaseStatement):
-            raise NotImplementedException("EXPORT DATABASE not supported")
+            return self.execute_export_database(stmt)
         raise InternalException(f"unhandled statement {type(stmt).__name__}")
 
     # ================================================================= SELECT
@@ -3641,6 +3648,63 @@ class Executor:
             # i.e. the same base_path the caller is already using
             for s in parse_sql(text):
                 self.execute_statement(s)
+        return QueryResult([], [])
+
+    def execute_export_database(self, stmt: a.ExportDatabaseStatement
+                                ) -> QueryResult:
+        """EXPORT DATABASE 'dir' [(FORMAT CSV|PARQUET)]: write schema.sql
+        (reconstructed DDL) + load.sql (COPY ... FROM) + one data file per
+        table — round-trips through IMPORT DATABASE (DuckDB layout)."""
+        import os
+        base = self.connection.database.resolve_path(stmt.path)
+        os.makedirs(base, exist_ok=True)
+        fmt = str(stmt.options.get("FORMAT", "CSV")).upper()
+        ext = "parquet" if fmt == "PARQUET" else "csv"
+        db = self.connection.database
+        schema_lines: List[str] = []
+        load_lines: List[str] = []
+        for seq_name, seq in db.sequences.items():
+            schema_lines.append(
+                f'CREATE SEQUENCE "{seq_name}" START {seq["next"]} '
+                f'INCREMENT {seq["inc"]};')
+        for schema in db.catalog.schemas.values():
+            if schema.name.lower() != "main":
+                schema_lines.append(
+                    f'CREATE SCHEMA IF NOT EXISTS "{schema.name}";')
+            for t in schema.tables.values():
+                if t.name.lower() == "__duckpgq_internal":
+                    continue          # recreated by PG DDL persistence
+                qname = f'"{schema.name}"."{t.name}"' \
+                    if schema.name.lower() != "main" else f'"{t.name}"'
+                cols = ", ".join(
+                    f'"{c.name}" {c.type}' +
+                    (" NOT NULL" if c.not_null else "")
+                    for c in t.column_defs)
+                pk = next((cons[1] for cons in t.constraints
+                           if cons and cons[0] == "pk"), None)
+                pk_sql = ", PRIMARY KEY (" + ", ".join(
+                    f'"{c}"' for c in pk) + ")" if pk else ""
+                schema_lines.append(f"CREATE TABLE {qname}({cols}"
+                                    f"{pk_sql});")
+                fname = f"{schema.name}_{t.name}.{ext}".replace(
+                    os.sep, "_")
+                fpath = os.path.join(base, fname)
+                if fmt == "PARQUET":
+                    from ..io.parquet import write_parquet
+                    write_parquet(fpath, list(t.column_names),
+                                  list(t.columns))
+                    load_lines.append(
+                        f"COPY {qname} FROM '{fpath}' "
+                        f"(FORMAT PARQUET);")
+                else:
+                    from ..io.csv import write_csv
+                    write_csv(fpath, list(t.column_names),
+                              list(t.columns))
+                    load_lines.append(f"COPY {qname} FROM '{fpath}';")
+        with open(os.path.join(base, "schema.sql"), "w") as f:
+            f.write("\n".join(schema_lines) + "\n")
+        with open(os.path.join(base, "load.sql"), "w") as f:
+            f.write("\n".join(load_lines) + "\n")
         return QueryResult([], [])
 
     def execute_attach(self, stmt: a.AttachStatement) -> QueryResult:

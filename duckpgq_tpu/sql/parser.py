@@ -241,7 +241,17 @@ class Parser:
         if kw == "EXPORT":
             self.next()
             self.expect_kw("DATABASE")
-            return a.ExportDatabaseStatement(path=self.next().text)
+            stmt = a.ExportDatabaseStatement(path=self.next().text)
+            if self.accept_op("("):
+                while not self.peek().is_op(")"):
+                    key = self.expect_ident().upper()
+                    if self.peek().is_op(")") or self.peek().is_op(","):
+                        stmt.options[key] = True
+                    else:
+                        stmt.options[key] = self.next().text
+                    self.accept_op(",")
+                self.expect_op(")")
+            return stmt
         if kw in ("BEGIN", "COMMIT", "ROLLBACK", "START", "ABORT"):
             self.next()
             self.accept_kw("TRANSACTION")

@@ -75,3 +75,32 @@ def test_macros_persist(tmp_path):
     assert con2.execute("SELECT add1(2), add1(2, b := 5)").fetchall() == \
         [(12, 7)]
     assert con2.execute("SELECT * FROM t7()").fetchall() == [(7,)]
+
+
+def test_export_import_database(tmp_path):
+    exp = str(tmp_path / "exp")
+    con = duckpgq_tpu.connect()
+    con.execute("CREATE TABLE t1(a INT PRIMARY KEY, b VARCHAR)")
+    con.execute("INSERT INTO t1 VALUES (1, 'x'), (2, 'y')")
+    con.execute(f"EXPORT DATABASE '{exp}'")
+    con2 = duckpgq_tpu.connect()
+    con2.execute(f"IMPORT DATABASE '{exp}'")
+    assert con2.execute("SELECT * FROM t1 ORDER BY a").fetchall() == \
+        [(1, "x"), (2, "y")]
+    # PK came through schema.sql
+    import pytest
+    from duckpgq_tpu.errors import DuckPGQError
+    with pytest.raises(DuckPGQError):
+        con2.execute("INSERT INTO t1 VALUES (1, 'dup')")
+
+
+def test_export_import_parquet(tmp_path):
+    exp = str(tmp_path / "expp")
+    con = duckpgq_tpu.connect()
+    con.execute("CREATE TABLE tp(v DOUBLE, s VARCHAR)")
+    con.execute("INSERT INTO tp VALUES (1.5, 'a'), (2.5, NULL)")
+    con.execute(f"EXPORT DATABASE '{exp}' (FORMAT PARQUET)")
+    con2 = duckpgq_tpu.connect()
+    con2.execute(f"IMPORT DATABASE '{exp}'")
+    assert con2.execute("SELECT * FROM tp ORDER BY v").fetchall() == \
+        [(1.5, "a"), (2.5, None)]
