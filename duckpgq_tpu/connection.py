@@ -40,6 +40,7 @@ class Database:
         self._csr_cache: Dict[tuple, object] = {}
         # CREATE SEQUENCE state: name -> {next, inc, cur}
         self.sequences: Dict[str, dict] = {}
+        self.comments: Dict[tuple, str] = {}   # COMMENT ON side table
         # durable databases (reference: PG metadata persists inside the
         # user's database file, duckpgq_state.cpp:34-160): a non-:memory:
         # path restores on open; CHECKPOINT / close() save

@@ -207,6 +207,8 @@ class Executor:
         if isinstance(stmt, a.UseStatement):
             self.connection.default_catalog = stmt.name
             return QueryResult([], [])
+        if isinstance(stmt, a.CommentStatement):
+            return self._execute_comment(stmt)
         if isinstance(stmt, a.TransactionStatement):
             return self._execute_transaction(stmt)
         if isinstance(stmt, a.PivotStatement):
@@ -3176,11 +3178,13 @@ class Executor:
             if vec.type.id != cdef.type.id:
                 vec = cast_vector(vec, cdef.type)
             casted.append(vec)
-        pk = next((c[1] for c in getattr(table, "constraints", ())
-                   if c and c[0] == "pk"), None)
-        if stmt.on_conflict or pk:
+        cons = getattr(table, "constraints", ())
+        if stmt.on_conflict or any(
+                c and c[0] in ("pk", "unique") for c in cons):
             casted = self._insert_conflicts(stmt, table, casted)
             n = len(casted[0]) if casted else 0
+        if any(c and c[0] in ("check", "fk") for c in cons):
+            self._enforce_row_constraints(table, casted)
         table.append(casted)
         self.connection.database.invalidate_graph_caches(table.name)
         if stmt.returning:
@@ -3188,6 +3192,139 @@ class Executor:
                                           stmt.returning)
         cnt = Vector.from_values([n], BIGINT)
         return QueryResult(["Count"], [cnt])
+
+    def _restrict_fk_delete(self, table, mask: np.ndarray) -> None:
+        """DELETE restriction: a parent row still referenced by a child
+        table's FOREIGN KEY cannot be deleted (DuckDB has no cascade)."""
+        if not mask.any():
+            return
+        catalog = self.connection.resolve_catalog(None)
+        children = []
+        for schema in catalog.schemas.values():
+            for child in schema.tables.values():
+                for cons in getattr(child, "constraints", ()):
+                    if cons and cons[0] == "fk" and \
+                            str(cons[2]).lower() == table.name.lower():
+                        children.append((child, list(cons[1]),
+                                         list(cons[3]) if len(cons) > 3
+                                         and cons[3] else None))
+        if not children:
+            return
+        for child, fk_cols, ref_cols in children:
+            if not ref_cols:
+                ref_cols = next((list(c[1]) for c in table.constraints
+                                 if c and c[0] == "pk"), None)
+                if not ref_cols:
+                    continue
+            ridx = [table.column_index(c) for c in ref_cols]
+            doomed = {tuple(table.columns[j].value(r) for j in ridx)
+                      for r in np.flatnonzero(mask)}
+            cidx = [child.column_index(c) for c in fk_cols]
+            for r in range(child.row_count):
+                if all(child.columns[j].validity[r] for j in cidx):
+                    key = tuple(child.columns[j].value(r) for j in cidx)
+                    if key in doomed:
+                        raise ConstraintException(
+                            f'Violates foreign key constraint because '
+                            f'key "{ref_cols[0]}: {key[0]}" is still '
+                            f"referenced by a foreign key in a "
+                            f"different table")
+
+    def _post_update_constraints(self, table, rows: np.ndarray,
+                                 assigned_cols) -> None:
+        """Constraint checks after an UPDATE: CHECK/FK on the updated
+        rows; PK/UNIQUE whole-table re-verification when a key column was
+        assigned."""
+        cons = getattr(table, "constraints", ())
+        if len(rows) and any(c and c[0] in ("check", "fk") for c in cons):
+            self._enforce_row_constraints(
+                table, [c.take(rows) for c in table.columns])
+        assigned = {c.lower() for c in assigned_cols}
+        for c in cons:
+            if c and c[0] in ("pk", "unique") and \
+                    assigned & {x.lower() for x in c[1]}:
+                kind = "primary key" if c[0] == "pk" else "unique"
+                key_idx = [table.column_index(x) for x in c[1]]
+                seen = set()
+                for r in range(table.row_count):
+                    key = tuple(table.columns[k].value(r)
+                                for k in key_idx)
+                    if any(v is None for v in key):
+                        continue
+                    if key in seen:
+                        raise ConstraintException(
+                            f'Duplicate key "{c[1][0]}: {key[0]}" '
+                            f"violates {kind} constraint.")
+                    seen.add(key)
+
+    def _check_duplicate_keys(self, table, vectors: List[Vector],
+                              cols: List[str], kind: str):
+        """Hard uniqueness check of incoming rows against the table and
+        within the batch for one key set (NULL key parts never
+        conflict)."""
+        key_idx = [table.column_index(c) for c in cols]
+        n = len(vectors[0]) if vectors else 0
+        existing = set()
+        for row in range(table.row_count):
+            existing.add(tuple(table.columns[k].value(row)
+                               for k in key_idx))
+        for i in range(n):
+            key = tuple(vectors[k].value(i) for k in key_idx)
+            if any(v is None for v in key):
+                continue
+            if key in existing:
+                raise ConstraintException(
+                    f'Duplicate key "{cols[0]}: {key[0]}" violates '
+                    f"{kind} constraint.")
+            existing.add(key)
+
+    def _enforce_row_constraints(self, table, vectors: List[Vector]):
+        """CHECK and FOREIGN KEY enforcement over candidate rows (INSERT /
+        UPDATE images). CHECK passes on NULL (SQL); FK values must exist
+        in the referenced table (all-non-NULL rows only)."""
+        n = len(vectors[0]) if vectors else 0
+        if n == 0:
+            return
+        names = list(table.column_names)
+        for cons in getattr(table, "constraints", ()):
+            if not cons:
+                continue
+            if cons[0] == "check":
+                rel = Relation.from_columns(table.name, names,
+                                            list(vectors))
+                ev = Evaluator(self, rel)
+                v = ev.as_bool(ev.evaluate(cons[1]))
+                bad = v.validity & ~v.data.astype(bool)
+                if bad.any():
+                    raise ConstraintException(
+                        f"CHECK constraint failed on table {table.name}!")
+            elif cons[0] == "fk":
+                cols, ref_name = list(cons[1]), cons[2]
+                ref_cols = list(cons[3]) if len(cons) > 3 and cons[3] \
+                    else None
+                ref = self.connection.resolve_catalog(None).get_table(
+                    ref_name, missing_ok=True)
+                if ref is None:
+                    continue
+                if not ref_cols:
+                    ref_cols = next(
+                        (list(c[1]) for c in ref.constraints
+                         if c and c[0] == "pk"), None)
+                    if not ref_cols:
+                        continue
+                ridx = [ref.column_index(c) for c in ref_cols]
+                keys = {tuple(ref.columns[j].value(r) for j in ridx)
+                        for r in range(ref.row_count)}
+                cidx = [table.column_index(c) for c in cols]
+                vecs = [vectors[j] for j in cidx]
+                for i in range(n):
+                    if all(v.validity[i] for v in vecs):
+                        key = tuple(v.value(i) for v in vecs)
+                        if key not in keys:
+                            raise ConstraintException(
+                                f'Violates foreign key constraint '
+                                f'because key "{cols[0]}: {key[0]}" does '
+                                f"not exist in the referenced table")
 
     def _insert_conflicts(self, stmt: a.InsertStatement, table,
                           vectors: List[Vector]) -> List[Vector]:
@@ -3198,14 +3335,29 @@ class Executor:
         of the rows that should actually be appended."""
         pk = next((list(c[1]) for c in getattr(table, "constraints", ())
                    if c and c[0] == "pk"), None)
+        uniques = [list(c[1]) for c in getattr(table, "constraints", ())
+                   if c and c[0] == "unique"]
         target = [c.lower() for c in stmt.conflict_target] or \
-            ([c.lower() for c in pk] if pk else None)
+            ([c.lower() for c in pk] if pk else
+             ([c.lower() for c in uniques[0]] if len(uniques) == 1
+              else None))
         if target is None:
             if stmt.on_conflict:
                 raise BinderException(
                     "There are no UNIQUE/PRIMARY KEY Indexes that refer "
                     "to this table, ON CONFLICT is a no-op")
             return vectors
+        # other key sets than the conflict target stay HARD errors
+        for kind, cols in [("primary key", pk)] + \
+                [("unique", u) for u in uniques]:
+            if cols is None:
+                continue
+            lcols = [c.lower() for c in cols]
+            if lcols == target:
+                continue
+            self._check_duplicate_keys(table, vectors, lcols, kind)
+        target_kind = "primary key" if pk and \
+            [c.lower() for c in pk] == target else "unique"
         key_idx = [table.column_index(c) for c in target]
         n = len(vectors[0]) if vectors else 0
         existing = {}
@@ -3217,6 +3369,8 @@ class Executor:
         batch_seen = {}
         for i in range(n):
             key = tuple(vectors[k].value(i) for k in key_idx)
+            if target_kind == "unique" and any(v is None for v in key):
+                continue                   # NULL never conflicts (SQL)
             if key in batch_seen:
                 if stmt.on_conflict in ("update", "replace_all"):
                     raise ConstraintException(
@@ -3227,12 +3381,12 @@ class Executor:
                     continue
                 raise ConstraintException(
                     f'Duplicate key "{target[0]}: {key[0]}" violates '
-                    f"primary key constraint.")
+                    f"{target_kind} constraint.")
             if key in existing:
                 if stmt.on_conflict is None:
                     raise ConstraintException(
                         f'Duplicate key "{target[0]}: {key[0]}" violates '
-                        f"primary key constraint.")
+                        f"{target_kind} constraint.")
                 keep[i] = False
                 if stmt.on_conflict in ("update", "replace_all"):
                     update_pairs.append((existing[key], i))
@@ -3321,6 +3475,8 @@ class Executor:
             cur.data[mask] = new_vec.data[mask]
             cur.validity[mask] = new_vec.validity[mask]
             table.update_column(idx, cur)
+        self._post_update_constraints(table, np.flatnonzero(mask),
+                                      [cn for cn, _ in stmt.assignments])
         self.connection.database.invalidate_graph_caches(table.name)
         if stmt.returning:
             rows = [c.filter(mask) for c in table.columns]
@@ -3340,6 +3496,7 @@ class Executor:
             mask = cond.data.astype(bool) & cond.validity
         deleted = [c.filter(mask) for c in table.columns] \
             if stmt.returning else None
+        self._restrict_fk_delete(table, mask)
         table.delete_rows(mask)
         self.connection.database.invalidate_graph_caches(table.name)
         if stmt.returning:
@@ -3380,6 +3537,8 @@ class Executor:
             cur.data[tgt_rows] = new_vec.data[first_idx]
             cur.validity[tgt_rows] = new_vec.validity[first_idx]
             table.update_column(j, cur)
+        self._post_update_constraints(
+            table, tgt_rows, [cn for cn, _ in stmt.assignments])
         self.connection.database.invalidate_graph_caches(table.name)
         if stmt.returning:
             rel2 = Relation.from_table(table, stmt.table)
@@ -3389,6 +3548,39 @@ class Executor:
                                           stmt.returning)
         return QueryResult(["Count"],
                            [Vector.from_values([len(tgt_rows)], BIGINT)])
+
+    def _execute_comment(self, stmt: a.CommentStatement) -> QueryResult:
+        """COMMENT ON TABLE/VIEW/COLUMN ... IS 'text': stored on the
+        catalog object (surfaced by duckdb_tables().comment)."""
+        catalog = self.connection.resolve_catalog(None)
+        if stmt.kind == "TABLE":
+            t = catalog.get_table(stmt.parts[-1], missing_ok=True)
+            if t is None:
+                raise CatalogException(
+                    f"Table with name {stmt.parts[-1]} does not exist!")
+            t.comment = stmt.text
+        elif stmt.kind == "COLUMN":
+            t = catalog.get_table(stmt.parts[-2], missing_ok=True)
+            if t is None:
+                raise CatalogException(
+                    f"Table with name {stmt.parts[-2]} does not exist!")
+            idx = t.column_index(stmt.parts[-1])
+            if idx is None:
+                raise BinderException(
+                    f'Column "{stmt.parts[-1]}" not found')
+            t.column_defs[idx].comment = stmt.text
+        elif stmt.kind == "VIEW":
+            v = catalog.get_view(stmt.parts[-1])
+            if v is None:
+                raise CatalogException(
+                    f"View with name {stmt.parts[-1]} does not exist!")
+            # View uses __slots__; comments ride a side table
+            self.connection.database.comments[
+                ("view", stmt.parts[-1].lower())] = stmt.text
+        else:
+            self.connection.database.comments[
+                (stmt.kind.lower(), ".".join(stmt.parts).lower())] =                 stmt.text
+        return QueryResult([], [])
 
     def _execute_transaction(self, stmt: a.TransactionStatement
                              ) -> QueryResult:

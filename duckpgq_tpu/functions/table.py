@@ -420,15 +420,17 @@ def _fn_duckdb_tables(executor, args):
     for schema in db.catalog.schemas.values():
         for table in schema.tables.values():
             rows.append(["memory", schema.name, table.name,
-                         len(table.column_defs), table.row_count])
+                         len(table.column_defs), table.row_count,
+                         getattr(table, "comment", None)])
     names = ["database_name", "schema_name", "table_name",
-             "column_count", "estimated_size"]
+             "column_count", "estimated_size", "comment"]
     cols = [
         Vector.from_values([r[0] for r in rows], VARCHAR),
         Vector.from_values([r[1] for r in rows], VARCHAR),
         Vector.from_values([r[2] for r in rows], VARCHAR),
         Vector.from_values([r[3] for r in rows], BIGINT),
         Vector.from_values([r[4] for r in rows], BIGINT),
+        Vector.from_values([r[5] for r in rows], VARCHAR),
     ]
     return names, cols
 

@@ -659,3 +659,11 @@ class UnpivotStatement(Statement):
     limit: Optional[Expression] = None
     offset: Optional[Expression] = None
 
+
+
+@dataclass
+class CommentStatement(Statement):
+    """COMMENT ON <kind> <name> IS 'text' (DuckDB comment DDL)."""
+    kind: str = "TABLE"
+    parts: Tuple[str, ...] = ()
+    text: Optional[str] = None

@@ -213,6 +213,19 @@ class Parser:
             return self.parse_pragma()
         if kw == "SET":
             return self.parse_set()
+        if kw == "COMMENT":
+            # COMMENT ON TABLE|COLUMN|VIEW|MACRO|... name IS 'text'
+            self.next()
+            self.expect_kw("ON")
+            kind = self.next().upper
+            parts = [self.expect_ident()]
+            while self.accept_op("."):
+                parts.append(self.expect_ident())
+            self.expect_kw("IS")
+            tok = self.next()
+            text = None if tok.is_kw("NULL") else tok.text
+            return a.CommentStatement(kind=kind, parts=tuple(parts),
+                                      text=text)
         if kw == "RESET":
             # RESET name / RESET ALL: restore the setting's default
             self.next()
@@ -1977,19 +1990,27 @@ class Parser:
                     self.expect_op(")")
                 constraints.append(("fk", fk_cols, rparts[-1], pk_cols))
             elif self.peek().is_kw("UNIQUE", "CHECK", "CONSTRAINT"):
-                # consume and ignore
-                self.next()
-                while not self.peek().is_op(",") and \
-                        not self.peek().is_op(")"):
-                    t2 = self.next()
-                    if t2.is_op("("):
-                        depth = 1
-                        while depth:
-                            t3 = self.next()
-                            if t3.is_op("("):
-                                depth += 1
-                            elif t3.is_op(")"):
-                                depth -= 1
+                if self.accept_kw("CONSTRAINT"):
+                    self.expect_ident()          # constraint name
+                if self.accept_kw("UNIQUE"):
+                    self.expect_op("(")
+                    ucols = [self.expect_ident()]
+                    while self.accept_op(","):
+                        ucols.append(self.expect_ident())
+                    self.expect_op(")")
+                    constraints.append(("unique", ucols))
+                elif self.accept_kw("CHECK"):
+                    self.expect_op("(")
+                    constraints.append(("check", self.parse_expression()))
+                    self.expect_op(")")
+                elif self.accept_kw("PRIMARY"):
+                    self.expect_kw("KEY")
+                    self.expect_op("(")
+                    cols = [self.expect_ident()]
+                    while self.accept_op(","):
+                        cols.append(self.expect_ident())
+                    self.expect_op(")")
+                    constraints.append(("pk", cols))
             elif self.peek(1).is_op(",") or self.peek(1).is_op(")"):
                 # names-only column list (CREATE TABLE t(a, b) AS ...)
                 stmt.columns.append((self.expect_ident(), None, False, None))
@@ -2009,7 +2030,7 @@ class Parser:
                         not_null = True
                         constraints.append(("pk", [cname]))
                     elif self.accept_kw("UNIQUE"):
-                        pass
+                        constraints.append(("unique", [cname]))
                     elif self.accept_kw("DEFAULT"):
                         default = self.parse_expression()
                     elif self.accept_kw("REFERENCES"):
@@ -2026,13 +2047,9 @@ class Parser:
                                             pk_cols))
                     elif self.accept_kw("CHECK"):
                         self.expect_op("(")
-                        depth = 1
-                        while depth:
-                            t2 = self.next()
-                            if t2.is_op("("):
-                                depth += 1
-                            elif t2.is_op(")"):
-                                depth -= 1
+                        constraints.append(("check",
+                                            self.parse_expression()))
+                        self.expect_op(")")
                     else:
                         break
                 stmt.columns.append((cname, ctype, not_null, default))

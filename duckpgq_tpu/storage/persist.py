@@ -63,6 +63,7 @@ def save_database(db, path: str) -> None:
     os.makedirs(os.path.join(path, "data"), exist_ok=True)
     tables = []
     views = {}
+    checks: dict = {}
     for schema in db.catalog.schemas.values():
         for table in schema.tables.values():
             if table.name.lower() == "__duckpgq_internal":
@@ -73,8 +74,14 @@ def save_database(db, path: str) -> None:
                 "columns": [{"name": c.name, "type": type_to_dict(c.type),
                              "not_null": c.not_null}
                             for c in table.column_defs],
-                "constraints": [list(c) for c in table.constraints],
+                # CHECK constraints carry expression ASTs -> pickled below
+                "constraints": [list(c) for c in table.constraints
+                                if not c or c[0] != "check"],
             })
+            tchecks = [c for c in table.constraints
+                       if c and c[0] == "check"]
+            if tchecks:
+                checks[f"{schema.name}.{table.name}"] = tchecks
             arrays = {}
             for i, vec in enumerate(table.columns):
                 arrays[f"c{i}"] = vec.data
@@ -108,6 +115,12 @@ def save_database(db, path: str) -> None:
             pickle.dump(macros, f)
     elif os.path.exists(macros_path):
         os.remove(macros_path)
+    checks_path = os.path.join(path, "checks.pkl")
+    if checks:
+        with open(checks_path, "wb") as f:
+            pickle.dump(checks, f)
+    elif os.path.exists(checks_path):
+        os.remove(checks_path)
 
 
 # ------------------------------------------------------------------ load
@@ -146,6 +159,15 @@ def load_database(db, path: str) -> None:
             macros = pickle.load(f)
         for macro in macros.values():
             db.catalog.create_macro(macro, or_replace=True)
+    checks_path = os.path.join(path, "checks.pkl")
+    if os.path.exists(checks_path):
+        with open(checks_path, "rb") as f:
+            checks = pickle.load(f)
+        for key, tchecks in checks.items():
+            sname, _, tname = key.partition(".")
+            t = db.catalog.get_table(tname, sname, missing_ok=True)
+            if t is not None:
+                t.constraints = list(t.constraints) + list(tchecks)
     for d in catalog.get("property_graphs", []):
         info = _pg_from_dict(d)
         db.registered_property_graphs[

@@ -18,14 +18,15 @@ from .vector import Vector
 
 
 class ColumnDefinition:
-    __slots__ = ("name", "type", "not_null", "default")
+    __slots__ = ("name", "type", "not_null", "default", "comment")
 
     def __init__(self, name: str, typ: LogicalType, not_null: bool = False,
-                 default=None):
+                 default=None, comment=None):
         self.name = name
         self.type = typ
         self.not_null = not_null
         self.default = default
+        self.comment = comment
 
 
 class DataTable:

@@ -668,6 +668,16 @@ case("SELECT strftime(DATE '2024-03-05', '%-d/%-m/%Y')",
      [('5/3/2024',)])
 
 
+
+# ===================== wave 13 ========================================
+case("CREATE TABLE w13uq(a INT UNIQUE); INSERT INTO w13uq VALUES (1); "
+     "SELECT count(*) FROM w13uq", [(1,)])
+case("CREATE TABLE w13pa(id INT PRIMARY KEY); "
+     "INSERT INTO w13pa VALUES (1); "
+     "CREATE TABLE w13ch(pid INT REFERENCES w13pa(id)); "
+     "INSERT INTO w13ch VALUES (1); SELECT count(*) FROM w13ch", [(1,)])
+
+
 def render(rows):
     return rows
 
